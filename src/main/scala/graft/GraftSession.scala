@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory + runtime configuration for the graft engine.
+  *
+  * Design notes (100 TB target, tested on local[N]):
+  *  - AQE stays on (Spark 4 default): runtime coalescing of shuffle
+  *    partitions, skew-join splitting, and dynamic broadcast demotion are
+  *    exactly the knobs a 1000-executor run needs.
+  *  - `spark.sql.shuffle.partitions` is sized to the local core count here;
+  *    on a real cluster it would be ~2-3x total cores and AQE coalesces down.
+  *  - Session timezone pinned UTC so timestamp semantics are stable across
+  *    driver, executors, and the DuckDB oracle.
+  */
+object GraftSession {
+
+  /** Runtime confs every graft session needs, settable on an existing
+    * session (the driver owns SparkSession creation in Verify/Bench). */
+  def configure(spark: SparkSession): SparkSession = {
+    // The driver-generated events table carries parquet TIMESTAMP(NANOS),
+    // which Spark cannot represent losslessly (TimestampType is micros).
+    // Reading nanos as Long keeps full precision and makes ordering /
+    // comparisons exact and engine-independent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+}

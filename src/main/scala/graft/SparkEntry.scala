@@ -1,13 +1,227 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract — the declared query inventory of SURVEY.md §2.2.
+  *
+  * Conventions shared by every query and its DuckDB oracle:
+  *  - every computed column is aliased identically on both sides (the
+  *    driver's compare sorts columns by name);
+  *  - explicit total ORDER BY on both sides → deterministic row order;
+  *  - double sums go through DECIMAL(38,6) (exact, order-independent);
+  *    averages are exact-integral-sum / count (single IEEE division);
+  *  - `events.ts` (parquet TIMESTAMP_NANOS) is ordered by the lossless
+  *    epoch-nanos Long internally and OUTPUT as epoch-micros (`ts_us` /
+  *    `epoch_us(ts)`) — micros is the finest precision DuckDB and Spark
+  *    agree on for this type.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_enrich_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference surface (SURVEY.md §2.1 A/B/C/D ops) ------------------
+    "q_project" -> ((s, dir) =>
+      Relational
+        .projectUpper(
+          Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+        .orderBy(col("L_ORDERKEY"), col("L_PARTKEY"), col("L_QUANTITY"), col("L_EXTENDEDPRICE"))),
+
+    "q_filter_eq" -> ((s, dir) =>
+      Tables
+        .withTsMicros(Tables.events(s, dir))
+        .filter(col("event_id") === 42L)
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "props")),
+
+    "q_count" -> ((s, dir) => Relational.countAll(Tables.lineitem(s, dir))),
+
+    "q_latest_by_key" -> ((s, dir) =>
+      Changelog
+        .latestByKey(Tables.withTsMicros(Tables.events(s, dir)), Seq("user_id"), col("event_id"))
+        .select("user_id", "event_id", "ts_us", "event_type", "value", "props")
+        .orderBy(col("user_id"))),
+
+    "q_changelog_apply" -> ((s, dir) =>
+      Changelog
+        .applyChangelog(
+          Tables.withTsMicros(Tables.events(s, dir)),
+          Seq("user_id"),
+          col("event_id"),
+          col("event_type") === "delete")
+        .select("user_id", "event_id", "ts_us", "event_type", "value", "props")
+        .orderBy(col("user_id"))),
+
+    "q_live_count" -> ((s, dir) =>
+      Changelog.liveCount(
+        Tables.events(s, dir),
+        Seq("user_id"),
+        col("event_id"),
+        col("event_type") === "delete")),
+
+    "q_topn" -> ((s, dir) =>
+      Relational.topN(
+        Tables.orders(s, dir),
+        5,
+        col("o_totalprice").desc,
+        col("o_orderkey").asc)),
+
+    "q_union_counts" -> ((s, dir) =>
+      Relational.unionCounts(
+        Seq("customer", "orders", "part", "supplier").map(t => t -> Tables(s, dir, t)))),
+
+    "q_group_agg" -> ((s, dir) =>
+      Relational.groupAgg(Tables.events(s, dir), "event_type", "value")),
+
+    "q_struct_key" -> ((s, dir) => {
+      // Debezium-style STRUCT{ID} message key: build, then re-extract
+      // (reference: README.md:40 — key is an Avro record, not a bare int).
+      val keyed = Tables
+        .events(s, dir)
+        .select(struct(col("user_id").as("ID")).as("key"), col("event_type"))
+      keyed
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("key.ID")).as("n_keys"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_null_guard" -> ((s, dir) =>
+      Tables
+        .events(s, dir)
+        .filter(Relational.nullGuard(col("value")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_valid"),
+          Relational.exactSum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))),
+
+    // --- north-star extensions -------------------------------------------
+    "q_window_tumble" -> ((s, dir) =>
+      Windowing
+        .tumbleNanos(
+          Tables.events(s, dir),
+          col("ts_ns"),
+          widthSeconds = 3600,
+          dims = Seq(col("event_type")),
+          aggs = Seq(
+            count(lit(1)).as("cnt"),
+            Relational.exactSum(col("value")).as("sum_value")))
+        .orderBy(col("window_start_sec"), col("event_type"))),
+
+    "q_enrich_join" -> ((s, dir) =>
+      Joins.revenueByNation(
+        Tables.orders(s, dir),
+        Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+
+    "q_dedup_docs" -> ((s, dir) =>
+      TextOps
+        .exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.textStats(Tables.documents(s, dir), "lang", "text", "n_chars")),
+
+    "q_sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        queryId = 0L,
+        k = 10))
+  )
+
+  /** DuckDB-equivalent SQL per query key (same parquet tables, same column
+    * names, same ORDER BY). Omitted for ops not expressible in portable
+    * SQL (q_sim_topk — covered by a brute-force ScalaTest oracle instead).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_project" ->
+      """SELECT l_orderkey AS L_ORDERKEY, l_partkey AS L_PARTKEY,
+        |       l_quantity AS L_QUANTITY, l_extendedprice AS L_EXTENDEDPRICE
+        |FROM lineitem
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_filter_eq" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events WHERE event_id = 42""".stripMargin,
+
+    "q_count" -> "SELECT COUNT(*) AS total FROM lineitem",
+
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_changelog_apply" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_live_count" ->
+      """SELECT COUNT(*) AS live_count
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete'""".stripMargin,
+
+    "q_topn" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+
+    "q_union_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS cnt FROM customer UNION ALL
+        |  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+        |  SELECT 'part', COUNT(*) FROM part UNION ALL
+        |  SELECT 'supplier', COUNT(*) FROM supplier) t
+        |ORDER BY tbl""".stripMargin,
+
+    "q_group_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_struct_key" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_null_guard" ->
+      """SELECT event_type, COUNT(*) AS n_valid,
+        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_tumble" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+        |       event_type, COUNT(*) AS cnt,
+        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_enrich_join" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |       SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_dedup_docs" ->
+      """SELECT MIN(doc_id) AS doc_id, text
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |       MAX(n_chars) AS max_chars,
+        |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Thin, typed wrappers for the reference's relational surface
+  * (SURVEY.md §2.1 A2/B2, C3, D1-D4, D7): projection with the ksqlDB
+  * uppercase-rename quirk, point lookup, counts, top-N, union-of-counts,
+  * grouped aggregation, struct keys, null guards.
+  *
+  * All of these lower to single Catalyst operators; filters and projections
+  * land in the parquet scan (PushedFilters / ReadSchema), aggregates get
+  * partial map-side combine. Nothing here shuffles more than once.
+  */
+object Relational {
+
+  /** Projection that mirrors ksqlDB's field-name uppercasing
+    * (reference: README.md:227-233 — `pk.fields=ID`, not `id`). */
+  def projectUpper(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c => col(c).as(c.toUpperCase)): _*)
+
+  /** Point pull query (`SELECT * FROM t WHERE k = v`,
+    * TOMBSTONE_HANDLING_GUIDE.md:188-190). Equality predicate is pushed to
+    * the parquet scan → row-group + page skipping via min/max stats. */
+  def pointLookup(df: DataFrame, keyCol: String, value: Any): DataFrame =
+    df.filter(col(keyCol) === lit(value))
+
+  /** `SELECT COUNT(*) AS total` — parquet metadata-only at scan time. */
+  def countAll(df: DataFrame, as: String = "total"): DataFrame =
+    df.agg(count(lit(1)).as(as))
+
+  /** Deterministic top-N: total order imposed before LIMIT. Spark plans
+    * this as TakeOrderedAndProject — per-partition top-N then a k-row merge
+    * on the driver, no full sort, no full shuffle. */
+  def topN(df: DataFrame, n: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(n)
+
+  /** Per-table row counts unioned (reference: purge-source-db.sh:77-83).
+    * Each branch is a metadata-cheap count; union of single-row frames. */
+  def unionCounts(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("cnt")).select(lit(name).as("tbl"), col("cnt"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy(col("tbl"))
+
+  /** Grouped count+sum (reference: the-whole-thing.sh:91-94 offset sums).
+    * Sums over floating-point columns go through DECIMAL(38,6) so results
+    * are exact and independent of partitioning / aggregation order — a
+    * correctness property, not just an oracle convenience: a plan that only
+    * matches the oracle under one partitioning is not reproducible at scale.
+    */
+  def groupAgg(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("sum_value"))
+      .orderBy(col(groupCol))
+
+  /** Exact decimal sum of a double column — deterministic under any
+    * aggregation order (double sums are not associative; decimal sums are).
+    */
+  def exactSum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+
+  /** Exact average: integral sum then a single IEEE division — identical
+    * on any engine, unlike incrementally-accumulated `avg`. */
+  def exactAvgLong(c: Column): Column =
+    sum(c).cast("double") / count(c)
+
+  /** Null/NaN-safe guard (reference: `behavior.on.null.values=ignore`,
+    * start-sink-connector.sh:81). */
+  def nullGuard(c: Column): Column =
+    c.isNotNull && !isnan(c)
+}

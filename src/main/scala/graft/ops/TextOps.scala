@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star extension,
+  * BASELINE.json): exact dedup, token counting, quality scoring,
+  * fingerprinting, language ID. All built from codegen'd built-ins — a
+  * regex + aggregate pipeline like this runs fully inside whole-stage
+  * codegen and scans 100 TB of text at parquet-read speed.
+  */
+object TextOps {
+
+  /** Token count = number of `\S+` runs. Edge-case-exact: empty or
+    * all-whitespace text → 0 (a split-based count would give 1). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Exact deduplication by full-text equality: one row per distinct text,
+    * keeping the minimum id. A hash aggregate on the text column — at scale
+    * the map-side combine collapses duplicates before the shuffle, and the
+    * shuffle key is the (long) text itself; for very wide docs prefer
+    * [[fingerprint]] grouping first. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+
+  /** 128-bit content fingerprint of whitespace-normalized text. Dedup on
+    * the fingerprint shuffles 16 bytes/doc instead of the document body. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Per-document quality features: char/token counts, punctuation ratio,
+    * uppercase ratio, mean token length — the usual cheap filters in a
+    * pretraining-data pipeline. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nPunct = length(t) - length(regexp_replace(t, "[.,;:!?]", ""))
+    val nUpper = length(t) - length(regexp_replace(t, "[A-Z]", ""))
+    val nSpace = length(t) - length(regexp_replace(t, " ", ""))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn(
+        "punct_ratio",
+        when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars))
+      .withColumn(
+        "upper_ratio",
+        when(nChars === 0, 0.0).otherwise(nUpper.cast("double") / nChars))
+      .withColumn(
+        "mean_token_len",
+        when(nTokens === 0, 0.0)
+          .otherwise((nChars - nSpace).cast("double") / nTokens))
+  }
+
+  /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
+    * share first, then scored stopword hits. Deterministic, no model file —
+    * a placeholder with the exact plumbing (column in, label column out)
+    * a real classifier would use. */
+  def languageId(text: Column): Column = {
+    val nChars = length(text)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    def hits(words: Seq[String]): Column =
+      size(regexp_extract_all(
+        lower(text),
+        lit("\\b(" + words.mkString("|") + ")\\b"),
+        lit(0)))
+    val en = hits(Seq("the", "and", "of", "to", "is", "with", "that"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "dans", "une"))
+    val es = hits(Seq("el", "los", "las", "es", "en", "una", "que"))
+    val best = greatest(en, de, fr, es)
+    when(nChars > 0 && cjk.cast("double") / nChars > 0.2, "zh")
+      .when(best === 0, "unknown")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise(when(es === best, "es"))
+  }
+
+  /** Per-language corpus stats (SURVEY.md §2.2 q_text_stats): doc count,
+    * exact average/max chars, total whitespace tokens. */
+  def textStats(df: DataFrame, langCol: String, textCol: String, nCharsCol: String): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Relational.exactAvgLong(col(nCharsCol)).as("avg_chars"),
+        max(col(nCharsCol)).as("max_chars"),
+        sum(tokenCount(col(textCol))).as("total_tokens"))
+      .orderBy(col(langCol))
+}

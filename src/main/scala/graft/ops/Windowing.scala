@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregation (north-star extension — the reference's ksqlDB
+  * TABLE has no windowing; SURVEY.md §2.2 `q_window_tumble`).
+  *
+  * Two flavors:
+  *  - [[tumble]]: the Spark-native `window()` expression over a
+  *    TimestampType column — this is the form that transfers 1:1 to
+  *    Structured Streaming (same expression + watermark).
+  *  - [[tumbleNanos]]: integer bucketing over an epoch-nanos Long column —
+  *    exact (no micros truncation) and what the declared oracle query uses.
+  *
+  * Both are single hash aggregates with map-side partial combine; the
+  * group-by key (bucket, dims...) is high-cardinality-friendly and skew is
+  * handled by AQE.
+  */
+object Windowing {
+
+  /** Exact floor-division of a non-negative Long column by a positive
+    * constant. `Column./` is IEEE double division — epoch-nanos values
+    * (~1.7e18) exceed double's 2^53 exact-integer range, so a plain `/`
+    * can mis-bucket rows near window boundaries. Subtracting the modulus
+    * first makes the numerator exactly divisible; the decimal division is
+    * then exact.
+    */
+  def floorDiv(a: Column, d: Long): Column =
+    ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(java.math.BigDecimal.valueOf(d)))
+      .cast("long")
+
+  /** Tumbling window via Spark's `window()`; `duration` e.g. "1 hour". */
+  def tumble(
+      df: DataFrame,
+      tsCol: Column,
+      duration: String,
+      dims: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(tsCol, duration) +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Tumbling window over epoch-nanos, emitting the bucket start as epoch
+    * seconds (`window_start_sec`) — lossless and engine-portable. */
+  def tumbleNanos(
+      df: DataFrame,
+      tsNsCol: Column,
+      widthSeconds: Long,
+      dims: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val widthNs = widthSeconds * 1000000000L
+    val bucket = floorDiv(tsNsCol.cast("long"), widthNs) * widthSeconds
+    df.withColumn("window_start_sec", bucket)
+      .groupBy(col("window_start_sec") +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
