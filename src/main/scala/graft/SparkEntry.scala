@@ -98,7 +98,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_valid"),
-          Relational.exactSum(col("value")).as("sum_value"))
+          Relational.exactSumDouble(col("value")).as("sum_value"))
         .orderBy(col("event_type"))),
 
     // --- north-star extensions -------------------------------------------
@@ -111,7 +111,7 @@ object SparkEntry {
           dims = Seq(col("event_type")),
           aggs = Seq(
             count(lit(1)).as("cnt"),
-            Relational.exactSum(col("value")).as("sum_value")))
+            Relational.exactSumDouble(col("value")).as("sum_value")))
         .orderBy(col("window_start_sec"), col("event_type"))),
 
     "q_enrich_join" -> ((s, dir) =>
@@ -185,7 +185,7 @@ object SparkEntry {
 
     "q_group_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
-        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_struct_key" ->
@@ -194,7 +194,7 @@ object SparkEntry {
 
     "q_null_guard" ->
       """SELECT event_type, COUNT(*) AS n_valid,
-        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -202,12 +202,12 @@ object SparkEntry {
     "q_window_tumble" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         |       event_type, COUNT(*) AS cnt,
-        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_enrich_join" ->
       """SELECT n_name, COUNT(*) AS n_orders,
-        |       SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

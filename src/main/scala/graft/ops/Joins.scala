@@ -25,6 +25,6 @@ object Joins {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        Relational.exactSum(col("o_totalprice")).as("revenue"))
+        Relational.exactSumDouble(col("o_totalprice")).as("revenue"))
       .orderBy(col("n_name"))
 }

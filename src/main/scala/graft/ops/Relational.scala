@@ -55,13 +55,20 @@ object Relational {
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast("decimal(38,6)")).as("sum_value"))
+        exactSumDouble(col(valueCol)).as("sum_value"))
       .orderBy(col(groupCol))
 
   /** Exact decimal sum of a double column — deterministic under any
     * aggregation order (double sums are not associative; decimal sums are).
     */
   def exactSum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+
+  /** [[exactSum]] emitted as DOUBLE: the accumulation stays exact and
+    * order-independent, but the *output* column is a canonically-hashable
+    * primitive. One final cast of the same exact decimal is deterministic,
+    * so Spark and any SQL oracle computing
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` agree bit-for-bit. */
+  def exactSumDouble(c: Column): Column = exactSum(c).cast("double")
 
   /** Exact average: integral sum then a single IEEE division — identical
     * on any engine, unlike incrementally-accumulated `avg`. */
