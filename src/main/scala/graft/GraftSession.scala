@@ -25,6 +25,12 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Pinned, not inherited: ANSI semantics (strict casts/overflow, the
+    // Spark 4 default) must not flip under us if a cluster profile
+    // overrides it — the oracle comparison assumes one fixed semantics.
+    // NaN/Infinity inputs to the exact-decimal sums are guarded inside
+    // Relational.exactSum, so strict mode cannot crash the aggregates.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark
   }
 

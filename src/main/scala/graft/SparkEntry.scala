@@ -11,7 +11,9 @@ import graft.ops._
   *  - every computed column is aliased identically on both sides (the
   *    driver's compare sorts columns by name);
   *  - explicit total ORDER BY on both sides → deterministic row order;
-  *  - double sums go through DECIMAL(38,6) (exact, order-independent);
+  *  - double sums ACCUMULATE in DECIMAL(38,6) (exact, order-independent,
+  *    NaN/Inf→NULL-guarded) and are EMITTED as a final CAST(... AS DOUBLE)
+  *    on both sides — matching ksqlDB's SUM(double) output type;
   *    averages are exact-integral-sum / count (single IEEE division);
   *  - `events.ts` (parquet TIMESTAMP_NANOS) is ordered by the lossless
   *    epoch-nanos Long internally and OUTPUT as epoch-micros (`ts_us` /

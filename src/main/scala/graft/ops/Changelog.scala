@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * Models the reference's central abstraction — a changelog topic
   * materialized into latest-state-per-key with tombstone deletes
   * (reference: ksql-transformations/01-movies-transform.sql:19-24,
-  * TOMBSTONE_HANDLING_GUIDE.md:25-33,77-113). The streaming flavor lives in
-  * [[graft.streaming.ChangelogStream]]; this batch flavor is the
-  * replay-the-whole-topic equivalent.
+  * TOMBSTONE_HANDLING_GUIDE.md:25-33,77-113). This batch flavor is the
+  * replay-the-whole-topic equivalent of the continuous one in
+  * `graft.streaming.ChangelogStream`.
   *
   * Scale notes:
   *  - `latestByKey` uses `max_by` aggregation, NOT a window `row_number`.

@@ -60,14 +60,26 @@ object Relational {
 
   /** Exact decimal sum of a double column — deterministic under any
     * aggregation order (double sums are not associative; decimal sums are).
+    *
+    * NaN/±Infinity are mapped to NULL before the decimal cast: under ANSI
+    * mode (pinned on in [[graft.GraftSession.configure]])
+    * `CAST(NaN AS DECIMAL)` throws, which would make the aggregate a
+    * data-dependent crash; treating non-finite as "no value" matches the
+    * sink-side `behavior.on.null.values=ignore` posture of the reference
+    * (start-sink-connector.sh:81) and is a no-op on finite data.
     */
-  def exactSum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+  def exactSum(c: Column): Column = {
+    val finite = when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity), c)
+    sum(finite.cast("decimal(38,6)"))
+  }
 
   /** [[exactSum]] emitted as DOUBLE: the accumulation stays exact and
     * order-independent, but the *output* column is a canonically-hashable
     * primitive. One final cast of the same exact decimal is deterministic,
-    * so Spark and any SQL oracle computing
-    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` agree bit-for-bit. */
+    * so Spark and the DuckDB oracle computing
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` agree on all tested
+    * scales (a 1-ulp divergence is conceivable once the scaled sum exceeds
+    * 2^53; the driver hash has never shown one — revisit if it does). */
   def exactSumDouble(c: Column): Column = exactSum(c).cast("double")
 
   /** Exact average: integral sum then a single IEEE division — identical

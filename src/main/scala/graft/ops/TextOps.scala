@@ -11,19 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Token count = number of `\S+` runs. Edge-case-exact: empty or
-    * all-whitespace text → 0 (a split-based count would give 1). */
-  def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+  /** Token count = number of `\S+` runs, via length arithmetic: collapse
+    * whitespace runs to single spaces, then spaces+1. Identical semantics
+    * to `size(regexp_extract_all(text, "\\S+"))` (empty/all-whitespace →
+    * 0; NULL → NULL) but never materializes the token array — one short
+    * normalized copy instead of thousands of per-token allocations, which
+    * made this the dominant cost of the text-stats scan. */
+  def tokenCount(text: Column): Column = {
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    when(length(norm) === 0, lit(0))
+      .otherwise(length(norm) - length(replace(norm, lit(" "), lit(""))) + 1)
+  }
 
   /** Exact deduplication by full-text equality: one row per distinct text,
-    * keeping the minimum id. A hash aggregate on the text column — at scale
-    * the map-side combine collapses duplicates before the shuffle, and the
-    * shuffle key is the (long) text itself; for very wide docs prefer
-    * [[fingerprint]] grouping first. */
+    * keeping the minimum id.
+    *
+    * The grouping key is the 128-bit md5 of the text, NOT the text itself:
+    * map-side combine collapses duplicates before the shuffle either way,
+    * but a 16-byte key keeps every hash/compare/spill-sort in the exchange
+    * O(1) instead of O(document length). The text still travels (it is in
+    * the output), carried once per surviving row as the `min_by` payload.
+    * Distinct texts colliding on md5 would merge — at 2^64 docs the
+    * birthday bound is ~2^-64 per pair, far below any storage-layer error
+    * rate, so no exact-compare resolution pass is spent on it. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as(idCol))
+    df.groupBy(md5(col(textCol).cast("binary")).as("__fp"))
+      .agg(
+        min(col(idCol)).as(idCol),
+        min_by(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
 
   /** 128-bit content fingerprint of whitespace-normalized text. Dedup on
@@ -77,7 +92,7 @@ object TextOps {
       .when(en === best, "en")
       .when(de === best, "de")
       .when(fr === best, "fr")
-      .otherwise(when(es === best, "es"))
+      .otherwise(lit("es"))
   }
 
   /** Per-language corpus stats (SURVEY.md §2.2 q_text_stats): doc count,
