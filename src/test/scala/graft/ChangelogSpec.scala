@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Changelog
+
+/** The insert→update→delete→reinsert lifecycle of the reference's
+  * tombstone guide (/root/reference/TOMBSTONE_HANDLING_GUIDE.md:149-205),
+  * table-driven over the batch changelog core. */
+class ChangelogSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // One key's full lifecycle, seq = event_id (the Kafka-offset stand-in).
+  private val lifecycle = Seq(
+    Ev(1L, 1L, "insert", 10.0),
+    Ev(1L, 2L, "update", 20.0),
+    Ev(1L, 3L, "delete", 0.0),
+    Ev(1L, 4L, "insert", 30.0)
+  )
+
+  private def state(events: Seq[Ev]): Map[Long, (Long, Double)] =
+    Changelog
+      .applyChangelog(events.toDF(), Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("event_id"), r.getAs[Double]("value"))))
+      .toMap
+
+  test("insert materializes the key") {
+    assert(state(lifecycle.take(1)) == Map(1L -> ((1L, 10.0))))
+  }
+
+  test("update supersedes insert") {
+    assert(state(lifecycle.take(2)) == Map(1L -> ((2L, 20.0))))
+  }
+
+  test("delete removes the key (tombstone wins)") {
+    assert(state(lifecycle.take(3)) == Map.empty)
+  }
+
+  test("re-insert after delete resurrects the key") {
+    assert(state(lifecycle) == Map(1L -> ((4L, 30.0))))
+  }
+
+  test("arrival order does not matter — only sequence order does") {
+    // The delete arriving physically last must still lose to the later
+    // re-insert; a shuffled changelog replays to the same state.
+    val shuffled = Seq(lifecycle(3), lifecycle(0), lifecycle(2), lifecycle(1))
+    assert(state(shuffled) == state(lifecycle))
+  }
+
+  test("independent keys do not interfere") {
+    val events = lifecycle ++ Seq(Ev(2L, 5L, "insert", 1.0), Ev(3L, 6L, "delete", 0.0))
+    assert(state(events) == Map(1L -> ((4L, 30.0)), 2L -> ((5L, 1.0))))
+  }
+
+  test("liveCount = keys whose latest event is not a delete") {
+    val events = lifecycle ++ Seq(Ev(2L, 5L, "insert", 1.0), Ev(3L, 6L, "delete", 0.0))
+    val n = Changelog
+      .liveCount(events.toDF(), Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .collect()(0)
+      .getLong(0)
+    assert(n == 2L)
+  }
+
+  test("latestByKey keeps every column of the winning row") {
+    val df: DataFrame = lifecycle.take(2).toDF()
+    val rows = Changelog.latestByKey(df, Seq("user_id"), col("event_id")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+  }
+
+  test("composite sequence: struct(ts, offset) breaks ts ties by offset") {
+    val df = Seq(
+      (1L, 100L, 1L, "a"),
+      (1L, 100L, 2L, "b")
+    ).toDF("user_id", "ts", "offset", "payload")
+    val got = Changelog
+      .latestByKey(df, Seq("user_id"), struct(col("ts"), col("offset")))
+      .collect()(0)
+      .getAs[String]("payload")
+    assert(got == "b")
+  }
+}

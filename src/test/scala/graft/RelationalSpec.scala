@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class RelationalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("exactSum survives NaN/Infinity under ANSI mode, summing only finite values") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val df = Seq(
+      ("a", 1.5), ("a", Double.NaN), ("a", 2.5),
+      ("b", Double.PositiveInfinity), ("b", Double.NegativeInfinity), ("b", 4.0)
+    ).toDF("k", "v")
+    val got = df
+      .groupBy(col("k"))
+      .agg(Relational.exactSumDouble(col("v")).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(got == Map("a" -> 4.0, "b" -> 4.0))
+  }
+
+  test("exactSum of only-null/NaN groups is NULL (matches SQL SUM semantics)") {
+    val df = Seq(("a", Double.NaN)).toDF("k", "v")
+    val row = df.groupBy(col("k")).agg(Relational.exactSumDouble(col("v")).as("s")).collect()(0)
+    assert(row.isNullAt(1))
+  }
+
+  test("exactSum is partitioning-independent (decimal accumulation)") {
+    // 0.1 summed 1e5 times: double accumulation drifts, decimal does not.
+    val df = spark.range(100000).select(lit(0.1).as("v"))
+    val s1 = df.repartition(1).agg(Relational.exactSumDouble(col("v"))).collect()(0).getDouble(0)
+    val s32 = df.repartition(32).agg(Relational.exactSumDouble(col("v"))).collect()(0).getDouble(0)
+    assert(s1 == s32)
+    assert(s1 == 10000.0)
+  }
+
+  test("groupAgg counts include NaN rows but sums exclude them") {
+    val df = Seq(("a", 1.0), ("a", Double.NaN)).toDF("event_type", "value")
+    val row = Relational.groupAgg(df, "event_type", "value").collect()(0)
+    assert(row.getAs[Long]("cnt") == 2L)
+    assert(row.getAs[Double]("sum_value") == 1.0)
+  }
+
+  test("projectUpper uppercases names and keeps order") {
+    val df = Seq((1, "x")).toDF("id", "title")
+    val out = Relational.projectUpper(df, Seq("id", "title"))
+    assert(out.schema.fieldNames.toSeq == Seq("ID", "TITLE"))
+  }
+
+  test("topN is deterministic under ties via the secondary key") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 4.0)).toDF("id", "p")
+    val got = Relational.topN(df, 2, col("p").desc, col("id").asc).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("pointLookup pushes an equality filter (plan contains PushedFilters)") {
+    val plan = Relational
+      .pointLookup(Tables.events(spark, sf001), "event_id", 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,42)]"), plan)
+  }
+
+  test("unionCounts covers each table once, ordered by name") {
+    val t1 = Seq(1, 2, 3).toDF("x")
+    val t2 = Seq(1).toDF("x")
+    val got = Relational
+      .unionCounts(Seq("zeta" -> t1, "alpha" -> t2))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(got == Seq(("alpha", 1L), ("zeta", 3L)))
+  }
+
+  test("nullGuard drops NULL and NaN, keeps finite and infinite") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(Double.PositiveInfinity))
+      .toDF("v")
+    val kept = df.filter(Relational.nullGuard(col("v"))).collect().map(_.getDouble(0)).toSet
+    assert(kept == Set(1.0, Double.PositiveInfinity))
+  }
+}
