@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * materialized into latest-state-per-key with tombstone deletes
   * (reference: ksql-transformations/01-movies-transform.sql:19-24,
   * TOMBSTONE_HANDLING_GUIDE.md:25-33,77-113). This batch flavor is the
-  * replay-the-whole-topic equivalent of the continuous one in
-  * `graft.streaming.ChangelogStream`.
+  * replay-the-whole-topic equivalent of the continuous
+  * [[graft.streaming.ChangelogStream]]; ChangelogStreamSpec proves the two
+  * agree on any event set under any batch chunking.
   *
   * Scale notes:
   *  - `latestByKey` uses `max_by` aggregation, NOT a window `row_number`.
