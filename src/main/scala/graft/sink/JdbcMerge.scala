@@ -1,0 +1,198 @@
+package graft.sink
+
+import java.sql.{Connection, PreparedStatement}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JDBC upsert + tombstone-delete sink — the engine's analog of the
+  * reference's kafka-connect-jdbc sink
+  * (reference: start-sink-connector.sh:61-87): `insert.mode=upsert` (:69),
+  * `pk.mode=record_key` / `pk.fields=ID` (:70-71), `delete.enabled=true`
+  * (:73), `auto.create`/`auto.evolve` (:67-68), `batch.size=3000` (:78),
+  * 10 retries × 3 s backoff (:79-80).
+  *
+  * Spark has no built-in JDBC upsert, so this is a `foreachBatch` helper:
+  * split the micro-batch on the tombstone predicate, DELETE the tombstoned
+  * keys, MERGE the rest — per partition, in prepared-statement batches.
+  *
+  * Delivery semantics: at-least-once per micro-batch, the same contract as
+  * the Connect sink (a retried batch re-applies MERGE/DELETE, both
+  * idempotent by key), NOT exactly-once — a failure between partitions
+  * leaves a partially-applied batch that the retry re-covers.
+  *
+  * Scale notes: work is executor-side (`foreachPartition`) — the driver
+  * never collects rows; each partition holds one connection and flushes
+  * every `batchSize` rows, so memory is O(batchSize), connections are
+  * O(partitions). Repartition the changelog to size the connection pool.
+  */
+object JdbcMerge {
+
+  /** Knobs, defaulted to the reference's sink connector config. */
+  case class Config(
+      table: String,
+      keyCols: Seq[String],
+      batchSize: Int = 3000,
+      maxRetries: Int = 10,
+      retryBackoffMs: Long = 3000L,
+      autoCreate: Boolean = true,
+      deleteEnabled: Boolean = true)
+
+  // ---- SQL generation (T-SQL dialect — the reference's sink is MSSQL) ----
+
+  /** Spark → T-SQL column type (the sink side of the §1.2 type table). */
+  def sqlType(dt: DataType): String = dt match {
+    case IntegerType        => "INT"
+    case LongType           => "BIGINT"
+    case ShortType          => "SMALLINT"
+    case ByteType           => "TINYINT"
+    case BooleanType        => "BIT"
+    case FloatType          => "REAL"
+    case DoubleType         => "FLOAT"
+    case d: DecimalType     => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType         => "NVARCHAR(MAX)"
+    case BinaryType         => "VARBINARY(MAX)"
+    case DateType           => "DATE"
+    case TimestampType      => "DATETIME2"
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  /** `auto.create`-style idempotent DDL derived from the value schema
+    * (reference: start-sink-connector.sh:67, auto-created `movies_sink`).
+    */
+  def createTableSql(cfg: Config, schema: StructType): String = {
+    val cols = schema.fields
+      .map { f =>
+        val nullability =
+          if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
+        s"${f.name} ${sqlType(f.dataType)}$nullability"
+      }
+      .mkString(", ")
+    val pk = s", PRIMARY KEY (${cfg.keyCols.mkString(", ")})"
+    s"IF OBJECT_ID(N'${cfg.table}', N'U') IS NULL " +
+      s"CREATE TABLE ${cfg.table} ($cols$pk)"
+  }
+
+  /** One-row MERGE upsert keyed on the record key
+    * (`insert.mode=upsert`, `pk.mode=record_key`). */
+  def mergeSql(cfg: Config, schema: StructType): String = {
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(cfg.keyCols.contains)
+    val src = cols.map(_ => "?").mkString(", ")
+    val on = cfg.keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val set = nonKey.map(c => s"$c = s.$c").mkString(", ")
+    val insertCols = cols.mkString(", ")
+    val insertVals = cols.map(c => s"s.$c").mkString(", ")
+    s"MERGE INTO ${cfg.table} AS t " +
+      s"USING (VALUES ($src)) AS s (${cols.mkString(", ")}) " +
+      s"ON $on " +
+      (if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else "") +
+      s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals);"
+  }
+
+  /** Tombstone handler: key-only DELETE (`delete.enabled=true`,
+    * TOMBSTONE_HANDLING_GUIDE.md:219-228). */
+  def deleteSql(cfg: Config): String =
+    s"DELETE FROM ${cfg.table} WHERE " +
+      cfg.keyCols.map(k => s"$k = ?").mkString(" AND ")
+
+  // ---- batch mechanics --------------------------------------------------
+
+  /** Split a micro-batch into (upserts, deletes) on the tombstone
+    * predicate — the C2/C3 routing step. */
+  def splitBatch(df: DataFrame, isTombstone: Column): (DataFrame, DataFrame) = {
+    val t = coalesce(isTombstone, lit(false))
+    (df.filter(!t), df.filter(t))
+  }
+
+  /** Reference retry policy: `op` attempted 1 + maxRetries times with a
+    * fixed backoff (start-sink-connector.sh:79-80); rethrows the last
+    * failure. `sleep` is injectable for tests. */
+  def withRetries[T](maxRetries: Int, backoffMs: Long, sleep: Long => Unit = Thread.sleep)(
+      op: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Bind one row's values (in schema order) to a prepared statement. */
+  private def bindRow(ps: PreparedStatement, row: Row, schema: StructType): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      ps.setObject(i + 1, v)
+    }
+
+  /** Apply one partition's rows through a live connection: tombstones to
+    * the DELETE statement, the rest to MERGE, flushing every `batchSize`
+    * with the retry policy, one transaction per flush. Driver- and
+    * executor-callable; the unit tests drive it with a proxy connection.
+    */
+  def applyPartition(
+      rows: Iterator[Row],
+      schema: StructType,
+      cfg: Config,
+      isTombstone: Row => Boolean,
+      conn: Connection,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+    val keySchema = StructType(schema.fields.filter(f => cfg.keyCols.contains(f.name)))
+    val keyIdx = cfg.keyCols.map(schema.fieldIndex)
+    val merge = conn.prepareStatement(mergeSql(cfg, schema))
+    val delete = conn.prepareStatement(deleteSql(cfg))
+    var pendingMerge = 0
+    var pendingDelete = 0
+    def flush(ps: PreparedStatement): Unit = {
+      withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep) { ps.executeBatch() }
+      conn.commit()
+    }
+    rows.foreach { row =>
+      if (isTombstone(row)) {
+        if (cfg.deleteEnabled) {
+          val key = Row.fromSeq(keyIdx.map(row.get))
+          bindRow(delete, key, keySchema)
+          delete.addBatch()
+          pendingDelete += 1
+          if (pendingDelete >= cfg.batchSize) { flush(delete); pendingDelete = 0 }
+        } // else: behavior.on.null.values=ignore (start-sink-connector.sh:81)
+      } else {
+        bindRow(merge, row, schema)
+        merge.addBatch()
+        pendingMerge += 1
+        if (pendingMerge >= cfg.batchSize) { flush(merge); pendingMerge = 0 }
+      }
+    }
+    if (pendingMerge > 0) flush(merge)
+    if (pendingDelete > 0) flush(delete)
+  }
+
+  /** The foreachBatch sink: wire into
+    * [[graft.streaming.ChangelogStream.emitChanges]]. `connect` must be a
+    * serializable closure (DriverManager URL + properties), one connection
+    * per partition. */
+  def sink(
+      cfg: Config,
+      isTombstone: Row => Boolean,
+      connect: () => Connection): (DataFrame, Long) => Unit = { (df, _) =>
+    val schema = df.schema
+    df.foreachPartition { rows: Iterator[Row] =>
+      val conn = connect()
+      try {
+        conn.setAutoCommit(false)
+        if (cfg.autoCreate) {
+          val st = conn.createStatement()
+          try { st.execute(createTableSql(cfg, schema)); conn.commit() }
+          finally st.close()
+        }
+        applyPartition(rows, schema, cfg, isTombstone, conn)
+      } finally conn.close()
+    }
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement, Statement}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sink.JdbcMerge
+import graft.sink.JdbcMerge.Config
+
+/** Offline verification of the JDBC merge sink: generated T-SQL, batch
+  * splitting/flushing, retry policy — driven through proxy JDBC objects
+  * that record every call (no database in this environment). */
+class JdbcMergeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // The reference sink's shape: uppercase names, ID key
+  // (start-sink-connector.sh:70-71: pk.mode=record_key, pk.fields=ID).
+  private val schema = StructType(Seq(
+    StructField("ID", IntegerType, nullable = false),
+    StructField("TITLE", StringType),
+    StructField("RATING", DoubleType)))
+  private val cfg = Config(table = "movies_sink", keyCols = Seq("ID"))
+
+  test("mergeSql emits a keyed MERGE upsert") {
+    assert(JdbcMerge.mergeSql(cfg, schema) ==
+      "MERGE INTO movies_sink AS t USING (VALUES (?, ?, ?)) AS s (ID, TITLE, RATING) " +
+        "ON t.ID = s.ID " +
+        "WHEN MATCHED THEN UPDATE SET TITLE = s.TITLE, RATING = s.RATING " +
+        "WHEN NOT MATCHED THEN INSERT (ID, TITLE, RATING) VALUES (s.ID, s.TITLE, s.RATING);")
+  }
+
+  test("mergeSql with key-only schema has no UPDATE clause") {
+    val keyOnly = StructType(Seq(StructField("ID", IntegerType, nullable = false)))
+    assert(JdbcMerge.mergeSql(cfg, keyOnly) ==
+      "MERGE INTO movies_sink AS t USING (VALUES (?)) AS s (ID) ON t.ID = s.ID " +
+        "WHEN NOT MATCHED THEN INSERT (ID) VALUES (s.ID);")
+  }
+
+  test("deleteSql deletes by the record key only") {
+    assert(JdbcMerge.deleteSql(cfg) == "DELETE FROM movies_sink WHERE ID = ?")
+    assert(JdbcMerge.deleteSql(cfg.copy(keyCols = Seq("A", "B"))) ==
+      "DELETE FROM movies_sink WHERE A = ? AND B = ?")
+  }
+
+  test("createTableSql is idempotent auto-create DDL with a primary key") {
+    assert(JdbcMerge.createTableSql(cfg, schema) ==
+      "IF OBJECT_ID(N'movies_sink', N'U') IS NULL CREATE TABLE movies_sink " +
+        "(ID INT NOT NULL, TITLE NVARCHAR(MAX), RATING FLOAT, PRIMARY KEY (ID))")
+  }
+
+  test("sqlType covers the reference's type surface") {
+    assert(JdbcMerge.sqlType(DecimalType(3, 1)) == "DECIMAL(3,1)") // movies.rating
+    assert(JdbcMerge.sqlType(LongType) == "BIGINT")                // budget/box_office
+    assert(JdbcMerge.sqlType(TimestampType) == "DATETIME2")        // created_at
+    assert(JdbcMerge.sqlType(StringType) == "NVARCHAR(MAX)")       // description
+    intercept[IllegalArgumentException](JdbcMerge.sqlType(ArrayType(IntegerType)))
+  }
+
+  test("splitBatch routes tombstones out, treating NULL predicate as live") {
+    val df = Seq(
+      (1, Some("a")), (2, None), (3, Some("c"))
+    ).toDF("ID", "TITLE")
+    val (up, del) = JdbcMerge.splitBatch(df, col("TITLE").isNull)
+    assert(up.collect().map(_.getInt(0)).toSet == Set(1, 3))
+    assert(del.collect().map(_.getInt(0)).toSet == Set(2))
+  }
+
+  test("withRetries retries with backoff then succeeds") {
+    val sleeps = mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val got = JdbcMerge.withRetries(10, 3000L, sleeps += _) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    assert(sleeps.toSeq == Seq(3000L, 3000L))
+  }
+
+  test("withRetries gives up after maxRetries and rethrows") {
+    val sleeps = mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      JdbcMerge.withRetries(10, 3000L, sleeps += _) { calls += 1; throw new RuntimeException("down") }
+    }
+    assert(e.getMessage == "down")
+    assert(calls == 11) // 1 attempt + 10 retries (start-sink-connector.sh:79)
+    assert(sleeps.size == 10)
+  }
+
+  // ---- proxy JDBC plumbing ----------------------------------------------
+
+  /** Recording fake for one prepared statement. */
+  private class FakeStatement(val sql: String) {
+    val current = mutable.Map[Int, Any]()
+    val batches = mutable.ArrayBuffer[Seq[Any]]()
+    val executions = mutable.ArrayBuffer[Int]() // batch size at each executeBatch
+    var failuresToInject = 0
+    lazy val proxy: PreparedStatement = Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject" =>
+            current(args(0).asInstanceOf[Integer].intValue()) = args(1); null
+          case "addBatch" =>
+            batches += (1 to current.keys.max).map(current(_)); current.clear(); null
+          case "executeBatch" =>
+            if (failuresToInject > 0) {
+              failuresToInject -= 1
+              throw new RuntimeException("injected executeBatch failure")
+            }
+            val n = batches.size - executions.sum
+            executions += n
+            Array.fill(n)(1)
+          case "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  private class FakeConnection(failuresPerStatement: Int = 0) {
+    val statements = mutable.ArrayBuffer[FakeStatement]()
+    var commits = 0
+    lazy val proxy: Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            val st = new FakeStatement(args(0).asInstanceOf[String])
+            st.failuresToInject = failuresPerStatement
+            statements += st
+            st.proxy
+          case "commit" => commits += 1; null
+          case "setAutoCommit" | "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[Connection]
+  }
+
+  private def rows(data: (Int, String, java.lang.Double)*): Iterator[Row] =
+    data.iterator.map { case (id, t, r) => Row(id, t, r) }
+
+  private val isTombstone: Row => Boolean = _.isNullAt(1) // TITLE null = tombstone
+
+  test("applyPartition routes, batches and commits per the reference protocol") {
+    val conn = new FakeConnection
+    // batchSize=2: 5 upserts → flushes of 2,2,1; 3 tombstones → 2,1.
+    JdbcMerge.applyPartition(
+      rows((1, "a", 1.0), (2, null, null), (3, "c", 3.0), (4, "d", 4.0),
+           (5, null, null), (6, "f", 6.0), (7, "g", 7.0), (8, null, null)),
+      schema, cfg.copy(batchSize = 2), isTombstone, conn.proxy, _ => ())
+    val Seq(merge, delete) = conn.statements.toSeq
+    assert(merge.sql.startsWith("MERGE INTO movies_sink"))
+    assert(delete.sql == "DELETE FROM movies_sink WHERE ID = ?")
+    assert(merge.batches.toSeq ==
+      Seq(Seq(1, "a", 1.0), Seq(3, "c", 3.0), Seq(4, "d", 4.0), Seq(6, "f", 6.0), Seq(7, "g", 7.0)))
+    assert(delete.batches.toSeq == Seq(Seq(2), Seq(5), Seq(8))) // key-only binds
+    assert(merge.executions.toSeq == Seq(2, 2, 1))
+    assert(delete.executions.toSeq == Seq(2, 1))
+    assert(conn.commits == 5) // one transaction per flush
+  }
+
+  test("applyPartition with delete.enabled=false ignores tombstones") {
+    val conn = new FakeConnection
+    JdbcMerge.applyPartition(
+      rows((1, "a", 1.0), (2, null, null)),
+      schema, cfg.copy(deleteEnabled = false), isTombstone, conn.proxy, _ => ())
+    val Seq(merge, delete) = conn.statements.toSeq
+    assert(merge.batches.toSeq == Seq(Seq(1, "a", 1.0)))
+    assert(delete.batches.isEmpty && delete.executions.isEmpty)
+  }
+
+  test("applyPartition retries a failing flush with backoff, then commits once") {
+    val conn = new FakeConnection(failuresPerStatement = 2)
+    val sleeps = mutable.ArrayBuffer[Long]()
+    JdbcMerge.applyPartition(
+      rows((1, "a", 1.0)),
+      schema, cfg, isTombstone, conn.proxy, sleeps += _)
+    assert(sleeps.toSeq == Seq(3000L, 3000L)) // two injected failures
+    assert(conn.commits == 1)
+    assert(conn.statements.head.executions.toSeq == Seq(1))
+  }
+
+  test("applyPartition exhausts retries and propagates the failure uncommitted") {
+    val conn = new FakeConnection(failuresPerStatement = 11) // > 10 retries
+    val e = intercept[RuntimeException] {
+      JdbcMerge.applyPartition(
+        rows((1, "a", 1.0)),
+        schema, cfg, isTombstone, conn.proxy, _ => ())
+    }
+    assert(e.getMessage == "injected executeBatch failure")
+    assert(conn.commits == 0)
+  }
+
+  test("null column values bind as SQL NULL in upserts") {
+    val conn = new FakeConnection
+    JdbcMerge.applyPartition(
+      rows((1, "a", null)), // RATING null but TITLE present → still an upsert
+      schema, cfg, isTombstone, conn.proxy, _ => ())
+    assert(conn.statements.head.batches.toSeq == Seq(Seq(1, "a", null)))
+  }
+}
