@@ -60,6 +60,16 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_us", "event_type", "value", "props")
         .orderBy(col("user_id"))),
 
+    "q_envelope_apply" -> ((s, dir) => {
+      // The full A2+A3+B1+B3+C2 path: Debezium-style envelope (with real
+      // (key, NULL) tombstone records) → unwrap+__deleted rewrite → keyed
+      // changelog apply. Must equal q_changelog_apply's state — same
+      // events, same semantics, different wire representation.
+      val env = graft.sources.Cdc.envelopeFromEvents(
+        Tables.withTsMicros(Tables.events(s, dir)))
+      graft.sources.Cdc.applyEnvelope(env, "user_id").orderBy(col("user_id"))
+    }),
+
     "q_live_count" -> ((s, dir) =>
       Changelog.liveCount(
         Tables.events(s, dir),
@@ -163,6 +173,12 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_changelog_apply" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_envelope_apply" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) t

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Avro wire-format serde for Row data (SURVEY.md §2.1 A4) built directly
+  * on Avro core (the spark-avro connector is not in this environment's
+  * jars). Covers the reference's wire surface — flat-ish records of
+  * primitives with nullable unions, a struct key, plus arrays for the
+  * embedding extension (reference: start-source-connector.sh:97-100,
+  * Avro key+value with Schema Registry; the registry itself is
+  * deployment plumbing, out of scope per SURVEY §7).
+  *
+  * Binary layout is Avro binary encoding WITHOUT the Confluent 5-byte
+  * schema-id header — schema distribution is the caller's concern (in the
+  * offline tests both sides share the StructType-derived schema, the same
+  * trust model as ksqlDB's schema-inference-from-registry).
+  */
+object AvroSerde {
+
+  /** StructType → Avro record schema. Nullable fields become
+    * union(null, T) with a null default, mirroring Debezium's optional
+    * fields. */
+  def avroSchema(st: StructType, name: String = "Value", namespace: String = "graft"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = avroType(f.dataType, s"${name}_${f.name}", namespace)
+      val (typ, default) =
+        if (f.nullable)
+          (Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base)),
+            Schema.Field.NULL_DEFAULT_VALUE)
+        else (base, null)
+      new Schema.Field(f.name, typ, null, default)
+    }
+    Schema.createRecord(name, null, namespace, false, fields.toSeq.asJava)
+  }
+
+  private def avroType(dt: DataType, name: String, ns: String): Schema = dt match {
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType => // epoch-micros, Debezium NanoTimestamp-style long
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case st: StructType => avroSchema(st, name, ns)
+    case ArrayType(elem, containsNull) =>
+      val e = avroType(elem, s"${name}_item", ns)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), e))
+        else e)
+    case other => throw new IllegalArgumentException(s"no Avro mapping for $other")
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def toAvroValue(v: Any, dt: DataType, schema: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (row: Row, st: StructType) => toRecord(row, st, unwrapUnion(schema))
+    case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
+      val arrSchema = unwrapUnion(schema)
+      val out = new GenericData.Array[Any](seq.size, arrSchema)
+      seq.foreach(x => out.add(toAvroValue(x, elem, arrSchema.getElementType)))
+      out
+    case (ts: java.sql.Timestamp, TimestampType) =>
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (x, _) => x
+  }
+
+  private def toRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      rec.put(f.name, toAvroValue(v, f.dataType, schema.getField(f.name).schema()))
+    }
+    rec
+  }
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (rec: GenericRecord, st: StructType) => fromRecord(rec, st)
+    case (arr: java.util.Collection[_], ArrayType(elem, _)) =>
+      arr.asScala.map(fromAvroValue(_, elem)).toSeq
+    case (u: Utf8, StringType) => u.toString
+    case (l: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(l / 1000L)
+      ts.setNanos(((l % 1000000L) * 1000L).toInt)
+      ts
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+    case (x, _) => x
+  }
+
+  private def fromRecord(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map(f => fromAvroValue(rec.get(f.name), f.dataType)))
+
+  /** Row → Avro binary. */
+  def toBytes(row: Row, st: StructType, schema: Schema): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val encoder = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(toRecord(row, st, schema), encoder)
+    encoder.flush()
+    out.toByteArray
+  }
+
+  /** Avro binary → Row. */
+  def fromBytes(bytes: Array[Byte], st: StructType, schema: Schema): Row = {
+    val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
+    fromRecord(new GenericDatumReader[GenericRecord](schema).read(null, decoder), st)
+  }
+}

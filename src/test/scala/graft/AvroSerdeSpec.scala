@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.AvroSerde
+
+/** Wire-format parity for the A4 serde: schema translation + binary
+  * round-trips over the reference's type surface (§1.2) and the
+  * embedding extension. */
+class AvroSerdeSpec extends SparkTestBase {
+
+  // The movies schema, §1.2 of SURVEY.md (decimal modeled as double here;
+  // rating DECIMAL(3,1) maps through the JDBC layer, not the Avro one).
+  private val movies = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("title", StringType),
+    StructField("release_year", IntegerType),
+    StructField("budget", LongType),
+    StructField("description", StringType),
+    StructField("created_at", TimestampType)))
+
+  test("avroSchema maps nullability to null-unions with null defaults") {
+    val s = AvroSerde.avroSchema(movies)
+    assert(s.getField("id").schema().getType == org.apache.avro.Schema.Type.INT)
+    val title = s.getField("title").schema()
+    assert(title.getType == org.apache.avro.Schema.Type.UNION)
+    assert(title.getTypes.get(0).getType == org.apache.avro.Schema.Type.NULL)
+    assert(s.getField("title").hasDefaultValue)
+  }
+
+  test("rows round-trip bit-exact, including NULLs and timestamps") {
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 10:30:00.123456")
+    val rows = Seq(
+      Row(1, "Interstellar", 2014, 165000000L, "space", ts),
+      Row(2, null, null, null, null, null))
+    val schema = AvroSerde.avroSchema(movies)
+    rows.foreach { r =>
+      val back = AvroSerde.fromBytes(AvroSerde.toBytes(r, movies, schema), movies, schema)
+      assert(back == r)
+    }
+  }
+
+  test("struct keys round-trip (Debezium STRUCT{ID} message key)") {
+    val keySchema = StructType(Seq(StructField("ID", IntegerType, nullable = false)))
+    val wrapper = StructType(Seq(
+      StructField("key", keySchema, nullable = false),
+      StructField("seq", LongType, nullable = false)))
+    val schema = AvroSerde.avroSchema(wrapper, name = "Keyed")
+    val r = Row(Row(7), 99L)
+    assert(AvroSerde.fromBytes(AvroSerde.toBytes(r, wrapper, schema), wrapper, schema) == r)
+  }
+
+  test("float-array embeddings round-trip (extension surface)") {
+    val emb = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val schema = AvroSerde.avroSchema(emb, name = "Emb")
+    val r = Row(3L, Seq(0.25f, -1.5f, 3.75f))
+    assert(AvroSerde.fromBytes(AvroSerde.toBytes(r, emb, schema), emb, schema) == r)
+  }
+
+  test("binary columns round-trip (multimodal payload plumbing)") {
+    val blob = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", BinaryType)))
+    val schema = AvroSerde.avroSchema(blob, name = "Blob")
+    val r = Row(1L, Array[Byte](0x1f, 0x8b.toByte, 0, 127, -128))
+    val back = AvroSerde.fromBytes(AvroSerde.toBytes(r, blob, schema), blob, schema)
+    assert(back.getLong(0) == 1L)
+    assert(back.getAs[Array[Byte]](1).toSeq == r.getAs[Array[Byte]](1).toSeq)
+  }
+
+  test("unsupported types fail loudly, not silently") {
+    val bad = StructType(Seq(StructField("m", MapType(StringType, StringType))))
+    intercept[IllegalArgumentException](AvroSerde.avroSchema(bad))
+  }
+}
