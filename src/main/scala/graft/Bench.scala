@@ -1,5 +1,25 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: one JSON line with per-query wall seconds at the
+  * driver-chosen scale factor.
+  *
+  * Methodology (the round-1/2 harness measured `count()` with no warm-up
+  * and swallowed failures as -1 — per-query deltas were noise):
+  *  - every query is executed via a `noop`-format write: the FULL plan
+  *    runs (sorts, projections, limits — nothing elided under a count
+  *    aggregate) with zero sink cost;
+  *  - one untimed warm-up pass over all queries first (JIT, codegen
+  *    cache, parquet footer cache, shuffle service init), so the first
+  *    map entry no longer absorbs session start-up;
+  *  - three timed iterations per query, reporting the MINIMUM — the
+  *    standard noise-stripper for a shared-machine harness (GC pauses and
+  *    scheduler jitter only ever add time);
+  *  - failures print their stack trace and fail the run (exit 2) after
+  *    emitting the JSON line with an `errors` map — a broken query must
+  *    never look like a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +27,48 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    GraftSession.configure(spark)
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Throwable] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable => Some(e) }
+
+    // Warm-up: full pass, untimed; surface failures immediately.
+    val warmupErrors = queries.flatMap { case (n, fn) =>
+      execute(n, fn).map { e => e.printStackTrace(System.err); n -> e }
+    }.toMap
+
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val results = queries.map { case (name, fn) =>
+      if (warmupErrors.contains(name)) (name, -1.0, warmupErrors.get(name))
+      else {
+        val timings = (1 to iterations).map { _ =>
+          val t0 = System.nanoTime()
+          val err = execute(name, fn)
+          err.foreach(_.printStackTrace(System.err))
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        timings.collectFirst { case (_, Some(e)) => e } match {
+          case some @ Some(_) => (name, -1.0, some)
+          case None           => (name, timings.map(_._1).min, None)
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"${jstr(k)}:${jstr(e.toString.take(200))}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(2)
   }
 }
