@@ -140,13 +140,65 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(Tables.documents(s, dir), "lang", "text", "n_chars")),
 
+    "q_dedup_norm" -> ((s, dir) =>
+      TextOps
+        .normalizedDedupIds(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q_neardup_jaccard" -> ((s, dir) =>
+      NearDup
+        .exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q_neardup_minhash" -> ((s, dir) =>
+      // Scale path: banded-MinHash candidates + exact-Jaccard verify.
+      // Same contract as q_neardup_jaccard (recall ≈ 0.9998/pair at 0.8;
+      // equality with the exact pairs on the fixture is asserted in
+      // NearDupSpec and by sharing its oracle).
+      NearDup
+        .minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q_neardup_simhash" -> ((s, dir) =>
+      // 64-bit SimHash, Hamming <= 3 via 16-bit pigeonhole blocking; no
+      // portable SQL oracle (xxhash64-derived) — NearDupSpec covers it.
+      NearDup
+        .simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
+
+    "q_neardup_embedding" -> ((s, dir) =>
+      // Vector near-dup pairs. The fixture's embeddings are near-random
+      // (max pairwise cosine 0.60 at sf0.1, measured), so the threshold
+      // is 0.5 with banding dense enough for ~0.995 recall there;
+      // semantic validation at the true near-dup regime (clustered data,
+      // default bands) is in NearDupSpec.
+      NearDup
+        .embeddingNearDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.5, bands = 24, bitsPerBand = 4)
+        .orderBy(col("id1"), col("id2"))),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.embeddings(s, dir),
         "vec_id",
         "embedding",
         queryId = 0L,
-        k = 10))
+        k = 10)),
+
+    "q_sim_topk_lsh" -> ((s, dir) =>
+      // The ANN scale path: banded hyperplane signatures + equi-join +
+      // exact re-rank. Bands tuned to the fixture's low-cosine regime
+      // (recall 1.0 vs brute force there, SimilaritySpec); no SQL oracle —
+      // SimilaritySpec holds the recall contract.
+      Similarity.lshTopK(
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        queryId = 0L,
+        k = 10,
+        bands = 24,
+        bitsPerBand = 3))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -240,6 +292,37 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |       MAX(n_chars) AS max_chars,
         |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT MIN(doc_id) AS doc_id
+        |FROM documents
+        |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Word-3-shingle Jaccard >= 0.8 pairs; the oracle builds the same
+    // inverted index in SQL. Shared by the exact and the MinHash variant
+    // (the verify stage makes MinHash exact-precision, and its recall at
+    // this threshold is asserted equal on the fixture by NearDupSpec).
+    "q_neardup_jaccard" -> neardupOracle,
+    "q_neardup_minhash" -> neardupOracle
   )
+
+  private val neardupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, c * 1.0 / (na.n + nb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sizes na ON id1 = na.doc_id
+      |JOIN sizes nb ON id2 = nb.doc_id
+      |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+      |ORDER BY id1, id2""".stripMargin
 }

@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled hot-path kernels for the native expressions in
+  * [[graft.functions.native]]. Static-callable (Scala objects emit static
+  * forwarders), so generated Janino code invokes them directly and the
+  * surrounding projection stays inside whole-stage codegen — this replaced
+  * higher-order-function formulations that evaluated interpreted at
+  * ~1 µs/element (profiled: 64 interpreted re-evaluations of the shingle
+  * pipeline per document made MinHash signatures minutes-slow at sf0.1).
+  */
+object TextKernels {
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace-separated tokens, no empties (parity with
+    * `split(trim(regexp_replace(text, "\\s+", " ")), " ")`). */
+  def tokenize(s: String): Array[String] = {
+    val parts = WS.split(s)
+    var empties = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).isEmpty) empties += 1; i += 1 }
+    if (empties == 0) parts
+    else {
+      val out = new Array[String](parts.length - empties)
+      var j = 0; i = 0
+      while (i < parts.length) {
+        if (!parts(i).isEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Distinct word k-shingles in first-occurrence order; empty array for
+    * docs shorter than k words. */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    new GenericArrayData(out)
+  }
+
+  private final val Golden = 0x9e3779b97f4a7c15L
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** One-hash MinHash signature: each shingle is xxhash64'd ONCE, the
+    * `perms` "permutations" are cheap avalanche mixes of that base hash —
+    * the standard one-permutation trick, ~perms× cheaper than hashing
+    * every (perm, shingle) pair. Caller guarantees non-empty input. */
+  def minhash(sh: ArrayData, perms: Int): ArrayData = {
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var p = 0
+      while (p < perms) {
+        val h = fmix64(base ^ (Golden * (p + 1)))
+        if (h < out(p)) out(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object VectorKernels {
+
+  /** Deterministic Gaussian hyperplanes for (bands × bits) signature
+    * computation, flattened [band][bit][dim]. Driver-side, shipped as a
+    * literal reference object into codegen. */
+  def planes(dim: Int, bands: Int, bits: Int, seed: Int): Array[Double] = {
+    val out = new Array[Double](bands * bits * dim)
+    var b = 0
+    while (b < bands) {
+      var p = 0
+      while (p < bits) {
+        val rnd = new scala.util.Random(seed.toLong * 1000003L + b * 8191L + p)
+        var i = 0
+        while (i < dim) {
+          out((b * bits + p) * dim + i) = rnd.nextGaussian()
+          i += 1
+        }
+        p += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two float vectors, double accumulation, one
+    * pass; null when either norm is zero (boxed for the null channel). */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  /** All band signatures of one float vector in a single pass:
+    * out(b) = `bits` sign bits of plane·vec packed into a Long. */
+  def hyperplaneSigs(
+      vec: ArrayData,
+      planes: Array[Double],
+      bands: Int,
+      bits: Int,
+      dim: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val off = (b * bits + p) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          acc += vec.getFloat(i) * planes(off + i)
+          i += 1
+        }
+        if (acc >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

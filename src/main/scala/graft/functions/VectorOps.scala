@@ -4,8 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `ArrayType(FloatType)` embedding columns, built from
-  * Spark's higher-order functions (`zip_with` / `aggregate`) — fully
-  * codegen'd Catalyst expressions, no UDF serialization, NULL-safe.
+  * Spark's higher-order functions (`zip_with` / `aggregate`) — no UDF
+  * serialization, NULL-safe. Note HOFs evaluate interpreted (they have no
+  * doGenCode), so per-row cost is ~dim interpreted ops; fine for re-rank
+  * stages over candidate sets, and the reason candidate GENERATION in
+  * Similarity/NearDup joins on small hashed keys first.
   *
   * Accumulation is in Double even for Float inputs: at dim=64..4096 the
   * float rounding error of a running sum is visible in top-k ordering.

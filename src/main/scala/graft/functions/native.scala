@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions for the dedup/similarity hot
+  * paths (the brief's escalation path (b): a native Expression with
+  * doGenCode where built-ins can't express the computation efficiently).
+  *
+  * Why these exist: Spark's higher-order functions have no doGenCode —
+  * they evaluate interpreted, per element, with no common-subexpression
+  * elimination across sibling expressions. A 64-permutation MinHash
+  * written with transform/aggregate re-runs the tokenize→shingle pipeline
+  * 64× per document in the interpreter (profiled at minutes for 5000
+  * docs). Each expression below is one compiled kernel call
+  * ([[TextKernels]]/[[VectorKernels]]), and because they implement
+  * doGenCode the enclosing projection stays inside whole-stage codegen.
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], k)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $k)")
+  protected override def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** One-hash MinHash signature over a (non-empty) shingle array. */
+case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
+  require(perms >= 1, "need at least one permutation")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], perms)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhash($c, $perms)")
+  protected override def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** All hyperplane-LSH band signatures of a float vector in one pass; the
+  * Gaussian planes are generated driver-side from (seed, band, bit) and
+  * shipped as a codegen reference object. */
+case class HyperplaneSignatures(
+    child: Expression, bands: Int, bits: Int, dim: Int, seed: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && bits >= 1 && bits <= 64 && dim >= 1)
+  @transient private lazy val planes: Array[Double] =
+    VectorKernels.planes(dim, bands, bits, seed)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_signatures"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneSigs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planes, bands, bits, dim)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bands, $bits, $dim)")
+  }
+  protected override def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+/** Cosine similarity over float vectors — the exact re-rank/verify kernel
+  * of the similarity and embedding-dedup operators. NULL when either norm
+  * is zero (same contract as the HOF formulation in VectorOps, and the
+  * same double-accumulation order, so results are bit-identical). */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.cosine($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the native expressions. */
+object native {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def wordShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))
+
+  def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
+    ColumnBridge.column(
+      HyperplaneSignatures(ColumnBridge.expression(vec), bands, bits, dim, seed))
+}

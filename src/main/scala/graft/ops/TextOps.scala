@@ -46,6 +46,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Whitespace-insensitive dedup, ids only: groups by [[fingerprint]] —
+    * nothing wider than 16 bytes + one id ever shuffles, the fully
+    * scale-safe shape when the surviving text isn't needed. */
+  def normalizedDedupIds(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
   /** Per-document quality features: char/token counts, punctuation ratio,
     * uppercase ratio, mean token length — the usual cheap filters in a
     * pretraining-data pipeline. */

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.NearDup
+
+class NearDupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams; short docs have none") {
+    val got = Seq(
+      "a b c d",          // 2 shingles
+      "a b c a b c",      // duplicates collapse: "a b c","b c a","c a b" → 4 distinct
+      "one two",          // < k words → none
+      "   ",              // whitespace-only → none
+      "x  y\tz"           // normalization: 1 shingle
+    ).toDF("text").select(NearDup.shingles(col("text")).as("s")).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).toSet == Set("a b c", "b c a", "c a b", "b c a b") - "b c a b") // 3 distinct of 4 windows
+    assert(got(1).size == 3)
+    assert(got(2).isEmpty && got(3).isEmpty)
+    assert(got(4) == Seq("x y z"))
+  }
+
+  private val corpus = Seq(
+    // 0 and 1: identical after whitespace normalization
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick  brown fox jumps over the lazy dog again and again today"),
+    // 2: one word changed vs 0 → high but < 1 jaccard
+    (2L, "the quick brown fox leaps over the lazy dog again and again today"),
+    // 3: unrelated
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    // 4: shares one shingle with 0 but far below threshold
+    (4L, "the quick brown cat sat still watching birds in the garden quietly")
+  ).toDF("doc_id", "text")
+
+  test("exactJaccardPairs finds the planted near-dups with exact scores") {
+    val got = NearDup
+      .exactJaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got((0L, 1L)) == 1.0)
+    // 0 vs 2: 13 words → 11 shingles each; one word changed breaks 3
+    // windows → |∩|=8, |∪|=14 → 4/7
+    assert(math.abs(got((0L, 2L)) - 8.0 / 14) < 1e-12)
+  }
+
+  test("minhashNearDupPairs equals the exact pairs on the planted corpus") {
+    val exact = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = NearDup.minhashNearDupPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("minhashNearDupPairs equals exactJaccardPairs on the fixture at threshold 0.8") {
+    val docs = Tables.documents(spark, sf01)
+    val exact = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = NearDup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(mh == exact)
+  }
+
+  test("minhash candidate volume is banded, not quadratic") {
+    // 5 docs → at most C(5,2)=10 pairs; candidates must not exceed that,
+    // and unrelated docs should not become candidates.
+    val cands = NearDup.minhashCandidatePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash64: whitespace variants collide; token changes move few bits; unrelated docs are far") {
+    val hs = corpus.select(col("doc_id"), NearDup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(dist(0L, 1L) == 0)
+    assert(dist(0L, 2L) > 0 && dist(0L, 2L) < dist(0L, 3L))
+  }
+
+  test("simhashes (explode+aggregate) computes the same values as simhash64 (HOF)") {
+    val viaAgg = NearDup.simhashes(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = corpus.select(col("doc_id"), NearDup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaHof)
+  }
+
+  test("simhash64 of empty/whitespace text is NULL") {
+    val r = Seq("", "   ").toDF("text").select(NearDup.simhash64(col("text"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("simhashNearDupPairs blocks by 16-bit chunks and verifies Hamming") {
+    val got = NearDup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.map(p => (p._1, p._2)).contains((0L, 1L)))
+    got.foreach { case (_, _, h) => assert(h <= 3) }
+    assert(!got.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val data = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5L + m, center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = NearDup.embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val truth = (for {
+      (i, vi) <- data; (j, vj) <- data if i < j && cos(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    // precision exact (verify stage), recall high on the near-dup regime
+    assert(got.keySet.subsetOf(truth))
+    assert(got.size >= (truth.size * 0.9).toInt)
+    // scores are true cosines
+    got.foreach { case ((i, j), s) =>
+      val e = cos(data.find(_._1 == i).get._2, data.find(_._1 == j).get._2)
+      assert(math.abs(s - e) < 1e-9)
+    }
+  }
+}

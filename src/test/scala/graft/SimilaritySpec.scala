@@ -105,7 +105,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("hyperplane signatures are deterministic across evaluations") {
     val emb = Tables.embeddings(spark, sf001)
-    val sig = Similarity.hyperplaneSignature(col("embedding"), bits = 12)
+    val sig = Similarity.hyperplaneSignature(col("embedding"), bits = 12, dim = 64)
     val a = emb.select(col("vec_id"), sig.as("s")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = emb.select(col("vec_id"), sig.as("s")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
