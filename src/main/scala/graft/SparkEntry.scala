@@ -178,6 +178,37 @@ object SparkEntry {
           threshold = 0.5, bands = 24, bitsPerBand = 4)
         .orderBy(col("id1"), col("id2"))),
 
+    "q_doc_bytes" -> ((s, dir) =>
+      // Multimodal plumbing over the only payloads the fixture offers:
+      // text as opaque UTF-8 blobs → size + content digest metadata.
+      MultiModal
+        .mediaMeta(MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
+        .select(col("doc_id"), col("n_bytes"), col("content_sha"))
+        .orderBy(col("doc_id"))),
+
+    "q_quality" -> ((s, dir) =>
+      TextOps
+        .qualityFeatures(Tables.documents(s, dir), "text")
+        .select(
+          col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("upper_ratio"), col("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextOps.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    "q_show_tables" -> ((s, dir) => {
+      // D8: SHOW TABLES over the engine namespace
+      // (reference: tests/check-queries-ksql.sh:2, README.md:304-307).
+      Meta.registerTables(s, dir)
+      Meta.listTables(s)
+    }),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.embeddings(s, dir),
@@ -293,6 +324,49 @@ object SparkEntry {
         |       MAX(n_chars) AS max_chars,
         |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_doc_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |       END AS punct_ratio,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text)
+        |       END AS upper_ratio,
+        |       CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |            ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / len(regexp_extract_all(text, '\S+'))
+        |       END AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|une)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|una|que)\b')) AS es
+        |  FROM documents)
+        |SELECT CASE WHEN n_chars > 0 AND cjk * 1.0 / n_chars > 0.2 THEN 'zh'
+        |            WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        |            WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |            WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |            ELSE 'es' END AS lang_pred,
+        |       COUNT(*) AS n
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_show_tables" ->
+      """SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+        |  ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+        |  ('region'), ('supplier')) t(table_name)
+        |ORDER BY table_name""".stripMargin,
 
     "q_dedup_norm" ->
       """SELECT MIN(doc_id) AS doc_id

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MultiModal
+
+class MultiModalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  private val media = Seq(
+    (1L, blob(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46)),
+    (2L, blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)),
+    (3L, blob(0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 0, 0)),
+    (4L, "RIFF".getBytes ++ blob(0, 0, 0, 0) ++ "WAVE".getBytes),
+    (5L, blob(0, 0, 0, 0x20) ++ "ftypisom".getBytes),
+    (6L, "%PDF-1.7".getBytes),
+    (7L, "just some text".getBytes("UTF-8"))
+  ).toDF("media_id", "bytes")
+
+  test("sniffFormat detects containers by magic bytes") {
+    val got = MultiModal
+      .mediaMeta(media, "bytes")
+      .select(col("media_id"), col("format"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(
+      1L -> "jpeg", 2L -> "png", 3L -> "gif", 4L -> "wav",
+      5L -> "mp4", 6L -> "pdf", 7L -> "unknown"))
+  }
+
+  test("mediaMeta sizes and digests are exact") {
+    val row = MultiModal.mediaMeta(media.filter(col("media_id") === 7L), "bytes").collect()(0)
+    assert(row.getAs[Int]("n_bytes") == 14)
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("just some text".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("content_sha") == expected)
+  }
+
+  test("fakeEmbedding: deterministic, fixed dim, values in [-1,1], shape-compatible downstream") {
+    val emb = media.select(col("media_id").as("vec_id"), MultiModal.fakeEmbedding(col("bytes"), 16).as("embedding"))
+    val a = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(v => v.length == 16 && v.forall(x => x >= -1f && x <= 1f)))
+    assert(a(1L) != a(2L)) // content-sensitive
+    // flows into the similarity stack unchanged
+    val top = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1L, 3)
+    assert(top.collect().length == 3)
+  }
+
+  test("frameSample emits n binary frames covering the payload") {
+    val big = Seq((1L, Array.tabulate[Byte](10000)(i => (i % 251).toByte))).toDF("id", "bytes")
+    val frames = big.select(MultiModal.frameSample(col("bytes"), n = 4, frameBytes = 100).as("f"))
+      .select(explode(col("f")).as("frame"))
+      .collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 100))
+    assert(frames.distinct.length == 4) // spaced, not repeated
+  }
+
+  test("docBlobs round-trips text bytes (the fixture's opaque payload)") {
+    val one = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(1).collect()(0)
+    val orig = Tables.documents(spark, sf001)
+      .filter(col("doc_id") === one.getLong(0)).collect()(0).getAs[String]("text")
+    assert(new String(one.getAs[Array[Byte]]("bytes"), "UTF-8") == orig)
+  }
+}
