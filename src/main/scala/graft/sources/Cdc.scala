@@ -27,6 +27,44 @@ object Cdc {
   def topicName(prefix: String, db: String, schema: String, table: String): String =
     s"$prefix.$db.$schema.$table"
 
+  /** B4: output/sink topic spec — the transformed table's
+    * `KAFKA_TOPIC='...', PARTITIONS=1` WITH-clause
+    * (ksql-transformations/01-movies-transform.sql:29-35). Applying it
+    * repartitions the changelog to the declared partition count (the
+    * ordering-simplicity knob the reference sets to 1) and tags rows with
+    * the destination topic; a Kafka writer maps the tag to its `topic`
+    * option, the offline tests map it to output directories. */
+  case class TopicSpec(topic: String, partitions: Int = 1)
+
+  def routeToTopic(df: DataFrame, spec: TopicSpec): DataFrame =
+    df.repartition(spec.partitions).withColumn("__topic", lit(spec.topic))
+
+  /** A1 (snapshot half): the initial-snapshot JDBC read
+    * (`snapshot.mode=initial`, start-source-connector.sh:90) — a
+    * configured `spark.read` JDBC scan with key-range partitioning so
+    * the snapshot parallelizes across executors. `load()` is the only
+    * untestable step in this environment (no database); everything up to
+    * it is plain configuration. */
+  def jdbcSnapshotReader(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrameReader = {
+    val reader = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    props.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+  }
+
   /** Build the CDC envelope stream from the `events` changelog fixture
     * (input: Tables.withTsMicros(Tables.events(...))).
     *

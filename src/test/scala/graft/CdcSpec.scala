@@ -35,6 +35,25 @@ class CdcSpec extends SparkTestBase {
     assert(Cdc.topicName("mssql", "MoviesDB", "cso", "movies") == "mssql.MoviesDB.cso.movies")
   }
 
+  test("routeToTopic applies the declared partition count and topic tag") {
+    val routed = Cdc.routeToTopic(
+      events,
+      Cdc.TopicSpec(Cdc.topicName("mssql", "MoviesDB", "cso", "movies_transformed")))
+    assert(routed.rdd.getNumPartitions == 1)
+    assert(routed.select(col("__topic")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("mssql.MoviesDB.cso.movies_transformed"))
+  }
+
+  test("jdbcSnapshotReader configures a key-range-partitioned JDBC scan") {
+    // No database offline — everything up to load() is configuration;
+    // this asserts the builder accepts the reference's connection shape.
+    val reader = Cdc.jdbcSnapshotReader(
+      spark, "jdbc:sqlserver://localhost:1433;databaseName=MoviesDB",
+      "cso.movies", "id", 0L, 1000000L, 8,
+      Map("user" -> "sa", "fetchsize" -> "3000"))
+    assert(reader != null)
+  }
+
   test("each delete event emits a rewrite record AND a raw tombstone") {
     val env = Cdc.envelopeFromEvents(events)
     val deletes = events.filter(col("event_type") === "delete").count()

@@ -7,6 +7,16 @@ class NearDupSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("native expressions stay inside whole-stage codegen") {
+    val plan = Tables.documents(spark, sf001)
+      .select(
+        NearDup.shingles(col("text")).as("sh"),
+        graft.functions.native.cosineSim(
+          array(lit(1.0f)), array(lit(2.0f))).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
+  }
+
   test("shingles: distinct word 3-grams; short docs have none") {
     val got = Seq(
       "a b c d",          // 2 shingles
