@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Skew-safe equi-join for when AQE's runtime skew splitting isn't
+    * enough (e.g. one key is half the fact table): the fact side gets a
+    * deterministic salt in [0, salts), the (small) build side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — the hot key's rows spread over `salts` reducers
+    * instead of one. Replication multiplies the build side by `salts`,
+    * so this is for genuinely small/medium build sides; result rows are
+    * identical to the unsalted join.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      factKey: String,
+      buildKey: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1)
+    val saltedFact = fact.withColumn(
+      "__graft_salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(salts)).cast("int"))
+    val replicatedBuild = build.withColumn(
+      "__graft_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact
+      .join(
+        replicatedBuild,
+        saltedFact(factKey) === replicatedBuild(buildKey) &&
+          saltedFact("__graft_salt") === replicatedBuild("__graft_salt"))
+      .drop("__graft_salt")
+  }
+
   /** orders ⋈ customer ⋈ nation, revenue per nation. */
   def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     orders

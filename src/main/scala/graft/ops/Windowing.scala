@@ -30,6 +30,28 @@ object Windowing {
     ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(java.math.BigDecimal.valueOf(d)))
       .cast("long")
 
+  /** Streaming tumbling aggregation with a watermark: the same `window()`
+    * expression as the batch [[tumble]], plus the late-data bound the
+    * reference's unbounded TABLE state lacks
+    * (TOMBSTONE_HANDLING_GUIDE.md:94-101 — ksqlDB keeps all state
+    * forever; a watermark is what makes windowed state droppable, which
+    * is the difference between state ∝ keys and state ∝ keys × all-time
+    * windows at 100 TB). Append output mode: a window emits once, when
+    * the watermark passes its end. */
+  def tumbleStream(
+      df: DataFrame,
+      tsCol: String,
+      duration: String,
+      watermarkDelay: String,
+      dims: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration) +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
   /** Tumbling window via Spark's `window()`; `duration` e.g. "1 hour". */
   def tumble(
       df: DataFrame,

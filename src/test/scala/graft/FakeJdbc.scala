@@ -1,0 +1,72 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+
+import scala.collection.mutable
+
+/** Recording JDBC proxies shared by the merge-sink tests (no database in
+  * this environment): every prepared statement logs its SQL, bound batches
+  * and executions; the connection logs commits. */
+object FakeJdbc {
+
+  class FakeStatement(val sql: String) {
+    val current = mutable.Map[Int, Any]()
+    val batches = mutable.ArrayBuffer[Seq[Any]]()
+    val executions = mutable.ArrayBuffer[Int]() // batch size at each executeBatch
+    var failuresToInject = 0
+    lazy val proxy: PreparedStatement = Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setObject" =>
+            current(args(0).asInstanceOf[Integer].intValue()) = args(1); null
+          case "addBatch" =>
+            batches += (1 to current.keys.max).map(current(_)); current.clear(); null
+          case "executeBatch" =>
+            if (failuresToInject > 0) {
+              failuresToInject -= 1
+              throw new RuntimeException("injected executeBatch failure")
+            }
+            val n = batches.size - executions.sum
+            executions += n
+            Array.fill(n)(1)
+          case "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[PreparedStatement]
+  }
+
+  class FakeConnection(failuresPerStatement: Int = 0) {
+    val statements = mutable.ArrayBuffer[FakeStatement]()
+    val ddl = mutable.ArrayBuffer[String]()
+    var commits = 0
+    lazy val proxy: Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            val st = new FakeStatement(args(0).asInstanceOf[String])
+            st.failuresToInject = failuresPerStatement
+            statements += st
+            st.proxy
+          case "createStatement" =>
+            Proxy.newProxyInstance(
+              getClass.getClassLoader,
+              Array(classOf[java.sql.Statement]),
+              new InvocationHandler {
+                def invoke(p2: Any, m2: Method, a2: Array[AnyRef]): AnyRef = m2.getName match {
+                  case "execute" => ddl += a2(0).asInstanceOf[String]; java.lang.Boolean.FALSE
+                  case "close" => null
+                  case other => throw new UnsupportedOperationException(other)
+                }
+              })
+          case "commit" => commits += 1; null
+          case "setAutoCommit" | "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[Connection]
+  }
+}

@@ -1,8 +1,5 @@
 package graft
 
-import java.lang.reflect.{InvocationHandler, Method, Proxy}
-import java.sql.{Connection, PreparedStatement, Statement}
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.Row
@@ -93,56 +90,9 @@ class JdbcMergeSpec extends SparkTestBase {
     assert(sleeps.size == 10)
   }
 
-  // ---- proxy JDBC plumbing ----------------------------------------------
+  // ---- proxy JDBC plumbing (shared recorder in FakeJdbc) ----------------
 
-  /** Recording fake for one prepared statement. */
-  private class FakeStatement(val sql: String) {
-    val current = mutable.Map[Int, Any]()
-    val batches = mutable.ArrayBuffer[Seq[Any]]()
-    val executions = mutable.ArrayBuffer[Int]() // batch size at each executeBatch
-    var failuresToInject = 0
-    lazy val proxy: PreparedStatement = Proxy.newProxyInstance(
-      getClass.getClassLoader,
-      Array(classOf[PreparedStatement]),
-      new InvocationHandler {
-        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
-          case "setObject" =>
-            current(args(0).asInstanceOf[Integer].intValue()) = args(1); null
-          case "addBatch" =>
-            batches += (1 to current.keys.max).map(current(_)); current.clear(); null
-          case "executeBatch" =>
-            if (failuresToInject > 0) {
-              failuresToInject -= 1
-              throw new RuntimeException("injected executeBatch failure")
-            }
-            val n = batches.size - executions.sum
-            executions += n
-            Array.fill(n)(1)
-          case "close" => null
-          case other => throw new UnsupportedOperationException(other)
-        }
-      }).asInstanceOf[PreparedStatement]
-  }
-
-  private class FakeConnection(failuresPerStatement: Int = 0) {
-    val statements = mutable.ArrayBuffer[FakeStatement]()
-    var commits = 0
-    lazy val proxy: Connection = Proxy.newProxyInstance(
-      getClass.getClassLoader,
-      Array(classOf[Connection]),
-      new InvocationHandler {
-        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
-          case "prepareStatement" =>
-            val st = new FakeStatement(args(0).asInstanceOf[String])
-            st.failuresToInject = failuresPerStatement
-            statements += st
-            st.proxy
-          case "commit" => commits += 1; null
-          case "setAutoCommit" | "close" => null
-          case other => throw new UnsupportedOperationException(other)
-        }
-      }).asInstanceOf[Connection]
-  }
+  import FakeJdbc.FakeConnection
 
   private def rows(data: (Int, String, java.lang.Double)*): Iterator[Row] =
     data.iterator.map { case (id, t, r) => Row(id, t, r) }

@@ -1,0 +1,88 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Windowing
+
+/** Watermarked streaming tumbling aggregation: windows finalize exactly
+  * once when the watermark passes, late data beyond the bound is
+  * dropped — the state-droppability property the reference's unbounded
+  * TABLE lacks. */
+class StreamingWindowSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-08-12 10:$minute%02d:00")
+
+  private case class Result(windowStart: String, eventType: String, cnt: Long)
+
+  private def run(batches: Seq[Seq[(java.sql.Timestamp, String)]]): Seq[Result] = {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = Windowing.tumbleStream(
+      input.toDF().toDF("ts", "event_type"),
+      "ts", "10 minutes", "5 minutes",
+      dims = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("cnt")))
+    val got = ArrayBuffer[Result]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-window-test").toString
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        got.synchronized {
+          got ++= rows.map { r: Row =>
+            Result(
+              r.getAs[java.sql.Timestamp]("window_start").toString,
+              r.getAs[String]("event_type"),
+              r.getAs[Long]("cnt"))
+          }
+        }
+        ()
+      }
+      .start()
+    try batches.foreach { b => if (b.nonEmpty) input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    got.toSeq
+  }
+
+  test("a window emits once, when the watermark passes its end; late data is dropped") {
+    val results = run(Seq(
+      // batch 1: three events in [10:00,10:10), one at 10:04
+      Seq((ts(1), "a"), (ts(4), "a"), (ts(9), "b")),
+      // batch 2: event at 10:16 → watermark 10:11 > 10:10 → first window emits
+      Seq((ts(16), "a")),
+      // batch 3: LATE event for the closed window (10:05 < watermark) → dropped
+      Seq((ts(5), "a")),
+      // batch 4: advance far enough to close [10:10,10:20) too
+      Seq((ts(40), "c"))
+    ))
+    val byWindow = results.groupBy(_.windowStart.substring(11, 16))
+    assert(byWindow("10:00").map(r => (r.eventType, r.cnt)).toSet == Set(("a", 2L), ("b", 1L)))
+    // the late 10:05 event did NOT reopen or re-emit the closed window
+    assert(results.count(_.windowStart.substring(11, 16) == "10:00") == 2)
+    assert(byWindow("10:10").map(r => (r.eventType, r.cnt)).toSet == Set(("a", 1L)))
+  }
+
+  test("streaming windowed counts equal the batch tumble on the same (non-late) data") {
+    val events = Seq((ts(1), "a"), (ts(4), "a"), (ts(9), "b"), (ts(16), "a"))
+    val streamed = run(Seq(events, Seq((ts(59), "z"))))
+      .filter(_.eventType != "z")
+      .map(r => (r.windowStart.substring(11, 16), r.eventType, r.cnt)).toSet
+    val batch = Windowing.tumble(
+      events.toDF("ts", "event_type"), col("ts"), "10 minutes",
+      dims = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("cnt")))
+      .select(date_format(col("window_start"), "HH:mm"), col("event_type"), col("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+}
