@@ -159,6 +159,19 @@ object SparkEntry {
         .minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
         .orderBy(col("id1"), col("id2"))),
 
+    "q_token_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCountBpe(col("text"))).as("bpe_tokens"))
+        .orderBy(col("lang"))),
+
+    "q_neardup_winnow" -> ((s, dir) =>
+      // Passage-level overlap via winnowing fingerprints — no portable
+      // SQL oracle (rolling-hash-derived); NearDupSpec covers semantics.
+      NearDup
+        .winnowPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("id1"), col("id2"))),
+
     "q_neardup_simhash" -> ((s, dir) =>
       // 64-bit SimHash, Hamming <= 3 via 16-bit pigeonhole blocking; no
       // portable SQL oracle (xxhash64-derived) — NearDupSpec covers it.
@@ -373,6 +386,12 @@ object SparkEntry {
         |FROM documents
         |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT lang,
+        |       CAST(SUM(len(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Word-3-shingle Jaccard >= 0.8 pairs; the oracle builds the same
     // inverted index in SQL. Shared by the exact and the MinHash variant

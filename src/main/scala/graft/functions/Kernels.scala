@@ -61,6 +61,50 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al.): rolling
+    * polynomial hashes over character k-grams of the whitespace-normalized
+    * lowercased text, rightmost-minimum per window of `w` consecutive
+    * hashes, distinct. Empty result for texts shorter than k chars. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = String.join(" ", tokenize(text.toString.toLowerCase): _*)
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val mult = 1000003L
+    var pow = 1L
+    var j = 0
+    while (j < k - 1) { pow *= mult; j += 1 }
+    val hashes = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * mult + s.charAt(i); i += 1 }
+    hashes(0) = fmix64(h)
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * pow) * mult + s.charAt(i)
+      hashes(i - k + 1) = fmix64(h)
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(hashes.length - w + 1, 1)
+    val effW = math.min(w, hashes.length)
+    var start = 0
+    while (start < windows) {
+      var minIdx = start
+      var idx = start + 1
+      while (idx < start + effW) {
+        if (hashes(idx) <= hashes(minIdx)) minIdx = idx // rightmost min
+        idx += 1
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
   private final val Golden = 0x9e3779b97f4a7c15L
 
   private def fmix64(x0: Long): Long = {

@@ -69,6 +69,21 @@ case class HyperplaneSignatures(
     copy(child = newChild)
 }
 
+/** Winnowing rolling-hash document fingerprints (Schleimer et al.) — see
+  * [[TextKernels.winnow]]. */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k >= 2 && window >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[UTF8String], k, window)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.winnow($c, $k, $window)")
+  protected override def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float vectors — the exact re-rank/verify kernel
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
@@ -104,6 +119,9 @@ object native {
 
   def minhashSignature(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))
+
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, window))
 
   def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
     ColumnBridge.column(

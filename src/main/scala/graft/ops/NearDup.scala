@@ -176,6 +176,42 @@ object NearDup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs by winnowing fingerprints
+    * ([[graft.ops.TextOps.winnowFingerprints]]): docs sharing at least
+    * `minShared` selected rolling-hash fingerprints. Same scale shape as
+    * the MinHash path — fingerprints are the equi-join key, each doc
+    * contributes O(len/window) of them. Winnowing guarantees any shared
+    * run of ≥ window+k-1 chars produces a shared fingerprint, so this
+    * catches copied PASSAGES, not just whole-document near-dups. */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 4,
+      minShared: Int = 20,
+      maxDocFreq: Int = 100): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"), TextOps.winnowFingerprints(col(textCol), k, window).as("__fp"))
+      .select(col("id"), explode(col("__fp")).as("f"))
+    // Stop-fingerprint filter: a fingerprint present in more than
+    // `maxDocFreq` docs identifies a boilerplate phrase, not a copied
+    // passage — discarding it loses no discriminative signal and bounds
+    // every join bucket (without it, a corpus-wide common k-gram makes
+    // the self-join quadratic; measured on the fixture, whose synthetic
+    // vocabulary puts single 8-grams in 75% of docs).
+    val rare = fps.groupBy(col("f")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("f"))
+    val filtered = fps.join(rare, "f")
+    filtered.select(col("f"), col("id").as("id1"))
+      .join(filtered.select(col("f"), col("id").as("id2")), "f")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Per-doc 64-bit SimHash as a DataFrame op, via explode + codegen'd
     * hash aggregate (NOT the HOF formulation of [[simhash64]]): one row
     * per (doc, token), 64 statically-unrolled ±1 bit tallies as plain SUM

@@ -41,10 +41,33 @@ object TextOps {
         min_by(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
 
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization pattern
+    * family (contractions | space?+letters | space?+digits |
+    * space?+punctuation-run), without the trailing-whitespace lookahead
+    * (RE2 has no lookahead, and the declared oracle must run the same
+    * pattern in DuckDB). Whitespace itself is not a token, so this counts
+    * the units a byte-pair encoder would merge within — the usual cheap
+    * "how many LLM tokens is this corpus" estimator. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** 128-bit content fingerprint of whitespace-normalized text. Dedup on
     * the fingerprint shuffles 16 bytes/doc instead of the document body. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * standard rolling-hash fingerprinting scheme): rolling hashes of
+    * character k-grams, one fingerprint selected per w-window (the
+    * rightmost minimum), distinct. Guarantees any shared substring of
+    * length ≥ w+k-1 yields at least one shared fingerprint, so overlap
+    * detection needs only an equi-join on (fingerprint) — same scale
+    * shape as the shingle/MinHash family. Native codegen'd kernel. */
+  def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    graft.functions.native.winnowFingerprints(text, k, window)
 
   /** Whitespace-insensitive dedup, ids only: groups by [[fingerprint]] —
     * nothing wider than 16 bytes + one id ever shuffles, the fully

@@ -112,6 +112,18 @@ class NearDupSpec extends SparkTestBase {
     assert(!got.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("winnowPairs detects copied passages, not just whole-doc dups") {
+    val passage = "the shared passage of considerable length that was copied verbatim between documents"
+    val docs = Seq(
+      (1L, s"first document introduction $passage and its own conclusion here"),
+      (2L, s"second document different framing $passage with other trailing words"),
+      (3L, "entirely unrelated document about columnar storage and vectorized execution engines")
+    ).toDF("doc_id", "text")
+    val got = NearDup.winnowPairs(docs, "doc_id", "text", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
     val rnd = new scala.util.Random(13)
     val dim = 32

@@ -8,7 +8,8 @@ object NewQueryProbe {
     val spark = TestSpark.spark
     val names = Seq(
       "q_dedup_norm", "q_neardup_jaccard", "q_neardup_minhash",
-      "q_neardup_simhash", "q_neardup_embedding", "q_sim_topk_lsh")
+      "q_neardup_simhash", "q_neardup_embedding", "q_sim_topk_lsh",
+      "q_neardup_winnow", "q_token_bpe")
     names.foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -48,6 +48,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.isNullAt(0))
   }
 
+  test("tokenCountBpe splits like a BPE pre-tokenizer") {
+    val got = Seq("it's 42 well-known!", "", "   ", "hello world")
+      .toDF("text")
+      .select(TextOps.tokenCountBpe(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // "it","'s"," 42"," well","-","known","!" → 7; whitespace-only → 0
+    assert(got == Seq(7, 0, 0, 2))
+  }
+
+  test("winnowFingerprints: identical content collides, shared passages overlap, unrelated don't") {
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on in the summer rain"
+    val passage = s"unrelated preamble text here $base and some trailing content too"
+    val other = "completely different words about catalyst optimizer internals and shuffle partitioning"
+    val fps = Seq(base, base.replace("  ", " "), passage, other)
+      .toDF("text")
+      .select(TextOps.winnowFingerprints(col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0) == fps(1))                       // whitespace-normalized
+    assert((fps(0) & fps(2)).size >= fps(0).size / 2) // shared passage ⇒ many shared fingerprints
+    assert((fps(0) & fps(3)).isEmpty)              // unrelated ⇒ none
+    assert(Seq("short").toDF("text")
+      .select(TextOps.winnowFingerprints(col("text"), k = 8)).collect()(0).getSeq[Long](0).isEmpty)
+  }
+
+  test("exactDedup is idempotent") {
+    val df = Seq((3L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val once = TextOps.exactDedup(df, "text", "doc_id")
+    val twice = TextOps.exactDedup(once, "text", "doc_id")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
   test("exactDedup keeps one row per distinct text with the minimum id") {
     val df = Seq(
       (3L, "alpha"), (1L, "alpha"), (2L, "beta"),
