@@ -70,6 +70,34 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(back.getAs[Array[Byte]](1).toSeq == r.getAs[Array[Byte]](1).toSeq)
   }
 
+  test("distributed round-trip: executors serde via schema JSON (wire-format path)") {
+    // The schema ships to executors as its JSON (the Registry-subject
+    // analog); each partition parses it once and round-trips its rows.
+    import spark.implicits._
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("title", StringType)))
+    val schemaJson = AvroSerde.avroSchema(st).toString
+    val df = spark.range(0, 1000, 1, 8)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("title-"),
+          org.apache.spark.sql.functions.col("id")).as("title"))
+    val decoded = df
+      .mapPartitions { rows =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        rows.map { r =>
+          val bytes = AvroSerde.toBytes(r, st, schema)
+          val back = AvroSerde.fromBytes(bytes, st, schema)
+          (back.getLong(0), back.getString(1))
+        }
+      }
+      .collect()
+      .toMap
+    assert(decoded.size == 1000)
+    assert(decoded(42L) == "title-42")
+  }
+
   test("unsupported types fail loudly, not silently") {
     val bad = StructType(Seq(StructField("m", MapType(StringType, StringType))))
     intercept[IllegalArgumentException](AvroSerde.avroSchema(bad))
