@@ -37,9 +37,8 @@ object SparkEntry {
         .orderBy(col("L_ORDERKEY"), col("L_PARTKEY"), col("L_QUANTITY"), col("L_EXTENDEDPRICE"))),
 
     "q_filter_eq" -> ((s, dir) =>
-      Tables
-        .withTsMicros(Tables.events(s, dir))
-        .filter(col("event_id") === 42L)
+      Relational
+        .pointLookup(Tables.withTsMicros(Tables.events(s, dir)), "event_id", 42L)
         .select("event_id", "ts_us", "user_id", "event_type", "value", "props")),
 
     "q_count" -> ((s, dir) => Relational.countAll(Tables.lineitem(s, dir))),
