@@ -60,12 +60,22 @@ object Bench {
       }
     }
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too — Spark exception messages are multi-line
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       s"${jstr(k)}:${jstr(e.toString.take(200))}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries report -1 individually but must not distort the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -164,9 +164,13 @@ object VectorKernels {
   }
 
   /** Cosine similarity of two float vectors, double accumulation, one
-    * pass; null when either norm is zero (boxed for the null channel). */
+    * pass; null when either norm is zero OR the lengths differ (same
+    * contract as the HOF formulation — zip_with null-pads ragged arrays
+    * into a NULL product — so ragged/corrupt vectors surface as NULL,
+    * never as a similarity over a truncated prefix). */
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -260,8 +260,8 @@ object NearDup {
         Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("sh1"), col("sh2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: don't shuffle rejects
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for
@@ -275,6 +275,9 @@ object NearDup {
       bands: Int = 16,
       bitsPerBand: Int = 8): DataFrame = {
     val dim = Similarity.detectDim(df, vecCol)
+    if (dim == 0)
+      return df.select(
+        col(idCol).as("id1"), col(idCol).as("id2"), lit(0.0).as("cos_sim")).limit(0)
     // Candidates travel as bare (id1, id2) pairs — the band join and the
     // distinct shuffle 16 bytes/row; vectors are joined back only for the
     // surviving pairs' exact verify (the same stage shape as

@@ -135,6 +135,16 @@ object JdbcMerge {
     * the DELETE statement, the rest to MERGE, flushing every `batchSize`
     * with the retry policy, one transaction per flush. Driver- and
     * executor-callable; the unit tests drive it with a proxy connection.
+    *
+    * Correctness details:
+    *  - rows are BUFFERED until flush and re-bound on every retry
+    *    attempt — JDBC drivers clear a statement's batch once
+    *    `executeBatch` is invoked, so retrying the bare call would
+    *    silently execute an empty batch and drop rows;
+    *  - switching between upsert and delete flushes the other statement
+    *    first, so same-key operations within a partition apply in row
+    *    order (a tombstone followed by a re-insert must not resolve to
+    *    "deleted"). Runs of one kind still batch up to `batchSize`.
     */
   def applyPartition(
       rows: Iterator[Row],
@@ -147,50 +157,64 @@ object JdbcMerge {
     val keyIdx = cfg.keyCols.map(schema.fieldIndex)
     val merge = conn.prepareStatement(mergeSql(cfg, schema))
     val delete = conn.prepareStatement(deleteSql(cfg))
-    var pendingMerge = 0
-    var pendingDelete = 0
-    def flush(ps: PreparedStatement): Unit = {
-      withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep) { ps.executeBatch() }
-      conn.commit()
-    }
+    val pendingMerge = scala.collection.mutable.ArrayBuffer[Row]()
+    val pendingDelete = scala.collection.mutable.ArrayBuffer[Row]()
+    def flush(
+        ps: PreparedStatement,
+        pending: scala.collection.mutable.ArrayBuffer[Row],
+        rowSchema: StructType): Unit =
+      if (pending.nonEmpty) {
+        withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep) {
+          ps.clearBatch() // drop any half-added batch from a failed attempt
+          pending.foreach { r => bindRow(ps, r, rowSchema); ps.addBatch() }
+          ps.executeBatch()
+        }
+        conn.commit()
+        pending.clear()
+      }
+    def flushMerges(): Unit = flush(merge, pendingMerge, schema)
+    def flushDeletes(): Unit = flush(delete, pendingDelete, keySchema)
     rows.foreach { row =>
       if (isTombstone(row)) {
         if (cfg.deleteEnabled) {
-          val key = Row.fromSeq(keyIdx.map(row.get))
-          bindRow(delete, key, keySchema)
-          delete.addBatch()
-          pendingDelete += 1
-          if (pendingDelete >= cfg.batchSize) { flush(delete); pendingDelete = 0 }
+          flushMerges() // preserve same-key operation order across kinds
+          pendingDelete += Row.fromSeq(keyIdx.map(row.get))
+          if (pendingDelete.size >= cfg.batchSize) flushDeletes()
         } // else: behavior.on.null.values=ignore (start-sink-connector.sh:81)
       } else {
-        bindRow(merge, row, schema)
-        merge.addBatch()
-        pendingMerge += 1
-        if (pendingMerge >= cfg.batchSize) { flush(merge); pendingMerge = 0 }
+        flushDeletes()
+        pendingMerge += row
+        if (pendingMerge.size >= cfg.batchSize) flushMerges()
       }
     }
-    if (pendingMerge > 0) flush(merge)
-    if (pendingDelete > 0) flush(delete)
+    flushMerges()
+    flushDeletes()
   }
 
   /** The foreachBatch sink: wire into
     * [[graft.streaming.ChangelogStream.emitChanges]]. `connect` must be a
     * serializable closure (DriverManager URL + properties), one connection
-    * per partition. */
+    * per partition. Auto-create DDL runs ONCE, driver-side, before the
+    * partitions fan out — the IF-guard + CREATE pair is not atomic, so
+    * concurrent per-partition creation would race on a cold start. */
   def sink(
       cfg: Config,
       isTombstone: Row => Boolean,
       connect: () => Connection): (DataFrame, Long) => Unit = { (df, _) =>
     val schema = df.schema
+    if (cfg.autoCreate) {
+      val conn = connect()
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try { st.execute(createTableSql(cfg, schema)); conn.commit() }
+        finally st.close()
+      } finally conn.close()
+    }
     df.foreachPartition { rows: Iterator[Row] =>
       val conn = connect()
       try {
         conn.setAutoCommit(false)
-        if (cfg.autoCreate) {
-          val st = conn.createStatement()
-          try { st.execute(createTableSql(cfg, schema)); conn.commit() }
-          finally st.close()
-        }
         applyPartition(rows, schema, cfg, isTombstone, conn)
       } finally conn.close()
     }

@@ -77,7 +77,10 @@ object AvroSerde {
       seq.foreach(x => out.add(toAvroValue(x, elem, arrSchema.getElementType)))
       out
     case (ts: java.sql.Timestamp, TimestampType) =>
-      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+      // getTime already includes whole millis of getNanos; add the
+      // sub-milli micros. Exact for pre-epoch values too (getTime's
+      // millis are floor-based and getNanos is always in [0, 1e9)).
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + (ts.getNanos / 1000L)
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (x, _) => x
   }
@@ -98,8 +101,10 @@ object AvroSerde {
       arr.asScala.map(fromAvroValue(_, elem)).toSeq
     case (u: Utf8, StringType) => u.toString
     case (l: java.lang.Long, TimestampType) =>
-      val ts = new java.sql.Timestamp(l / 1000L)
-      ts.setNanos(((l % 1000000L) * 1000L).toInt)
+      // floor semantics so pre-epoch (negative) micros decode correctly:
+      // -500000 µs → millis -1000, nanos 500_000_000, not setNanos(<0).
+      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt)
       ts
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b

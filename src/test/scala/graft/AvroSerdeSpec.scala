@@ -30,9 +30,11 @@ class AvroSerdeSpec extends SparkTestBase {
 
   test("rows round-trip bit-exact, including NULLs and timestamps") {
     val ts = java.sql.Timestamp.valueOf("2026-08-12 10:30:00.123456")
+    val preEpoch = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
     val rows = Seq(
       Row(1, "Interstellar", 2014, 165000000L, "space", ts),
-      Row(2, null, null, null, null, null))
+      Row(2, null, null, null, null, null),
+      Row(3, "pre-epoch", 1969, 0L, "negative micros", preEpoch))
     val schema = AvroSerde.avroSchema(movies)
     rows.foreach { r =>
       val back = AvroSerde.fromBytes(AvroSerde.toBytes(r, movies, schema), movies, schema)

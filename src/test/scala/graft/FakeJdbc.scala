@@ -10,10 +10,15 @@ import scala.collection.mutable
   * and executions; the connection logs commits. */
 object FakeJdbc {
 
+  /** Models real driver batch semantics: `executeBatch` CLEARS the
+    * pending command list whether it succeeds or throws (JDBC spec), so a
+    * caller that naively retries the bare call re-executes an empty
+    * batch — `batches` records only successfully executed binds. */
   class FakeStatement(val sql: String) {
     val current = mutable.Map[Int, Any]()
-    val batches = mutable.ArrayBuffer[Seq[Any]]()
-    val executions = mutable.ArrayBuffer[Int]() // batch size at each executeBatch
+    val pending = mutable.ArrayBuffer[Seq[Any]]()
+    val batches = mutable.ArrayBuffer[Seq[Any]]() // successfully executed binds
+    val executions = mutable.ArrayBuffer[Int]()   // batch size at each successful executeBatch
     var failuresToInject = 0
     lazy val proxy: PreparedStatement = Proxy.newProxyInstance(
       getClass.getClassLoader,
@@ -23,15 +28,19 @@ object FakeJdbc {
           case "setObject" =>
             current(args(0).asInstanceOf[Integer].intValue()) = args(1); null
           case "addBatch" =>
-            batches += (1 to current.keys.max).map(current(_)); current.clear(); null
+            pending += (1 to current.keys.max).map(current(_)); current.clear(); null
+          case "clearBatch" =>
+            pending.clear(); null
           case "executeBatch" =>
+            val snapshot = pending.toList
+            pending.clear()
             if (failuresToInject > 0) {
               failuresToInject -= 1
               throw new RuntimeException("injected executeBatch failure")
             }
-            val n = batches.size - executions.sum
-            executions += n
-            Array.fill(n)(1)
+            batches ++= snapshot
+            executions += snapshot.size
+            Array.fill(snapshot.size)(1)
           case "close" => null
           case other => throw new UnsupportedOperationException(other)
         }

@@ -101,7 +101,9 @@ class JdbcMergeSpec extends SparkTestBase {
 
   test("applyPartition routes, batches and commits per the reference protocol") {
     val conn = new FakeConnection
-    // batchSize=2: 5 upserts → flushes of 2,2,1; 3 tombstones → 2,1.
+    // batchSize=2; kind switches force a flush of the other statement to
+    // preserve same-key operation order, so the runs flush as:
+    // m[1] | d[2] | m[3,4] | d[5] | m[6,7] | d[8]
     JdbcMerge.applyPartition(
       rows((1, "a", 1.0), (2, null, null), (3, "c", 3.0), (4, "d", 4.0),
            (5, null, null), (6, "f", 6.0), (7, "g", 7.0), (8, null, null)),
@@ -112,9 +114,27 @@ class JdbcMergeSpec extends SparkTestBase {
     assert(merge.batches.toSeq ==
       Seq(Seq(1, "a", 1.0), Seq(3, "c", 3.0), Seq(4, "d", 4.0), Seq(6, "f", 6.0), Seq(7, "g", 7.0)))
     assert(delete.batches.toSeq == Seq(Seq(2), Seq(5), Seq(8))) // key-only binds
-    assert(merge.executions.toSeq == Seq(2, 2, 1))
-    assert(delete.executions.toSeq == Seq(2, 1))
-    assert(conn.commits == 5) // one transaction per flush
+    assert(merge.executions.toSeq == Seq(1, 2, 2))
+    assert(delete.executions.toSeq == Seq(1, 1, 1))
+    assert(conn.commits == 6) // one transaction per flush
+  }
+
+  test("applyPartition keeps same-key operation order: delete then re-insert survives") {
+    // A tombstone for key 1 followed by its re-insert in the SAME
+    // partition must apply in row order — flushing all merges after all
+    // deletes (or vice versa) would resolve key 1 to the wrong state.
+    val conn = new FakeConnection
+    JdbcMerge.applyPartition(
+      rows((1, "a", 1.0), (1, null, null), (1, "reborn", 2.0)),
+      schema, cfg, isTombstone, conn.proxy, _ => ())
+    val ops = conn.statements.flatMap { st =>
+      st.batches.map(b => (if (st.sql.startsWith("MERGE")) "m" else "d", b.head))
+    }
+    // replay in recorded flush order via commits: merge[1], delete[1], merge[1]
+    val Seq(merge, delete) = conn.statements.toSeq
+    assert(merge.executions.toSeq == Seq(1, 1))
+    assert(delete.executions.toSeq == Seq(1))
+    assert(ops.count(_._1 == "m") == 2 && ops.count(_._1 == "d") == 1)
   }
 
   test("applyPartition with delete.enabled=false ignores tombstones") {

@@ -124,6 +124,20 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L)))
   }
 
+  test("empty corpus yields empty vector-near-dup/ANN results, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(NearDup.embeddingNearDupPairs(empty, "vec_id", "embedding").count() == 0)
+    assert(graft.ops.Similarity.lshTopK(empty, "vec_id", "embedding", 0L, 5).count() == 0)
+  }
+
+  test("native cosine of ragged (mismatched-length) vectors is NULL, not a truncated score") {
+    val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.native.cosineSim(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
     val rnd = new scala.util.Random(13)
     val dim = 32
