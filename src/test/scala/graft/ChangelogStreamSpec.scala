@@ -110,6 +110,39 @@ class ChangelogStreamSpec extends SparkTestBase {
     assert(emitted.map(_.event_id) == Seq(5L))
   }
 
+  test("checkpoint recovery: a restarted query resumes state instead of replaying") {
+    // The reference recovers by replaying the whole topic into RocksDB
+    // (TOMBSTONE_HANDLING_GUIDE.md:105-113); Structured Streaming
+    // checkpointing is strictly stronger — state survives the restart and
+    // only NEW data is processed.
+    ChangelogStream.configure(spark)
+    val input = MemoryStream[Ev](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recovery-test").toString
+    val emitted = ArrayBuffer[Ev]()
+    def start() = ChangelogStream.emitChanges(
+      ChangelogStream.latestByKey[Long, Ev](input.toDS(), _.user_id, _.event_id), ckpt) {
+      (batch: Dataset[Ev], _: Long) =>
+        val rows = batch.collect()
+        emitted.synchronized { emitted ++= rows }
+    }
+    val q1 = start()
+    input.addData(Seq(Ev(1L, 1L, "insert", 1.0), Ev(2L, 2L, "insert", 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    try {
+      // a STALE event for key 1 after restart: recovered state must reject it
+      input.addData(Seq(Ev(1L, 0L, "update", 99.0), Ev(2L, 3L, "update", 4.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val finalRows = finalState(emitted.toSeq)
+    assert(finalRows == Map(
+      1L -> Ev(1L, 1L, "insert", 1.0),   // stale pre-restart-seq event rejected
+      2L -> Ev(2L, 3L, "update", 4.0)))
+  }
+
   test("the configured state store is RocksDB (reference protocol)") {
     ChangelogStream.configure(spark)
     assert(

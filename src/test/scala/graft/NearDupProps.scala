@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.ops.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck invariants for the dedup/near-dup family over random small
+  * corpora: MinHash never invents a pair the exact operator wouldn't
+  * (the verify stage makes precision exact), and fingerprint-keyed dedup
+  * matches the group-by-text model. */
+object NearDupProps extends Properties("NearDup") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+
+  private val vocab = Vector(
+    "spark", "shuffle", "join", "hash", "sort", "key", "value", "table",
+    "stream", "batch", "merge", "filter", "agg", "window", "column")
+
+  /** Random docs of 3-20 words over a tiny vocabulary (so shingle
+    * collisions and real near-dups occur), some exact duplicates. */
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(2, 15)
+    docs <- Gen.listOfN(n, Gen.chooseNum(3, 20).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    dups <- Gen.someOf(docs)
+  } yield (docs ++ dups).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toList
+
+  property("minhash pairs are a subset of exact-Jaccard pairs with identical scores") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val exact = NearDup.exactJaccardPairs(df, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val mh = NearDup.minhashNearDupPairs(df, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      mh.forall { case (pair, score) => exact.get(pair).contains(score) }
+    }
+
+  property("exactDedup equals the per-text fold model") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val got = TextOps.exactDedup(df, "text", "doc_id")
+        .collect().map(r => (r.getString(1), r.getLong(0))).toMap
+      val model = corpus.groupBy(_._2).map { case (t, rows) => t -> rows.map(_._1).min }
+      got == model
+    }
+
+  property("simhash explode+aggregate equals the HOF formulation") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val agg = NearDup.simhashes(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = df.select(col("doc_id"), NearDup.simhash64(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      agg == hof
+    }
+}
