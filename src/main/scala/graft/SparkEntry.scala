@@ -125,6 +125,34 @@ object SparkEntry {
             Relational.exactSumDouble(col("value")).as("sum_value")))
         .orderBy(col("window_start_sec"), col("event_type"))),
 
+    "q_window_hop" -> ((s, dir) =>
+      Windowing
+        .hopNanos(
+          Tables.events(s, dir),
+          col("ts_ns"),
+          widthSeconds = 7200,
+          hopSeconds = 3600,
+          dims = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("cnt")))
+        .orderBy(col("window_start_sec"), col("event_type"))),
+
+    "q_window_session" -> ((s, dir) =>
+      // Session math runs on the epoch-MICROS view: DuckDB reads the
+      // parquet nano timestamps at micro resolution, so micro units are
+      // the finest both engines compute identically (same reason ts_us
+      // is the output convention everywhere).
+      Windowing
+        .sessionNanos(
+          Tables.withTsMicros(Tables.events(s, dir)),
+          Seq("user_id"),
+          col("ts_us"),
+          tieBreak = col("event_id"),
+          gapNs = 1800L * 1000000L, // 30 min in MICROS (column unit)
+          aggs = Seq(count(lit(1)).as("n_events")))
+        .withColumnRenamed("session_start_ns", "session_start_us")
+        .select(col("user_id"), col("session_start_us"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
     "q_enrich_join" -> ((s, dir) =>
       Joins.revenueByNation(
         Tables.orders(s, dir),
@@ -317,6 +345,25 @@ object SparkEntry {
         |       event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_hop" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ((epoch_ns(ts) // 3600000000000) - unnest(generate_series(0, 1))) * 3600 AS window_start_sec
+        |  FROM events)
+        |SELECT window_start_sec, event_type, COUNT(*) AS cnt
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM o)
+        |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_enrich_join" ->
       """SELECT n_name, COUNT(*) AS n_orders,

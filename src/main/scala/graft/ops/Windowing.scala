@@ -52,6 +52,73 @@ object Windowing {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** Hopping (sliding) window over epoch-nanos: width must be a multiple
+    * of the hop; each event lands in width/hop windows (ksqlDB HOPPING
+    * semantics). One `explode` of the per-event window list, then the
+    * same hash aggregate as [[tumbleNanos]] — cost is a deterministic
+    * ×(width/hop) row fan-out, all map-side before the partial agg. */
+  def hopNanos(
+      df: DataFrame,
+      tsNsCol: Column,
+      widthSeconds: Long,
+      hopSeconds: Long,
+      dims: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    require(widthSeconds % hopSeconds == 0, "width must be a multiple of hop")
+    val windowsPerEvent = (widthSeconds / hopSeconds).toInt
+    val hopNs = hopSeconds * 1000000000L
+    val base = floorDiv(tsNsCol.cast("long"), hopNs)
+    df.withColumn("__k", explode(array((0 until windowsPerEvent).map(lit): _*)))
+      .withColumn("window_start_sec", (base - col("__k")) * hopSeconds)
+      .groupBy(col("window_start_sec") +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__k")
+  }
+
+  /** Session windows over epoch-nanos (ksqlDB SESSION semantics): events
+    * of one key belong to the same session while consecutive gaps stay
+    * ≤ `gapNs`. Classic islands construction — per-key lag to mark
+    * breaks, running sum to number sessions, then aggregate.
+    *
+    * Scale note: sessionization inherently requires per-key time
+    * ordering, so this is a window-function sort per key (no map-side
+    * partial aggregation exists for it); state/sort is ∝ events per key
+    * and AQE handles key skew. The streaming flavor
+    * ([[sessionStream]]) pays the equivalent cost as keyed state.
+    */
+  def sessionNanos(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsNsCol: Column,
+      tieBreak: Column,
+      gapNs: Long,
+      aggs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tsNsCol, tieBreak)
+    val brk = when(tsNsCol - lag(tsNsCol, 1).over(w) > gapNs, 1).otherwise(0)
+    df.withColumn("__sess", sum(brk).over(w))
+      .groupBy((keyCols.map(col) :+ col("__sess")): _*)
+      .agg(min(tsNsCol).as("session_start_ns"), aggs: _*)
+      .drop("__sess")
+  }
+
+  /** Streaming session windows: Spark's `session_window` + watermark —
+    * sessions close and emit once the watermark passes gap past their
+    * last event (append mode). */
+  def sessionStream(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      watermarkDelay: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
   /** Tumbling window via Spark's `window()`; `duration` e.g. "1 hour". */
   def tumble(
       df: DataFrame,

@@ -70,6 +70,34 @@ class StreamingWindowSpec extends SparkTestBase {
     assert(byWindow("10:10").map(r => (r.eventType, r.cnt)).toSet == Set(("a", 1L)))
   }
 
+  test("streaming session windows close and emit after watermark passes last-event + gap") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = Windowing.sessionStream(
+      input.toDF().toDF("ts", "user"),
+      "ts", gap = "10 minutes", watermarkDelay = "0 seconds",
+      keys = Seq(col("user")),
+      aggs = Seq(count(lit(1)).as("cnt")))
+    val got = ArrayBuffer[(String, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-session-test").toString
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        got.synchronized { got ++= rows.map(r => (r.getAs[String]("user"), r.getAs[Long]("cnt"))) }
+        ()
+      }
+      .start()
+    try {
+      input.addData(Seq((ts(1), "u1"), (ts(5), "u1"))) // one session, 2 events
+      q.processAllAvailable()
+      assert(got.isEmpty) // session still open
+      input.addData(Seq((ts(40), "u2"))) // watermark jumps past u1's session
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq == Seq(("u1", 2L)))
+  }
+
   test("streaming windowed counts equal the batch tumble on the same (non-late) data") {
     val events = Seq((ts(1), "a"), (ts(4), "a"), (ts(9), "b"), (ts(16), "a"))
     val streamed = run(Seq(events, Seq((ts(59), "z"))))

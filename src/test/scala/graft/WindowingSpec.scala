@@ -43,6 +43,49 @@ class WindowingSpec extends SparkTestBase {
     assert(got == Set((0L, "a", 2L, 3.0), (3600L, "a", 1L, 4.0), (3600L, "b", 1L, 8.0)))
   }
 
+  test("hopNanos places each event in exactly width/hop windows") {
+    val hourNs = 3600L * 1000000000L
+    val df = Seq(
+      (hourNs + 5L, "a", 1.0),          // hour 1 → windows starting at 0 and 3600
+      (3 * hourNs + 7L, "b", 2.0)       // hour 3 → windows 7200 and 10800
+    ).toDF("ts_ns", "event_type", "value")
+    val got = Windowing
+      .hopNanos(df, col("ts_ns"), widthSeconds = 7200, hopSeconds = 3600,
+        dims = Seq(col("event_type")), aggs = Seq(count(lit(1)).as("cnt")))
+      .collect()
+      .map(r => (r.getAs[Long]("window_start_sec"), r.getAs[String]("event_type"), r.getAs[Long]("cnt")))
+      .toSet
+    assert(got == Set((0L, "a", 1L), (3600L, "a", 1L), (7200L, "b", 1L), (10800L, "b", 1L)))
+  }
+
+  test("sessionNanos splits islands on gaps greater than the session gap") {
+    val m = 60L * 1000000000L // one minute in nanos
+    val df = Seq(
+      // user 1: events at 0, 10, 20 min (one session), then 60, 65 (second)
+      (1L, 1L, 0 * m), (1L, 2L, 10 * m), (1L, 3L, 20 * m),
+      (1L, 4L, 60 * m), (1L, 5L, 65 * m),
+      // user 2: single event
+      (2L, 6L, 5 * m)
+    ).toDF("user_id", "event_id", "ts_ns")
+    val got = Windowing
+      .sessionNanos(df, Seq("user_id"), col("ts_ns"), col("event_id"),
+        gapNs = 30 * m, aggs = Seq(count(lit(1)).as("n")))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ns") / m, r.getAs[Long]("n")))
+      .toSet
+    assert(got == Set((1L, 0L, 3L), (1L, 60L, 2L), (2L, 5L, 1L)))
+  }
+
+  test("a gap exactly equal to the session gap does NOT split (strict >)") {
+    val m = 60L * 1000000000L
+    val df = Seq((1L, 1L, 0 * m), (1L, 2L, 30 * m)).toDF("user_id", "event_id", "ts_ns")
+    val got = Windowing
+      .sessionNanos(df, Seq("user_id"), col("ts_ns"), col("event_id"),
+        gapNs = 30 * m, aggs = Seq(count(lit(1)).as("n")))
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n") == 2L)
+  }
+
   test("tumble (TimestampType flavor) emits aligned window bounds") {
     val df = Seq(
       ("2026-01-01 10:15:00", 1.0),
