@@ -90,6 +90,24 @@ object SparkEntry {
     "q_group_agg" -> ((s, dir) =>
       Relational.groupAgg(Tables.events(s, dir), "event_type", "value")),
 
+    "q_rollup" -> ((s, dir) =>
+      Relational
+        .rollupCounts(
+          Tables.events(s, dir).withColumn("bucket", col("user_id") % 10),
+          Seq("event_type", "bucket"),
+          "value")
+        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)),
+
+    "q_topn_per_group" -> ((s, dir) =>
+      Relational
+        .topNPerGroup(
+          Tables.withTsMicros(Tables.events(s, dir)),
+          n = 3,
+          partitionCols = Seq("event_type"),
+          col("value").desc, col("event_id").asc)
+        .select("event_type", "event_id", "ts_us", "value", "rank")
+        .orderBy(col("event_type"), col("rank"))),
+
     "q_struct_key" -> ((s, dir) => {
       // Debezium-style STRUCT{ID} message key: build, then re-extract
       // (reference: README.md:40 — key is an Avro record, not a bare int).
@@ -328,6 +346,20 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, (user_id % 10))
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT event_type, event_id, epoch_us(ts) AS ts_us, value, rank
+        |FROM (SELECT event_type, event_id, ts, value,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+        |      FROM events) t
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
 
     "q_struct_key" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys

@@ -58,6 +58,25 @@ object Relational {
         exactSumDouble(col(valueCol)).as("sum_value"))
       .orderBy(col(groupCol))
 
+  /** Hierarchical subtotals via ROLLUP: per-(a,b), per-a, and grand
+    * total in one pass — Catalyst expands to a single aggregate over the
+    * grouping-set union, so partial combine still applies per set. */
+  def rollupCounts(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"))
+
+  /** Deterministic top-N rows per group: rank by the given order within
+    * each partition key and keep ranks ≤ n. A window sort per group —
+    * unlike global [[topN]] there is no TakeOrdered shortcut, but the
+    * sort is per-key and skew-managed by AQE. Ties must be broken by the
+    * caller's order columns for determinism. */
+  def topNPerGroup(df: DataFrame, n: Int, partitionCols: Seq[String], order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   /** Exact decimal sum of a double column — deterministic under any
     * aggregation order (double sums are not associative; decimal sums are).
     *

@@ -74,6 +74,32 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Seq(("alpha", 1L), ("zeta", 3L)))
   }
 
+  test("rollupCounts emits per-pair, per-dim and grand-total rows") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 4.0)).toDF("t", "b", "value")
+    val got = Relational.rollupCounts(df, Seq("t", "b"), "value")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (Some("a"), Some(1L), 1L, 1.0), (Some("a"), Some(2L), 1L, 2.0),
+      (Some("b"), Some(1L), 1L, 4.0),
+      (Some("a"), None, 2L, 3.0), (Some("b"), None, 1L, 4.0),
+      (None, None, 3L, 7.0)))
+  }
+
+  test("topNPerGroup keeps n deterministic rows per key") {
+    val df = Seq(
+      ("x", 1L, 9.0), ("x", 2L, 9.0), ("x", 3L, 1.0),
+      ("y", 4L, 5.0)
+    ).toDF("g", "id", "v")
+    val got = Relational.topNPerGroup(df, 2, Seq("g"), col("v").desc, col("id").asc)
+      .select("g", "id", "rank")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got == Set(("x", 1L, 1), ("x", 2L, 2), ("y", 4L, 1)))
+  }
+
   test("nullGuard drops NULL and NaN, keeps finite and infinite") {
     val df = Seq(Some(1.0), None, Some(Double.NaN), Some(Double.PositiveInfinity))
       .toDF("v")
