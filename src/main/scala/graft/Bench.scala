@@ -83,7 +83,11 @@ object Bench {
       "q_changelog_apply", "q_live_count", "q_topn", "q_union_counts",
       "q_group_agg", "q_struct_key", "q_null_guard", "q_window_tumble",
       "q_enrich_join", "q_dedup_docs", "q_text_stats", "q_sim_topk")
-    val r1Subset = results.collect { case (k, v, _) if r1Keys(k) && v >= 0 => v }.sum
+    // -1 (invalid) when any r1 query failed — a partial subset must never
+    // masquerade as a like-for-like baseline comparison
+    val r1Results = results.filter(r => r1Keys(r._1))
+    val r1Subset =
+      if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"sf":"$sfDir"}""")
     spark.stop()

@@ -384,7 +384,8 @@ object SparkEntry {
         |         ((epoch_ns(ts) // 3600000000000) - unnest(generate_series(0, 1))) * 3600 AS window_start_sec
         |  FROM events)
         |SELECT window_start_sec, event_type, COUNT(*) AS cnt
-        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM h WHERE window_start_sec >= 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_session" ->
       """WITH o AS (

@@ -64,15 +64,18 @@ object Windowing {
       hopSeconds: Long,
       dims: Seq[Column],
       aggs: Seq[Column]): DataFrame = {
+    require(widthSeconds > 0 && hopSeconds > 0, "width and hop must be positive")
     require(widthSeconds % hopSeconds == 0, "width must be a multiple of hop")
     val windowsPerEvent = (widthSeconds / hopSeconds).toInt
     val hopNs = hopSeconds * 1000000000L
     val base = floorDiv(tsNsCol.cast("long"), hopNs)
     df.withColumn("__k", explode(array((0 until windowsPerEvent).map(lit): _*)))
       .withColumn("window_start_sec", (base - col("__k")) * hopSeconds)
+      // Kafka Streams clamps hopping windows at the epoch — no negative
+      // window starts for events within width-hop of time 0.
+      .filter(col("window_start_sec") >= 0)
       .groupBy(col("window_start_sec") +: dims: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .drop("__k")
   }
 
   /** Session windows over epoch-nanos (ksqlDB SESSION semantics): events
