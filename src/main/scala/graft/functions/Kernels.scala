@@ -188,13 +188,17 @@ object VectorKernels {
   }
 
   /** All band signatures of one float vector in a single pass:
-    * out(b) = `bits` sign bits of plane·vec packed into a Long. */
+    * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
+    * the vector length differs from the plane dimensionality — the same
+    * contract as [[cosine]], so a ragged/corrupt vector surfaces as NULL
+    * instead of reading out of bounds or emitting garbage sign bits. */
   def hyperplaneSigs(
       vec: ArrayData,
       planes: Array[Double],
       bands: Int,
       bits: Int,
       dim: Int): ArrayData = {
+    if (vec.numElements() != dim) return null
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

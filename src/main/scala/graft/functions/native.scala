@@ -47,7 +47,9 @@ case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpressi
 
 /** All hyperplane-LSH band signatures of a float vector in one pass; the
   * Gaussian planes are generated driver-side from (seed, band, bit) and
-  * shipped as a codegen reference object. */
+  * shipped as a codegen reference object. NULL when the vector length
+  * differs from `dim` (same contract as [[CosineSim]] — ragged vectors
+  * surface as NULL, never as garbage sign bits). */
 case class HyperplaneSignatures(
     child: Expression, bands: Int, bits: Int, dim: Int, seed: Int)
     extends UnaryExpression {
@@ -55,6 +57,7 @@ case class HyperplaneSignatures(
   @transient private lazy val planes: Array[Double] =
     VectorKernels.planes(dim, bands, bits, seed)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_signatures"
   protected override def nullSafeEval(input: Any): Any =
     VectorKernels.hyperplaneSigs(
@@ -62,8 +65,14 @@ case class HyperplaneSignatures(
       planes, bands, bits, dim)
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bands, $bits, $dim)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sigs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.hyperplaneSigs($c, $ref, $bands, $bits, $dim);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
   }
   protected override def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
     copy(child = newChild)

@@ -41,6 +41,18 @@ object JdbcMerge {
 
   // ---- SQL generation (T-SQL dialect — the reference's sink is MSSQL) ----
 
+  /** T-SQL bracket-quoted identifier — the reference sink quotes
+    * identifiers by default (kafka-connect-jdbc `quote.sql.identifiers`
+    * defaults to ALWAYS), so reserved words, spaces, or hostile column
+    * names can't break or inject into the generated statements. `]`
+    * escapes by doubling per T-SQL rules. */
+  def quoteId(name: String): String = "[" + name.replace("]", "]]") + "]"
+
+  /** Quote each dot-separated segment of a (possibly schema-qualified)
+    * table name, e.g. `cso.movies_sink` → `[cso].[movies_sink]`. */
+  def quoteTable(name: String): String =
+    name.split('.').map(quoteId).mkString(".")
+
   /** Spark → T-SQL column type (the sink side of the §1.2 type table). */
   def sqlType(dt: DataType): String = dt match {
     case IntegerType        => "INT"
@@ -66,25 +78,26 @@ object JdbcMerge {
       .map { f =>
         val nullability =
           if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
-        s"${f.name} ${sqlType(f.dataType)}$nullability"
+        s"${quoteId(f.name)} ${sqlType(f.dataType)}$nullability"
       }
       .mkString(", ")
-    val pk = s", PRIMARY KEY (${cfg.keyCols.mkString(", ")})"
-    s"IF OBJECT_ID(N'${cfg.table}', N'U') IS NULL " +
-      s"CREATE TABLE ${cfg.table} ($cols$pk)"
+    val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
+    s"IF OBJECT_ID(N'${cfg.table.replace("'", "''")}', N'U') IS NULL " +
+      s"CREATE TABLE ${quoteTable(cfg.table)} ($cols$pk)"
   }
 
   /** One-row MERGE upsert keyed on the record key
     * (`insert.mode=upsert`, `pk.mode=record_key`). */
   def mergeSql(cfg: Config, schema: StructType): String = {
-    val cols = schema.fieldNames.toSeq
-    val nonKey = cols.filterNot(cfg.keyCols.contains)
+    val cols = schema.fieldNames.toSeq.map(quoteId)
+    val keys = cfg.keyCols.map(quoteId)
+    val nonKey = cols.filterNot(keys.contains)
     val src = cols.map(_ => "?").mkString(", ")
-    val on = cfg.keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
     val set = nonKey.map(c => s"$c = s.$c").mkString(", ")
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(c => s"s.$c").mkString(", ")
-    s"MERGE INTO ${cfg.table} AS t " +
+    s"MERGE INTO ${quoteTable(cfg.table)} AS t " +
       s"USING (VALUES ($src)) AS s (${cols.mkString(", ")}) " +
       s"ON $on " +
       (if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else "") +
@@ -94,8 +107,8 @@ object JdbcMerge {
   /** Tombstone handler: key-only DELETE (`delete.enabled=true`,
     * TOMBSTONE_HANDLING_GUIDE.md:219-228). */
   def deleteSql(cfg: Config): String =
-    s"DELETE FROM ${cfg.table} WHERE " +
-      cfg.keyCols.map(k => s"$k = ?").mkString(" AND ")
+    s"DELETE FROM ${quoteTable(cfg.table)} WHERE " +
+      cfg.keyCols.map(k => s"${quoteId(k)} = ?").mkString(" AND ")
 
   // ---- batch mechanics --------------------------------------------------
 
@@ -108,8 +121,15 @@ object JdbcMerge {
 
   /** Reference retry policy: `op` attempted 1 + maxRetries times with a
     * fixed backoff (start-sink-connector.sh:79-80); rethrows the last
-    * failure. `sleep` is injectable for tests. */
-  def withRetries[T](maxRetries: Int, backoffMs: Long, sleep: Long => Unit = Thread.sleep)(
+    * failure. `sleep` is injectable for tests; `onRetry` runs before each
+    * backoff (the sink hooks a rollback here so servers that abort the
+    * transaction after an error — e.g. an MSSQL deadlock victim — get a
+    * clean transaction for the retry attempt). */
+  def withRetries[T](
+      maxRetries: Int,
+      backoffMs: Long,
+      sleep: Long => Unit = Thread.sleep,
+      onRetry: () => Unit = () => ())(
       op: => T): T = {
     var attempt = 0
     while (true) {
@@ -118,6 +138,7 @@ object JdbcMerge {
         case e: Exception =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          onRetry()
           sleep(backoffMs)
       }
     }
@@ -159,17 +180,25 @@ object JdbcMerge {
     val delete = conn.prepareStatement(deleteSql(cfg))
     val pendingMerge = scala.collection.mutable.ArrayBuffer[Row]()
     val pendingDelete = scala.collection.mutable.ArrayBuffer[Row]()
+    // Roll back between attempts: servers that abort the transaction on
+    // error (MSSQL deadlock victim) reject every statement until rollback,
+    // so retrying on the dead transaction would exhaust retries pointlessly.
+    val rollbackQuietly: () => Unit =
+      () => try conn.rollback() catch { case _: Exception => () }
     def flush(
         ps: PreparedStatement,
         pending: scala.collection.mutable.ArrayBuffer[Row],
         rowSchema: StructType): Unit =
       if (pending.nonEmpty) {
-        withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep) {
+        // commit is INSIDE the retried block — a transient commit failure
+        // re-binds and re-applies the batch (idempotent by key) instead of
+        // aborting the task unretried.
+        withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep, rollbackQuietly) {
           ps.clearBatch() // drop any half-added batch from a failed attempt
           pending.foreach { r => bindRow(ps, r, rowSchema); ps.addBatch() }
           ps.executeBatch()
+          conn.commit()
         }
-        conn.commit()
         pending.clear()
       }
     def flushMerges(): Unit = flush(merge, pendingMerge, schema)

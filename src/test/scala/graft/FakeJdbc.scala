@@ -51,6 +51,8 @@ object FakeJdbc {
     val statements = mutable.ArrayBuffer[FakeStatement]()
     val ddl = mutable.ArrayBuffer[String]()
     var commits = 0
+    var rollbacks = 0
+    var commitFailuresToInject = 0
     lazy val proxy: Connection = Proxy.newProxyInstance(
       getClass.getClassLoader,
       Array(classOf[Connection]),
@@ -72,7 +74,13 @@ object FakeJdbc {
                   case other => throw new UnsupportedOperationException(other)
                 }
               })
-          case "commit" => commits += 1; null
+          case "commit" =>
+            if (commitFailuresToInject > 0) {
+              commitFailuresToInject -= 1
+              throw new RuntimeException("injected commit failure")
+            }
+            commits += 1; null
+          case "rollback" => rollbacks += 1; null
           case "setAutoCommit" | "close" => null
           case other => throw new UnsupportedOperationException(other)
         }

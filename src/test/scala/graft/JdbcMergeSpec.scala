@@ -23,31 +23,52 @@ class JdbcMergeSpec extends SparkTestBase {
     StructField("RATING", DoubleType)))
   private val cfg = Config(table = "movies_sink", keyCols = Seq("ID"))
 
-  test("mergeSql emits a keyed MERGE upsert") {
+  test("mergeSql emits a keyed MERGE upsert with quoted identifiers") {
     assert(JdbcMerge.mergeSql(cfg, schema) ==
-      "MERGE INTO movies_sink AS t USING (VALUES (?, ?, ?)) AS s (ID, TITLE, RATING) " +
-        "ON t.ID = s.ID " +
-        "WHEN MATCHED THEN UPDATE SET TITLE = s.TITLE, RATING = s.RATING " +
-        "WHEN NOT MATCHED THEN INSERT (ID, TITLE, RATING) VALUES (s.ID, s.TITLE, s.RATING);")
+      "MERGE INTO [movies_sink] AS t USING (VALUES (?, ?, ?)) AS s ([ID], [TITLE], [RATING]) " +
+        "ON t.[ID] = s.[ID] " +
+        "WHEN MATCHED THEN UPDATE SET [TITLE] = s.[TITLE], [RATING] = s.[RATING] " +
+        "WHEN NOT MATCHED THEN INSERT ([ID], [TITLE], [RATING]) " +
+        "VALUES (s.[ID], s.[TITLE], s.[RATING]);")
   }
 
   test("mergeSql with key-only schema has no UPDATE clause") {
     val keyOnly = StructType(Seq(StructField("ID", IntegerType, nullable = false)))
     assert(JdbcMerge.mergeSql(cfg, keyOnly) ==
-      "MERGE INTO movies_sink AS t USING (VALUES (?)) AS s (ID) ON t.ID = s.ID " +
-        "WHEN NOT MATCHED THEN INSERT (ID) VALUES (s.ID);")
+      "MERGE INTO [movies_sink] AS t USING (VALUES (?)) AS s ([ID]) ON t.[ID] = s.[ID] " +
+        "WHEN NOT MATCHED THEN INSERT ([ID]) VALUES (s.[ID]);")
   }
 
   test("deleteSql deletes by the record key only") {
-    assert(JdbcMerge.deleteSql(cfg) == "DELETE FROM movies_sink WHERE ID = ?")
+    assert(JdbcMerge.deleteSql(cfg) == "DELETE FROM [movies_sink] WHERE [ID] = ?")
     assert(JdbcMerge.deleteSql(cfg.copy(keyCols = Seq("A", "B"))) ==
-      "DELETE FROM movies_sink WHERE A = ? AND B = ?")
+      "DELETE FROM [movies_sink] WHERE [A] = ? AND [B] = ?")
   }
 
   test("createTableSql is idempotent auto-create DDL with a primary key") {
     assert(JdbcMerge.createTableSql(cfg, schema) ==
-      "IF OBJECT_ID(N'movies_sink', N'U') IS NULL CREATE TABLE movies_sink " +
-        "(ID INT NOT NULL, TITLE NVARCHAR(MAX), RATING FLOAT, PRIMARY KEY (ID))")
+      "IF OBJECT_ID(N'movies_sink', N'U') IS NULL CREATE TABLE [movies_sink] " +
+        "([ID] INT NOT NULL, [TITLE] NVARCHAR(MAX), [RATING] FLOAT, PRIMARY KEY ([ID]))")
+  }
+
+  test("identifier quoting survives reserved words, spaces and hostile names") {
+    // kafka-connect-jdbc quotes identifiers by default
+    // (quote.sql.identifiers=ALWAYS); a reserved-word or hostile column
+    // name must not break or inject into the generated T-SQL.
+    val hostile = StructType(Seq(
+      StructField("ORDER", IntegerType, nullable = false), // reserved word
+      StructField("movie title", StringType),              // space
+      StructField("x]; DROP TABLE t; --", StringType)))    // bracket escape
+    val hcfg = Config(table = "cso.movies_sink", keyCols = Seq("ORDER"))
+    assert(JdbcMerge.quoteId("x]; DROP TABLE t; --") == "[x]]; DROP TABLE t; --]")
+    assert(JdbcMerge.quoteTable("cso.movies_sink") == "[cso].[movies_sink]")
+    val ddl = JdbcMerge.createTableSql(hcfg, hostile)
+    assert(ddl.contains("CREATE TABLE [cso].[movies_sink] ([ORDER] INT NOT NULL, " +
+      "[movie title] NVARCHAR(MAX), [x]]; DROP TABLE t; --] NVARCHAR(MAX), " +
+      "PRIMARY KEY ([ORDER]))"))
+    assert(JdbcMerge.mergeSql(hcfg, hostile).contains("ON t.[ORDER] = s.[ORDER]"))
+    assert(JdbcMerge.deleteSql(hcfg) ==
+      "DELETE FROM [cso].[movies_sink] WHERE [ORDER] = ?")
   }
 
   test("sqlType covers the reference's type surface") {
@@ -109,8 +130,8 @@ class JdbcMergeSpec extends SparkTestBase {
            (5, null, null), (6, "f", 6.0), (7, "g", 7.0), (8, null, null)),
       schema, cfg.copy(batchSize = 2), isTombstone, conn.proxy, _ => ())
     val Seq(merge, delete) = conn.statements.toSeq
-    assert(merge.sql.startsWith("MERGE INTO movies_sink"))
-    assert(delete.sql == "DELETE FROM movies_sink WHERE ID = ?")
+    assert(merge.sql.startsWith("MERGE INTO [movies_sink]"))
+    assert(delete.sql == "DELETE FROM [movies_sink] WHERE [ID] = ?")
     assert(merge.batches.toSeq ==
       Seq(Seq(1, "a", 1.0), Seq(3, "c", 3.0), Seq(4, "d", 4.0), Seq(6, "f", 6.0), Seq(7, "g", 7.0)))
     assert(delete.batches.toSeq == Seq(Seq(2), Seq(5), Seq(8))) // key-only binds
@@ -147,7 +168,7 @@ class JdbcMergeSpec extends SparkTestBase {
     assert(delete.batches.isEmpty && delete.executions.isEmpty)
   }
 
-  test("applyPartition retries a failing flush with backoff, then commits once") {
+  test("applyPartition retries a failing flush with backoff, rolling back between attempts") {
     val conn = new FakeConnection(failuresPerStatement = 2)
     val sleeps = mutable.ArrayBuffer[Long]()
     JdbcMerge.applyPartition(
@@ -155,7 +176,25 @@ class JdbcMergeSpec extends SparkTestBase {
       schema, cfg, isTombstone, conn.proxy, sleeps += _)
     assert(sleeps.toSeq == Seq(3000L, 3000L)) // two injected failures
     assert(conn.commits == 1)
+    // a server that aborts the transaction after an error (MSSQL deadlock
+    // victim) needs a rollback before each retry attempt
+    assert(conn.rollbacks == 2)
     assert(conn.statements.head.executions.toSeq == Seq(1))
+  }
+
+  test("applyPartition retries a transient COMMIT failure, not just executeBatch") {
+    val conn = new FakeConnection
+    conn.commitFailuresToInject = 1
+    val sleeps = mutable.ArrayBuffer[Long]()
+    JdbcMerge.applyPartition(
+      rows((1, "a", 1.0)),
+      schema, cfg, isTombstone, conn.proxy, sleeps += _)
+    assert(sleeps.toSeq == Seq(3000L)) // one failed commit, one retry
+    assert(conn.commits == 1 && conn.rollbacks == 1)
+    // the batch was re-bound and re-executed on the retry attempt
+    assert(conn.statements.head.executions.toSeq == Seq(1, 1))
+    assert(conn.statements.head.batches.toSeq ==
+      Seq(Seq(1, "a", 1.0), Seq(1, "a", 1.0)))
   }
 
   test("applyPartition exhausts retries and propagates the failure uncommitted") {
@@ -167,6 +206,7 @@ class JdbcMergeSpec extends SparkTestBase {
     }
     assert(e.getMessage == "injected executeBatch failure")
     assert(conn.commits == 0)
+    assert(conn.rollbacks == 10) // one per retry attempt
   }
 
   test("null column values bind as SQL NULL in upserts") {

@@ -138,6 +138,34 @@ class NearDupSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("hyperplane signatures of a ragged vector are NULL, matching the cosine contract") {
+    // dim=3 planes against a 2-element vector: must surface as NULL, not
+    // out-of-bounds reads or garbage sign bits (ADVICE r3).
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+      .select(
+        col("vec_id"),
+        graft.functions.native
+          .hyperplaneSignatures(col("embedding"), bands = 4, bits = 8, dim = 3)
+          .as("sigs"))
+      .orderBy("vec_id")
+      .collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getSeq[Long](1).size == 4)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("detectDim skips NULL vectors and reads the first real row") {
+    val df = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1.0f, 2.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.detectDim(df, "embedding") == 3)
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.detectDim(allNull, "embedding") == 0)
+  }
+
   test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
     val rnd = new scala.util.Random(13)
     val dim = 32
