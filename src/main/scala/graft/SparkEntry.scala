@@ -211,15 +211,20 @@ object SparkEntry {
         .orderBy(col("lang"))),
 
     "q_neardup_winnow" -> ((s, dir) =>
-      // Passage-level overlap via winnowing fingerprints — no portable
-      // SQL oracle (rolling-hash-derived); NearDupSpec covers semantics.
+      // Passage-level overlap via winnowing fingerprints. The rolling
+      // polynomial hash + fmix64 is exact mod-2^64 integer arithmetic,
+      // so the oracle replicates it in SQL (HUGEINT intermediates) —
+      // integer-exact, no FP tolerance needed.
       NearDup
         .winnowPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
 
     "q_neardup_simhash" -> ((s, dir) =>
-      // 64-bit SimHash, Hamming <= 3 via 16-bit pigeonhole blocking; no
-      // portable SQL oracle (xxhash64-derived) — NearDupSpec covers it.
+      // 64-bit SimHash (MD5-derived token hash — both engines compute
+      // MD5 identically, so the pipeline is fully oracle-checkable),
+      // Hamming <= 3 via 16-bit pigeonhole blocking. Blocking is
+      // lossless at this radius, so the oracle's all-pairs scan is the
+      // same result set.
       NearDup
         .simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("id1"), col("id2"))),
@@ -229,7 +234,9 @@ object SparkEntry {
       // (max pairwise cosine 0.60 at sf0.1, measured), so the threshold
       // is 0.5 with banding dense enough for ~0.995 recall there;
       // semantic validation at the true near-dup regime (clustered data,
-      // default bands) is in NearDupSpec.
+      // default bands) is in NearDupSpec. The oracle is the exact
+      // all-pairs ground truth — full recall on the fixture is part of
+      // the verified contract, not just precision.
       NearDup
         .embeddingNearDupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -278,8 +285,9 @@ object SparkEntry {
     "q_sim_topk_lsh" -> ((s, dir) =>
       // The ANN scale path: banded hyperplane signatures + equi-join +
       // exact re-rank. Bands tuned to the fixture's low-cosine regime
-      // (recall 1.0 vs brute force there, SimilaritySpec); no SQL oracle —
-      // SimilaritySpec holds the recall contract.
+      // (recall 1.0 vs brute force there, SimilaritySpec — which is why
+      // it shares the exact top-k oracle: equality with brute force on
+      // the fixture is the verified contract).
       Similarity.lshTopK(
         Tables.embeddings(s, dir),
         "vec_id",
@@ -477,8 +485,132 @@ object SparkEntry {
     // (the verify stage makes MinHash exact-precision, and its recall at
     // this threshold is asserted equal on the fixture by NearDupSpec).
     "q_neardup_jaccard" -> neardupOracle,
-    "q_neardup_minhash" -> neardupOracle
+    "q_neardup_minhash" -> neardupOracle,
+
+    // Exact cosine top-k. The per-row list_sum/list_transform pipeline
+    // accumulates left-to-right in DOUBLE — bit-identical to the native
+    // kernel's sequential loop (verified across SFs and thread counts),
+    // so the compare needs no FP tolerance. Shared by the LSH variant:
+    // its banding achieves recall 1.0 in the fixture's cosine regime
+    // (SimilaritySpec), so equality with brute force IS its contract.
+    "q_sim_topk" -> simTopkOracle,
+    "q_sim_topk_lsh" -> simTopkOracle,
+
+    // Exact all-pairs ground truth for the banded vector near-dup
+    // (threshold 0.5 — the fixture-meaningful regime; see the query).
+    "q_neardup_embedding" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |                            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos_sim FROM scored
+        |WHERE cos_sim >= 0.5 ORDER BY id1, id2""".stripMargin,
+
+    "q_neardup_simhash" -> simhashOracle,
+    "q_neardup_winnow" -> winnowOracle
   )
+
+  private val simTopkOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |                          i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS cos_sim
+      |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** SimHash pairs oracle: the full pipeline in SQL. Token hash =
+    * first 8 bytes of MD5 (identical to [[graft.functions.Md5Hash64]]);
+    * 64 ±1 bit tallies; sign-packed fingerprint; all-pairs Hamming ≤ 3
+    * (the engine's 16-bit pigeonhole blocking is lossless at this
+    * radius, so all-pairs is the same result set). */
+  private val simhashOracle: String = {
+    val tallies = (0 until 64)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS t$j")
+      .mkString(",\n         ")
+    // bit literals, not shifts: DuckDB's << range-checks in BIGINT and
+    // rejects 1 << 63
+    val bits = (0 until 64)
+      .map(j => s"CASE WHEN t$j >= 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" | ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+       |  FROM toks WHERE tok <> ''),
+       |tal AS (
+       |  SELECT doc_id,
+       |         $tallies
+       |  FROM hashed GROUP BY doc_id),
+       |sh AS (SELECT doc_id, ($bits) AS sh FROM tal)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Winnowing pairs oracle: the rolling polynomial k-gram hash (k=8,
+    * mult=1000003) + fmix64 finalizer of [[graft.functions.TextKernels]]
+    * replicated as exact mod-2^64 integer arithmetic (HUGEINT
+    * intermediates; 64-bit wrap multiplies split at 2^32), rightmost-min
+    * winnowing reduced to window-min (selected VALUES are identical),
+    * then the doc-frequency cap and shared-count join of
+    * [[graft.ops.NearDup.winnowPairs]]. Signed BIGINT comparison matches
+    * the kernel's Long ordering. */
+  private val winnowOracle: String = {
+    // mult^(7-j) mod 2^64 for the direct polynomial form of the rolling
+    // hash (identical ring arithmetic to the kernel's iterative form)
+    val pows = Seq(
+      "12924618581234127435", "10923514805226455897", "14453212906556403763",
+      "14003818205314896721", "1000009000027000027", "1000006000009",
+      "1000003", "1")
+    val m64 = "18446744073709551616"
+    val poly = pows.zipWithIndex
+      .map { case (p, j) => s"ord(substr(s, pos+$j, 1))::HUGEINT * $p" }
+      .mkString(" + ")
+    // (x * c) mod 2^64 without exceeding HUGEINT range: split x at 2^32
+    def mulmod(x: String, c: String): String =
+      s"((( ($x >> 32)::HUGEINT * $c ) % 4294967296 * 4294967296" +
+        s" + ($x & 4294967295)::HUGEINT * $c) % $m64)::UBIGINT"
+    s"""WITH norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |pos0 AS (
+       |  SELECT doc_id, s, unnest(generate_series(1, length(s) - 7)) AS pos
+       |  FROM norm WHERE length(s) >= 8),
+       |raw AS (SELECT doc_id, pos, (($poly) % $m64)::UBIGINT AS h FROM pos0),
+       |f0 AS (SELECT doc_id, pos, xor(h, h >> 33) AS x1 FROM raw),
+       |f1 AS (SELECT doc_id, pos, ${mulmod("x1", "18397679294719823053")} AS x2 FROM f0),
+       |f2 AS (SELECT doc_id, pos, xor(x2, x2 >> 33) AS x3 FROM f1),
+       |f3 AS (SELECT doc_id, pos, ${mulmod("x3", "14181476777654086739")} AS x4 FROM f2),
+       |f4 AS (SELECT doc_id, pos, xor(x4, x4 >> 33) AS x5 FROM f3),
+       |signed_h AS (
+       |  SELECT doc_id, pos,
+       |    (x5::HUGEINT - CASE WHEN x5 >= 9223372036854775808
+       |                        THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT AS sb
+       |  FROM f4),
+       |sel AS (
+       |  SELECT doc_id, pos,
+       |    min(sb) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM signed_h),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM sel
+       |  WHERE pos <= m - 3 OR (m < 4 AND pos = 1)),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+       |ff AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fingerprints
+       |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY id1, id2""".stripMargin
+  }
 
   private val neardupOracle: String =
     """WITH toks AS (

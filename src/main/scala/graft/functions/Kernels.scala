@@ -105,6 +105,28 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(utf8 bytes) as a big-endian signed Long — a
+    * 64-bit hash both engines compute identically, so operators built on
+    * it are fully oracle-checkable in SQL:
+    * DuckDB `('0x' || substr(md5(s), 1, 16))::UBIGINT` yields the same
+    * bit pattern. (xxhash64 would be ~3× faster but has no portable SQL
+    * equivalent — for SimHash the hash cost is a minor term next to the
+    * tokenize/explode, measured.) */
+  def md5Long(s: UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
   private final val Golden = 0x9e3779b97f4a7c15L
 
   private def fmix64(x0: Long): Long = {

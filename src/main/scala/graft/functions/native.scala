@@ -78,6 +78,22 @@ case class HyperplaneSignatures(
     copy(child = newChild)
 }
 
+/** First 8 bytes of MD5 as a big-endian signed Long — the
+  * cross-engine-reproducible token hash under SimHash (see
+  * [[TextKernels.md5Long]]; DuckDB computes the identical value from
+  * `md5()` hex, which is what makes the SimHash operator fully
+  * SQL-oracle-checkable). */
+case class Md5Hash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Long(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.md5Long($c)")
+  protected override def withNewChildInternal(newChild: Expression): Md5Hash64 =
+    copy(child = newChild)
+}
+
 /** Winnowing rolling-hash document fingerprints (Schleimer et al.) — see
   * [[TextKernels.winnow]]. */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
@@ -131,6 +147,9 @@ object native {
 
   def winnowFingerprints(text: Column, k: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, window))
+
+  def md5Hash64(s: Column): Column =
+    ColumnBridge.column(Md5Hash64(ColumnBridge.expression(s)))
 
   def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
     ColumnBridge.column(

@@ -146,10 +146,12 @@ object NearDup {
       minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand),
       df, idCol, textCol, k, threshold)
 
-  /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
-    * bit position, weighted equally; the sign of each position's tally is
-    * the output bit. Near-identical docs differ in O(changed tokens)
-    * bits. NULL for token-less docs.
+  /** 64-bit SimHash over word tokens: each token's 64-bit MD5-derived
+    * hash ([[graft.functions.Md5Hash64]] — chosen over xxhash64 because
+    * DuckDB computes the identical value, making the operator fully
+    * oracle-checkable) votes ±1 per bit position, weighted equally; the
+    * sign of each position's tally is the output bit. Near-identical docs
+    * differ in O(changed tokens) bits. NULL for token-less docs.
     *
     * Column-level (HOF) formulation for ad-hoc use on small data — the
     * interpreted fold re-reads the token array per bit. Pipelines should
@@ -158,10 +160,10 @@ object NearDup {
   def simhash64(text: Column): Column = {
     val t = wordTokens(text)
     val toks = when(size(t) === 1 && t.getItem(0) === "", emptyStrings).otherwise(t)
-    // One xxhash64 per token (common-subexpression-eliminated across the
+    // One hash per token (common-subexpression-eliminated across the
     // 64 statically-unrolled bit tallies below — shift amounts must be
     // literals for the codegen'd shiftright).
-    val hashes = transform(toks, tok => xxhash64(tok))
+    val hashes = transform(toks, tok => graft.functions.native.md5Hash64(tok))
     val bits = (0 until 64).map { j =>
       val tally = aggregate(
         hashes,
@@ -222,7 +224,7 @@ object NearDup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    val h = xxhash64(col("tok"))
+    val h = graft.functions.native.md5Hash64(col("tok"))
     val tallies = (0 until 64).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"t$j")
     }

@@ -99,7 +99,7 @@ class PipelineSpec extends SparkTestBase {
     } finally q.stop()
 
     // auto-create DDL ran, uppercase PK (pk.fields=ID not id)
-    assert(conn.ddl.exists(_.contains("CREATE TABLE events_sink")))
-    assert(conn.ddl.head.contains("PRIMARY KEY (ID)"))
+    assert(conn.ddl.exists(_.contains("CREATE TABLE [events_sink]")))
+    assert(conn.ddl.head.contains("PRIMARY KEY ([ID])"))
   }
 }
