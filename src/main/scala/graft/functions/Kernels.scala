@@ -84,9 +84,11 @@ object TextKernels {
       hashes(i - k + 1) = fmix64(h)
       i += 1
     }
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    // primitive collect + sort + dedupe (same sorted-distinct output as a
+    // TreeSet, without per-window Long boxing — the kernel's hot loop)
     val windows = math.max(hashes.length - w + 1, 1)
     val effW = math.min(w, hashes.length)
+    val mins = new Array[Long](windows)
     var start = 0
     while (start < windows) {
       var minIdx = start
@@ -95,14 +97,17 @@ object TextKernels {
         if (hashes(idx) <= hashes(minIdx)) minIdx = idx // rightmost min
         idx += 1
       }
-      selected.add(hashes(minIdx))
+      mins(start) = hashes(minIdx)
       start += 1
     }
-    val out = new Array[Long](selected.size)
-    val it = selected.iterator()
+    java.util.Arrays.sort(mins)
     var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    new GenericArrayData(out)
+    var i2 = 0
+    while (i2 < windows) {
+      if (m == 0 || mins(i2) != mins(m - 1)) { mins(m) = mins(i2); m += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, m))
   }
 
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
