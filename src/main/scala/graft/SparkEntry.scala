@@ -295,7 +295,23 @@ object SparkEntry {
         queryId = 0L,
         k = 10,
         bands = 24,
-        bitsPerBand = 3))
+        bitsPerBand = 3)),
+
+    "q_sim_topk_ivf" -> ((s, dir) =>
+      // The partition-pruning ANN scale path: bounded-sample spherical
+      // k-means (driver-side, corpus-size-independent), map-side bucket
+      // assignment, probe the query's nearest buckets, exact re-rank.
+      // The fixture's near-random geometry needs nProbe 6/8 for full
+      // recall (grid-probed, every SF) — clustered data needs 1
+      // (SimilaritySpec); shares the exact top-k oracle on that basis.
+      Similarity.ivfTopK(
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        queryId = 0L,
+        k = 10,
+        nCentroids = 8,
+        nProbe = 6))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -495,6 +511,7 @@ object SparkEntry {
     // (SimilaritySpec), so equality with brute force IS its contract.
     "q_sim_topk" -> simTopkOracle,
     "q_sim_topk_lsh" -> simTopkOracle,
+    "q_sim_topk_ivf" -> simTopkOracle,
 
     // Exact all-pairs ground truth for the banded vector near-dup
     // (threshold 0.5 — the fixture-meaningful regime; see the query).

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
-/** The compensating oracle for `q_sim_topk` (no portable SQL oracle —
-  * SURVEY.md §2.2): a plain-Scala brute-force cosine top-k over the
-  * embeddings fixture, compared exactly against the DataFrame plan, plus a
-  * recall floor for the LSH scale path. */
+/** Similarity-search contracts: a plain-Scala brute-force cosine top-k
+  * over the embeddings fixture compared exactly against the DataFrame
+  * plan (the independent check behind the SQL oracle), plus recall
+  * floors for the LSH and IVF scale paths in the regimes they are built
+  * for. */
 class SimilaritySpec extends SparkTestBase {
 
   private val k = 10
@@ -101,6 +102,70 @@ class SimilaritySpec extends SparkTestBase {
       .toSet
     val recall = expected.map(_._1).count(got.contains).toDouble / k
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (got ${got.toSeq.sorted})")
+  }
+
+  test("ivfTopK matches brute force on the fixture at the declared (k=8, nProbe=6)") {
+    // Near-random fixture geometry: the true top-10 scatters across
+    // buckets, so the declared query probes 6 of 8 (grid-probed: exact
+    // equality at every SF). Clustered data — IVF's real regime — needs
+    // only nProbe=1 (next test).
+    val got = Similarity
+      .ivfTopK(Tables.embeddings(spark, sf001), "vec_id", "embedding", queryId, k,
+        nCentroids = 8, nProbe = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+    assert(got.map(_._1) == expected.map(_._1), "neighbor ids / order differ")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9, s"cosine drift: got $g expected $e")
+    }
+  }
+
+  test("ivfTopK recall >= 0.9 on clustered data probing a SINGLE bucket") {
+    // IVF's sweet spot: clustered corpora, where the query's cluster maps
+    // to one centroid bucket and nProbe=1 reads ~1/k of the corpus.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val data = (0 until 8).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 25).map { m =>
+        val v = center.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+        (c * 25L + m, v)
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.find(_._1 == 0L).get._2
+    val truth = data
+      .filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k)
+      .map(_._1)
+      .toSet
+    val got = Similarity
+      .ivfTopK(df, "vec_id", "embedding", queryId = 0L, k = k,
+        nCentroids = 8, nProbe = 1)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val recall = truth.count(got.contains).toDouble / k
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (got ${got.toSeq.sorted})")
+  }
+
+  test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val rows = Similarity.assignBuckets(df, "embedding", centroids)
+      .orderBy("vec_id").collect()
+    assert(rows(0).getInt(rows(0).fieldIndex("bucket")) == 0)
+    assert(rows(1).getInt(rows(1).fieldIndex("bucket")) == 1)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("bucket")))
   }
 
   test("hyperplane signatures are deterministic across evaluations") {
