@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the continuous flavor of
+  * [[graft.ops.TextOps.exactDedup]] for ingest-time pipelines (a training
+  * corpus deduped as it arrives, rather than re-scanned in batch).
+  *
+  * Both flavors key on the 16-byte content fingerprint (md5 of the raw
+  * text bytes — the same key the batch operator groups by), so streaming
+  * state and shuffle carry 16 bytes per distinct document, never the
+  * document body.
+  *
+  * Two state regimes, mirroring Spark's two dedup operators:
+  *  - [[dedup]]: `dropDuplicates` — state grows with distinct documents
+  *    forever (the ksqlDB-TABLE-like unbounded regime; state ∝ corpus
+  *    distinct count, the honest cost of exact global dedup);
+  *  - [[dedupWithinWatermark]]: `dropDuplicatesWithinWatermark` — state
+  *    is bounded by the watermark horizon; duplicates farther apart than
+  *    the delay are NOT collapsed. This is the 100 TB-stream shape:
+  *    near-in-time duplicates (crawler re-fetches, retry storms) are
+  *    removed with bounded state, and a periodic batch `exactDedup` pass
+  *    handles long-range duplicates.
+  */
+object DedupStream {
+
+  /** First-arrival row per distinct text, unbounded state. */
+  def dedup(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  /** First-arrival row per distinct text within the watermark horizon;
+    * `tsCol` must be a timestamp column and `delay` a duration string
+    * (e.g. "10 minutes"). State for a fingerprint is dropped once the
+    * watermark passes its event time + delay. */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      delay: String): DataFrame =
+    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}
