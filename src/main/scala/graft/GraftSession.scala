@@ -31,6 +31,13 @@ object GraftSession {
     // NaN/Infinity inputs to the exact-decimal sums are guarded inside
     // Relational.exactSum, so strict mode cannot crash the aggregates.
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    // ObjectHashAggregate (the planning of the LatestRow changelog
+    // aggregate) falls back to SORT-based aggregation once a task's hash
+    // map exceeds this many keys — the 128 default re-introduces exactly
+    // the per-partition sort the aggregate exists to avoid. 4M buffered
+    // keys × ~a few hundred bytes/row of changelog state is well inside
+    // executor memory at the reference's ~1-2 KB/key sizing.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
     spark
   }
 

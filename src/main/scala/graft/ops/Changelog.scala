@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * agree on any event set under any batch chunking.
   *
   * Scale notes:
-  *  - `latestByKey` uses `max_by` aggregation, NOT a window `row_number`.
-  *    An aggregate gets map-side partial combining, so each input partition
-  *    ships at most one candidate row per key into the shuffle — at 100 TB
-  *    of events over ~100 M keys that is the difference between shuffling
-  *    100 TB (window sort) and shuffling ~a few hundred GB.
+  *  - `latestByKey` uses the native [[graft.functions.LatestRow]]
+  *    aggregate, NOT a window `row_number` (which would shuffle-sort the
+  *    full input) and NOT `max_by` (whose struct-typed buffer forces
+  *    SortAggregate — a per-partition sort on both sides of the shuffle).
+  *    As a TypedImperativeAggregate it plans as ObjectHashAggregate:
+  *    map-side partial combining ships at most one candidate row per key
+  *    per partition into the shuffle, and nothing is ever sorted — at
+  *    100 TB of events over ~100 M keys that is the difference between
+  *    sorting/shuffling 100 TB and hash-scanning it.
   *  - State ∝ distinct keys, mirroring the reference's RocksDB sizing note
   *    (TOMBSTONE_HANDLING_GUIDE.md:317-326); skewed keys are handled by
   *    AQE skew-split since this is a plain hash aggregate.
@@ -34,7 +38,7 @@ object Changelog {
   def latestByKey(df: DataFrame, keyCols: Seq[String], seqCol: Column): DataFrame = {
     val payload = struct(df.columns.map(col).toSeq: _*)
     df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(payload, seqCol).as("__latest"))
+      .agg(graft.functions.LatestRow.latestRow(payload, seqCol).as("__latest"))
       .select(col("__latest.*"))
   }
 
