@@ -110,6 +110,36 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, m))
   }
 
+  /** One-pass character-class counts for quality scoring:
+    * [punct `[.,;:!?]`, upper `[A-Z]`, literal space, `\S+` token runs].
+    * Byte loop over the UTF-8 payload — every counted class is ASCII and
+    * UTF-8 continuation bytes can't collide with ASCII values, so the
+    * counts are exact for any input. Replaces four separate
+    * regexp_replace/extract scans of the document. */
+  def charClassCounts(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var punct = 0L
+    var upper = 0L
+    var space = 0L
+    var tokens = 0L
+    var inToken = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (ws) inToken = false
+      else if (!inToken) { tokens += 1; inToken = true }
+      b match {
+        case '.' | ',' | ';' | ':' | '!' | '?' => punct += 1
+        case ' ' => space += 1
+        case c if c >= 'A' && c <= 'Z' => upper += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(punct, upper, space, tokens))
+  }
+
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -140,6 +170,35 @@ object TextKernels {
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
     x ^= x >>> 33
     x
+  }
+
+  /** Whole-document 64-bit SimHash in one compiled pass: tokenize,
+    * md5-hash each token ([[md5Long]]), ±1 bit tallies, sign-packed.
+    * Returns boxed null for token-less documents. Semantically identical
+    * to the explode + 64-aggregate-column formulation, with no row
+    * amplification, no aggregation, and no shuffle — SimHash is a
+    * per-document SCALAR, so it belongs in a projection. */
+  def simhash64(text: UTF8String): java.lang.Long = {
+    val toks = tokenize(text.toString)
+    if (toks.isEmpty) return null
+    val tallies = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = md5Long(UTF8String.fromString(toks(t)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) tallies(j) += 1 else tallies(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 64) {
+      if (tallies(j) >= 0) sh |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sh)
   }
 
   /** One-hash MinHash signature: each shingle is xxhash64'd ONCE, the

@@ -94,6 +94,40 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass character-class counts `[punct, upper, space, tokens]` for
+  * quality scoring — see [[TextKernels.charClassCounts]]. */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_class_counts"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.charClassCounts(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charClassCounts($c)")
+  protected override def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
+}
+
+/** Whole-document 64-bit SimHash (md5-derived token hashes) in one
+  * compiled pass — see [[TextKernels.simhash64]]. NULL for token-less
+  * documents. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sh")
+      s"""
+         |java.lang.Long $tmp = graft.functions.TextKernels.simhash64($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Winnowing rolling-hash document fingerprints (Schleimer et al.) — see
   * [[TextKernels.winnow]]. */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
@@ -150,6 +184,12 @@ object native {
 
   def md5Hash64(s: Column): Column =
     ColumnBridge.column(Md5Hash64(ColumnBridge.expression(s)))
+
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  def charClassCounts(text: Column): Column =
+    ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))
 
   def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
     ColumnBridge.column(

@@ -158,9 +158,10 @@ object NearDup {
     * sign of each position's tally is the output bit. Near-identical docs
     * differ in O(changed tokens) bits. NULL for token-less docs.
     *
-    * Column-level (HOF) formulation for ad-hoc use on small data — the
-    * interpreted fold re-reads the token array per bit. Pipelines should
-    * use [[simhashes]] (explode + codegen'd aggregate), which computes
+    * Column-level (HOF) formulation, kept as the independent
+    * cross-check for the native kernel (NearDupSpec asserts equality) —
+    * the interpreted fold re-reads the token array per bit. Pipelines
+    * use [[simhashes]] (one native kernel call per doc), which computes
     * the identical value. */
   def simhash64(text: Column): Column = {
     val t = wordTokens(text)
@@ -224,33 +225,19 @@ object NearDup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
-  /** Per-doc 64-bit SimHash as a DataFrame op, via explode + codegen'd
-    * hash aggregate (NOT the HOF formulation of [[simhash64]]): one row
-    * per (doc, token), 64 statically-unrolled ±1 bit tallies as plain SUM
-    * aggregates with map-side partial combine, then bits packed by sign.
-    * Token-less docs simply have no rows (≡ NULL simhash). This is the
-    * scale path — everything stays inside whole-stage codegen.
-    * Output: (id, sh). */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-    val h = graft.functions.native.md5Hash64(col("tok"))
-    // Branch-free tallies: SUM the raw bit instead of a ±1 CASE — the
-    // ±1 tally is recovered as 2·ones − n, and `tally ≥ 0 ⟺ 2·ones ≥ n`
-    // exactly. Measured 2.2× faster over the 64 aggregate columns (the
-    // CASE per (row × bit) was the hot path, not the hash).
-    val ones = (0 until 64).map { j =>
-      sum(shiftright(h, j).bitwiseAND(lit(1L))).as(s"o$j")
-    }
-    toks
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), ones: _*)
-      .select(
-        col("id"),
-        (0 until 64).map { j =>
-          when(col(s"o$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("sh"))
-  }
+  /** Per-doc 64-bit SimHash as a DataFrame op: one native codegen'd
+    * scalar call per document ([[graft.functions.SimHash64]] — tokenize,
+    * md5, tally, pack in a single compiled pass). SimHash is a per-doc
+    * SCALAR, so this is a pure projection: no row amplification, no
+    * aggregation, no shuffle. (Earlier formulations exploded to one row
+    * per token and ran a 64-column hash aggregate — correct, but paying
+    * a 45× row blow-up for what one kernel pass computes.) Token-less
+    * docs are dropped (≡ NULL simhash). Output: (id, sh). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        graft.functions.native.simhash64(col(textCol)).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** SimHash near-dup pairs with `maxHamming` ≤ 3 by default, using
     * 16-bit-chunk pigeonhole blocking: two hashes within Hamming 3 agree

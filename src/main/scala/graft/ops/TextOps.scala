@@ -79,26 +79,29 @@ object TextOps {
 
   /** Per-document quality features: char/token counts, punctuation ratio,
     * uppercase ratio, mean token length — the usual cheap filters in a
-    * pretraining-data pipeline. */
+    * pretraining-data pipeline. All class counts come from ONE compiled
+    * pass over the document ([[graft.functions.CharClassCounts]] —
+    * replaced four separate regexp scans; values are identical). */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t)
-    val nTokens = tokenCount(t)
-    val nPunct = length(t) - length(regexp_replace(t, "[.,;:!?]", ""))
-    val nUpper = length(t) - length(regexp_replace(t, "[A-Z]", ""))
-    val nSpace = length(t) - length(regexp_replace(t, " ", ""))
-    df.withColumn("n_chars", nChars)
-      .withColumn("n_tokens", nTokens)
+    val cc = graft.functions.native.charClassCounts(t)
+    df.withColumn("__cc", cc)
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", col("__cc").getItem(3))
       .withColumn(
         "punct_ratio",
-        when(nChars === 0, 0.0).otherwise(nPunct.cast("double") / nChars))
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("__cc").getItem(0).cast("double") / col("n_chars")))
       .withColumn(
         "upper_ratio",
-        when(nChars === 0, 0.0).otherwise(nUpper.cast("double") / nChars))
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("__cc").getItem(1).cast("double") / col("n_chars")))
       .withColumn(
         "mean_token_len",
-        when(nTokens === 0, 0.0)
-          .otherwise((nChars - nSpace).cast("double") / nTokens))
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(
+            (col("n_chars") - col("__cc").getItem(2)).cast("double") / col("n_tokens")))
+      .drop("__cc")
   }
 
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint

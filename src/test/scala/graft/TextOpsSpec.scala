@@ -143,7 +143,7 @@ class TextOpsSpec extends SparkTestBase {
       .transform(TextOps.qualityFeatures(_, "text"))
       .collect()(0)
     assert(row.getAs[Int]("n_chars") == 10)
-    assert(row.getAs[Int]("n_tokens") == 3)
+    assert(row.getAs[Long]("n_tokens") == 3L)
     // punct: ',' '!' → 2/10; upper: A E F → 3/10; non-space chars 8 / 3 tokens
     assert(math.abs(row.getAs[Double]("punct_ratio") - 0.2) < 1e-12)
     assert(math.abs(row.getAs[Double]("upper_ratio") - 0.3) < 1e-12)
