@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL registration of the engine's native expressions, so every custom
+  * kernel is first-class in `spark.sql(...)` exactly like a built-in:
+  *
+  * {{{
+  *   SELECT simhash64(text), cosine_sim(a, b), latest_row(struct(*), seq)
+  * }}}
+  *
+  * Two entry points for the two session lifecycles:
+  *  - [[GraftExtensions]]: `spark.sql.extensions=graft.GraftExtensions`
+  *    at session build time (the standard SparkSessionExtensions path);
+  *  - [[GraftFunctions.register]]: injection into a live session's
+  *    function registry (tests, notebooks, sessions the caller doesn't
+  *    construct).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** (name, builder) for every registered function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> { args =>
+      arity("cosine_sim", args, 2); CosineSim(args(0), args(1))
+    },
+    "md5_hash64" -> { args =>
+      arity("md5_hash64", args, 1); Md5Hash64(args(0))
+    },
+    "simhash64" -> { args =>
+      arity("simhash64", args, 1); SimHash64(args(0))
+    },
+    "char_class_counts" -> { args =>
+      arity("char_class_counts", args, 1); CharClassCounts(args(0))
+    },
+    "word_shingles" -> { args =>
+      arity("word_shingles", args, 2)
+      WordShingles(args(0), intArg(args(1), "word_shingles", "k"))
+    },
+    "minhash_signature" -> { args =>
+      arity("minhash_signature", args, 2)
+      MinHashSignature(args(0), intArg(args(1), "minhash_signature", "perms"))
+    },
+    "winnow_fingerprints" -> { args =>
+      arity("winnow_fingerprints", args, 3)
+      WinnowFingerprints(
+        args(0),
+        intArg(args(1), "winnow_fingerprints", "k"),
+        intArg(args(2), "winnow_fingerprints", "window"))
+    },
+    "hyperplane_signatures" -> { args =>
+      arity("hyperplane_signatures", args, 5)
+      HyperplaneSignatures(
+        args(0),
+        intArg(args(1), "hyperplane_signatures", "bands"),
+        intArg(args(2), "hyperplane_signatures", "bits"),
+        intArg(args(3), "hyperplane_signatures", "dim"),
+        intArg(args(4), "hyperplane_signatures", "seed"))
+    },
+    "latest_row" -> { args =>
+      arity("latest_row", args, 2); LatestRow(args(0), args(1))
+    })
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions.GraftFunctions", name)
+
+  /** Register every native function into a live session. Idempotent
+    * (re-registration overwrites with the identical builder). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name), builder)
+    }
+
+  /** The SparkSessionExtensions hook body — shared by [[GraftExtensions]]. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` — build-time injection of
+  * the engine's native SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+/** The SQL surface of the native expressions: every kernel callable from
+  * `spark.sql(...)` and equal to its Column-API twin. */
+class GraftFunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("simhash64 / md5_hash64 / cosine_sim via SQL equal the Column API") {
+    Seq((1L, "the quick brown fox"), (2L, "  the   quick brown fox "))
+      .toDF("id", "text").createOrReplaceTempView("t_docs")
+    val sql = spark.sql("SELECT id, simhash64(text) AS sh, md5_hash64(text) AS h FROM t_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val api = Seq((1L, "the quick brown fox"), (2L, "  the   quick brown fox "))
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.native.simhash64(col("text")),
+        graft.functions.native.md5Hash64(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sql == api)
+    assert(sql(0)._2 == sql(1)._2, "whitespace variants must share a simhash")
+
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("t_vecs")
+    val c = spark.sql("SELECT cosine_sim(a, b) AS c FROM t_vecs").collect()(0).getDouble(0)
+    assert(math.abs(c - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("latest_row as a SQL aggregate materializes the changelog") {
+    Seq((1L, 10L, "old"), (1L, 11L, "new"), (2L, 5L, "only"))
+      .toDF("k", "seq", "v").createOrReplaceTempView("t_events")
+    val got = spark.sql(
+      "SELECT k, latest_row(struct(seq, v), seq).v AS v FROM t_events GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("shingle/winnow/char-class functions parse and run from SQL") {
+    Seq((1L, "alpha beta gamma delta"))
+      .toDF("id", "text").createOrReplaceTempView("t_one")
+    val r = spark.sql(
+      """SELECT size(word_shingles(text, 3)) AS ns,
+        |       size(minhash_signature(word_shingles(text, 3), 16)) AS np,
+        |       size(winnow_fingerprints(text, 8, 4)) AS nw,
+        |       char_class_counts(text)[3] AS ntok
+        |FROM t_one""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 16 && r.getInt(2) > 0 && r.getLong(3) == 4L)
+  }
+
+  test("non-literal size parameters are rejected with a clear error") {
+    Seq((1L, "x y z")).toDF("id", "text").createOrReplaceTempView("t_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, id) FROM t_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("word_shingles"))
+  }
+
+  test("GraftExtensions injects the same function set at session build time") {
+    // The extensions object is exercised directly (a second SparkSession
+    // build is expensive and getOrCreate would return the shared one);
+    // injectFunction paths through the identical (name, info, builder)
+    // triples that `register` installs.
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; registers all
+    assert(GraftFunctions.all.map(_._1).distinct.size == GraftFunctions.all.size)
+  }
+}
