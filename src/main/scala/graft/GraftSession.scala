@@ -34,10 +34,15 @@ object GraftSession {
     // ObjectHashAggregate (the planning of the LatestRow changelog
     // aggregate) falls back to SORT-based aggregation once a task's hash
     // map exceeds this many keys — the 128 default re-introduces exactly
-    // the per-partition sort the aggregate exists to avoid. 4M buffered
-    // keys × ~a few hundred bytes/row of changelog state is well inside
-    // executor memory at the reference's ~1-2 KB/key sizing.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+    // the per-partition sort the aggregate exists to avoid for any real
+    // key count. 256K keys × the reference's worst-case ~1-2 KB/key
+    // (TOMBSTONE_HANDLING_GUIDE.md:317-320) caps the un-spillable map at
+    // ~384 MB/task; beyond that the fallback degrades GRACEFULLY — only
+    // the input remaining after the threshold is sort-aggregated
+    // (spillable), the hashed prefix keeps its buffers. Session-global:
+    // every object aggregate shares this ceiling, so it is sized to
+    // executor memory, not to ambition.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
     spark
   }
 

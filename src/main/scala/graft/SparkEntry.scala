@@ -315,8 +315,12 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
-    * names, same ORDER BY). Omitted for ops not expressible in portable
-    * SQL (q_sim_topk — covered by a brute-force ScalaTest oracle instead).
+    * names, same ORDER BY) — EVERY declared query has one as of round 4.
+    * The hash-pipeline oracles (simhash/winnow) replicate the kernels as
+    * exact integer arithmetic; they assume the fixture's ASCII corpus
+    * (DuckDB indexes codepoints where the kernels index UTF-16 units, and
+    * RE2 `\s` excludes `\v`) — a non-ASCII fixture would need
+    * codepoint-aligned kernels first.
     */
   def oracleSql: Map[String, String] = Map(
     "q_project" ->

@@ -42,6 +42,12 @@ case class LatestRow(
   override def nullable: Boolean = true
   override def prettyName: String = "latest_row"
 
+  // Reject unorderable ordering types at ANALYSIS time (as max_by does) —
+  // without this, a MapType ord passes analysis and every task fails at
+  // runtime when the interpreted ordering is first forced.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(ord.dataType, prettyName)
+
   @transient private lazy val ordering =
     TypeUtils.getInterpretedOrdering(ord.dataType)
 

@@ -82,8 +82,12 @@ object JdbcMerge {
       }
       .mkString(", ")
     val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
-    s"IF OBJECT_ID(N'${cfg.table.replace("'", "''")}', N'U') IS NULL " +
-      s"CREATE TABLE ${quoteTable(cfg.table)} ($cols$pk)"
+    // OBJECT_ID must receive the SAME quoted form CREATE uses — with the
+    // raw name, a bracketed-identifier table (space/reserved word) parses
+    // as NULL every time and the "idempotent" DDL re-runs and fails.
+    val quoted = quoteTable(cfg.table)
+    s"IF OBJECT_ID(N'${quoted.replace("'", "''")}', N'U') IS NULL " +
+      s"CREATE TABLE $quoted ($cols$pk)"
   }
 
   /** One-row MERGE upsert keyed on the record key

@@ -46,8 +46,10 @@ class JdbcMergeSpec extends SparkTestBase {
   }
 
   test("createTableSql is idempotent auto-create DDL with a primary key") {
+    // the OBJECT_ID existence check must use the SAME quoted form CREATE
+    // uses, or quoted-identifier tables re-run CREATE on every start
     assert(JdbcMerge.createTableSql(cfg, schema) ==
-      "IF OBJECT_ID(N'movies_sink', N'U') IS NULL CREATE TABLE [movies_sink] " +
+      "IF OBJECT_ID(N'[movies_sink]', N'U') IS NULL CREATE TABLE [movies_sink] " +
         "([ID] INT NOT NULL, [TITLE] NVARCHAR(MAX), [RATING] FLOAT, PRIMARY KEY ([ID]))")
   }
 
@@ -63,6 +65,7 @@ class JdbcMergeSpec extends SparkTestBase {
     assert(JdbcMerge.quoteId("x]; DROP TABLE t; --") == "[x]]; DROP TABLE t; --]")
     assert(JdbcMerge.quoteTable("cso.movies_sink") == "[cso].[movies_sink]")
     val ddl = JdbcMerge.createTableSql(hcfg, hostile)
+    assert(ddl.startsWith("IF OBJECT_ID(N'[cso].[movies_sink]', N'U') IS NULL "))
     assert(ddl.contains("CREATE TABLE [cso].[movies_sink] ([ORDER] INT NOT NULL, " +
       "[movie title] NVARCHAR(MAX), [x]]; DROP TABLE t; --] NVARCHAR(MAX), " +
       "PRIMARY KEY ([ORDER]))"))

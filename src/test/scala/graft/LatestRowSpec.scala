@@ -39,6 +39,17 @@ class LatestRowSpec extends SparkTestBase {
     assert(got(1).isNullAt(1))
   }
 
+  test("unorderable ordering type is rejected at analysis time, not task runtime") {
+    val df = Seq((1L, 10L, "a")).toDF("k", "seq", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("k"))
+        .agg(LatestRow.latestRow(struct(col("v")), map(col("v"), col("seq"))).as("r"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("latest_row") ||
+      e.getMessage.toLowerCase.contains("order"))
+  }
+
   test("serialize/deserialize round-trips the buffer (the shuffle/spill path)") {
     val payloadType = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))

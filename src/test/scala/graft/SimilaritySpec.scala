@@ -153,6 +153,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 (got ${got.toSeq.sorted})")
   }
 
+  test("ivfTopK with a NULL query vector returns empty, not an NPE") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, null.asInstanceOf[Array[Float]]),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(df, "vec_id", "embedding", queryId = 0L, k = 5).count() == 0)
+  }
+
   test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
     import spark.implicits._
     val df = Seq(
