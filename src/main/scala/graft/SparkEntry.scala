@@ -232,15 +232,17 @@ object SparkEntry {
     "q_neardup_embedding" -> ((s, dir) =>
       // Vector near-dup pairs. The fixture's embeddings are near-random
       // (max pairwise cosine 0.60 at sf0.1, measured), so the threshold
-      // is 0.5 with banding dense enough for ~0.995 recall there;
-      // semantic validation at the true near-dup regime (clustered data,
-      // default bands) is in NearDupSpec. The oracle is the exact
-      // all-pairs ground truth — full recall on the fixture is part of
-      // the verified contract, not just precision.
+      // is 0.5 with 32 bands × 6 bits — grid-probed for EXACT recall
+      // (0/1/14 pairs at sf0.001/0.01/0.1, equal to the all-pairs ground
+      // truth) at ~4× fewer candidate rows than 4-bit bands; semantic
+      // validation at the true near-dup regime (clustered data, default
+      // bands) is in NearDupSpec. The oracle is the exact all-pairs
+      // ground truth — full recall on the fixture is part of the
+      // verified contract, not just precision.
       NearDup
         .embeddingNearDupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.5, bands = 24, bitsPerBand = 4)
+          threshold = 0.5, bands = 32, bitsPerBand = 6)
         .orderBy(col("id1"), col("id2"))),
 
     "q_doc_bytes" -> ((s, dir) =>
