@@ -47,6 +47,9 @@ object GraftFunctions {
     "char_class_counts" -> { args =>
       arity("char_class_counts", args, 1); CharClassCounts(args(0))
     },
+    "lang_scores" -> { args =>
+      arity("lang_scores", args, 1); LangScores(args(0))
+    },
     "word_shingles" -> { args =>
       arity("word_shingles", args, 2)
       WordShingles(args(0), intArg(args(1), "word_shingles", "k"))

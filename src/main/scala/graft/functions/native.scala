@@ -107,6 +107,19 @@ case class CharClassCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass language-ID scores `[cjk, en, de, fr, es]` — see
+  * [[TextKernels.langScores]]. */
+case class LangScores(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.langScores(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langScores($c)")
+  protected override def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
 /** Whole-document 64-bit SimHash (md5-derived token hashes) in one
   * compiled pass — see [[TextKernels.simhash64]]. NULL for token-less
   * documents. */
@@ -190,6 +203,9 @@ object native {
 
   def charClassCounts(text: Column): Column =
     ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))
+
+  def langScores(text: Column): Column =
+    ColumnBridge.column(LangScores(ColumnBridge.expression(text)))
 
   def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
     ColumnBridge.column(

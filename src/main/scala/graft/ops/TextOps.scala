@@ -107,19 +107,18 @@ object TextOps {
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
     * share first, then scored stopword hits. Deterministic, no model file —
     * a placeholder with the exact plumbing (column in, label column out)
-    * a real classifier would use. */
+    * a real classifier would use. All five scores come from ONE compiled
+    * pass over the document ([[graft.functions.LangScores]] — replaced
+    * five regex scans; the kernel replicates the `\b(w1|…)\b` matching
+    * exactly, so the oracle is unchanged). */
   def languageId(text: Column): Column = {
     val nChars = length(text)
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    def hits(words: Seq[String]): Column =
-      size(regexp_extract_all(
-        lower(text),
-        lit("\\b(" + words.mkString("|") + ")\\b"),
-        lit(0)))
-    val en = hits(Seq("the", "and", "of", "to", "is", "with", "that"))
-    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "mit"))
-    val fr = hits(Seq("le", "la", "les", "et", "est", "dans", "une"))
-    val es = hits(Seq("el", "los", "las", "es", "en", "una", "que"))
+    val sc = graft.functions.native.langScores(text)
+    val cjk = sc.getItem(0)
+    val en = sc.getItem(1)
+    val de = sc.getItem(2)
+    val fr = sc.getItem(3)
+    val es = sc.getItem(4)
     val best = greatest(en, de, fr, es)
     when(nChars > 0 && cjk.cast("double") / nChars > 0.2, "zh")
       .when(best === 0, "unknown")
