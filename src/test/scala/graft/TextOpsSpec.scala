@@ -159,4 +159,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(row.getAs[Double]("upper_ratio") == 0.0)
     assert(row.getAs[Double]("mean_token_len") == 0.0)
   }
+
+  test("charClassCounts kernel: exact counts, Java-whitespace token runs (incl. \\v)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cc(t: String): Seq[Long] = {
+      val a = graft.functions.TextKernels.charClassCounts(UTF8String.fromString(t))
+      (0 until 4).map(a.getLong(_))
+    }
+    assert(cc("") == Seq(0L, 0L, 0L, 0L))
+    assert(cc("Ab cd, EF!") == Seq(2L, 3L, 2L, 3L)) // punct , ! ; upper A E F; 2 spaces; 3 tokens
+    // \u000b is whitespace to Java regex \\s (and to this kernel) — RE2 \\s
+    // disagrees, which is why the SQL oracles are documented ASCII-no-VT
+    assert(cc("a\u000bb") == Seq(0L, 0L, 0L, 2L))
+    // UTF-8 continuation bytes never collide with the ASCII classes
+    assert(cc("\u00e9. A") == Seq(1L, 1L, 1L, 2L))
+  }
+
+  test("langScores kernel: word-boundary semantics match the regex formulation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ls(t: String): Seq[Long] = {
+      val a = graft.functions.TextKernels.langScores(UTF8String.fromString(t))
+      (0 until 5).map(a.getLong(_))
+    }
+    assert(ls("") == Seq(0L, 0L, 0L, 0L, 0L))
+    // a word inside a longer \\w-run is NOT a match ("theory", "to_do");
+    // punctuation-adjacent and case variants ARE ("la"+"est"+"est" → fr 3)
+    assert(ls("THE theory to_do the, la-est est") == Seq(0L, 2L, 0L, 3L, 0L))
+    // one word can score for several languages ("es" list holds "en"/"es")
+    assert(ls("en es") == Seq(0L, 0L, 0L, 0L, 2L))
+    assert(ls("\u4e2d\u6587 the") == Seq(2L, 1L, 0L, 0L, 0L))
+  }
+
+  test("md5Long matches the documented first-8-bytes-of-MD5 contract") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    assert(graft.functions.TextKernels.md5Long(UTF8String.fromString("abc")) ==
+      java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16))
+  }
 }
