@@ -52,6 +52,25 @@ object Windowing {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** Streaming hopping (sliding) windows: Spark's sliding `window()` +
+    * watermark — the continuous flavor of [[hopNanos]] (each event lands
+    * in width/hop windows; a window emits once, when the watermark
+    * passes its end — append mode). */
+  def hopStream(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      hop: String,
+      watermarkDelay: String,
+      dims: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width, hop) +: dims: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
   /** Hopping (sliding) window over epoch-nanos: width must be a multiple
     * of the hop; each event lands in width/hop windows (ksqlDB HOPPING
     * semantics). One `explode` of the per-event window list, then the

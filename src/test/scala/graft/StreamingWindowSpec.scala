@@ -98,6 +98,50 @@ class StreamingWindowSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("u1", 2L)))
   }
 
+
+  test("streaming hopping windows fan events into width/hop windows, equal to batch on non-late data") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = Windowing.hopStream(
+      input.toDF().toDF("ts", "event_type"),
+      "ts", width = "20 minutes", hop = "10 minutes", watermarkDelay = "5 minutes",
+      dims = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("cnt")))
+    val got = ArrayBuffer[(String, String, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hop-test").toString
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        got.synchronized {
+          got ++= rows.map { r: Row =>
+            (r.getAs[java.sql.Timestamp]("window_start").toString,
+              r.getAs[String]("event_type"), r.getAs[Long]("cnt"))
+          }
+        }
+        ()
+      }
+      .start()
+    val events = Seq(ts(5) -> "click", ts(12) -> "click", ts(14) -> "view")
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(Seq(ts(59) -> "view")) // advance watermark, close earlier windows
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch equivalent over the same closed, non-late events
+    val batch = events.toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.toSet == batch)
+    // each event appears in exactly width/hop = 2 windows
+    assert(got.filter(_._2 == "click").map(_._3).sum == 4) // 2 events x 2 windows
+  }
+
   test("streaming windowed counts equal the batch tumble on the same (non-late) data") {
     val events = Seq((ts(1), "a"), (ts(4), "a"), (ts(9), "b"), (ts(16), "a"))
     val streamed = run(Seq(events, Seq((ts(59), "z"))))
