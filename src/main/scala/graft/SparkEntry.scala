@@ -468,14 +468,16 @@ object SparkEntry {
 
     "q_lang_id" ->
       """WITH scored AS (
-        |  SELECT length(text) AS n_chars,
+        |  SELECT text IS NULL AS is_null,
+        |    length(text) AS n_chars,
         |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
         |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS en,
         |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
         |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|une)\b')) AS fr,
         |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|una|que)\b')) AS es
         |  FROM documents)
-        |SELECT CASE WHEN n_chars > 0 AND cjk * 1.0 / n_chars > 0.2 THEN 'zh'
+        |SELECT CASE WHEN is_null THEN NULL
+        |            WHEN n_chars > 0 AND cjk * 1.0 / n_chars > 0.2 THEN 'zh'
         |            WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
         |            WHEN en = greatest(en, de, fr, es) THEN 'en'
         |            WHEN de = greatest(en, de, fr, es) THEN 'de'

@@ -152,12 +152,15 @@ object TextKernels {
 
   /** One-pass language-ID scores `[cjk, en, de, fr, es]`: CJK codepoint
     * count plus per-language stopword hits. Stopword matching replicates
-    * the `\b(w1|w2|…)\b` regex over lowered text exactly: a match is an
-    * ASCII `\w`-run ([A-Za-z0-9_]+, non-ASCII breaks the run — RE2 and
-    * Java `\w` are both ASCII here) equal, lowercased, to a stopword.
-    * Replaces five regex scans of the document with one character pass. */
+    * `regexp_extract_all(lower(text), '\b(w1|w2|…)\b')` EXACTLY,
+    * including for non-ASCII input: the string is first lowered with the
+    * same JVM `toLowerCase` that Spark's `lower()` applies (so e.g.
+    * U+0130 'İ' → "i"+U+0307 and the combining mark then breaks the
+    * `\w`-run, just as it did for the regex), then a match is an ASCII
+    * `\w`-run ([a-z0-9_]+ — RE2 and Java `\w` are both ASCII here) equal
+    * to a stopword. Replaces five regex scans with one pass. */
   def langScores(s: UTF8String): ArrayData = {
-    val str = s.toString
+    val str = s.toString.toLowerCase
     var cjk = 0L
     var en = 0L
     var de = 0L

@@ -120,7 +120,12 @@ object TextOps {
     val fr = sc.getItem(3)
     val es = sc.getItem(4)
     val best = greatest(en, de, fr, es)
-    when(nChars > 0 && cjk.cast("double") / nChars > 0.2, "zh")
+    // NULL text short-circuits to NULL — without the guard every when()
+    // condition evaluates NULL (not true) and CaseWhen falls through to
+    // the 'es' branch, silently inflating the Spanish bucket on a
+    // NULL-bearing corpus. Mirrored in the q_lang_id oracle.
+    when(text.isNull, lit(null).cast("string"))
+      .when(nChars > 0 && cjk.cast("double") / nChars > 0.2, "zh")
       .when(best === 0, "unknown")
       .when(en === best, "en")
       .when(de === best, "de")

@@ -45,17 +45,26 @@ object Windowing {
       watermarkDelay: String,
       dims: Seq[Column],
       aggs: Seq[Column]): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), duration) +: dims: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_start", col("window.start"))
-      .withColumn("window_end", col("window.end"))
-      .drop("window")
+    hopStream(df, tsCol, duration, duration, watermarkDelay, dims, aggs)
+
+  /** Duration string → microseconds, for contract checks on the
+    * streaming window flavors (day-or-finer units only, like Spark's own
+    * window()). */
+  private def durationMicros(d: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(iv.months == 0, s"calendar months not supported in window duration '$d'")
+    iv.days * 86400000000L + iv.microseconds
+  }
 
   /** Streaming hopping (sliding) windows: Spark's sliding `window()` +
     * watermark — the continuous flavor of [[hopNanos]] (each event lands
     * in width/hop windows; a window emits once, when the watermark
-    * passes its end — append mode). */
+    * passes its end — append mode). Enforces the same contract as the
+    * batch flavor: width a multiple of hop, and negative-epoch window
+    * starts clamped away (Kafka Streams hopping semantics — Spark's
+    * sliding window() otherwise emits pre-epoch windows for early
+    * events, and batch and streaming would disagree on the same data). */
   def hopStream(
       df: DataFrame,
       tsCol: String,
@@ -63,13 +72,17 @@ object Windowing {
       hop: String,
       watermarkDelay: String,
       dims: Seq[Column],
-      aggs: Seq[Column]): DataFrame =
+      aggs: Seq[Column]): DataFrame = {
+    val (w, h) = (durationMicros(width), durationMicros(hop))
+    require(h > 0 && w % h == 0, s"window width '$width' must be a multiple of hop '$hop'")
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), width, hop) +: dims: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))
       .drop("window")
+      .filter(col("window_start").cast("long") >= 0)
+  }
 
   /** Hopping (sliding) window over epoch-nanos: width must be a multiple
     * of the hop; each event lands in width/hop windows (ksqlDB HOPPING

@@ -142,6 +142,23 @@ class StreamingWindowSpec extends SparkTestBase {
     assert(got.filter(_._2 == "click").map(_._3).sum == 4) // 2 events x 2 windows
   }
 
+
+  test("hopStream enforces the batch contract: width multiple of hop, no pre-epoch windows") {
+    val df = Seq((ts(5), "click")).toDF("ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Windowing.hopStream(df, "ts", "20 minutes", "7 minutes", "5 minutes",
+        Seq(col("event_type")), Seq(count(lit(1)).as("cnt")))
+    }
+    // batch-mode evaluation of the same transform: an event shortly after
+    // the epoch must not produce a 1969 window (hopNanos clamps; so must
+    // the streaming flavor)
+    val early = Seq((new java.sql.Timestamp(5L * 60000L), "click")).toDF("ts", "event_type")
+    val wins = Windowing.hopStream(early, "ts", "20 minutes", "10 minutes", "5 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("cnt")))
+      .select(col("window_start").cast("long")).collect().map(_.getLong(0))
+    assert(wins.nonEmpty && wins.forall(_ >= 0L))
+  }
+
   test("streaming windowed counts equal the batch tumble on the same (non-late) data") {
     val events = Seq((ts(1), "a"), (ts(4), "a"), (ts(9), "b"), (ts(16), "a"))
     val streamed = run(Seq(events, Seq((ts(59), "z"))))

@@ -137,6 +137,16 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == samples.map(_._2))
   }
 
+
+  test("languageId of NULL text is NULL, not a spurious label") {
+    val got = Seq[Option[String]](None, Some("the cat and the dog is here"))
+      .toDF("text")
+      .select(TextOps.languageId(col("text")).as("lang"))
+      .collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getString(0) == "en")
+  }
+
   test("qualityFeatures ratios are exact on a handcrafted doc") {
     val row = Seq((1L, "Ab cd, EF!"))
       .toDF("doc_id", "text")
