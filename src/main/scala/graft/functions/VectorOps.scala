@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * Similarity/NearDup joins on small hashed keys first.
   *
   * Accumulation is in Double even for Float inputs: at dim=64..4096 the
-  * float rounding error of a running sum is visible in top-k ordering.
+  * float rounding error of a running sum is visible in top-k ordering —
+  * the SAME order as [[VectorKernels.cosine]], so this module doubles as
+  * the independent (interpreted) cross-check for the native kernels
+  * (VectorOpsSpec asserts bit-equality).
   */
 object VectorOps {
 

@@ -58,4 +58,17 @@ class VectorOpsSpec extends SparkTestBase {
     val viaDot = df.select(VectorOps.dot(col("na"), col("nb"))).collect()(0).getDouble(0)
     assert(math.abs(viaCos - viaDot) < 1e-6)
   }
+
+  test("HOF cosine is bit-identical to the native CosineSim kernel (independent cross-check)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 50).map { i =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("a", "b")
+    val pairs = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("hof"),
+      graft.functions.native.cosineSim(col("a"), col("b")).as("native"))
+      .collect()
+    pairs.foreach { r => assert(r.getDouble(0) == r.getDouble(1)) }
+  }
 }
