@@ -163,6 +163,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.ivfTopK(df, "vec_id", "embedding", queryId = 0L, k = 5).count() == 0)
   }
 
+  test("persisted IVF index: probe is partition-pruned and equals the in-memory ivfTopK") {
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIvfIndex(emb, "embedding", centroids, path)
+    // one directory per bucket on disk
+    val bucketDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.length == 8)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val probed = Similarity.probeIvfIndex(
+      spark, path, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId))
+    // the scan carries a partition filter on bucket — directory-level
+    // pruning, not a post-scan filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queryId, k, nCentroids = 8, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == mem)
+  }
+
   test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
     import spark.implicits._
     val df = Seq(
