@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Top-level (encoder-friendly) event record for the replay benchmark. */
+case class ReplayEv(user_id: Long, event_id: Long, event_type: String, value: Double)
+
 /** Round benchmark: one JSON line with per-query wall seconds at the
   * driver-chosen scale factor.
   *
@@ -76,6 +79,48 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries report -1 individually but must not distort the total
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Changelog state-replay throughput, the BASELINE protocol's only
+    // throughput figure (reference: TOMBSTONE_HANDLING_GUIDE.md:336-339 —
+    // ksqlDB rebuilds TABLE state from the topic at ~100K msgs/s
+    // SUSTAINED, 10 M msgs ≈ 100 s): replay the SF's event log, tiled to
+    // ≥1 M messages with monotone sequence numbers so per-batch startup
+    // amortizes like a real replay, through the streaming latest-by-key
+    // (flatMapGroupsWithState + RocksDB state store); report msgs/s.
+    val (replayEvents, replaySec) = try {
+      import spark.implicits._
+      graft.streaming.ChangelogStream.configure(spark)
+      val base = Tables
+        .events(spark, sfDir)
+        .selectExpr("user_id", "event_id", "event_type", "value")
+        .as[ReplayEv]
+        .collect()
+      val copies = math.max(1, (1000000 + base.length - 1) / base.length)
+      val span = base.iterator.map(_.event_id).max + 1
+      val events = Array.tabulate(copies * base.length) { i =>
+        val e = base(i % base.length)
+        e.copy(event_id = e.event_id + (i / base.length).toLong * span)
+      }
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
+      val out = graft.streaming.ChangelogStream
+        .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay").toString
+      val q = out.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .format("noop")
+        .start()
+      input.addData(events.toSeq)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val dt = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (events.length.toLong, dt)
+    } catch {
+      case e: Throwable => e.printStackTrace(System.err); (0L, -1.0)
+    }
+    val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
     // the round-1 query set, for like-for-like comparison against the
     // recorded BASELINE total (the full set has since grown past it)
     val r1Keys = Set(
@@ -89,7 +134,7 @@ object Bench {
     val r1Subset =
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }
