@@ -101,22 +101,29 @@ object Bench {
         val e = base(i % base.length)
         e.copy(event_id = e.event_id + (i / base.length).toLong * span)
       }
-      val input =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
-      val out = graft.streaming.ChangelogStream
-        .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay").toString
-      val q = out.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .format("noop")
-        .start()
-      input.addData(events.toSeq)
-      val t0 = System.nanoTime()
-      q.processAllAvailable()
-      val dt = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      (events.length.toLong, dt)
+      // two timed replays, best kept: the first run after the query sweep
+      // absorbs its heap pressure (measured 2x swings), and GC pauses
+      // only ever add time — same min-of-N rationale as the queries
+      def replayOnce(): Double = {
+        System.gc()
+        val input =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
+        val out = graft.streaming.ChangelogStream
+          .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay").toString
+        val q = out.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .format("noop")
+          .start()
+        input.addData(events.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        dt
+      }
+      (events.length.toLong, Seq(replayOnce(), replayOnce()).min)
     } catch {
       case e: Throwable => e.printStackTrace(System.err); (0L, -1.0)
     }
