@@ -38,7 +38,10 @@ object TextOps {
     df.groupBy(md5(col(textCol).cast("binary")).as("__fp"))
       .agg(
         min(col(idCol)).as(idCol),
-        min_by(col(textCol), col(idCol)).as(textCol))
+        // min_by's struct-ish buffer planned as SortAggregate (per-partition
+        // sorts); the native latest-row aggregate with a negated ordering is
+        // the same earliest-row-wins, planned as ObjectHashAggregate
+        graft.functions.LatestRow.latestRow(col(textCol), -col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
 
   /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization pattern

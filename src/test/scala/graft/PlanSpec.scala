@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable plan-quality assertions — the PLANS.md audit as tests, so a
+  * regression that silently degrades a physical plan (lost pushdown, a
+  * reintroduced sort, a broadcast that stopped firing) fails the build
+  * rather than waiting for a benchmark to notice. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q_filter_eq pushes the point predicate into the parquet scan") {
+    val p = plan("q_filter_eq")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_id,42)"), p)
+  }
+
+  test("q_project prunes the scan to exactly the projected columns") {
+    val p = plan("q_project")
+    assert(p.contains("ReadSchema"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("changelog materializations hash-aggregate with no sort anywhere") {
+    for (q <- Seq("q_latest_by_key", "q_changelog_apply", "q_envelope_apply")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q: $p")
+      assert(!p.contains("SortAggregate"), s"$q reintroduced SortAggregate")
+      // the final ORDER BY for oracle determinism is the only allowed sort
+      assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1, s"$q: $p")
+    }
+  }
+
+  test("q_enrich_join broadcasts the dimension sides at fixture scale") {
+    val p = plan("q_enrich_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_topn is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sim_topk never shuffles the corpus: broadcast probe + top-k merge") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // no hash-partitioned exchange of corpus rows anywhere in the plan
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q_dedup_docs groups on the md5 fingerprint and hash-aggregates (no sort)") {
+    val df: DataFrame = SparkEntry.queries("q_dedup_docs")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("md5("), p) // the 16-byte grouping key
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), "min_by-style SortAggregate reintroduced: " + p)
+    // no exchange partitions on the raw text column
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("q_neardup_simhash computes signatures as a pure projection (no explode, no tally agg)") {
+    val p = plan("q_neardup_simhash")
+    assert(p.contains("simhash64"), p)
+    assert(!p.contains("Generate explode(split"), p)
+  }
+}
