@@ -30,7 +30,7 @@ object TextOps {
     * map-side combine collapses duplicates before the shuffle either way,
     * but a 16-byte key keeps every hash/compare/spill-sort in the exchange
     * O(1) instead of O(document length). The text still travels (it is in
-    * the output), carried once per surviving row as the `min_by` payload.
+    * the output), carried once per surviving row as the aggregate payload.
     * Distinct texts colliding on md5 would merge — at 2^64 docs the
     * birthday bound is ~2^-64 per pair, far below any storage-layer error
     * rate, so no exact-compare resolution pass is spent on it. */
