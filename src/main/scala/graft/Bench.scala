@@ -110,18 +110,25 @@ object Bench {
           org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
         val out = graft.streaming.ChangelogStream
           .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay")
         val q = out.writeStream
           .outputMode("update")
-          .option("checkpointLocation", ckpt)
+          .option("checkpointLocation", ckpt.toString)
           .format("noop")
           .start()
-        input.addData(events.toSeq)
-        val t0 = System.nanoTime()
-        q.processAllAvailable()
-        val dt = (System.nanoTime() - t0) / 1e9
-        q.stop()
-        dt
+        try {
+          input.addData(events.toSeq)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          q.stop()
+          // RocksDB state for every key lives under the checkpoint —
+          // repeated rounds must not accumulate it in /tmp
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
       (events.length.toLong, Seq(replayOnce(), replayOnce()).min)
     } catch {

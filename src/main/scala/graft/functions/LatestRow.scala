@@ -33,6 +33,7 @@ final class LatestRowBuffer(var ord: Any, var payload: Any)
 case class LatestRow(
     payload: Expression,
     ord: Expression,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[LatestRowBuffer] {
@@ -60,8 +61,14 @@ case class LatestRow(
   override def createAggregationBuffer(): LatestRowBuffer =
     new LatestRowBuffer(null, null)
 
+  // `reverse` flips to earliest-row-wins WITHOUT arithmetic negation of
+  // the ordering value (negating a Long id throws under ANSI for
+  // Long.MinValue and forbids non-numeric orderable types entirely)
   private def better(candidate: Any, incumbent: Any): Boolean =
-    incumbent == null || ordering.compare(candidate, incumbent) > 0
+    incumbent == null || {
+      val c = ordering.compare(candidate, incumbent)
+      if (reverse) c < 0 else c > 0
+    }
 
   override def update(buf: LatestRowBuffer, input: InternalRow): LatestRowBuffer = {
     val o = ord.eval(input)
@@ -115,4 +122,14 @@ object LatestRow {
     ColumnBridge.column(
       LatestRow(ColumnBridge.expression(payload), ColumnBridge.expression(ord))
         .toAggregateExpression())
+
+  /** Column API: the payload value of the row with the SMALLEST `ord` —
+    * `min_by` semantics on the ObjectHashAggregate path, for any
+    * orderable `ord` type (no numeric negation involved). */
+  def earliestRow(payload: Column, ord: Column): Column =
+    ColumnBridge.column(
+      LatestRow(
+        ColumnBridge.expression(payload),
+        ColumnBridge.expression(ord),
+        reverse = true).toAggregateExpression())
 }

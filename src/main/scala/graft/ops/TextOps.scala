@@ -39,9 +39,11 @@ object TextOps {
       .agg(
         min(col(idCol)).as(idCol),
         // min_by's struct-ish buffer planned as SortAggregate (per-partition
-        // sorts); the native latest-row aggregate with a negated ordering is
-        // the same earliest-row-wins, planned as ObjectHashAggregate
-        graft.functions.LatestRow.latestRow(col(textCol), -col(idCol)).as(textCol))
+        // sorts); the native earliest-row aggregate is the same
+        // earliest-row-wins, planned as ObjectHashAggregate — and takes
+        // any orderable id type (no numeric negation, which would throw
+        // under ANSI for Long.MinValue)
+        graft.functions.LatestRow.earliestRow(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
 
   /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization pattern

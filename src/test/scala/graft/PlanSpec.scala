@@ -29,8 +29,10 @@ class PlanSpec extends SparkTestBase {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"), s"$q: $p")
       assert(!p.contains("SortAggregate"), s"$q reintroduced SortAggregate")
-      // the final ORDER BY for oracle determinism is the only allowed sort
-      assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1, s"$q: $p")
+      // the final ORDER BY for oracle determinism is the only allowed sort;
+      // match every tree rendering ('+- Sort [', ':- Sort [', '*(n) Sort [')
+      // but not SortAggregate, asserted separately
+      assert("Sort \\[".r.findAllIn(p).size <= 1, s"$q: $p")
     }
   }
 
