@@ -50,6 +50,25 @@ class LatestRowSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("order"))
   }
 
+  test("latest_row is correct through the sort-based fallback (threshold exceeded)") {
+    // Force ObjectHashAggregate's hash map over its key budget so the
+    // remaining input takes the sort-based fallback path — the execution
+    // route that exercises buffer serialization for real.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2")
+      val rows = (1L to 400L).map(i => (i % 50, i, s"v$i")) // 50 keys, 8 rows each
+      val got = graft.ops.Changelog
+        .latestByKey(rows.toDF("k", "seq", "v"), Seq("k"), col("seq"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) => k -> g.maxBy(_._2)._3 }
+      assert(got == expected)
+    } finally spark.conf.set(key, prior)
+  }
+
   test("serialize/deserialize round-trips the buffer (the shuffle/spill path)") {
     val payloadType = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
