@@ -24,7 +24,13 @@ object GraftFunctions {
 
   private def intArg(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType)   => v.toInt
+    case Literal(v: Long, LongType) =>
+      // range-checked: a silent v.toInt would truncate e.g. 4294967297L
+      // to 1 and quietly run with the wrong parameter
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: argument '$arg' out of Int range: $v")
+      else v.toInt
     case other =>
       throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be an integer literal, got $other")

@@ -66,7 +66,9 @@ object TextKernels {
     * lowercased text, rightmost-minimum per window of `w` consecutive
     * hashes, distinct. Empty result for texts shorter than k chars. */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = String.join(" ", tokenize(text.toString.toLowerCase): _*)
+    // Locale.ROOT: fingerprints must not depend on the JVM default locale
+    // (a tr/az default would lower 'I' to dotless 'ı' and change hashes).
+    val s = String.join(" ", tokenize(text.toString.toLowerCase(java.util.Locale.ROOT)): _*)
     val n = s.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val mult = 1000003L
@@ -153,14 +155,17 @@ object TextKernels {
   /** One-pass language-ID scores `[cjk, en, de, fr, es]`: CJK codepoint
     * count plus per-language stopword hits. Stopword matching replicates
     * `regexp_extract_all(lower(text), '\b(w1|w2|…)\b')` EXACTLY,
-    * including for non-ASCII input: the string is first lowered with the
-    * same JVM `toLowerCase` that Spark's `lower()` applies (so e.g.
-    * U+0130 'İ' → "i"+U+0307 and the combining mark then breaks the
-    * `\w`-run, just as it did for the regex), then a match is an ASCII
-    * `\w`-run ([a-z0-9_]+ — RE2 and Java `\w` are both ASCII here) equal
-    * to a stopword. Replaces five regex scans with one pass. */
+    * including for non-ASCII input: the string is first lowered with
+    * `toLowerCase(Locale.ROOT)` — locale-INDEPENDENT, so a tr/az default
+    * JVM locale cannot turn ASCII 'IS' into dotless 'ıs' and miss a
+    * stopword (Spark's `lower()` takes a locale-free ASCII fast path for
+    * ASCII input; ROOT matches it, and still maps e.g. U+0130 'İ' →
+    * "i"+U+0307 whose combining mark breaks the `\w`-run just as it did
+    * for the regex). A match is an ASCII `\w`-run ([a-z0-9_]+ — RE2 and
+    * Java `\w` are both ASCII here) equal to a stopword. Replaces five
+    * regex scans with one pass. */
   def langScores(s: UTF8String): ArrayData = {
-    val str = s.toString.toLowerCase
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     var cjk = 0L
     var en = 0L
     var de = 0L

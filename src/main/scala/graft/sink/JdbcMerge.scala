@@ -29,7 +29,10 @@ import org.apache.spark.sql.types._
   */
 object JdbcMerge {
 
-  /** Knobs, defaulted to the reference's sink connector config. */
+  /** Knobs, defaulted to the reference's sink connector config.
+    * `table` may be schema-qualified with dots (`cso.movies_sink`); dots
+    * are ALWAYS qualifier separators, so identifiers that themselves
+    * contain a dot cannot be expressed — see [[quoteTable]]. */
   case class Config(
       table: String,
       keyCols: Seq[String],
@@ -37,6 +40,7 @@ object JdbcMerge {
       maxRetries: Int = 10,
       retryBackoffMs: Long = 3000L,
       autoCreate: Boolean = true,
+      autoEvolve: Boolean = true,
       deleteEnabled: Boolean = true)
 
   // ---- SQL generation (T-SQL dialect — the reference's sink is MSSQL) ----
@@ -49,7 +53,13 @@ object JdbcMerge {
   def quoteId(name: String): String = "[" + name.replace("]", "]]") + "]"
 
   /** Quote each dot-separated segment of a (possibly schema-qualified)
-    * table name, e.g. `cso.movies_sink` → `[cso].[movies_sink]`. */
+    * table name, e.g. `cso.movies_sink` → `[cso].[movies_sink]`.
+    * Restriction: EVERY dot is treated as a qualifier separator — a
+    * schema or table identifier that legitimately contains a dot (or is
+    * already bracket-quoted) cannot be expressed through `Config.table`
+    * (it would be split/double-quoted). The reference sink has the same
+    * surface (`table.name.format` is a plain dotted name,
+    * start-sink-connector.sh:72). */
   def quoteTable(name: String): String =
     name.split('.').map(quoteId).mkString(".")
 
@@ -88,6 +98,70 @@ object JdbcMerge {
     val quoted = quoteTable(cfg.table)
     s"IF OBJECT_ID(N'${quoted.replace("'", "''")}', N'U') IS NULL " +
       s"CREATE TABLE $quoted ($cols$pk)"
+  }
+
+  /** Live column inventory of the sink table via JDBC metadata
+    * (name, declared type), in ordinal order; empty when the table does
+    * not exist yet. SQL `LIKE`-pattern metacharacters in the table/schema
+    * name are escaped with the driver's escape string so `movies_sink`
+    * matches literally, not as a pattern. */
+  def tableColumns(conn: Connection, table: String): Seq[(String, String)] = {
+    val md = conn.getMetaData
+    val esc = md.getSearchStringEscape
+    def literal(s: String): String =
+      s.flatMap { c =>
+        if (c == '_' || c == '%' || esc.contains(c)) esc + c else c.toString
+      }
+    val parts = table.split('.')
+    val schemaPattern = if (parts.length >= 2) literal(parts(parts.length - 2)) else null
+    val rs = md.getColumns(null, schemaPattern, literal(parts.last), null)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (rs.next()) out += ((rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
+      out.toSeq
+    } finally rs.close()
+  }
+
+  /** `auto.evolve`-style DDL (reference: start-sink-connector.sh:68 —
+    * evolution is how the Connect sink survives an upstream
+    * `ALTER TABLE`): diff the changelog schema against the live table's
+    * columns and emit one `ALTER TABLE … ADD <col> <type> NULL` per new
+    * column. Additive only, the same contract as the Connect sink:
+    *  - a new column must be nullable (a NOT NULL column with no default
+    *    cannot be added to a populated table) — rejected loudly;
+    *  - a type change on an existing column is rejected loudly (base
+    *    type token compared, so metadata `NVARCHAR` matches our
+    *    `NVARCHAR(MAX)`);
+    *  - columns present in the table but absent from the schema are left
+    *    alone (the MERGE simply doesn't touch them).
+    * Name matching is case-insensitive (SQL Server's default collation).
+    */
+  def evolveTableSql(
+      cfg: Config,
+      existing: Seq[(String, String)],
+      schema: StructType): Seq[String] = {
+    import java.util.Locale
+    val byName = existing.map { case (n, t) => n.toUpperCase(Locale.ROOT) -> t }.toMap
+    def baseType(t: String): String = t.takeWhile(_ != '(').trim.toUpperCase(Locale.ROOT)
+    schema.fields.toSeq.flatMap { f =>
+      byName.get(f.name.toUpperCase(Locale.ROOT)) match {
+        case Some(have) =>
+          val want = sqlType(f.dataType)
+          if (baseType(have) != baseType(want))
+            throw new IllegalArgumentException(
+              s"auto.evolve cannot change column '${f.name}' of ${cfg.table} " +
+                s"from $have to $want — evolution is additive only")
+          None
+        case None =>
+          if (!f.nullable)
+            throw new IllegalArgumentException(
+              s"auto.evolve can only add NULLable columns to ${cfg.table}; " +
+                s"'${f.name}' is NOT NULL")
+          Some(
+            s"ALTER TABLE ${quoteTable(cfg.table)} ADD " +
+              s"${quoteId(f.name)} ${sqlType(f.dataType)} NULL")
+      }
+    }
   }
 
   /** One-row MERGE upsert keyed on the record key
@@ -224,24 +298,46 @@ object JdbcMerge {
     flushDeletes()
   }
 
+  /** The driver-side DDL phase of one micro-batch: `auto.create` (C4/D9,
+    * idempotent IF-guarded CREATE), then `auto.evolve` — diff the batch
+    * schema against live metadata and apply any `ALTER TABLE … ADD`.
+    * Because the diff is against the LIVE table, a mid-stream schema
+    * widening emits its ALTER exactly once; every later batch sees the
+    * column present and is a no-op. */
+  def ensureTable(cfg: Config, schema: StructType, conn: Connection): Unit = {
+    val st = conn.createStatement()
+    try {
+      if (cfg.autoCreate) { st.execute(createTableSql(cfg, schema)); conn.commit() }
+      if (cfg.autoEvolve) {
+        val existing = tableColumns(conn, cfg.table)
+        // an absent table means autoCreate=false and nothing to evolve —
+        // the MERGE will fail loudly on its own
+        val alters =
+          if (existing.isEmpty) Nil else evolveTableSql(cfg, existing, schema)
+        if (alters.nonEmpty) { alters.foreach(st.execute); conn.commit() }
+      }
+    } finally st.close()
+  }
+
   /** The foreachBatch sink: wire into
     * [[graft.streaming.ChangelogStream.emitChanges]]. `connect` must be a
     * serializable closure (DriverManager URL + properties), one connection
-    * per partition. Auto-create DDL runs ONCE, driver-side, before the
-    * partitions fan out — the IF-guard + CREATE pair is not atomic, so
-    * concurrent per-partition creation would race on a cold start. */
+    * per partition. Auto-create and auto-evolve DDL run ONCE per batch,
+    * driver-side, before the partitions fan out — the IF-guard + CREATE
+    * pair is not atomic, so concurrent per-partition creation would race
+    * on a cold start. Evolution diffs against live metadata each batch, so
+    * a mid-stream schema widening emits its ALTER exactly once and is a
+    * no-op on every later batch. */
   def sink(
       cfg: Config,
       isTombstone: Row => Boolean,
       connect: () => Connection): (DataFrame, Long) => Unit = { (df, _) =>
     val schema = df.schema
-    if (cfg.autoCreate) {
+    if (cfg.autoCreate || cfg.autoEvolve) {
       val conn = connect()
       try {
         conn.setAutoCommit(false)
-        val st = conn.createStatement()
-        try { st.execute(createTableSql(cfg, schema)); conn.commit() }
-        finally st.close()
+        ensureTable(cfg, schema, conn)
       } finally conn.close()
     }
     df.foreachPartition { rows: Iterator[Row] =>

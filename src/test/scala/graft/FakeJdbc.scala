@@ -53,6 +53,45 @@ object FakeJdbc {
     var commits = 0
     var rollbacks = 0
     var commitFailuresToInject = 0
+    /** What DatabaseMetaData.getColumns reports — the simulated live
+      * table. Tests mutate this between batches to model an existing
+      * sink table (the fake does not parse DDL). */
+    var columnsMeta: Seq[(String, String)] = Nil
+    /** Recorded (schemaPattern, tablePattern) of each getColumns call. */
+    val metaQueries = mutable.ArrayBuffer[(String, String)]()
+
+    private def resultSetFor(rows: Seq[(String, String)]): java.sql.ResultSet = {
+      var idx = -1
+      Proxy.newProxyInstance(
+        getClass.getClassLoader,
+        Array(classOf[java.sql.ResultSet]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "next" =>
+              idx += 1; java.lang.Boolean.valueOf(idx < rows.length)
+            case "getString" => args(0).asInstanceOf[String] match {
+              case "COLUMN_NAME" => rows(idx)._1
+              case "TYPE_NAME"   => rows(idx)._2
+              case other => throw new UnsupportedOperationException(s"getString($other)")
+            }
+            case "close" => null
+            case other => throw new UnsupportedOperationException(other)
+          }
+        }).asInstanceOf[java.sql.ResultSet]
+    }
+
+    private lazy val metaData: java.sql.DatabaseMetaData = Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[java.sql.DatabaseMetaData]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "getSearchStringEscape" => "\\"
+          case "getColumns" =>
+            metaQueries += ((args(1).asInstanceOf[String], args(2).asInstanceOf[String]))
+            resultSetFor(columnsMeta)
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[java.sql.DatabaseMetaData]
     lazy val proxy: Connection = Proxy.newProxyInstance(
       getClass.getClassLoader,
       Array(classOf[Connection]),
@@ -81,6 +120,7 @@ object FakeJdbc {
             }
             commits += 1; null
           case "rollback" => rollbacks += 1; null
+          case "getMetaData" => metaData
           case "setAutoCommit" | "close" => null
           case other => throw new UnsupportedOperationException(other)
         }

@@ -82,6 +82,98 @@ class JdbcMergeSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JdbcMerge.sqlType(ArrayType(IntegerType)))
   }
 
+  // ---- auto.evolve (reference: start-sink-connector.sh:68) --------------
+
+  test("evolveTableSql adds nullable columns for new fields only") {
+    val widened = schema.add(StructField("RELEASE_YEAR", IntegerType))
+    val existing = Seq(("ID", "int"), ("TITLE", "nvarchar"), ("RATING", "float"))
+    assert(JdbcMerge.evolveTableSql(cfg, existing, widened) ==
+      Seq("ALTER TABLE [movies_sink] ADD [RELEASE_YEAR] INT NULL"))
+    // already in sync → no DDL
+    assert(JdbcMerge.evolveTableSql(cfg, existing, schema).isEmpty)
+  }
+
+  test("evolveTableSql matches names case-insensitively and types by base token") {
+    // SQL Server's default collation is case-insensitive; metadata type
+    // names come back without length specs (nvarchar, not NVARCHAR(MAX))
+    val existing = Seq(("id", "INT"), ("title", "NVARCHAR(MAX)"), ("Rating", "FLOAT"))
+    assert(JdbcMerge.evolveTableSql(cfg, existing, schema).isEmpty)
+  }
+
+  test("evolveTableSql rejects type changes loudly — evolution is additive only") {
+    val existing = Seq(("ID", "int"), ("TITLE", "nvarchar"), ("RATING", "int"))
+    val e = intercept[IllegalArgumentException] {
+      JdbcMerge.evolveTableSql(cfg, existing, schema)
+    }
+    assert(e.getMessage.contains("RATING") && e.getMessage.contains("additive"))
+  }
+
+  test("evolveTableSql rejects adding a NOT NULL column") {
+    val widened = schema.add(StructField("STRICT", IntegerType, nullable = false))
+    val existing = Seq(("ID", "int"), ("TITLE", "nvarchar"), ("RATING", "float"))
+    val e = intercept[IllegalArgumentException] {
+      JdbcMerge.evolveTableSql(cfg, existing, widened)
+    }
+    assert(e.getMessage.contains("STRICT"))
+  }
+
+  test("tableColumns escapes LIKE metacharacters and splits the schema qualifier") {
+    val conn = new FakeJdbc.FakeConnection
+    conn.columnsMeta = Seq(("ID", "int"), ("TITLE", "nvarchar"))
+    assert(JdbcMerge.tableColumns(conn.proxy, "cso.movies_sink") ==
+      Seq(("ID", "int"), ("TITLE", "nvarchar")))
+    // `_` is a single-char wildcard in getColumns patterns — unescaped,
+    // `movies_sink` would also match a table named `moviesXsink`
+    assert(conn.metaQueries.toSeq == Seq(("cso", "movies\\_sink")))
+    conn.metaQueries.clear()
+    JdbcMerge.tableColumns(conn.proxy, "movies_sink")
+    assert(conn.metaQueries.toSeq == Seq((null, "movies\\_sink")))
+  }
+
+  test("mid-stream schema widening evolves the table once, then merges cleanly") {
+    // The VERDICT-prescribed scenario: a new column appears in the
+    // changelog schema mid-run. Batch 1 runs at the original schema
+    // (cold start: table auto-created, metadata empty, no evolution);
+    // batch 2 arrives widened against the live v1 table → exactly one
+    // ALTER ADD; batch 3 sees the evolved table → no further DDL.
+    val widened = schema.add(StructField("RELEASE_YEAR", IntegerType))
+    val ddlLog = mutable.ArrayBuffer[String]()
+
+    // batch 1 — cold start, v1 schema
+    val conn1 = new FakeJdbc.FakeConnection
+    JdbcMerge.ensureTable(cfg, schema, conn1.proxy)
+    ddlLog ++= conn1.ddl
+    assert(conn1.ddl.count(_.startsWith("IF OBJECT_ID")) == 1)
+    assert(!conn1.ddl.exists(_.contains("ALTER")))
+
+    // batch 2 — table now live at v1, stream widened to v2
+    val conn2 = new FakeJdbc.FakeConnection
+    conn2.columnsMeta = Seq(("ID", "int"), ("TITLE", "nvarchar"), ("RATING", "float"))
+    JdbcMerge.ensureTable(cfg, widened, conn2.proxy)
+    ddlLog ++= conn2.ddl
+    assert(conn2.ddl.contains("ALTER TABLE [movies_sink] ADD [RELEASE_YEAR] INT NULL"))
+    assert(conn2.commits == 2) // create-guard commit + evolve commit
+    // ... and the widened MERGE applies against the evolved table
+    JdbcMerge.applyPartition(
+      Iterator(Row(1, "a", 1.0, 2024), Row(2, null, null, null)),
+      widened, cfg, (r: Row) => r.isNullAt(1), conn2.proxy, _ => ())
+    val merge = conn2.statements.find(_.sql.startsWith("MERGE")).get
+    assert(merge.sql.contains("[RELEASE_YEAR]"))
+    assert(merge.batches.toSeq == Seq(Seq(1, "a", 1.0, 2024)))
+
+    // batch 3 — schema and table in sync again
+    val conn3 = new FakeJdbc.FakeConnection
+    conn3.columnsMeta = Seq(
+      ("ID", "int"), ("TITLE", "nvarchar"), ("RATING", "float"),
+      ("RELEASE_YEAR", "int"))
+    JdbcMerge.ensureTable(cfg, widened, conn3.proxy)
+    ddlLog ++= conn3.ddl
+    assert(!conn3.ddl.exists(_.contains("ALTER")))
+
+    // the widening produced exactly ONE ALTER across the whole run
+    assert(ddlLog.count(_.contains("ALTER")) == 1)
+  }
+
   test("splitBatch routes tombstones out, treating NULL predicate as live") {
     val df = Seq(
       (1, Some("a")), (2, None), (3, Some("c"))
