@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   *      16-bit SimHash chunk / shingle) — never an all-pairs product;
   *   3. exact verification (Jaccard / Hamming / cosine) on candidates
   *      only.
-  * [[exactJaccardPairs]] uses raw shingles as the join key — exact and
-  * oracle-checkable, but a hot shingle shared by m docs costs O(m²)
-  * candidate rows; at corpus scale generate candidates with
-  * [[minhashCandidatePairs]] (bounded bands per doc) and verify with
-  * [[jaccardVerify]] instead.
+  * [[exactJaccardPairs]] keeps exactness AND bounded candidates via
+  * lossless prefix filtering (Chaudhuri et al., SSJoin): only each doc's
+  * globally-rarest `|A| − ⌈t·|A|⌉ + 1` shingles join, so a boilerplate
+  * shingle shared by m docs no longer emits O(m²) candidate rows — it
+  * sorts to the END of every prefix order and drops out. For
+  * tunable-recall candidate generation at even lower cost, use
+  * [[minhashCandidatePairs]] (bounded bands per doc) with
+  * [[jaccardVerify]].
   */
 object NearDup {
 
@@ -42,39 +45,71 @@ object NearDup {
   def shingles(text: Column, k: Int = 3): Column =
     graft.functions.native.wordShingles(text, k)
 
-  /** Exact Jaccard-threshold pairs via a shingle inverted-index join:
-    * docs sharing no shingle never meet (no cross product), intersection
-    * sizes come from a count per (id1, id2), and |A∪B| = |A|+|B|-|A∩B|.
+  /** Candidate pairs by LOSSLESS prefix filtering (SSJoin): under any
+    * global total order on shingles, two sets with |A∩B| ≥ α must share
+    * an element among the first |A|−α+1 of A and the first |B|−α+1 of B.
+    * Jaccard ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (and symmetrically for B), so
+    * joining only each doc's first `|A| − ⌈t·|A|⌉ + 1` shingles — ordered
+    * globally-RAREST-first (document frequency asc, shingle asc) — misses
+    * no qualifying pair. The rare-first order is what bounds candidates:
+    * a corpus-wide boilerplate shingle has maximal document frequency,
+    * sorts to the end of every doc's order, and is excluded from every
+    * long doc's prefix — so it no longer creates an O(m²) bucket.
+    * Output: distinct (id1, id2), id1 < id2 — a superset of the
+    * Jaccard-≥-t pairs, exact after [[jaccardVerify]].
+    */
+  def prefixFilterCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // set size from the array itself (free in the projection) — a window
+    // over id here would cost a full shuffle of every shingle row
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
+    // ⌈t·n⌉ with a one-ulp guard: FP overshoot may only LENGTHEN the
+    // prefix (keeping it lossless), never shorten it.
+    val prefixLen = col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1
+    val prefix = sh
+      .withColumn(
+        "rk",
+        row_number().over(W.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= prefixLen)
+    prefix.select(col("s"), col("id").as("id1"))
+      .join(prefix.select(col("s"), col("id").as("id2")), "s")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard-threshold pairs: lossless prefix-filtered candidates
+    * ([[prefixFilterCandidates]] — bounded even under corpus-wide
+    * boilerplate shingles), then exact verification over the full shingle
+    * sets. Identical results to the naive full inverted-index join (the
+    * DuckDB oracle's formulation), with candidate volume driven by RARE
+    * shingle co-occurrence instead of hot-shingle bucket squares.
     * Output: (id1, id2, jaccard), id1 < id2.
+    *
+    * Cost note (measured sf0.1, warm min-of-3): ~2.1 s vs ~1.2 s for the
+    * old uncapped join — the df-ranking window and the verify join-back
+    * are the price of candidate bounds that survive a boilerplate-heavy
+    * corpus (where the uncapped join is O(m²) and simply dies). For
+    * throughput-first near-dup at scale use [[minhashNearDupPairs]]
+    * (~0.8 s here, same verified output on the fixture).
     */
   def exactJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    // Shingle-set sizes ride along as a window count instead of a separate
-    // aggregate + two join-backs: the shingle subtree (the expensive
-    // kernel + explode) is computed ONCE — both self-join sides share one
-    // exchange (ReuseExchange; the old shape re-ran the kernel for the
-    // sizes aggregate and each join side) — and |A|/|B| arrive with the
-    // rows, so the old post-aggregation size joins disappear entirely.
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("s"))
-      .withColumn(
-        "n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-    sh.select(col("id").as("id1"), col("s"), col("n").as("n1"))
-      .join(sh.select(col("id").as("id2"), col("s"), col("n").as("n2")), "s")
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("c"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-      .select(
-        col("id1"),
-        col("id2"),
-        (col("c") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      threshold: Double = 0.8): DataFrame =
+    jaccardVerify(
+      prefixFilterCandidates(df, idCol, textCol, k, threshold),
+      df, idCol, textCol, k, threshold)
 
   /** Per-doc MinHash signature: one-hash-with-mixes native kernel
     * ([[graft.functions.MinHashSignature]]). Callers must filter out

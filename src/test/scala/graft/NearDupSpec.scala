@@ -57,6 +57,57 @@ class NearDupSpec extends SparkTestBase {
     assert(math.abs(got((0L, 2L)) - 8.0 / 14) < 1e-12)
   }
 
+  test("prefix filtering bounds boilerplate candidates and stays lossless") {
+    // A corpus where EVERY doc shares a boilerplate opening — the
+    // hot-shingle regime that made the raw inverted-index join O(m²).
+    val boiler = "subscribe to our newsletter right now"
+    val unique = (0 until 40).map(i =>
+      (i.toLong, s"$boiler document $i talks about topic$i detail$i extra$i more$i"))
+    val planted = Seq(
+      (100L, s"$boiler the quick brown fox jumps over the lazy dog again and again"),
+      (101L, s"$boiler the quick brown fox jumps over the lazy dog again and again"),
+      (102L, s"$boiler the quick brown fox leaps over the lazy dog again and again"))
+    val docs = (unique ++ planted).toDF("doc_id", "text")
+
+    // the uncapped join meets every pair through the boilerplate shingles
+    val sh = docs.select(col("doc_id").as("id"), explode(NearDup.shingles(col("text"), 3)).as("s"))
+    val uncapped = sh.select(col("s"), col("id").as("id1"))
+      .join(sh.select(col("s"), col("id").as("id2")), "s")
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct().count()
+    assert(uncapped == 43L * 42 / 2, "boilerplate makes every pair a raw candidate")
+
+    val pruned = NearDup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.8).count()
+    assert(pruned < uncapped / 10,
+      s"prefix filter should collapse the boilerplate bucket: $pruned vs $uncapped")
+
+    // losslessness: results equal the naive full-join formulation (the
+    // oracle's shape) at both thresholds, including exact scores
+    def naive(t: Double): Map[(Long, Long), Double] = {
+      val W = org.apache.spark.sql.expressions.Window
+      val shn = docs
+        .select(col("doc_id").as("id"), explode(NearDup.shingles(col("text"), 3)).as("s"))
+        .withColumn("n", count(lit(1)).over(W.partitionBy(col("id"))))
+      shn.select(col("id").as("id1"), col("s"), col("n").as("n1"))
+        .join(shn.select(col("id").as("id2"), col("s"), col("n").as("n2")), "s")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("c"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+        .select(col("id1"), col("id2"),
+          (col("c") / (col("n1") + col("n2") - col("c"))).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    for (t <- Seq(0.8, 0.5)) {
+      val got = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == naive(t), s"prefix-filtered result diverged at t=$t")
+    }
+    // and the planted pairs are the ones found at 0.8
+    val at08 = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(at08.keySet == Set((100L, 101L)) && at08((100L, 101L)) == 1.0)
+  }
+
   test("minhashNearDupPairs equals the exact pairs on the planted corpus") {
     val exact = NearDup.exactJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
