@@ -331,6 +331,54 @@ object VectorKernels {
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
+  /** Index of the centroid most cosine-similar to `vec` (first index wins
+    * ties), in ONE pass over the centroid table — the IVF assignment
+    * kernel. Replicates the stacked-column formulation
+    * (`array_position(scores, array_max(scores)) - 1` over k separate
+    * `cosineSim` columns) EXACTLY: per-centroid similarity uses the same
+    * double-accumulation order as [[cosine]], NaN ranks above any number
+    * (Spark's array_max ordering — `Double.compare`), zero-norm/ragged
+    * centroids yield no similarity, and the result is null when the
+    * vector is ragged vs `dim` or no centroid produced a similarity.
+    * Unlike k stacked columns this stays O(k·dim) work with no codegen
+    * blow-up at k in the hundreds-to-thousands. */
+  def nearestCentroid(
+      vec: ArrayData,
+      centroids: Array[Array[Float]],
+      dim: Int): java.lang.Integer = {
+    if (vec.numElements() != dim) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
+    var best = -1
+    var bestSim = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length == dim) {
+        var dot = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = vec.getFloat(j).toDouble
+          val y = ct(j).toDouble
+          dot += x * y
+          nb += y * y
+          j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom != 0.0) {
+          val sim = dot / denom
+          if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+            best = c; bestSim = sim
+          }
+        }
+      }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+
   /** All band signatures of one float vector in a single pass:
     * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
     * the vector length differs from the plane dimensionality — the same

@@ -156,6 +156,39 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** IVF assignment: index of the nearest centroid by cosine similarity, in
+  * one compiled pass over a centroid table shipped as a codegen reference
+  * object — see [[VectorKernels.nearestCentroid]]. Centroids are held as
+  * `Seq[Seq[Float]]` so the case-class equality Catalyst uses for plan
+  * canonicalization is structural, not array-reference. NULL for ragged
+  * vectors or when no centroid yields a similarity. */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+  private val dim: Int = centroids.head.length
+  @transient private lazy val table: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table, dim)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", table, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("bucket")
+      s"""
+         |java.lang.Integer $tmp =
+         |  graft.functions.VectorKernels.nearestCentroid($c, $ref, $dim);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float vectors — the exact re-rank/verify kernel
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
@@ -210,4 +243,8 @@ object native {
   def hyperplaneSignatures(vec: Column, bands: Int, bits: Int, dim: Int, seed: Int = 42): Column =
     ColumnBridge.column(
       HyperplaneSignatures(ColumnBridge.expression(vec), bands, bits, dim, seed))
+
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(vec), centroids.toSeq.map(_.toSeq)))
 }

@@ -187,6 +187,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == mem)
   }
 
+  test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
+    val emb = Tables.embeddings(spark, sf001)
+    val (bands, bits) = (24, 3) // the fixture-tuned q_sim_topk_lsh regime
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Similarity.writeLshIndex(emb, "embedding", path, bands, bits)
+    // band-partitioned directories on disk, one sig sub-dir per bucket hit
+    val bandDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.length == bands)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val probed = Similarity.probeLshIndex(
+      spark, path, "vec_id", "embedding", qVec, k, bands, bits,
+      excludeId = Some(queryId))
+    // the scan carries partition filters on (band, sig) — directory-level
+    // pruning, not a post-scan filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band"), plan)
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity
+      .lshTopK(emb, "vec_id", "embedding", queryId, k, bands, bits)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == mem)
+    // ... and the probe reads only the query's own (band, sig) leaves:
+    // of the bands × 2^bits possible leaves, at most `bands` are scanned
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .filter(_.contains("Scan parquet")).mkString
+    val files: Int = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(files > 0 && files <= bands,
+      s"probe scanned $files leaf partitions (want 1..$bands): $scanned")
+  }
+
   test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
     import spark.implicits._
     val df = Seq(
@@ -200,6 +233,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(0).getInt(rows(0).fieldIndex("bucket")) == 0)
     assert(rows(1).getInt(rows(1).fieldIndex("bucket")) == 1)
     assert(rows(2).isNullAt(rows(2).fieldIndex("bucket")))
+  }
+
+  test("nearestCentroid kernel at k=256 equals the stacked-column formulation, codegen'd") {
+    import spark.implicits._
+    // realistic IVF centroid count — the regime where k stacked cosine
+    // columns risk codegen method limits and k array traversals
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val corpus = (0 until 500).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = Array.fill(256)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+
+    val kernel = Similarity.assignBuckets(corpus, "embedding", centroids)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+
+    // the pre-kernel formulation: k separate cosineSim columns +
+    // array_position(array_max) — the semantic reference
+    val scores = array(centroids.toSeq.map { c =>
+      graft.functions.native.cosineSim(col("embedding"), typedLit(c.toSeq))
+    }: _*)
+    val columnar = corpus
+      .withColumn("bucket", (array_position(scores, array_max(scores)) - 1).cast("int"))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(kernel == columnar)
+
+    // the assignment stays a single whole-stage-codegen projection (on a
+    // parquet scan — a local Seq relation would collapse to
+    // LocalTableScan and hide the projection)
+    val plan = Similarity
+      .assignBuckets(Tables.embeddings(spark, sf001), "embedding", centroids.map(_.padTo(64, 0f)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
   }
 
   test("hyperplane signatures are deterministic across evaluations") {
