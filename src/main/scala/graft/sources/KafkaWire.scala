@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+
+/** The Kafka transport half of the CDC source (SURVEY.md §2.1 A1
+  * streaming / A4 wire serde) — the reference's actual topic plumbing
+  * (reference: docker-compose.yaml:117-143 broker;
+  * start-source-connector.sh:97-101 Avro key/value converters + registry;
+  * ksql-transformations/01-movies-transform.sql:15 offset reset).
+  *
+  * Mirrors [[Cdc.jdbcSnapshotReader]]'s contract: EVERYTHING up to
+  * `.load()` is plain, testable configuration — option mapping, wire
+  * decode, envelope shaping. `.load()` itself is the one step this
+  * offline environment cannot run (no Kafka jars / broker); on a cluster
+  * with `spark-sql-kafka-0-10` on the classpath the returned reader
+  * loads a frame of (key BINARY, value BINARY, offset LONG, ...) that
+  * [[decodeEnvelope]] turns into EXACTLY the envelope shape
+  * [[Cdc.envelopeFromEvents]] builds from the fixture — so everything
+  * downstream (unwrap, changelog apply, sinks) is transport-agnostic and
+  * fully exercised by the offline tests.
+  */
+object KafkaWire {
+
+  /** Source options, defaulted to the reference's consumer config:
+    * earliest reset (01-movies-transform.sql:15), fail on data loss
+    * (Connect's default error posture, start-sink-connector.sh:82-84
+    * relaxes it only on the sink). */
+  case class Config(
+      brokers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = true,
+      maxOffsetsPerTrigger: Option[Long] = None,
+      extra: Map[String, String] = Map.empty)
+
+  /** The full option map the reader is configured with — exposed so the
+    * mapping (brokers → `kafka.bootstrap.servers`, topic → `subscribe`,
+    * offset reset → `startingOffsets`) is assertable without a broker. */
+  def options(cfg: Config): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.brokers,
+      "subscribe" -> cfg.topic,
+      "startingOffsets" -> cfg.startingOffsets,
+      "failOnDataLoss" -> cfg.failOnDataLoss.toString) ++
+      cfg.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+      cfg.extra
+
+  /** `readStream.format("kafka")` configured up to (not including)
+    * `.load()` — the A1 streaming-half construction. */
+  def kafkaStreamReader(spark: SparkSession, cfg: Config): DataStreamReader =
+    options(cfg).foldLeft(spark.readStream.format("kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+
+  /** Decode a raw Kafka frame (key/value BINARY, offset LONG) into the
+    * engine's envelope shape — `kafka_key` struct, nullable `kafka_value`
+    * struct, `offset` — using the same [[AvroSerde]] binary layout the
+    * offline round-trip tests pin down. A tombstone arrives as a NULL
+    * `value` and decodes to a NULL `kafka_value` (the (key, NULL) record
+    * TOMBSTONE_HANDLING_GUIDE.md:11-14 requires preserved). The result's
+    * schema equals [[Cdc.envelopeFromEvents]]'s for the same key/value
+    * schemas, so the downstream pipeline is transport-agnostic. */
+  def decodeEnvelope(
+      frame: DataFrame,
+      keySchema: StructType,
+      valueSchema: StructType): DataFrame =
+    frame.select(
+      avroDecode(col("key"), keySchema).as("kafka_key"),
+      avroDecode(col("value"), valueSchema).as("kafka_value"),
+      col("offset"))
+
+  /** The write-side mirror: envelope → (key, value, offset) binary frame
+    * for a Kafka sink (B4's `routeToTopic` supplies the topic tag). */
+  def encodeEnvelope(envelope: DataFrame): DataFrame = {
+    val keySchema = envelope.schema("kafka_key").dataType.asInstanceOf[StructType]
+    val valueSchema = envelope.schema("kafka_value").dataType.asInstanceOf[StructType]
+    envelope.select(
+      avroEncode(col("kafka_key"), keySchema).as("key"),
+      avroEncode(col("kafka_value"), valueSchema).as("value"),
+      col("offset"))
+  }
+
+  def avroDecode(bytes: Column, schema: StructType): Column =
+    ColumnBridge.column(AvroDecode(ColumnBridge.expression(bytes), schema))
+
+  def avroEncode(struct: Column, schema: StructType): Column =
+    ColumnBridge.column(AvroEncode(ColumnBridge.expression(struct), schema))
+}
+
+/** Kafka-backed [[ChangeSource]] (A1 streaming half + B6 offset reset):
+  * constructs the configured stream read and decodes the wire format into
+  * the standard envelope. `read` is the only method whose execution needs
+  * the Kafka connector jars (absent offline) — the `.load()` boundary;
+  * everything else (option mapping, wire decode, envelope schema) is
+  * covered by KafkaWireSpec through [[KafkaWire.encodeEnvelope]]
+  * round-trips. `startingOffset` passes through: "earliest"/"latest" or
+  * the Kafka source's per-partition offset JSON. */
+class KafkaChangeSource(
+    cfg: KafkaWire.Config,
+    keySchema: StructType,
+    valueSchema: StructType) extends ChangeSource {
+  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame =
+    KafkaWire.decodeEnvelope(
+      KafkaWire
+        .kafkaStreamReader(spark, cfg.copy(startingOffsets = startingOffset))
+        .load()
+        .select(col("key"), col("value"), col("offset")),
+      keySchema, valueSchema)
+}
+
+/** Avro binary → struct, via [[AvroSerde]] (A4). CodegenFallback: wire
+  * serde is a per-record boundary op, not an analytics hot path — the
+  * surrounding projection still codegens around it. */
+case class AvroDecode(child: Expression, schema: StructType)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avro = AvroSerde.avroSchema(schema)
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(schema)
+  override def dataType: DataType = schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_decode"
+  protected override def nullSafeEval(input: Any): Any =
+    toCatalyst(AvroSerde.fromBytes(input.asInstanceOf[Array[Byte]], schema, avro))
+  protected override def withNewChildInternal(newChild: Expression): AvroDecode =
+    copy(child = newChild)
+}
+
+/** Struct → Avro binary — the A4 write side. */
+case class AvroEncode(child: Expression, schema: StructType)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avro = AvroSerde.avroSchema(schema)
+  @transient private lazy val toScala =
+    CatalystTypeConverters.createToScalaConverter(schema)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_encode"
+  protected override def nullSafeEval(input: Any): Any =
+    AvroSerde.toBytes(
+      toScala(input).asInstanceOf[org.apache.spark.sql.Row], schema, avro)
+  protected override def withNewChildInternal(newChild: Expression): AvroEncode =
+    copy(child = newChild)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Cdc, KafkaWire}
+
+/** The Kafka transport adapter, tested to the `.load()` boundary (no
+  * Kafka jars offline): option mapping mirrors the reference's consumer
+  * config, and the Avro wire decode reproduces the exact envelope shape
+  * the rest of the engine consumes — proven by a full binary round-trip
+  * of the fixture envelope, tombstones included. */
+class KafkaWireSpec extends SparkTestBase {
+
+  test("reader option map mirrors the reference's consumer config") {
+    val cfg = KafkaWire.Config(
+      brokers = "broker:29092",
+      topic = Cdc.topicName("mssql", "MoviesDB", "cso", "movies"),
+      maxOffsetsPerTrigger = Some(10000),
+      extra = Map("kafka.security.protocol" -> "PLAINTEXT"))
+    val opts = KafkaWire.options(cfg)
+    assert(opts("kafka.bootstrap.servers") == "broker:29092")
+    assert(opts("subscribe") == "mssql.MoviesDB.cso.movies")
+    assert(opts("startingOffsets") == "earliest") // 01-movies-transform.sql:15
+    assert(opts("failOnDataLoss") == "true")
+    assert(opts("maxOffsetsPerTrigger") == "10000")
+    assert(opts("kafka.security.protocol") == "PLAINTEXT")
+    // offset reset is a per-read knob (B6), not baked into the config
+    assert(KafkaWire.options(cfg.copy(startingOffsets = "latest"))("startingOffsets") == "latest")
+    // constructing the reader succeeds without Kafka jars — only .load()
+    // needs the connector (documented unrunnable offline)
+    assert(KafkaWire.kafkaStreamReader(spark, cfg) != null)
+  }
+
+  test("wire round-trip: envelope → Avro frame → decoded envelope, schema- and value-exact") {
+    val events = Tables.withTsMicros(Tables.events(spark, sf001))
+    // synthesize deletes so the frame carries real (key, NULL) tombstones
+    val maxId = events.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val dels = events.limit(3)
+      .withColumn("event_id", col("event_id") + maxId)
+      .withColumn("event_type", lit("delete"))
+    val env = Cdc.envelopeFromEvents(events.unionByName(dels))
+
+    val keySchema = env.schema("kafka_key").dataType.asInstanceOf[StructType]
+    val valueSchema = env.schema("kafka_value").dataType.asInstanceOf[StructType]
+
+    val frame = KafkaWire.encodeEnvelope(env)
+    // the exact shape the Kafka source delivers after .load().select(...)
+    assert(frame.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("key", BinaryType), ("value", BinaryType), ("offset", LongType)))
+    // tombstones ride the wire as NULL value payloads
+    val wireTombstones = frame.filter(col("value").isNull).count()
+    assert(wireTombstones == 3)
+
+    val decoded = KafkaWire.decodeEnvelope(frame, keySchema, valueSchema)
+    // the prescribed contract: decoded schema == envelope schema, so every
+    // downstream operator is transport-agnostic. One honest delta: the
+    // decoder marks kafka_key nullable (binary wire input can't prove
+    // non-null) where the fixture builder knows it's not — compare with
+    // nullability normalized, and assert no decoded key is actually null.
+    def relaxed(s: StructType): StructType =
+      StructType(s.fields.map(f => f.copy(nullable = true)))
+    assert(relaxed(decoded.schema) == relaxed(env.schema))
+    assert(decoded.filter(col("kafka_key").isNull).count() == 0)
+    val got = decoded.orderBy(col("offset")).collect().toSeq
+    val want = env.orderBy(col("offset")).collect().toSeq
+    assert(got == want)
+    // and the decoded envelope feeds the standard pipeline identically
+    val viaWire = Cdc.applyEnvelope(decoded, "user_id")
+      .orderBy(col("user_id")).collect().toSeq
+    val direct = Cdc.applyEnvelope(env, "user_id")
+      .orderBy(col("user_id")).collect().toSeq
+    assert(viaWire == direct)
+  }
+}
