@@ -41,6 +41,75 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
       catch { case e: Throwable => Some(e) }
 
+    // Changelog state-replay throughput, the BASELINE protocol's only
+    // throughput figure (reference: TOMBSTONE_HANDLING_GUIDE.md:336-339 —
+    // ksqlDB rebuilds TABLE state from the topic at ~100K msgs/s
+    // SUSTAINED, 10 M msgs ≈ 100 s): replay the SF's event log, tiled to
+    // ≥1 M messages with monotone sequence numbers, through the streaming
+    // latest-by-key (flatMapGroupsWithState + RocksDB state store);
+    // report msgs/s. Measured BEFORE the query sweep: the sweep's heap
+    // pressure halved replay throughput when it ran last (52K vs 108K+
+    // on a quiet heap, probed round 5) — replay-first reproduces the
+    // recovery scenario the reference describes (a rebuild starts on a
+    // fresh server, not mid-workload).
+    val (replayEvents, replaySec) = try {
+      import spark.implicits._
+      graft.streaming.ChangelogStream.configure(spark)
+      val base = Tables
+        .events(spark, sfDir)
+        .selectExpr("user_id", "event_id", "event_type", "value")
+        .as[ReplayEv]
+        .collect()
+      val copies = math.max(1, (1000000 + base.length - 1) / base.length)
+      val span = base.iterator.map(_.event_id).max + 1
+      val events = Array.tabulate(copies * base.length) { i =>
+        val e = base(i % base.length)
+        e.copy(event_id = e.event_id + (i / base.length).toLong * span)
+      }
+      // three timed replays, best kept: the first absorbs one-time
+      // streaming/state-store init, and GC pauses only ever add time —
+      // same min-of-N rationale as the queries (observed run-to-run
+      // swings of 90-180K msgs/s on an otherwise quiet machine)
+      def replayOnce(): Double = {
+        System.gc()
+        val input =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
+        val out = graft.streaming.ChangelogStream
+          .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay")
+        // Feed BEFORE starting, in ~10K-row blocks: each MemoryStream
+        // block becomes one partition of a SINGLE micro-batch, so task
+        // binaries stay under the 1000 KiB warn threshold (one 1M-row
+        // block was a 62 MiB task) and the source reads in parallel.
+        // Feeding a RUNNING stream in chunks is the wrong fix: the
+        // trigger races the feed into many micro-batches and pays the
+        // per-batch RocksDB commit+snapshot many times over (measured
+        // 102K → 36K msgs/s).
+        events.grouped(10000).foreach(chunk => input.addData(chunk.toSeq))
+        val t0 = System.nanoTime()
+        val q = out.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .format("noop")
+          .start()
+        try {
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          q.stop()
+          // RocksDB state for every key lives under the checkpoint —
+          // repeated rounds must not accumulate it in /tmp
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      (events.length.toLong, Seq(replayOnce(), replayOnce(), replayOnce()).min)
+    } catch {
+      case e: Throwable => e.printStackTrace(System.err); (0L, -1.0)
+    }
+    val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
+
     // Warm-up: full pass, untimed; surface failures immediately.
     val warmupErrors = queries.flatMap { case (n, fn) =>
       execute(n, fn).map { e => e.printStackTrace(System.err); n -> e }
@@ -79,62 +148,6 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries report -1 individually but must not distort the total
     val total = results.map(_._2).filter(_ >= 0).sum
-
-    // Changelog state-replay throughput, the BASELINE protocol's only
-    // throughput figure (reference: TOMBSTONE_HANDLING_GUIDE.md:336-339 —
-    // ksqlDB rebuilds TABLE state from the topic at ~100K msgs/s
-    // SUSTAINED, 10 M msgs ≈ 100 s): replay the SF's event log, tiled to
-    // ≥1 M messages with monotone sequence numbers so per-batch startup
-    // amortizes like a real replay, through the streaming latest-by-key
-    // (flatMapGroupsWithState + RocksDB state store); report msgs/s.
-    val (replayEvents, replaySec) = try {
-      import spark.implicits._
-      graft.streaming.ChangelogStream.configure(spark)
-      val base = Tables
-        .events(spark, sfDir)
-        .selectExpr("user_id", "event_id", "event_type", "value")
-        .as[ReplayEv]
-        .collect()
-      val copies = math.max(1, (1000000 + base.length - 1) / base.length)
-      val span = base.iterator.map(_.event_id).max + 1
-      val events = Array.tabulate(copies * base.length) { i =>
-        val e = base(i % base.length)
-        e.copy(event_id = e.event_id + (i / base.length).toLong * span)
-      }
-      // two timed replays, best kept: the first run after the query sweep
-      // absorbs its heap pressure (measured 2x swings), and GC pauses
-      // only ever add time — same min-of-N rationale as the queries
-      def replayOnce(): Double = {
-        System.gc()
-        val input =
-          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
-        val out = graft.streaming.ChangelogStream
-          .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay")
-        val q = out.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt.toString)
-          .format("noop")
-          .start()
-        try {
-          input.addData(events.toSeq)
-          val t0 = System.nanoTime()
-          q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        } finally {
-          q.stop()
-          // RocksDB state for every key lives under the checkpoint —
-          // repeated rounds must not accumulate it in /tmp
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
-      (events.length.toLong, Seq(replayOnce(), replayOnce()).min)
-    } catch {
-      case e: Throwable => e.printStackTrace(System.err); (0L, -1.0)
-    }
-    val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
     // the round-1 query set, for like-for-like comparison against the
     // recorded BASELINE total (the full set has since grown past it)
     val r1Keys = Set(

@@ -62,6 +62,17 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("integer literal") || e.getMessage.contains("word_shingles"))
   }
 
+  test("out-of-Int-range literal parameters are rejected, not truncated") {
+    // 4294967297L truncates to 1 under a silent .toInt — the function
+    // would "work" with perms=1 and produce garbage signatures
+    Seq((1L, "x y z")).toDF("id", "text").createOrReplaceTempView("t_range")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(word_shingles(text, 3), 4294967297) FROM t_range")
+        .collect()
+    }
+    assert(e.getMessage.contains("out of Int range") || e.getMessage.contains("4294967297"))
+  }
+
   test("GraftExtensions injects the same function set at session build time") {
     // The extensions object is exercised directly (a second SparkSession
     // build is expensive and getOrCreate would return the shared one);

@@ -5,7 +5,8 @@ package graft
 object JacProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = TestSpark.spark
+    val cores = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local("graft-jac-probe", cores = cores)
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
