@@ -71,9 +71,13 @@ object NearDup {
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
       .select(col("id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
       .withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
-    // ⌈t·n⌉ with a one-ulp guard: FP overshoot may only LENGTHEN the
-    // prefix (keeping it lossless), never shorten it.
-    val prefixLen = col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1
+    // ⌈t·n⌉ with a RELATIVE rounding guard: the product's FP error is
+    // ≤ ~n·t·2⁻⁵³, so subtracting n·t·1e-12 (plus an absolute floor for
+    // tiny n) dominates it at ANY set size — overshoot may only LENGTHEN
+    // the prefix (keeping it lossless), never shorten it. (A bare
+    // absolute 1e-9 stops covering the error once n·t exceeds ~9e6.)
+    val prefixLen =
+      col("n") - ceil(col("n") * (threshold * (1 - 1e-12)) - lit(1e-9)) + 1
     val prefix = sh
       .withColumn(
         "rk",

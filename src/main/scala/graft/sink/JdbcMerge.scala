@@ -113,7 +113,16 @@ object JdbcMerge {
         if (c == '_' || c == '%' || esc.contains(c)) esc + c else c.toString
       }
     val parts = table.split('.')
-    val schemaPattern = if (parts.length >= 2) literal(parts(parts.length - 2)) else null
+    // An unqualified name must still scope to ONE schema: a null pattern
+    // merges same-named tables from every schema (dbo.movies_sink +
+    // staging.movies_sink) and feeds evolution a wrong column inventory.
+    // Fall back to the connection's current schema; null only when the
+    // driver can't report one.
+    val schemaPattern =
+      if (parts.length >= 2) literal(parts(parts.length - 2))
+      else
+        (try Option(conn.getSchema) catch { case _: Exception => None: Option[String] })
+          .map(literal).orNull
     val rs = md.getColumns(null, schemaPattern, literal(parts.last), null)
     try {
       val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -142,7 +151,12 @@ object JdbcMerge {
       schema: StructType): Seq[String] = {
     import java.util.Locale
     val byName = existing.map { case (n, t) => n.toUpperCase(Locale.ROOT) -> t }.toMap
-    def baseType(t: String): String = t.takeWhile(_ != '(').trim.toUpperCase(Locale.ROOT)
+    // first token before any length spec: SQL Server metadata decorates
+    // TYPE_NAME ("int identity") and omits lengths ("nvarchar"), so
+    // "int identity" must still equal our "INT" and "nvarchar" our
+    // "NVARCHAR(MAX)"
+    def baseType(t: String): String =
+      t.takeWhile(_ != '(').trim.split("\\s+").head.toUpperCase(Locale.ROOT)
     schema.fields.toSeq.flatMap { f =>
       byName.get(f.name.toUpperCase(Locale.ROOT)) match {
         case Some(have) =>

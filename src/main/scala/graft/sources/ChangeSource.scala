@@ -18,7 +18,13 @@ trait ChangeSource {
 
   /** @param startingOffset "earliest" (replay all), "latest" (only new
     *                       data — empty for a static snapshot), or a
-    *                       numeric offset to start from (inclusive). */
+    *                       source-specific position: a numeric offset
+    *                       (inclusive) where the source has one global
+    *                       offset order ([[ParquetChangeSource]]); Kafka
+    *                       offsets are per-partition, so
+    *                       [[KafkaChangeSource]] takes the Kafka source's
+    *                       per-partition JSON instead and rejects bare
+    *                       numerics at construction. */
   def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame
 }
 

@@ -101,18 +101,29 @@ object KafkaWire {
   * everything else (option mapping, wire decode, envelope schema) is
   * covered by KafkaWireSpec through [[KafkaWire.encodeEnvelope]]
   * round-trips. `startingOffset` passes through: "earliest"/"latest" or
-  * the Kafka source's per-partition offset JSON. */
+  * the Kafka source's per-partition offset JSON
+  * (`{"topic":{"0":12345}}`). A bare numeric offset — valid for sources
+  * with one global offset order, like [[ParquetChangeSource]] — has no
+  * Kafka meaning (offsets are per-partition) and is rejected HERE with a
+  * actionable message instead of surfacing as an opaque connector error
+  * at `.load()`. */
 class KafkaChangeSource(
     cfg: KafkaWire.Config,
     keySchema: StructType,
     valueSchema: StructType) extends ChangeSource {
-  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame =
+  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame = {
+    if (startingOffset.toLongOption.isDefined)
+      throw new IllegalArgumentException(
+        s"Kafka offsets are per-partition: pass startingOffsets JSON " +
+          s"""like {"${cfg.topic}":{"0":$startingOffset}} (or earliest/latest), """ +
+          s"not the bare offset $startingOffset")
     KafkaWire.decodeEnvelope(
       KafkaWire
         .kafkaStreamReader(spark, cfg.copy(startingOffsets = startingOffset))
         .load()
         .select(col("key"), col("value"), col("offset")),
       keySchema, valueSchema)
+  }
 }
 
 /** Avro binary → struct, via [[AvroSerde]] (A4). CodegenFallback: wire

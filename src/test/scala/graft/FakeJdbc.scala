@@ -57,6 +57,8 @@ object FakeJdbc {
       * table. Tests mutate this between batches to model an existing
       * sink table (the fake does not parse DDL). */
     var columnsMeta: Seq[(String, String)] = Nil
+    /** What Connection.getSchema reports (MSSQL default: dbo). */
+    var currentSchema: String = "dbo"
     /** Recorded (schemaPattern, tablePattern) of each getColumns call. */
     val metaQueries = mutable.ArrayBuffer[(String, String)]()
 
@@ -121,6 +123,7 @@ object FakeJdbc {
             commits += 1; null
           case "rollback" => rollbacks += 1; null
           case "getMetaData" => metaData
+          case "getSchema" => currentSchema
           case "setAutoCommit" | "close" => null
           case other => throw new UnsupportedOperationException(other)
         }

@@ -125,9 +125,19 @@ class JdbcMergeSpec extends SparkTestBase {
     // `_` is a single-char wildcard in getColumns patterns — unescaped,
     // `movies_sink` would also match a table named `moviesXsink`
     assert(conn.metaQueries.toSeq == Seq(("cso", "movies\\_sink")))
+    // an unqualified name scopes to the CONNECTION's current schema — a
+    // null pattern would merge same-named tables from every schema and
+    // feed evolution a wrong column inventory
     conn.metaQueries.clear()
     JdbcMerge.tableColumns(conn.proxy, "movies_sink")
-    assert(conn.metaQueries.toSeq == Seq((null, "movies\\_sink")))
+    assert(conn.metaQueries.toSeq == Seq(("dbo", "movies\\_sink")))
+  }
+
+  test("evolveTableSql tolerates decorated metadata type names (int identity)") {
+    // the Microsoft driver reports TYPE_NAME "int identity" for IDENTITY
+    // key columns — a compatible table, not a type change
+    val existing = Seq(("ID", "int identity"), ("TITLE", "nvarchar"), ("RATING", "float"))
+    assert(JdbcMerge.evolveTableSql(cfg, existing, schema).isEmpty)
   }
 
   test("mid-stream schema widening evolves the table once, then merges cleanly") {

@@ -31,6 +31,18 @@ class KafkaWireSpec extends SparkTestBase {
     assert(KafkaWire.kafkaStreamReader(spark, cfg) != null)
   }
 
+  test("KafkaChangeSource rejects bare numeric offsets with an actionable message") {
+    // Kafka offsets are per-partition; a bare numeric (valid for
+    // ParquetChangeSource's global offset order) must fail fast at
+    // construction, not as an opaque connector error at .load()
+    val src = new graft.sources.KafkaChangeSource(
+      KafkaWire.Config("broker:29092", "t"),
+      StructType(Seq(StructField("id", LongType))),
+      StructType(Seq(StructField("v", StringType))))
+    val e = intercept[IllegalArgumentException] { src.read(spark, "12345") }
+    assert(e.getMessage.contains("per-partition") && e.getMessage.contains("12345"))
+  }
+
   test("wire round-trip: envelope → Avro frame → decoded envelope, schema- and value-exact") {
     val events = Tables.withTsMicros(Tables.events(spark, sf001))
     // synthesize deletes so the frame carries real (key, NULL) tombstones
