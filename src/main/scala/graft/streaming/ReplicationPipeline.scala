@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Connection
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sink.JdbcMerge
+import graft.sources.Cdc
+
+/** The reference's ENTIRE data path as one composable entry point
+  * (SURVEY.md §3.1) — what a user of the reference actually deploys:
+  *
+  * {{{
+  *   CDC envelope stream (Kafka/parquet/MemoryStream — any source that
+  *     produces (kafka_key, kafka_value, offset), see Cdc/KafkaWire)
+  *   → streaming keyed changelog TABLE        (B1/B3: latest per key,
+  *                                             tombstones retained)
+  *   → unwrap + uppercase projection          (A2/A3/B2: __deleted
+  *                                             rewrite, ksqlDB's
+  *                                             uppercase quirk)
+  *   → JDBC upsert/delete merge sink          (C1-C4: MERGE, tombstone
+  *                                             DELETE, auto-create,
+  *                                             auto-evolve)
+  * }}}
+  *
+  * Faithful to the reference sink's view of the world: the projected row
+  * RETAINS the `__deleted` marker column (the transformed table projects
+  * it, 01-movies-transform.sql:50, so the auto-created target has it
+  * too), and a deletion is EITHER a raw tombstone (key, NULL record —
+  * all projected columns NULL) or a rewrite record flagged
+  * `__deleted='true'` (TOMBSTONE_HANDLING_GUIDE.md:213-228).
+  *
+  * Scale notes: the changelog state is per-key RocksDB exactly as in
+  * [[ChangelogStream]]; the per-batch flatten/sink work is executor-side
+  * (`foreachPartition` inside [[JdbcMerge.sink]]); the only driver-side
+  * step is the once-per-batch auto-create/evolve DDL.
+  */
+object ReplicationPipeline {
+
+  /** @param keyField    the single key field inside `kafka_key`
+    *                    (pk.mode=record_key, pk.fields=ID — uppercased
+    *                    on output like every projected column)
+    * @param projectCols record fields to project (B2); empty = all
+    * @param sink        JDBC sink knobs; `keyCols` should name the
+    *                    UPPERCASED key (e.g. "ID") */
+  case class Config(
+      keyField: String,
+      sink: JdbcMerge.Config,
+      checkpointDir: String,
+      projectCols: Seq[String] = Nil,
+      trigger: Trigger = ChangelogStream.DefaultTrigger)
+
+  /** Unwrap + key-preserving uppercase projection of one micro-batch of
+    * envelope rows: KEY column first, then the record image columns
+    * (including `__deleted`), all uppercased. Tombstones flatten to
+    * (key, NULL…) rows — `__deleted` NULL is the tombstone marker the
+    * sink predicate reads. */
+  def flatten(batch: DataFrame, keyField: String, projectCols: Seq[String] = Nil): DataFrame = {
+    val unwrapped = Cdc.unwrap(batch)
+    val recType = unwrapped.schema("record").dataType.asInstanceOf[StructType]
+    val cols =
+      (if (projectCols.nonEmpty) projectCols else recType.fieldNames.toSeq.filterNot(_ == "__deleted")) :+
+        "__deleted"
+    unwrapped.select(
+      col(s"kafka_key.$keyField").as(keyField.toUpperCase(Locale.ROOT)) +:
+        cols.map(c => col(s"record.$c").as(c.toUpperCase(Locale.ROOT))): _*)
+  }
+
+  /** The sink-side deletion predicate over a flattened row: raw
+    * tombstone (NULL `__DELETED` — the whole record was NULL) or a
+    * rewrite record flagged true (C2 semantics — either must remove the
+    * key). */
+  def isDeletion(row: Row): Boolean = {
+    val i = row.fieldIndex("__DELETED")
+    row.isNullAt(i) || row.getString(i) == "true"
+  }
+
+  /** Start the continuous replication: envelope stream in, target table
+    * continuously replicated. `envelope` must be a STREAMING DataFrame
+    * shaped (kafka_key struct, kafka_value nullable struct, offset long);
+    * `connect` must be a serializable connection factory (one connection
+    * per partition per batch — JDBC URL + properties, not a live
+    * connection). */
+  def start(
+      envelope: DataFrame,
+      cfg: Config,
+      connect: () => Connection): StreamingQuery = {
+    val schema = envelope.schema
+    val keyIdx = schema.fieldIndex("kafka_key")
+    val keyFieldIdx = schema("kafka_key").dataType
+      .asInstanceOf[StructType].fieldIndex(cfg.keyField)
+    val offsetIdx = schema.fieldIndex("offset")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val strEnc = Encoders.STRING
+    // group by the key field's string form: injective for the scalar key
+    // types the reference uses (int identity), encoder-friendly for any
+    val latest = ChangelogStream.latestByKey[String, Row](
+      envelope.as(rowEnc),
+      key = r => String.valueOf(r.getStruct(keyIdx).get(keyFieldIdx)),
+      seq = r => r.getLong(offsetIdx))
+    ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
+      (batch, batchId) =>
+        JdbcMerge.sink(cfg.sink, isDeletion, connect)(
+          flatten(batch.toDF(), cfg.keyField, cfg.projectCols), batchId)
+    }
+  }
+}
