@@ -190,6 +190,15 @@ object SparkEntry {
         .normalizedDedupIds(Tables.documents(s, dir), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    "q_curate" -> ((s, dir) =>
+      // the composed pretraining-data cleaning pass: quality gates
+      // (token band + punctuation cap) then normalized exact dedup
+      // among survivors — TextOps.curate
+      TextOps
+        .curate(Tables.documents(s, dir), "text", "doc_id",
+          minTokens = 20L, maxTokens = 400L, maxPunctRatio = 0.05)
+        .orderBy(col("doc_id"))),
+
     "q_neardup_jaccard" -> ((s, dir) =>
       NearDup
         .exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
@@ -491,6 +500,25 @@ object SparkEntry {
         |  ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
         |  ('region'), ('supplier')) t(table_name)
         |ORDER BY table_name""".stripMargin,
+
+    // Composed curation: the quality expressions are the q_quality
+    // oracle's (kernel-exact pairing already proven there), the dedup is
+    // the q_dedup_norm oracle's (fingerprint-vs-text grouping proven
+    // there); filters apply BEFORE dedup, so survivors dedup among
+    // themselves only. Same ASCII-only-exact caveat as q_text_stats.
+    "q_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |         END AS punct_ratio
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id
+        |FROM q
+        |WHERE n_tokens BETWEEN 20 AND 400 AND punct_ratio <= 0.05
+        |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_norm" ->
       """SELECT MIN(doc_id) AS doc_id

@@ -82,6 +82,29 @@ object TextOps {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
+  /** Corpus curation: the composed cleaning pass a pretraining-data
+    * pipeline runs before anything expensive — cheap quality gates
+    * (token-count band, punctuation-ratio cap), then whitespace-
+    * normalized exact dedup among the SURVIVORS (lowest id wins; a
+    * duplicate of a filtered-out doc is judged on its own quality).
+    * Output: surviving ids, one per distinct normalized text.
+    * Pure composition of [[qualityFeatures]] + [[normalizedDedupIds]],
+    * so the scale shape is already established: one compiled kernel pass
+    * per document, a map-side filter, then a 16-byte-fingerprint hash
+    * aggregate — nothing wider than the fingerprint + id ever shuffles. */
+  def curate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxPunctRatio: Double = 1.0): DataFrame =
+    normalizedDedupIds(
+      qualityFeatures(df, textCol).filter(
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("punct_ratio") <= maxPunctRatio),
+      textCol, idCol)
+
   /** Per-document quality features: char/token counts, punctuation ratio,
     * uppercase ratio, mean token length — the usual cheap filters in a
     * pretraining-data pipeline. All class counts come from ONE compiled

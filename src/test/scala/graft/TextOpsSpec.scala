@@ -72,6 +72,34 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextOps.winnowFingerprints(col("text"), k = 8)).collect()(0).getSeq[Long](0).isEmpty)
   }
 
+  test("curate applies quality gates then dedups among survivors only") {
+    val df = Seq(
+      // 0/1: duplicates (whitespace variants), both pass the gates → one survives
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick  brown fox jumps over the lazy dog"),
+      // 2: too short (under minTokens)
+      (2L, "too short"),
+      // 3: punctuation-heavy → filtered by the ratio cap
+      (3L, "spam!!! buy!!! now!!! spam!!! buy!!! now!!! spam!!! again!!!"),
+      // 4: duplicate of 2 — its twin was FILTERED, not deduped, so this
+      // doc is judged on its own quality and also fails the gate
+      (4L, "too short"),
+      // 5: clean singleton
+      (5L, "a perfectly ordinary document with enough words to pass the gate")
+    ).toDF("doc_id", "text")
+    val got = TextOps
+      .curate(df, "text", "doc_id", minTokens = 5L, maxTokens = 100L, maxPunctRatio = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 5L))
+    // equals the manual composition of its two stages
+    val manual = TextOps.normalizedDedupIds(
+      TextOps.qualityFeatures(df, "text")
+        .filter(col("n_tokens").between(5, 100) && col("punct_ratio") <= 0.1),
+      "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == manual)
+  }
+
   test("exactDedup is idempotent") {
     val df = Seq((3L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val once = TextOps.exactDedup(df, "text", "doc_id")
