@@ -213,6 +213,18 @@ object SparkEntry {
         .minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
         .orderBy(col("id1"), col("id2"))),
 
+    "q_neardup_dedup" -> ((s, dir) => {
+      // the full near-dup dedup PIPELINE: banded-MinHash pairs (exact
+      // verify) collapsed by connected components — transitively correct
+      // (a-b, b-c keeps only a), unpaired docs untouched
+      val docs = Tables.documents(s, dir)
+      NearDup
+        .collapseNearDups(docs, "doc_id",
+          NearDup.minhashNearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_token_bpe" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(col("lang"))
@@ -538,6 +550,36 @@ object SparkEntry {
     // this threshold is asserted equal on the fixture by NearDupSpec).
     "q_neardup_jaccard" -> neardupOracle,
     "q_neardup_minhash" -> neardupOracle,
+
+    // Pair collapse: the same exact pair set, closed transitively by a
+    // recursive CTE (min-reachable-id per node); a doc survives iff no
+    // SMALLER id is reachable through the near-dup graph — exactly the
+    // min-label components the Spark operator converges to.
+    "q_neardup_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter
+        |  JOIN sizes na ON id1 = na.doc_id
+        |  JOIN sizes nb ON id2 = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |r(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
+        |SELECT doc_id FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.n = d.doc_id AND r.m < d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact cosine top-k. The per-row list_sum/list_transform pipeline
     // accumulates left-to-right in DOUBLE — bit-identical to the native

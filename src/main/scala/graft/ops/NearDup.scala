@@ -320,6 +320,56 @@ object NearDup {
       .distinct()
   }
 
+  /** Collapse near-dup PAIRS into surviving documents — the last stage a
+    * dedup pipeline actually needs (pairs alone don't dedupe, and
+    * dropping `id2` of every pair is wrong under transitivity: a–b, b–c
+    * must keep only a). Connected components over the undirected pair
+    * graph by min-label propagation; each component keeps its minimum
+    * id, docs in no pair survive untouched.
+    *
+    * Scale notes: labels exist only for docs appearing in a pair (the
+    * near-dup set, typically ≪ corpus); each round is one equi-join +
+    * one aggregate over that set, `localCheckpoint`ed so lineage stays
+    * flat across rounds; round count ∝ component diameter (near-dup
+    * clusters are near-cliques — 2-3 rounds in practice, `maxIter` caps
+    * adversarial chains). The corpus itself is touched exactly once, by
+    * the final anti-join against the non-representative ids.
+    */
+  def collapseNearDups(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // every node is `a` of some symmetric edge, so the join is inner
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("a").as("node"), col("nmin")), "node")
+        .select(
+          col("node"),
+          least(col("label"), col("nmin")).as("label"),
+          (col("nmin") < col("label")).as("__chg"))
+        .localCheckpoint()
+      converged = updated.filter(col("__chg")).limit(1).isEmpty
+      labels = updated.select(col("node"), col("label"))
+      i += 1
+    }
+    df.join(
+      labels.filter(col("label") < col("node")).select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for
     * candidates (each vector emits `bands` keys), exact cosine verify.
     * The vector analog of [[minhashNearDupPairs]]. */

@@ -134,6 +134,40 @@ class NearDupSpec extends SparkTestBase {
     assert(!cands.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("collapseNearDups keeps one doc per component, transitively") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components: {0,1,2} via a CHAIN (0-1, 1-2 — no 0-2 pair: dropping
+    // id2 of each pair would wrongly also keep nothing of 2's twin),
+    // {5,7} a plain pair, a {3,4,8} triangle; 6 and 9 unpaired
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),
+      (5L, 7L),
+      (3L, 4L), (3L, 8L), (4L, 8L)
+    ).toDF("id1", "id2")
+    val got = NearDup.collapseNearDups(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 3L, 5L, 6L, 9L))
+  }
+
+  test("collapseNearDups with no pairs returns the corpus unchanged") {
+    import spark.implicits._
+    val docs = (0L to 3L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(NearDup.collapseNearDups(docs, "doc_id", none).count() == 4)
+  }
+
+  test("collapseNearDups converges on a long chain (worst-case diameter)") {
+    import spark.implicits._
+    // a 30-node path: min-label propagation needs ~diameter rounds; the
+    // whole chain must collapse to its minimum id
+    val docs = (0L to 29L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = NearDup.collapseNearDups(docs, "doc_id", chain)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L))
+  }
+
   test("simhash64: whitespace variants collide; token changes move few bits; unrelated docs are far") {
     val hs = corpus.select(col("doc_id"), NearDup.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
