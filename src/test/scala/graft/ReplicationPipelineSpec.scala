@@ -106,4 +106,47 @@ class ReplicationPipelineSpec extends SparkTestBase {
         d.contains("[__DELETED] NVARCHAR(MAX)") &&
         d.contains("PRIMARY KEY ([USER_ID])")), ddl.mkString("\n"))
   }
+
+  test("pull queries answer against the RUNNING replication pipeline's state") {
+    // The reference's full interactive story (§3.3): replication runs
+    // continuously AND pull queries read its materialized TABLE state —
+    // here the pipeline's own changelog checkpoint, via PullQuery.
+    import spark.implicits._
+    graft.streaming.ChangelogStream.configure(spark)
+    ReplDb.reset()
+    val input = MemoryStream[RWire](spark)
+    val envelope = input.toDF().select(
+      struct(col("user_id")).as("kafka_key"),
+      when(
+        col("rec").isNotNull,
+        struct(
+          when(col("op") === "d", col("rec")).as("before"),
+          when(col("op") =!= "d", col("rec")).as("after"),
+          col("op").as("op"))).as("kafka_value"),
+      col("offset"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-repl-pull").toString
+    val q = ReplicationPipeline.start(
+      envelope,
+      ReplicationPipeline.Config(
+        keyField = "user_id",
+        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Seq("USER_ID")),
+        checkpointDir = ckpt),
+      () => ReplDb.connect())
+    try {
+      input.addData(Seq(
+        RWire(1L, Some(RRec(10L, "one")), "c", 10L),
+        RWire(2L, Some(RRec(11L, "two")), "c", 11L),
+        RWire(2L, None, "d", 12L))) // tombstone for key 2
+      q.processAllAvailable()
+      assert(q.isActive)
+      // deletion on the envelope state: raw tombstone or op='d'
+      val isDel = col("kafka_value").isNull || col("kafka_value.op") === "d"
+      assert(graft.streaming.PullQuery.liveCount(spark, ckpt, isDel) == 1L)
+      val row = graft.streaming.PullQuery
+        .liveState(spark, ckpt, isDel)
+        .select(col("kafka_key.user_id"), col("kafka_value.after.title"))
+        .collect()
+      assert(row.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "one")))
+    } finally q.stop()
+  }
 }
