@@ -214,13 +214,18 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))),
 
     "q_neardup_dedup" -> ((s, dir) => {
-      // the full near-dup dedup PIPELINE: banded-MinHash pairs (exact
-      // verify) collapsed by connected components — transitively correct
-      // (a-b, b-c keeps only a), unpaired docs untouched
+      // the full near-dup dedup PIPELINE: exact (prefix-filtered) Jaccard
+      // pairs collapsed by connected components — transitively correct
+      // (a-b, b-c keeps only a), unpaired docs untouched. EXACT pairs,
+      // not MinHash: the collapse amplifies a single missed pair into a
+      // multi-row divergence, so the oracle contract demands exact
+      // candidates (fine — prefix filtering bounds them); at 100 TB swap
+      // in minhashNearDupPairs (collapseNearDups takes any pair set) and
+      // accept its ~0.9998/pair recall.
       val docs = Tables.documents(s, dir)
       NearDup
         .collapseNearDups(docs, "doc_id",
-          NearDup.minhashNearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),

@@ -365,6 +365,14 @@ object NearDup {
       labels = updated.select(col("node"), col("label"))
       i += 1
     }
+    // refuse to return an under-merged (wrong) component structure: a
+    // path whose smallest ids sit at opposite ends needs diameter-many
+    // rounds, and silently truncating at maxIter would retain
+    // near-duplicates while still claiming transitive correctness
+    if (!converged)
+      throw new IllegalStateException(
+        s"collapseNearDups did not converge within $maxIter rounds — " +
+          s"a component's diameter exceeds maxIter; raise it")
     df.join(
       labels.filter(col("label") < col("node")).select(col("node").as(idCol)),
       Seq(idCol), "left_anti")

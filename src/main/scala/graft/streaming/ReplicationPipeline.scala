@@ -45,8 +45,9 @@ object ReplicationPipeline {
     *                    (pk.mode=record_key, pk.fields=ID — uppercased
     *                    on output like every projected column)
     * @param projectCols record fields to project (B2); empty = all
-    * @param sink        JDBC sink knobs; `keyCols` should name the
-    *                    UPPERCASED key (e.g. "ID") */
+    * @param sink        JDBC sink knobs. `keyCols` is DERIVED — start()
+    *                    always sets it to the uppercased `keyField`, so
+    *                    the key cannot be misstated in two places. */
   case class Config(
       keyField: String,
       sink: JdbcMerge.Config,
@@ -55,16 +56,19 @@ object ReplicationPipeline {
       trigger: Trigger = ChangelogStream.DefaultTrigger)
 
   /** Unwrap + key-preserving uppercase projection of one micro-batch of
-    * envelope rows: KEY column first, then the record image columns
-    * (including `__deleted`), all uppercased. Tombstones flatten to
+    * envelope rows: KEY column first (always from `kafka_key` — a record
+    * field with the key's name, the normal Debezium shape where the
+    * record image contains its own id, is excluded so the output never
+    * carries duplicate columns), then the record image columns plus
+    * `__deleted` exactly once, all uppercased. Tombstones flatten to
     * (key, NULL…) rows — `__deleted` NULL is the tombstone marker the
     * sink predicate reads. */
   def flatten(batch: DataFrame, keyField: String, projectCols: Seq[String] = Nil): DataFrame = {
     val unwrapped = Cdc.unwrap(batch)
     val recType = unwrapped.schema("record").dataType.asInstanceOf[StructType]
     val cols =
-      (if (projectCols.nonEmpty) projectCols else recType.fieldNames.toSeq.filterNot(_ == "__deleted")) :+
-        "__deleted"
+      (if (projectCols.nonEmpty) projectCols else recType.fieldNames.toSeq)
+        .filterNot(c => c == "__deleted" || c.equalsIgnoreCase(keyField)) :+ "__deleted"
     unwrapped.select(
       col(s"kafka_key.$keyField").as(keyField.toUpperCase(Locale.ROOT)) +:
         cols.map(c => col(s"record.$c").as(c.toUpperCase(Locale.ROOT))): _*)
@@ -89,6 +93,14 @@ object ReplicationPipeline {
       envelope: DataFrame,
       cfg: Config,
       connect: () => Connection): StreamingQuery = {
+    // the one-call facade owns its own runtime setup: RocksDB-backed
+    // state (the documented scale contract — heap-backed default state
+    // would grow memory ∝ distinct keys)
+    ChangelogStream.configure(envelope.sparkSession)
+    // derive the sink key from keyField — restating it in sink.keyCols
+    // was a mismatch-prone duplicate knob (wrong case = nullable key +
+    // PRIMARY KEY on a non-existent column at runtime)
+    val sinkCfg = cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
     val schema = envelope.schema
     val keyIdx = schema.fieldIndex("kafka_key")
     val keyFieldIdx = schema("kafka_key").dataType
@@ -104,7 +116,7 @@ object ReplicationPipeline {
       seq = r => r.getLong(offsetIdx))
     ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
       (batch, batchId) =>
-        JdbcMerge.sink(cfg.sink, isDeletion, connect)(
+        JdbcMerge.sink(sinkCfg, isDeletion, connect)(
           flatten(batch.toDF(), cfg.keyField, cfg.projectCols), batchId)
     }
   }

@@ -157,15 +157,30 @@ class NearDupSpec extends SparkTestBase {
     assert(NearDup.collapseNearDups(docs, "doc_id", none).count() == 4)
   }
 
-  test("collapseNearDups converges on a long chain (worst-case diameter)") {
+  test("collapseNearDups converges on an adversarial chain (worst-case diameter)") {
     import spark.implicits._
-    // a 30-node path: min-label propagation needs ~diameter rounds; the
-    // whole chain must collapse to its minimum id
-    val docs = (0L to 29L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
+    // ids placed ADVERSARIALLY: the path runs 1-2-…-30-0, so the
+    // component minimum (0) sits at the FAR end and must propagate
+    // diameter-many rounds to reach node 1. (A monotone chain 0-1-…-n is
+    // no test at all: every node has a smaller immediate neighbor, so one
+    // round already yields the right survivor set.)
+    val docs = (0L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = ((1L until 30L).map(i => (i, i + 1)) :+ (30L, 0L)).toDF("id1", "id2")
     val got = NearDup.collapseNearDups(docs, "doc_id", chain)
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(0L))
+  }
+
+  test("collapseNearDups refuses to return under-merged components at maxIter") {
+    import spark.implicits._
+    // truncating the propagation silently would RETAIN near-duplicates;
+    // the operator must fail loudly instead
+    val docs = (0L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = ((1L until 30L).map(i => (i, i + 1)) :+ (30L, 0L)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      NearDup.collapseNearDups(docs, "doc_id", chain, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("simhash64: whitespace variants collide; token changes move few bits; unrelated docs are far") {

@@ -66,7 +66,7 @@ class ReplicationPipelineSpec extends SparkTestBase {
       envelope,
       ReplicationPipeline.Config(
         keyField = "user_id",
-        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Seq("USER_ID")),
+        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Nil), // derived from keyField
         checkpointDir = ckpt),
       () => ReplDb.connect())
     try {
@@ -129,7 +129,7 @@ class ReplicationPipelineSpec extends SparkTestBase {
       envelope,
       ReplicationPipeline.Config(
         keyField = "user_id",
-        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Seq("USER_ID")),
+        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Nil), // derived from keyField
         checkpointDir = ckpt),
       () => ReplDb.connect())
     try {
