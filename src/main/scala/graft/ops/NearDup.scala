@@ -97,9 +97,19 @@ object NearDup {
     // cores; ReuseExchange can't collapse the two sides either way
     // because the plans only canonicalize equal up to the window, not
     // through the differing output aliases).
-    prefix.select(col("s"), col("id").as("id1"))
-      .join(prefix.select(col("s"), col("id").as("id2")), "s")
-      .filter(col("id1") < col("id2"))
+    //
+    // Size filter (also lossless): J ≥ t forces t·|A| ≤ |B| AND
+    // t·|B| ≤ |A|, so size-incompatible prefix collisions are dropped IN
+    // the join (with the same one-ulp-safe relative guard as prefixLen —
+    // relaxing the bound only admits extra candidates for the verify
+    // stage to reject). Cuts the candidate set ~3× on the size-diverse
+    // fixture before any array is touched.
+    val sizeCompatible =
+      col("n1") * (threshold * (1 - 1e-12)) <= col("n2") &&
+        col("n2") * (threshold * (1 - 1e-12)) <= col("n1")
+    prefix.select(col("s"), col("id").as("id1"), col("n").as("n1"))
+      .join(prefix.select(col("s"), col("id").as("id2"), col("n").as("n2")), "s")
+      .filter(col("id1") < col("id2") && sizeCompatible)
       .select(col("id1"), col("id2"))
       .distinct()
   }

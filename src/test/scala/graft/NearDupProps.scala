@@ -39,6 +39,51 @@ object NearDupProps extends Properties("NearDup") {
       mh.forall { case (pair, score) => exact.get(pair).contains(score) }
     }
 
+  property("prefix-filtered exact pairs equal a driver-side all-pairs Jaccard model") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val got = NearDup.exactJaccardPairs(df, "doc_id", "text", 3, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // independent model: plain-Scala shingles + all-pairs Jaccard —
+      // losslessness of BOTH prefix and size filtering rides on this
+      def shingles(t: String): Set[String] = {
+        val w = t.trim.split("\\s+").filter(_.nonEmpty)
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = corpus.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+      val model = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        inter = (a & b).size
+        j2 = inter.toDouble / (a.size + b.size - inter)
+        if j2 >= 0.6
+      } yield (i, j) -> j2).toMap
+      got == model
+    }
+
+  property("collapseNearDups equals a driver-side union-find over the pair graph") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      val pairs = NearDup.exactJaccardPairs(df, "doc_id", "text", 3, 0.6)
+      val got = NearDup.collapseNearDups(df, "doc_id", pairs.select("id1", "id2"))
+        .collect().map(_.getLong(0)).toSet
+      // independent model: union-find, survivors = component minima +
+      // unpaired docs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.select("id1", "id2").collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val ids = corpus.map(_._1)
+      val model = ids.groupBy(find).values.map(_.min).toSet
+      got == model
+    }
+
   property("exactDedup equals the per-text fold model") =
     Prop.forAll(genCorpus) { corpus =>
       import spark.implicits._
