@@ -122,12 +122,14 @@ object NearDup {
     * shingle co-occurrence instead of hot-shingle bucket squares.
     * Output: (id1, id2, jaccard), id1 < id2.
     *
-    * Cost note (measured sf0.1, warm min-of-3): ~2.1 s vs ~1.2 s for the
-    * old uncapped join — the df-ranking window and the verify join-back
-    * are the price of candidate bounds that survive a boilerplate-heavy
-    * corpus (where the uncapped join is O(m²) and simply dies). For
-    * throughput-first near-dup at scale use [[minhashNearDupPairs]]
-    * (~0.8 s here, same verified output on the fixture).
+    * Cost note (measured sf0.1/32 cores, warm min-of-3): ~1.3 s vs
+    * ~1.2 s for the old uncapped join — the df-ranking window and the
+    * verify join-back are nearly paid for by the size filter's candidate
+    * cut (119K → 44K on the fixture), so candidate bounds that survive a
+    * boilerplate-heavy corpus (where the uncapped join is O(m²) and
+    * simply dies) now cost ~nothing here. For throughput-first near-dup
+    * at scale use [[minhashNearDupPairs]] (~0.7 s here, same verified
+    * output on the fixture).
     */
   def exactJaccardPairs(
       df: DataFrame,
