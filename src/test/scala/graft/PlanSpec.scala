@@ -71,4 +71,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("simhash64"), p)
     assert(!p.contains("Generate explode(split"), p)
   }
+
+  test("q_curate: one kernel pass, fingerprint-keyed hash aggregate, no text shuffle") {
+    val p = plan("q_curate")
+    // the quality gates read the single char_class_counts kernel call
+    assert(p.contains("char_class_counts"), p)
+    // dedup groups on the md5 fingerprint, hash-aggregated
+    assert(p.contains("md5(") && p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // nothing exchanges on the raw document text
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("q_neardup_jaccard joins prefixes with the size filter, never the raw text") {
+    val p = plan("q_neardup_jaccard")
+    // the size-compatibility predicate rides IN the join condition —
+    // size-incompatible collisions die before any array is touched
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("n1") && l.contains("n2")), p)
+    // candidate generation shuffles shingles/ids only — no exchange
+    // carries the document text column
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
 }
