@@ -5,6 +5,113 @@ import org.apache.spark.sql.SparkSession
 /** Top-level (encoder-friendly) event record for the replay benchmark. */
 case class ReplayEv(user_id: Long, event_id: Long, event_type: String, value: Double)
 
+/** The changelog state-replay measurement, shared by the forked replay
+  * JVM ([[ReplayBench]]) and [[Bench]]'s in-process fallback.
+  *
+  * This is the BASELINE protocol's only throughput figure (reference:
+  * TOMBSTONE_HANDLING_GUIDE.md:336-339 — ksqlDB rebuilds TABLE state from
+  * the topic at ~100K msgs/s SUSTAINED, 10 M msgs ≈ 100 s): replay the
+  * SF's event log, tiled to ≥1 M messages with monotone sequence numbers,
+  * through the streaming latest-by-key (flatMapGroupsWithState + RocksDB
+  * state store); report msgs/s.
+  */
+private[graft] object Replay {
+
+  /** The SF's events tiled to ≥1 M rows with monotone sequence numbers. */
+  def tiledEvents(spark: SparkSession, sfDir: String): Array[ReplayEv] = {
+    import spark.implicits._
+    val base = Tables
+      .events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "value")
+      .as[ReplayEv]
+      .collect()
+    val copies = math.max(1, (1000000 + base.length - 1) / base.length)
+    val span = base.iterator.map(_.event_id).max + 1
+    Array.tabulate(copies * base.length) { i =>
+      val e = base(i % base.length)
+      e.copy(event_id = e.event_id + (i / base.length).toLong * span)
+    }
+  }
+
+  def replayOnce(spark: SparkSession, events: Array[ReplayEv]): Double = {
+    import spark.implicits._
+    System.gc()
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
+    val out = graft.streaming.ChangelogStream
+      .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay")
+    // Feed BEFORE starting, in ~10K-row blocks: each MemoryStream
+    // block becomes one partition of a SINGLE micro-batch, so task
+    // binaries stay under the 1000 KiB warn threshold (one 1M-row
+    // block was a 62 MiB task) and the source reads in parallel.
+    // Feeding a RUNNING stream in chunks is the wrong fix: the
+    // trigger races the feed into many micro-batches and pays the
+    // per-batch RocksDB commit+snapshot many times over (measured
+    // 102K → 36K msgs/s).
+    events.grouped(10000).foreach(chunk => input.addData(chunk.toSeq))
+    val t0 = System.nanoTime()
+    val q = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      // RocksDB state for every key lives under the checkpoint —
+      // repeated rounds must not accumulate it in /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Three timed replays, best kept: the first absorbs one-time
+    * streaming/state-store init, and GC pauses only ever add time — same
+    * min-of-N rationale as the query sweep (observed run-to-run swings of
+    * 90-180K msgs/s on an otherwise quiet machine). */
+  def best(spark: SparkSession, sfDir: String): (Long, Double) = {
+    graft.streaming.ChangelogStream.configure(spark)
+    val events = tiledEvents(spark, sfDir)
+    (events.length.toLong,
+      Seq(replayOnce(spark, events), replayOnce(spark, events), replayOnce(spark, events)).min)
+  }
+}
+
+/** Forked entry point: runs ONLY the replay measurement in its own JVM
+  * and prints one marker line for [[Bench]] to parse. Isolation is the
+  * point — replay holds the tiled 1 M-row array plus MemoryStream block
+  * copies on the driver heap, and round 5 showed that heap pressure
+  * contaminating whichever measurement shares the JVM with it (sweep
+  * after replay: broad-spectrum query slowdown; replay after sweep:
+  * ~half the replay throughput). A fresh JVM per concern reproduces the
+  * scenario the reference describes — a state rebuild starts on a fresh
+  * server, not mid-workload — and leaves the sweep JVM pristine. */
+object ReplayBench {
+  val Marker = "GRAFT_REPLAY_RESULT"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.configure(spark)
+    val (events, sec) = Replay.best(spark, sfDir)
+    // marker line on stdout is the contract with Bench; println elsewhere
+    // in this JVM goes to stderr or is ignored by the parser
+    println(s"$Marker events=$events sec=$sec")
+    spark.stop()
+  }
+}
+
 /** Round benchmark: one JSON line with per-query wall seconds at the
   * driver-chosen scale factor.
   *
@@ -21,12 +128,81 @@ case class ReplayEv(user_id: Long, event_id: Long, event_type: String, value: Do
   *    scheduler jitter only ever add time);
   *  - failures print their stack trace and fail the run (exit 2) after
   *    emitting the JSON line with an `errors` map — a broken query must
-  *    never look like a fast one.
+  *    never look like a fast one;
+  *  - the replay measurement runs in a FORKED JVM (see [[ReplayBench]])
+  *    so its heap never coexists with the sweep's; if forking fails
+  *    (classpath not visible — e.g. an unforked sbt run), it falls back
+  *    in-process, replay-first, with the replay data dropped and a GC
+  *    before the sweep.
   */
 object Bench {
+
+  /** Run replay in its own JVM; None if the fork cannot run or its
+    * output cannot be parsed (the caller then measures in-process). */
+  private def forkedReplay(): Option[(Long, Double)] =
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val opens = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().trim.split("\\s+").toSeq
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd = Seq(javaBin) ++ opens ++ Seq(
+        s"-Xmx$mem",
+        "-cp", sys.props("java.class.path"),
+        "graft.ReplayBench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // keep its logs visible
+      val p = pb.start()
+      // consume stdout on a daemon thread so the pipe can't fill and
+      // deadlock the child; bound the wait so a hung child can't hang us
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val reader = new Thread(() =>
+        try scala.io.Source.fromInputStream(p.getInputStream).getLines()
+          .foreach(lines.add)
+        catch { case _: Throwable => () })
+      reader.setDaemon(true)
+      reader.start()
+      val finished = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) {
+        p.destroyForcibly()
+        System.err.println("forked replay timed out after 20 min")
+        None
+      } else {
+        reader.join(10000)
+        if (p.exitValue() != 0) {
+          System.err.println(s"forked replay exited ${p.exitValue()}")
+          None
+        } else {
+          val Pattern = (ReplayBench.Marker + """ events=(\d+) sec=([0-9.Ee+-]+)""").r
+          import scala.jdk.CollectionConverters._
+          lines.asScala.collectFirst { case Pattern(ev, sec) =>
+            (ev.toLong, sec.toDouble)
+          }
+        }
+      }
+    } catch {
+      case e: Throwable => e.printStackTrace(System.err); None
+    }
+
+  /** In-process fallback: replay-first (so the measurement itself sees a
+    * quiet heap), all replay state confined to this frame, GC before
+    * returning so the sweep starts as clean as this JVM can get. */
+  private def inProcessReplay(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val r = Replay.best(spark, sfDir)
+    System.gc()
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Replay FIRST and in a SEPARATE JVM: the 1 M-row feed must never
+    // share a heap with the timed sweep (round-5 lesson — whichever ran
+    // second absorbed the other's heap pressure: sweep-side 2.6× total
+    // regression / replay-side ~0.7× throughput).
+    val forked = forkedReplay()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,79 +212,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
 
+    val (replayEvents, replaySec) = forked.getOrElse {
+      try inProcessReplay(spark, sfDir)
+      catch { case e: Throwable => e.printStackTrace(System.err); (0L, -1.0) }
+    }
+    val replayMode = if (forked.isDefined) "forked" else "inprocess"
+    val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
+
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Throwable] =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
       catch { case e: Throwable => Some(e) }
-
-    // Changelog state-replay throughput, the BASELINE protocol's only
-    // throughput figure (reference: TOMBSTONE_HANDLING_GUIDE.md:336-339 —
-    // ksqlDB rebuilds TABLE state from the topic at ~100K msgs/s
-    // SUSTAINED, 10 M msgs ≈ 100 s): replay the SF's event log, tiled to
-    // ≥1 M messages with monotone sequence numbers, through the streaming
-    // latest-by-key (flatMapGroupsWithState + RocksDB state store);
-    // report msgs/s. Measured BEFORE the query sweep: the sweep's heap
-    // pressure halved replay throughput when it ran last (52K vs 108K+
-    // on a quiet heap, probed round 5) — replay-first reproduces the
-    // recovery scenario the reference describes (a rebuild starts on a
-    // fresh server, not mid-workload).
-    val (replayEvents, replaySec) = try {
-      import spark.implicits._
-      graft.streaming.ChangelogStream.configure(spark)
-      val base = Tables
-        .events(spark, sfDir)
-        .selectExpr("user_id", "event_id", "event_type", "value")
-        .as[ReplayEv]
-        .collect()
-      val copies = math.max(1, (1000000 + base.length - 1) / base.length)
-      val span = base.iterator.map(_.event_id).max + 1
-      val events = Array.tabulate(copies * base.length) { i =>
-        val e = base(i % base.length)
-        e.copy(event_id = e.event_id + (i / base.length).toLong * span)
-      }
-      // three timed replays, best kept: the first absorbs one-time
-      // streaming/state-store init, and GC pauses only ever add time —
-      // same min-of-N rationale as the queries (observed run-to-run
-      // swings of 90-180K msgs/s on an otherwise quiet machine)
-      def replayOnce(): Double = {
-        System.gc()
-        val input =
-          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ReplayEv](spark)
-        val out = graft.streaming.ChangelogStream
-          .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-replay")
-        // Feed BEFORE starting, in ~10K-row blocks: each MemoryStream
-        // block becomes one partition of a SINGLE micro-batch, so task
-        // binaries stay under the 1000 KiB warn threshold (one 1M-row
-        // block was a 62 MiB task) and the source reads in parallel.
-        // Feeding a RUNNING stream in chunks is the wrong fix: the
-        // trigger races the feed into many micro-batches and pays the
-        // per-batch RocksDB commit+snapshot many times over (measured
-        // 102K → 36K msgs/s).
-        events.grouped(10000).foreach(chunk => input.addData(chunk.toSeq))
-        val t0 = System.nanoTime()
-        val q = out.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt.toString)
-          .format("noop")
-          .start()
-        try {
-          q.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        } finally {
-          q.stop()
-          // RocksDB state for every key lives under the checkpoint —
-          // repeated rounds must not accumulate it in /tmp
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
-      (events.length.toLong, Seq(replayOnce(), replayOnce(), replayOnce()).min)
-    } catch {
-      case e: Throwable => e.printStackTrace(System.err); (0L, -1.0)
-    }
-    val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
 
     // Warm-up: full pass, untimed; surface failures immediately.
     val warmupErrors = queries.flatMap { case (n, fn) =>
@@ -161,7 +275,7 @@ object Bench {
     val r1Subset =
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

@@ -18,11 +18,25 @@ object Meta {
   private val fixtureTables: Seq[String] =
     Tables.relational ++ Seq("events", "documents", "embeddings")
 
-  /** Register every fixture table as a `graft_`-prefixed temp view
-    * (idempotent — re-registration replaces). */
-  def registerTables(spark: SparkSession, dir: String): Unit =
-    fixtureTables.foreach { t =>
-      Tables(spark, dir, t).createOrReplaceTempView(s"$Prefix$t")
+  // last dir registered per session (weak keys: a dropped session must
+  // not be pinned by this cache) — repeated SHOW TABLES calls skip the
+  // O(tables) parquet-footer schema inference re-registration would redo
+  private val registeredDir = new java.util.WeakHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a `graft_`-prefixed temp view.
+    * Idempotent AND cached: a repeat call for the (session, dir) already
+    * registered is a no-op, so the catalog listing stays a driver-side
+    * O(tables) operation however often it runs. Switching `dir` (or
+    * passing `force = true`, e.g. after dropping a view manually)
+    * re-registers — re-registration replaces. */
+  def registerTables(spark: SparkSession, dir: String, force: Boolean = false): Unit =
+    registeredDir.synchronized {
+      if (force || registeredDir.get(spark) != dir) {
+        fixtureTables.foreach { t =>
+          Tables(spark, dir, t).createOrReplaceTempView(s"$Prefix$t")
+        }
+        registeredDir.put(spark, dir)
+      }
     }
 
   /** `SHOW TABLES` over the engine's namespace: one sorted row per

@@ -340,24 +340,62 @@ object NearDup {
     * id, docs in no pair survive untouched.
     *
     * Scale notes: labels exist only for docs appearing in a pair (the
-    * near-dup set, typically ≪ corpus); each round is one equi-join +
-    * one aggregate over that set, `localCheckpoint`ed so lineage stays
-    * flat across rounds; round count ∝ component diameter (near-dup
-    * clusters are near-cliques — 2-3 rounds in practice, `maxIter` caps
-    * adversarial chains). The corpus itself is touched exactly once, by
-    * the final anti-join against the non-representative ids.
+    * near-dup set, typically ≪ corpus); each round is ONE Spark job —
+    * an equi-join + aggregate over that set, materialized through a lazy
+    * checkpoint whose changed-label count doubles as the convergence
+    * check; round count ∝ component diameter (near-dup clusters are
+    * near-cliques — 2-3 rounds in practice, `maxIter` caps adversarial
+    * chains). The corpus itself is touched exactly once, by the final
+    * anti-join against the non-representative ids.
+    *
+    * Checkpoint hygiene (the iterative-algorithm storage contract):
+    * `pairs` is scanned ONCE (explode emits both edge directions), each
+    * round's checkpoint is unpersisted as soon as the next round
+    * supersedes it, and everything except the final drop-set is released
+    * before returning. When `spark.sparkContext.setCheckpointDir` is set
+    * — the required configuration on a real cluster, where
+    * `localCheckpoint`'s executor-resident blocks would die with an
+    * executor — RELIABLE checkpoints are used instead and NOTHING stays
+    * in the block manager. Without a checkpoint dir (local/test runs)
+    * the one retained block is the drop-set — ids of non-representative
+    * docs only — reclaimed by the ContextCleaner when the returned plan
+    * is garbage-collected.
     */
+  /** Drop the blocks of a `localCheckpoint`ed dataset. `Dataset.unpersist`
+    * only clears CacheManager-tracked (`Dataset.persist`) entries; a local
+    * checkpoint persists at the RDD level underneath a [[LogicalRDD]], so
+    * releasing it needs the RDD itself. No-op for non-checkpoint plans and
+    * for reliable checkpoints (file-backed, nothing block-resident). */
+  private def releaseCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def collapseNearDups(
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .localCheckpoint()
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // one scan of `pairs` builds both edge directions — the old
+    // self-union evaluated the (expensive) pair pipeline twice
+    val edgesPlan = pairs
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    // reliable checkpoints recompute lineage to write their files, so the
+    // expensive pair scan is persisted across the write and dropped after
+    val edges =
+      if (reliable) {
+        val cached = edgesPlan.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint() finally cached.unpersist(false)
+      } else edgesPlan.localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+    var prevRound: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -366,28 +404,43 @@ object NearDup {
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels
+      val updatedPlan = labels
         .join(neighborMin.select(col("a").as("node"), col("nmin")), "node")
         .select(
           col("node"),
           least(col("label"), col("nmin")).as("label"),
           (col("nmin") < col("label")).as("__chg"))
-        .localCheckpoint()
-      converged = updated.filter(col("__chg")).limit(1).isEmpty
+      // LAZY checkpoint + count: the count job materializes the round's
+      // checkpoint AND answers convergence — one job, not a materialize
+      // job plus an isEmpty probe
+      val updated =
+        if (reliable) updatedPlan.checkpoint(eager = false)
+        else updatedPlan.localCheckpoint(eager = false)
+      converged = updated.filter(col("__chg")).count() == 0
+      prevRound.foreach(releaseCheckpoint) // superseded — release its blocks
+      prevRound = Some(updated)
       labels = updated.select(col("node"), col("label"))
       i += 1
     }
+    def release(): Unit = { prevRound.foreach(releaseCheckpoint); releaseCheckpoint(edges) }
     // refuse to return an under-merged (wrong) component structure: a
     // path whose smallest ids sit at opposite ends needs diameter-many
     // rounds, and silently truncating at maxIter would retain
     // near-duplicates while still claiming transitive correctness
-    if (!converged)
+    if (!converged) {
+      release()
       throw new IllegalStateException(
         s"collapseNearDups did not converge within $maxIter rounds — " +
           s"a component's diameter exceeds maxIter; raise it")
-    df.join(
-      labels.filter(col("label") < col("node")).select(col("node").as(idCol)),
-      Seq(idCol), "left_anti")
+    }
+    // pin ONLY the tiny drop-set (non-representative ids), then free the
+    // loop state — the returned anti-join depends on nothing else
+    val dropPlan =
+      labels.filter(col("label") < col("node")).select(col("node").as(idCol))
+    val drop =
+      if (reliable) dropPlan.checkpoint() else dropPlan.localCheckpoint()
+    release()
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for

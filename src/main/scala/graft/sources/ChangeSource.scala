@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   */
 trait ChangeSource {
 
-  /** @param startingOffset "earliest" (replay all), "latest" (only new
+  /** @param startingOffset None = the source's own configured default
+    *                       (each implementation documents its resting
+    *                       position — "earliest" here, the Config's
+    *                       `startingOffsets` for [[KafkaChangeSource]] —
+    *                       so a per-call override can never silently
+    *                       shadow source configuration). Some(...):
+    *                       "earliest" (replay all), "latest" (only new
     *                       data — empty for a static snapshot), or a
     *                       source-specific position: a numeric offset
     *                       (inclusive) where the source has one global
@@ -25,14 +31,14 @@ trait ChangeSource {
     *                       [[KafkaChangeSource]] takes the Kafka source's
     *                       per-partition JSON instead and rejects bare
     *                       numerics at construction. */
-  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame
+  def read(spark: SparkSession, startingOffset: Option[String] = None): DataFrame
 }
 
-/** Parquet-backed changelog topic stand-in. */
+/** Parquet-backed changelog topic stand-in. Default position: earliest. */
 class ParquetChangeSource(path: String, offsetCol: String = "offset") extends ChangeSource {
-  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame = {
+  def read(spark: SparkSession, startingOffset: Option[String] = None): DataFrame = {
     val df = graft.GraftSession.configure(spark).read.parquet(path)
-    startingOffset match {
+    startingOffset.getOrElse("earliest") match {
       case "earliest" => df
       case "latest"   => df.limit(0) // static snapshot has no future rows
       case n          => df.filter(col(offsetCol) >= n.toLong)

@@ -100,26 +100,29 @@ object KafkaWire {
   * the Kafka connector jars (absent offline) — the `.load()` boundary;
   * everything else (option mapping, wire decode, envelope schema) is
   * covered by KafkaWireSpec through [[KafkaWire.encodeEnvelope]]
-  * round-trips. `startingOffset` passes through: "earliest"/"latest" or
-  * the Kafka source's per-partition offset JSON
-  * (`{"topic":{"0":12345}}`). A bare numeric offset — valid for sources
-  * with one global offset order, like [[ParquetChangeSource]] — has no
-  * Kafka meaning (offsets are per-partition) and is rejected HERE with a
-  * actionable message instead of surfacing as an opaque connector error
-  * at `.load()`. */
+  * round-trips. `startingOffset` defaults to the Config's own
+  * `startingOffsets` (None = use what the source was configured with —
+  * a per-call override must be EXPLICIT, so the Config field can never
+  * be silently shadowed); an override is "earliest"/"latest" or the
+  * Kafka source's per-partition offset JSON (`{"topic":{"0":12345}}`).
+  * A bare numeric offset — valid for sources with one global offset
+  * order, like [[ParquetChangeSource]] — has no Kafka meaning (offsets
+  * are per-partition) and is rejected HERE with an actionable message
+  * instead of surfacing as an opaque connector error at `.load()`. */
 class KafkaChangeSource(
     cfg: KafkaWire.Config,
     keySchema: StructType,
     valueSchema: StructType) extends ChangeSource {
-  def read(spark: SparkSession, startingOffset: String = "earliest"): DataFrame = {
-    if (startingOffset.toLongOption.isDefined)
+  def read(spark: SparkSession, startingOffset: Option[String] = None): DataFrame = {
+    val offsets = startingOffset.getOrElse(cfg.startingOffsets)
+    if (offsets.toLongOption.isDefined)
       throw new IllegalArgumentException(
         s"Kafka offsets are per-partition: pass startingOffsets JSON " +
-          s"""like {"${cfg.topic}":{"0":$startingOffset}} (or earliest/latest), """ +
-          s"not the bare offset $startingOffset")
+          s"""like {"${cfg.topic}":{"0":$offsets}} (or earliest/latest), """ +
+          s"not the bare offset $offsets")
     KafkaWire.decodeEnvelope(
       KafkaWire
-        .kafkaStreamReader(spark, cfg.copy(startingOffsets = startingOffset))
+        .kafkaStreamReader(spark, cfg.copy(startingOffsets = offsets))
         .load()
         .select(col("key"), col("value"), col("offset")),
       keySchema, valueSchema)

@@ -41,9 +41,17 @@ object PullQuery {
   /** The live TABLE view a ksqlDB pull query sees: state minus keys whose
     * latest row is a deletion (C2 semantics). `isDeleted` is the domain's
     * tombstone predicate, e.g. `col("event_type") === "delete"` or
-    * `col("record").isNull`. */
+    * `col("record").isNull`.
+    *
+    * A NULL predicate result counts as DELETED: a raw tombstone retained
+    * in state is (key, NULL…) — every non-key field NULL — so any natural
+    * field predicate (`col("__DELETED") === "true"`) evaluates NULL
+    * exactly on tombstones, and treating NULL as live would resurrect
+    * deleted keys. This mirrors [[ReplicationPipeline.isDeletion]]'s
+    * NULL handling on the sink side. A predicate that must not have this
+    * default can make itself total (`coalesce(pred, lit(false))`). */
   def liveState(spark: SparkSession, checkpointDir: String, isDeleted: Column): DataFrame =
-    stateSnapshot(spark, checkpointDir).filter(!coalesce(isDeleted, lit(false)))
+    stateSnapshot(spark, checkpointDir).filter(!coalesce(isDeleted, lit(true)))
 
   /** D1: the point-lookup pull query (`... WHERE id = 1`). */
   def pointLookup(

@@ -16,15 +16,19 @@ class ChangeSourceSpec extends SparkTestBase {
   }
 
   test("earliest replays everything") {
-    assert(new ParquetChangeSource(path).read(spark, "earliest").count() == 10)
+    assert(new ParquetChangeSource(path).read(spark, Some("earliest")).count() == 10)
+  }
+
+  test("no override reads from the source's configured default (earliest)") {
+    assert(new ParquetChangeSource(path).read(spark).count() == 10)
   }
 
   test("latest sees nothing new in a static snapshot") {
-    assert(new ParquetChangeSource(path).read(spark, "latest").count() == 0)
+    assert(new ParquetChangeSource(path).read(spark, Some("latest")).count() == 0)
   }
 
   test("numeric offset resumes inclusively and prunes at the scan") {
-    val df = new ParquetChangeSource(path).read(spark, "7")
+    val df = new ParquetChangeSource(path).read(spark, Some("7"))
     assert(df.select(min(col("offset"))).collect()(0).getLong(0) == 7L)
     assert(df.count() == 4)
     val plan = df.queryExecution.executedPlan.toString

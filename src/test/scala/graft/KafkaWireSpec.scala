@@ -39,8 +39,20 @@ class KafkaWireSpec extends SparkTestBase {
       KafkaWire.Config("broker:29092", "t"),
       StructType(Seq(StructField("id", LongType))),
       StructType(Seq(StructField("v", StringType))))
-    val e = intercept[IllegalArgumentException] { src.read(spark, "12345") }
+    val e = intercept[IllegalArgumentException] { src.read(spark, Some("12345")) }
     assert(e.getMessage.contains("per-partition") && e.getMessage.contains("12345"))
+  }
+
+  test("read with no override consults the Config's startingOffsets (no dead knob)") {
+    // a bare-numeric CONFIG value must hit the same validation when read()
+    // is called without an override — proving cfg.startingOffsets is what
+    // the read path actually uses (it was silently shadowed before)
+    val src = new graft.sources.KafkaChangeSource(
+      KafkaWire.Config("broker:29092", "t", startingOffsets = "67890"),
+      StructType(Seq(StructField("id", LongType))),
+      StructType(Seq(StructField("v", StringType))))
+    val e = intercept[IllegalArgumentException] { src.read(spark) }
+    assert(e.getMessage.contains("67890"))
   }
 
   test("wire round-trip: envelope → Avro frame → decoded envelope, schema- and value-exact") {
