@@ -36,9 +36,11 @@ private[graft] object Replay {
     val base = Tables
       .events(spark, sfDir)
       .selectExpr("user_id", "event_id", "event_type", "value")
-    val n = base.count()
+    // one scan for both tiling parameters
+    val stats = base.agg(count(lit(1)), max(col("event_id"))).collect()(0)
+    val n = stats.getLong(0)
     val copies = math.max(1L, (1000000L + n - 1) / n)
-    val span = base.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val span = stats.getLong(1) + 1
     spark.range(copies).crossJoin(base)
       .select(
         col("user_id"),
@@ -50,7 +52,7 @@ private[graft] object Replay {
     copies * n
   }
 
-  private def wipe(p: java.nio.file.Path): Unit = {
+  def wipe(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
       .foreach(f => java.nio.file.Files.deleteIfExists(f))
@@ -191,16 +193,19 @@ object Bench {
         None
       } else {
         reader.join(10000)
-        if (p.exitValue() != 0) {
-          System.err.println(s"forked replay exited ${p.exitValue()}")
-          None
-        } else {
-          val Pattern = (ReplayBench.Marker + """ events=(\d+) sec=([0-9.Ee+-]+)""").r
-          import scala.jdk.CollectionConverters._
-          lines.asScala.collectFirst { case Pattern(ev, sec) =>
-            (ev.toLong, sec.toDouble)
-          }
+        // a printed marker is a COMPLETED measurement — honor it even if
+        // the child's teardown then exited nonzero, because the fallback
+        // would re-run the whole replay on the sweep's heap (the exact
+        // contamination the fork exists to prevent)
+        val Pattern = (ReplayBench.Marker + """ events=(\d+) sec=([0-9.Ee+-]+)""").r
+        import scala.jdk.CollectionConverters._
+        val parsed = lines.asScala.collectFirst { case Pattern(ev, sec) =>
+          (ev.toLong, sec.toDouble)
         }
+        if (p.exitValue() != 0)
+          System.err.println(s"forked replay exited ${p.exitValue()}" +
+            (if (parsed.isDefined) " (after printing its result — using it)" else ""))
+        parsed
       }
     } catch {
       case e: Throwable => e.printStackTrace(System.err); None

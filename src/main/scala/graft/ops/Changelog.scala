@@ -50,13 +50,21 @@ object Changelog {
     * @param isDelete predicate on the *latest* row marking a tombstone,
     *                 e.g. `col("event_type") === "delete"` or
     *                 `col("__deleted") === "true"` or `col("value").isNull`.
+    *                 A NULL result counts as DELETED — a raw tombstone row
+    *                 is (key, NULL…), so field predicates evaluate NULL
+    *                 exactly there; this matches SQL `WHERE NOT(pred)`
+    *                 (NULL is not TRUE), [[graft.streaming.PullQuery]]'s
+    *                 live view, and the sink-side
+    *                 [[graft.streaming.ReplicationPipeline.isDeletion]],
+    *                 so batch and streaming state can never disagree on
+    *                 tombstones.
     */
   def applyChangelog(
       df: DataFrame,
       keyCols: Seq[String],
       seqCol: Column,
       isDelete: Column): DataFrame =
-    latestByKey(df, keyCols, seqCol).filter(!coalesce(isDelete, lit(false)))
+    latestByKey(df, keyCols, seqCol).filter(!coalesce(isDelete, lit(true)))
 
   /** COUNT(*) over the applied state — the reference's liveness check
     * (`SELECT COUNT(*) FROM movies_transformed`, README.md:150). */

@@ -340,10 +340,11 @@ object NearDup {
     * id, docs in no pair survive untouched.
     *
     * Scale notes: labels exist only for docs appearing in a pair (the
-    * near-dup set, typically ≪ corpus); each round is ONE Spark job —
-    * an equi-join + aggregate over that set, materialized through a lazy
-    * checkpoint whose changed-label count doubles as the convergence
-    * check; round count ∝ component diameter (near-dup clusters are
+    * near-dup set, typically ≪ corpus); each round computes its
+    * equi-join + aggregate over that set exactly ONCE — locally as a
+    * single job (lazy checkpoint whose changed-label count doubles as
+    * the convergence check), reliably as the persist-across-write
+    * recipe; round count ∝ component diameter (near-dup clusters are
     * near-cliques — 2-3 rounds in practice, `maxIter` caps adversarial
     * chains). The corpus itself is touched exactly once, by the final
     * anti-join against the non-representative ids.
@@ -355,22 +356,46 @@ object NearDup {
     * before returning. When `spark.sparkContext.setCheckpointDir` is set
     * — the required configuration on a real cluster, where
     * `localCheckpoint`'s executor-resident blocks would die with an
-    * executor — RELIABLE checkpoints are used instead and NOTHING stays
-    * in the block manager. Without a checkpoint dir (local/test runs)
-    * the one retained block is the drop-set — ids of non-representative
-    * docs only — reclaimed by the ContextCleaner when the returned plan
-    * is garbage-collected.
+    * executor — RELIABLE checkpoints are used instead: NOTHING stays in
+    * the block manager, each checkpoint computes exactly once (persisted
+    * across the file write), and superseded rounds DELETE their files
+    * deterministically (Spark's own cleaner only does so under the
+    * non-default `cleanCheckpoints=true`), leaving only the drop-set's
+    * files behind the returned plan. Without a checkpoint dir
+    * (local/test runs) the one retained block is that same drop-set —
+    * ids of non-representative docs only — reclaimed by the
+    * ContextCleaner when the returned plan is garbage-collected.
     */
-  /** Drop the blocks of a `localCheckpoint`ed dataset. `Dataset.unpersist`
+  /** Release a SUPERSEDED checkpoint completely. `Dataset.unpersist`
     * only clears CacheManager-tracked (`Dataset.persist`) entries; a local
     * checkpoint persists at the RDD level underneath a [[LogicalRDD]], so
-    * releasing it needs the RDD itself. No-op for non-checkpoint plans and
-    * for reliable checkpoints (file-backed, nothing block-resident). */
+    * releasing its blocks needs the RDD itself. A reliable checkpoint
+    * leaves FILES instead, which Spark deletes only under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default) — so superseded rounds delete their files deterministically
+    * here rather than stranding O(rounds) file sets per invocation in the
+    * cluster checkpoint dir. No-op for non-checkpoint plans. */
   private def releaseCheckpoint(ds: DataFrame): Unit =
     ds.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+        l.rdd.getCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          path.getFileSystem(ds.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
       case _ => ()
     }
+
+  /** Reliable checkpoint without the double compute: a reliable
+    * checkpoint's file-write job RECOMPUTES the RDD's lineage, so the
+    * plan is persisted across the write (the write job reads the cache)
+    * and the transient cache dropped immediately after. */
+  private def reliableCkpt(plan: DataFrame): DataFrame = {
+    val cached = plan.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try cached.checkpoint() finally cached.unpersist(false)
+  }
 
   def collapseNearDups(
       df: DataFrame,
@@ -385,14 +410,8 @@ object NearDup {
         struct(col("id1").as("a"), col("id2").as("b")),
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-    // reliable checkpoints recompute lineage to write their files, so the
-    // expensive pair scan is persisted across the write and dropped after
     val edges =
-      if (reliable) {
-        val cached = edgesPlan.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try cached.checkpoint() finally cached.unpersist(false)
-      } else edgesPlan.localCheckpoint()
+      if (reliable) reliableCkpt(edgesPlan) else edgesPlan.localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var prevRound: Option[DataFrame] = None
@@ -410,11 +429,13 @@ object NearDup {
           col("node"),
           least(col("label"), col("nmin")).as("label"),
           (col("nmin") < col("label")).as("__chg"))
-      // LAZY checkpoint + count: the count job materializes the round's
-      // checkpoint AND answers convergence — one job, not a materialize
-      // job plus an isEmpty probe
+      // Local mode: LAZY checkpoint + count — the count job materializes
+      // the round's checkpoint AND answers convergence, one job, not a
+      // materialize job plus an isEmpty probe. Reliable mode: the
+      // persist-across-write recipe (compute once; the convergence count
+      // is then a cheap read of the checkpoint files).
       val updated =
-        if (reliable) updatedPlan.checkpoint(eager = false)
+        if (reliable) reliableCkpt(updatedPlan)
         else updatedPlan.localCheckpoint(eager = false)
       converged = updated.filter(col("__chg")).count() == 0
       prevRound.foreach(releaseCheckpoint) // superseded — release its blocks
@@ -438,7 +459,7 @@ object NearDup {
     val dropPlan =
       labels.filter(col("label") < col("node")).select(col("node").as(idCol))
     val drop =
-      if (reliable) dropPlan.checkpoint() else dropPlan.localCheckpoint()
+      if (reliable) reliableCkpt(dropPlan) else dropPlan.localCheckpoint()
     release()
     df.join(drop, Seq(idCol), "left_anti")
   }

@@ -42,6 +42,23 @@ class ChangelogSpec extends SparkTestBase {
     assert(state(lifecycle) == Map(1L -> ((4L, 30.0))))
   }
 
+  test("a NULL deletion-predicate result counts as deleted (raw-tombstone agreement)") {
+    // a raw tombstone retained as the latest row is (key, NULL…), so a
+    // field predicate evaluates NULL exactly there; batch state must drop
+    // the key — matching SQL WHERE NOT(pred), PullQuery.liveState, and
+    // ReplicationPipeline.isDeletion, so batch and streaming state can
+    // never disagree on tombstones
+    val rows = Seq(
+      (1L, 1L, Some("insert"), Some(10.0)),
+      (1L, 2L, None: Option[String], None: Option[Double]), // raw tombstone
+      (2L, 3L, Some("insert"), Some(5.0))
+    ).toDF("user_id", "event_id", "event_type", "value")
+    val live = Changelog
+      .applyChangelog(rows, Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(live == Set(2L), "the NULL-predicate (tombstoned) key must not survive")
+  }
+
   test("arrival order does not matter — only sequence order does") {
     // The delete arriving physically last must still lose to the later
     // re-insert; a shuffled changelog replays to the same state.

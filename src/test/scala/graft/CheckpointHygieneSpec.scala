@@ -46,9 +46,20 @@ class CheckpointHygieneSpec extends SparkTestBase {
       val fresh = sc.getPersistentRDDs.keySet -- before
       assert(fresh.isEmpty,
         s"reliable-checkpoint mode must keep zero blocks, found ${fresh.size}")
+      // and superseded rounds must DELETE their files (Spark's own cleaner
+      // only does under non-default cleanCheckpoints=true): of ~30 rounds
+      // plus edges, only the drop-set's checkpoint may remain on disk
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .toSeq
+      assert(rddDirs.size <= 1,
+        s"checkpoint FILES leaked: ${rddDirs.size} rdd-* dirs remain under $dir")
     } finally {
       // unset (private[spark]) so other suites keep local-checkpoint mode
       org.apache.spark.GraftSparkTestHooks.clearCheckpointDir(sc)
+      Replay.wipe(dir)
     }
   }
 }

@@ -11,12 +11,13 @@ package graft
   * Run: sbt "Test/runMain graft.FileReplayProbe" */
 object FileReplayProbe {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-file-replay-probe", cores = 32)
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
 
     val log = java.nio.file.Files.createTempDirectory("graft-replay-log")
-    val n = Replay.writeTiledLog(spark, "/root/testdata/sf0.1", log.toString)
+    val n = Replay.writeTiledLog(spark, sfDir, log.toString)
 
     (1 to 4).foreach { i =>
       val rate = n / Replay.replayLogOnce(spark, log.toString)
@@ -42,20 +43,13 @@ object FileReplayProbe {
         .format("noop")
         .start()
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
-      finally {
-        q.stop()
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      finally { q.stop(); Replay.wipe(ckpt) }
     }
     (1 to 4).foreach { i =>
       println(f"REPLAYPROBE memorystream run$i: ${n / memOnce()}%,.0f msgs/s")
     }
 
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(log).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    Replay.wipe(log)
     spark.stop()
   }
 }
