@@ -8,4 +8,8 @@ object GraftSparkTestHooks {
     * without leaking the setting into every other suite sharing the
     * JVM-wide SparkContext. */
   def clearCheckpointDir(sc: SparkContext): Unit = sc.checkpointDir = None
+
+  /** Drain the listener bus so listener-based counters are stable before
+    * a test asserts on them. */
+  def flushListeners(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
