@@ -150,6 +150,13 @@ object ReplayBench {
   *  - three timed iterations per query, reporting the MINIMUM — the
   *    standard noise-stripper for a shared-machine harness (GC pauses and
   *    scheduler jitter only ever add time);
+  *  - SELF-DIAGNOSING against ambient load (round-6 lesson: a machine
+  *    burst spanning all three iterations of one query made 0.34 s
+  *    q_window_hop record 3.09 s — min-of-3 cannot see a burst wider
+  *    than its own window): any query whose max/min spread exceeds 3×
+  *    (and min > 0.1 s) is re-run once, minutes later in wall time, and
+  *    ALL timings are published in an `iterations` field so a reader can
+  *    distinguish plan decay (all slow) from contamination (one spike);
   *  - failures print their stack trace and fail the run (exit 2) after
   *    emitting the JSON line with an `errors` map — a broken query must
   *    never look like a fast one;
@@ -257,20 +264,42 @@ object Bench {
     }.toMap
 
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = queries.map { case (name, fn) =>
-      if (warmupErrors.contains(name)) (name, -1.0, warmupErrors.get(name))
-      else {
-        val timings = (1 to iterations).map { _ =>
-          val t0 = System.nanoTime()
-          val err = execute(name, fn)
-          err.foreach(_.printStackTrace(System.err))
-          ((System.nanoTime() - t0) / 1e9, err)
-        }
-        timings.collectFirst { case (_, Some(e)) => e } match {
-          case some @ Some(_) => (name, -1.0, some)
-          case None           => (name, timings.map(_._1).min, None)
-        }
+    // A load burst spanning ALL of one query's iterations defeats min-of-N
+    // (round 6: q_window_hop recorded 3.09 s in the artifact, 0.34 s on an
+    // identical re-run minutes later). Self-diagnose: when max/min exceeds
+    // this, the machine was unquiet during the window — re-run the whole
+    // iteration block once and keep every timing. The re-run is minutes
+    // later in the sweep, so a burst has to span both windows to survive.
+    val rerunSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "3.0").toDouble
+    def timeBlock(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[Throwable, Vector[Double]] = {
+      val timings = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        val err = execute(name, fn)
+        err.foreach(_.printStackTrace(System.err))
+        ((System.nanoTime() - t0) / 1e9, err)
       }
+      timings.collectFirst { case (_, Some(e)) => e }
+        .toLeft(timings.map(_._1).toVector)
+    }
+    // spread only meaningful above measurement jitter: sub-100 ms queries
+    // can legitimately double on a codegen-cache miss
+    def noisy(ts: Vector[Double]): Boolean =
+      ts.min > 0.1 && ts.max / ts.min > rerunSpread
+    val firstPass = queries.map { case (name, fn) =>
+      if (warmupErrors.contains(name))
+        (name, Left(warmupErrors(name)): Either[Throwable, Vector[Double]], false)
+      else (name, timeBlock(name, fn), false)
+    }
+    val results = firstPass.map {
+      case (name, Right(ts), _) if noisy(ts) =>
+        System.err.println(
+          f"bench: $name spread ${ts.max / ts.min}%.1fx (${ts.mkString(", ")}) — re-running once")
+        queries.collectFirst { case (`name`, fn) => timeBlock(name, fn) } match {
+          case Some(Right(ts2)) => (name, Right(ts ++ ts2), true)
+          case _                => (name, Right(ts), true) // re-run failed: keep 1st block
+        }
+      case r => r
     }
 
     // escape control chars too — Spark exception messages are multi-line
@@ -283,12 +312,23 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    def fmt(d: Double) = f"$d%.4f"
+    val best = results.map {
+      case (k, Right(ts), _) => (k, ts.min, None: Option[Throwable])
+      case (k, Left(e), _)   => (k, -1.0, Some(e))
+    }
+    val qs = best.map { case (k, v, _) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
+    val errs = best.collect { case (k, _, Some(e)) =>
       s"${jstr(k)}:${jstr(e.toString.take(200))}"
     }.mkString("{", ",", "}")
+    // full per-iteration timings: lets a reader distinguish a plan
+    // regression (all iterations slow) from ambient load (one spike)
+    val iters = results.collect { case (k, Right(ts), _) =>
+      s"${jstr(k)}:${ts.map(fmt).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val reran = results.collect { case (k, _, true) => jstr(k) }.mkString("[", ",", "]")
     // failed queries report -1 individually but must not distort the total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = best.map(_._2).filter(_ >= 0).sum
     // the round-1 query set, for like-for-like comparison against the
     // recorded BASELINE total (the full set has since grown past it)
     val r1Keys = Set(
@@ -298,12 +338,12 @@ object Bench {
       "q_enrich_join", "q_dedup_docs", "q_text_stats", "q_sim_topk")
     // -1 (invalid) when any r1 query failed — a partial subset must never
     // masquerade as a like-for-like baseline comparison
-    val r1Results = results.filter(r => r1Keys(r._1))
+    val r1Results = best.filter(r => r1Keys(r._1))
     val r1Subset =
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"baseline_subset_total":$r1Subset,"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(2)
+    if (best.exists(_._3.isDefined)) sys.exit(2)
   }
 }
