@@ -62,6 +62,96 @@ object PullQuery {
       key: Any): DataFrame =
     liveState(spark, checkpointDir, isDeleted).filter(col(keyCol) === lit(key))
 
+  /** Partition-PRUNED point lookup: reads ONLY the state partition the
+    * key hashes to, the way ksqlDB routes a pull query to the key's
+    * partition owner instead of scanning every store
+    * (reference: TOMBSTONE_HANDLING_GUIDE.md:185-195 — the pull query is
+    * served from the persistent query's RocksDB, keyed routing implied by
+    * Kafka Streams' partition assignment).
+    *
+    * Routing: flatMapGroupsWithState clusters state by
+    * `HashPartitioning(key)` — `pmod(murmur3(key, seed=42), n)` — so the
+    * key's partition is computable without touching state. The single
+    * partition is then read via the state source's snapshot options
+    * (`snapshotPartitionId` plans exactly ONE input partition): latest
+    * snapshot ≤ the last committed batch, changelog replay to the batch.
+    * With the [[ChangelogStream.configure]] defaults (RocksDB, changelog
+    * checkpointing off) every commit uploads a full snapshot, so the
+    * lookup always reflects the last committed micro-batch — identical
+    * freshness to [[pointLookup]].
+    *
+    * Falls back to the full-scan [[pointLookup]] when no snapshot exists
+    * yet for the key's partition (e.g. changelog checkpointing ON before
+    * the first maintenance upload) or nothing has committed — a serving
+    * layer must answer regardless. Callers can detect the pruned path by
+    * `result.rdd.getNumPartitions == 1`.
+    *
+    * Scale note: this is the serving-path complement of the distributed
+    * scan — at 1000 executors and thousands of state partitions, a
+    * per-lookup full scan is O(total state); this is O(one partition's
+    * store), independent of cluster width. */
+  def pointLookupPruned(
+      spark: SparkSession,
+      checkpointDir: String,
+      isDeleted: Column,
+      keyCol: String,
+      key: Any,
+      operatorId: Int = 0): DataFrame = {
+    val fallback = pointLookup(spark, checkpointDir, isDeleted, keyCol, key)
+    lastCommittedBatch(spark, checkpointDir) match {
+      case None => fallback // nothing committed: empty-state full scan
+      case Some(batch) =>
+        val stateDir = new org.apache.hadoop.fs.Path(s"$checkpointDir/state/$operatorId")
+        val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
+        val nParts = fs.listStatus(stateDir)
+          .count(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
+        require(nParts > 0, s"no state partitions under $stateDir")
+        // the state key schema names the grouping column(s); single-column
+        // keys (the pointLookup contract) hash directly
+        val keyType = spark.read.format("statestore").option("path", checkpointDir)
+          .load().schema("key").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (keyType.length != 1) fallback // composite key: routing needs all fields
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+          val h = new Murmur3Hash(Seq(Literal.create(key, keyType.head.dataType)), 42)
+            .eval(null).asInstanceOf[Int]
+          val p = java.lang.Math.floorMod(h, nParts)
+          // latest uploaded snapshot for THIS partition, at or before the
+          // committed version (RocksDB uploads {v}.zip, HDFS {v}.snapshot)
+          val SnapName = """(\d+)\.(?:zip|snapshot)""".r
+          val snapVersions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir, p.toString))
+            .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
+            .filter(_ <= batch + 1)
+          if (snapVersions.isEmpty) fallback
+          else {
+            val snapshotVersion = snapVersions.max
+            val pruned = spark.read
+              .format("statestore")
+              .option("path", checkpointDir)
+              .option("batchId", batch)
+              .option("snapshotStartBatchId", snapshotVersion - 1)
+              .option("snapshotPartitionId", p)
+              .load()
+              .select(col("value.groupState.*"))
+            pruned
+              .filter(!coalesce(isDeleted, lit(true)))
+              .filter(col(keyCol) === lit(key))
+          }
+        }
+    }
+  }
+
+  /** Highest batch id with a commit-log entry — the state version pull
+    * queries serve (the statestore source's own default). */
+  private def lastCommittedBatch(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val fs = commits.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+  }
+
   /** D2: the COUNT(*) pull query over the live table. */
   def liveCount(spark: SparkSession, checkpointDir: String, isDeleted: Column): Long =
     liveState(spark, checkpointDir, isDeleted).count()

@@ -61,4 +61,52 @@ class PullQuerySpec extends SparkTestBase {
       assert(PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 3L).isEmpty)
     } finally q.stop()
   }
+
+  test("pruned point lookup reads exactly one state partition and equals the full scan") {
+    import spark.implicits._
+    ChangelogStream.configure(spark)
+    val input = MemoryStream[ReplayEv](spark)
+    val stream = ChangelogStream
+      .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pruned").toString
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .start()
+    val isDel = col("event_type") === "delete"
+    try {
+      // enough keys that every state partition is populated, plus a
+      // delete and an update so the pruned read sees real lifecycle state
+      input.addData((1L to 40L).map(k => ReplayEv(k, k * 10, "insert", k.toDouble)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        ReplayEv(7L, 900L, "update", 70.0),
+        ReplayEv(9L, 901L, "delete", 0.0)))
+      q.processAllAvailable()
+
+      val nStateParts = new java.io.File(s"$ckpt/state/0").listFiles()
+        .count(f => f.isDirectory && f.getName.forall(_.isDigit))
+      assert(nStateParts > 1, "pruning is only evidenced with >1 state partition")
+
+      for (k <- Seq(1L, 7L, 9L, 23L, 40L, 999L)) {
+        val pruned = PullQuery.pointLookupPruned(spark, ckpt, isDel, "user_id", k)
+        // THE pruning assertion: one input partition planned, not nStateParts
+        assert(pruned.rdd.getNumPartitions == 1,
+          s"key $k: pruned lookup planned ${pruned.rdd.getNumPartitions} partitions")
+        val full = PullQuery.pointLookup(spark, ckpt, isDel, "user_id", k)
+        assert(pruned.collect().toSeq == full.collect().toSeq, s"key $k mismatch")
+      }
+      // spot-check values through the pruned path
+      val r7 = PullQuery.pointLookupPruned(spark, ckpt, isDel, "user_id", 7L).collect()
+      assert(r7.length == 1 && r7(0).getAs[Long]("event_id") == 900L)
+      assert(PullQuery.pointLookupPruned(spark, ckpt, isDel, "user_id", 9L).isEmpty)
+
+      // freshness across further commits: the pruned path serves the NEW state
+      input.addData(Seq(ReplayEv(23L, 950L, "update", -1.0)))
+      q.processAllAvailable()
+      val r23 = PullQuery.pointLookupPruned(spark, ckpt, isDel, "user_id", 23L).collect()
+      assert(r23.length == 1 && r23(0).getAs[Long]("event_id") == 950L)
+    } finally q.stop()
+  }
 }
