@@ -49,21 +49,99 @@ object NearDup {
     * global total order on shingles, two sets with |A∩B| ≥ α must share
     * an element among the first |A|−α+1 of A and the first |B|−α+1 of B.
     * Jaccard ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (and symmetrically for B), so
-    * joining only each doc's first `|A| − ⌈t·|A|⌉ + 1` shingles — ordered
-    * globally-RAREST-first (document frequency asc, shingle asc) — misses
-    * no qualifying pair. The rare-first order is what bounds candidates:
-    * a corpus-wide boilerplate shingle has maximal document frequency,
-    * sorts to the end of every doc's order, and is excluded from every
-    * long doc's prefix — so it no longer creates an O(m²) bucket.
+    * joining only each doc's first `|A| − ⌈t·|A|⌉ + 1` shingles misses
+    * no qualifying pair — for ANY global order. Two orders are offered:
+    *
+    *  - `order = "hash"` (default): global order = `xxhash64(shingle)`.
+    *    Computable PER ROW inside the shingle array (transform → sort →
+    *    slice → explode), so the candidate stage performs ZERO shuffles
+    *    of the exploded corpus — the only exchanges in the whole operator
+    *    are over id pairs. The join key is the 8-byte hash, not the
+    *    shingle string (a hash collision can only ADD a candidate — the
+    *    verify stage rejects it — never lose one, since equal shingles
+    *    have equal hashes). At 100 TB this is the difference between
+    *    shuffling the exploded corpus twice and not shuffling it at all.
+    *  - `order = "docfreq"`: global order = (document frequency asc,
+    *    shingle asc), the classic rarest-first heuristic. Costs a
+    *    corpus-wide window over the exploded shingles (shuffle by
+    *    shingle, then by id) but BOUNDS candidates under corpus-wide
+    *    boilerplate: a shingle shared by a large fraction of docs sorts
+    *    to the end of every doc's order and is excluded from long docs'
+    *    prefixes, so it cannot create an O(m²) bucket. With hash order
+    *    such a shingle still lands in ~(1−t) of its docs' prefixes.
+    *    Measured sf0.1/32 cores: ~2× the hash order's wall time, ~0.5×
+    *    its candidate volume — pick it for boilerplate-heavy corpora.
+    *
     * Output: distinct (id1, id2), id1 < id2 — a superset of the
-    * Jaccard-≥-t pairs, exact after [[jaccardVerify]].
+    * Jaccard-≥-t pairs, exact after [[jaccardVerify]]. Losslessness of
+    * BOTH orders is pinned by NearDupProps against a driver-side
+    * all-pairs model.
     */
   def prefixFilterCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      order: String = "hash"): DataFrame = order match {
+    case "hash"    => prefixFilterCandidatesHash(df, idCol, textCol, k, threshold)
+    case "docfreq" => prefixFilterCandidatesDocFreq(df, idCol, textCol, k, threshold)
+    case other => throw new IllegalArgumentException(
+      s"""unknown prefix order "$other" (expected "hash" or "docfreq")""")
+  }
+
+  /** ⌈t·n⌉-derived prefix length with a RELATIVE rounding guard: the
+    * product's FP error is ≤ ~n·t·2⁻⁵³, so subtracting n·t·1e-12 (plus
+    * an absolute floor for tiny n) dominates it at ANY set size —
+    * overshoot may only LENGTHEN the prefix (keeping it lossless), never
+    * shorten it. (A bare absolute 1e-9 stops covering the error once n·t
+    * exceeds ~9e6.) */
+  private def prefixLenExpr(threshold: Double): Column =
+    col("n") - ceil(col("n") * (threshold * (1 - 1e-12)) - lit(1e-9)) + 1
+
+  /** Size filter (also lossless): J ≥ t forces t·|A| ≤ |B| AND
+    * t·|B| ≤ |A|, so size-incompatible prefix collisions are dropped IN
+    * the join (same one-ulp-safe relative guard as the prefix length —
+    * relaxing the bound only admits extra candidates for the verify
+    * stage to reject). Cuts the candidate set ~3× on the size-diverse
+    * fixture before any array is touched. */
+  private def sizeCompatibleExpr(threshold: Double): Column =
+    col("n1") * (threshold * (1 - 1e-12)) <= col("n2") &&
+      col("n2") * (threshold * (1 - 1e-12)) <= col("n1")
+
+  /** Hash-ordered prefix candidates: see [[prefixFilterCandidates]]. */
+  private def prefixFilterCandidatesHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    // per-row pipeline: shingles → hashes → sort → slice(prefix) → explode;
+    // no exchange anywhere before the self-join
+    val prefix = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("n"),
+        transform(col("__sh"), x => xxhash64(x)).as("__h"))
+      .select(col("id"), col("n"),
+        explode(slice(sort_array(col("__h")), lit(1),
+          prefixLenExpr(threshold).cast("int"))).as("h"))
+    // AQE broadcasts one side of the self-join (re-evaluating the per-row
+    // pipeline for the build side — cheaper than exchanging both sides)
+    prefix.select(col("h"), col("id").as("id1"), col("n").as("n1"))
+      .join(prefix.select(col("h"), col("id").as("id2"), col("n").as("n2")), "h")
+      .filter(col("id1") < col("id2") && sizeCompatibleExpr(threshold))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Doc-frequency-ordered prefix candidates: see
+    * [[prefixFilterCandidates]]. */
+  private def prefixFilterCandidatesDocFreq(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     // set size from the array itself (free in the projection) — a window
     // over id here would cost a full shuffle of every shingle row
@@ -71,13 +149,6 @@ object NearDup {
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
       .select(col("id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
       .withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
-    // ⌈t·n⌉ with a RELATIVE rounding guard: the product's FP error is
-    // ≤ ~n·t·2⁻⁵³, so subtracting n·t·1e-12 (plus an absolute floor for
-    // tiny n) dominates it at ANY set size — overshoot may only LENGTHEN
-    // the prefix (keeping it lossless), never shorten it. (A bare
-    // absolute 1e-9 stops covering the error once n·t exceeds ~9e6.)
-    val prefixLen =
-      col("n") - ceil(col("n") * (threshold * (1 - 1e-12)) - lit(1e-9)) + 1
     // Per-doc rarest-first selection via a row_number window. A
     // collect_list + sort_array + slice aggregate looks cheaper (hash agg
     // + per-doc sorts instead of a full (id, df, s) sort) and IS faster
@@ -89,7 +160,7 @@ object NearDup {
       .withColumn(
         "rk",
         row_number().over(W.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= prefixLen)
+      .filter(col("rk") <= prefixLenExpr(threshold))
     // Join strategy is left to the optimizer: AQE broadcasts the (small)
     // prefix relation, which re-evaluates the prefix pipeline for the
     // build side but skips both join exchanges + sorts — measured FASTER
@@ -97,48 +168,37 @@ object NearDup {
     // cores; ReuseExchange can't collapse the two sides either way
     // because the plans only canonicalize equal up to the window, not
     // through the differing output aliases).
-    //
-    // Size filter (also lossless): J ≥ t forces t·|A| ≤ |B| AND
-    // t·|B| ≤ |A|, so size-incompatible prefix collisions are dropped IN
-    // the join (with the same one-ulp-safe relative guard as prefixLen —
-    // relaxing the bound only admits extra candidates for the verify
-    // stage to reject). Cuts the candidate set ~3× on the size-diverse
-    // fixture before any array is touched.
-    val sizeCompatible =
-      col("n1") * (threshold * (1 - 1e-12)) <= col("n2") &&
-        col("n2") * (threshold * (1 - 1e-12)) <= col("n1")
     prefix.select(col("s"), col("id").as("id1"), col("n").as("n1"))
       .join(prefix.select(col("s"), col("id").as("id2"), col("n").as("n2")), "s")
-      .filter(col("id1") < col("id2") && sizeCompatible)
+      .filter(col("id1") < col("id2") && sizeCompatibleExpr(threshold))
       .select(col("id1"), col("id2"))
       .distinct()
   }
 
   /** Exact Jaccard-threshold pairs: lossless prefix-filtered candidates
-    * ([[prefixFilterCandidates]] — bounded even under corpus-wide
-    * boilerplate shingles), then exact verification over the full shingle
-    * sets. Identical results to the naive full inverted-index join (the
-    * DuckDB oracle's formulation), with candidate volume driven by RARE
-    * shingle co-occurrence instead of hot-shingle bucket squares.
+    * ([[prefixFilterCandidates]] — `order` selects the hash-ordered
+    * zero-shuffle default or the boilerplate-armored doc-freq variant),
+    * then exact verification over the full shingle sets. Identical
+    * results to the naive full inverted-index join (the DuckDB oracle's
+    * formulation) under EITHER order.
     * Output: (id1, id2, jaccard), id1 < id2.
     *
-    * Cost note (measured sf0.1/32 cores, warm min-of-3): ~1.3 s vs
-    * ~1.2 s for the old uncapped join — the df-ranking window and the
-    * verify join-back are nearly paid for by the size filter's candidate
-    * cut (119K → 44K on the fixture), so candidate bounds that survive a
-    * boilerplate-heavy corpus (where the uncapped join is O(m²) and
-    * simply dies) now cost ~nothing here. For throughput-first near-dup
-    * at scale use [[minhashNearDupPairs]] (~0.7 s here, same verified
-    * output on the fixture).
+    * Cost note (measured sf0.1/32 cores, warm min-of-3): hash order
+    * ~0.9 s end-to-end (82K candidates) vs doc-freq ~1.2 s (44K) vs
+    * ~1.2 s for the old uncapped join that dies on boilerplate-heavy
+    * corpora. For throughput-first near-dup at scale use
+    * [[minhashNearDupPairs]] (~0.7 s here, same verified output on the
+    * fixture).
     */
   def exactJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8,
+      order: String = "hash"): DataFrame =
     jaccardVerify(
-      prefixFilterCandidates(df, idCol, textCol, k, threshold),
+      prefixFilterCandidates(df, idCol, textCol, k, threshold, order),
       df, idCol, textCol, k, threshold)
 
   /** Per-doc MinHash signature: one-hash-with-mixes native kernel
@@ -189,7 +249,13 @@ object NearDup {
       k: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-    pairs
+    // Explicit repartition: candidate pairs are BYTES-sized rows, so AQE
+    // coalesces their exchange toward ONE partition — but each row's
+    // verify cost (array_intersect/union over full shingle sets) is
+    // orders of magnitude above its size, serializing the whole verify
+    // stage onto one core (measured 3.8 s vs 0.9 s at sf0.1/32 cores).
+    // A user-specified partition count is exempt from AQE coalescing.
+    pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .join(sets.select(col("__id").as("id1"), col("__sh").as("sh1")), "id1")
       .join(sets.select(col("__id").as("id2"), col("__sh").as("sh2")), "id2")
       .select(
@@ -375,9 +441,23 @@ object NearDup {
     * default) — so superseded rounds delete their files deterministically
     * here rather than stranding O(rounds) file sets per invocation in the
     * cluster checkpoint dir. No-op for non-checkpoint plans. */
+  /** `RDD.unpersist` on a locally-checkpointed RDD logs a WARN ("was
+    * locally checkpointed … cannot be recomputed after unpersisting")
+    * aimed at callers who might still USE the RDD. Here it is benign BY
+    * CONSTRUCTION — only SUPERSEDED rounds are released, and nothing
+    * re-reads them (CheckpointHygieneSpec pins the lifecycle) — but it
+    * fires once per released round and pollutes every bench/run tail.
+    * Raise that one logger to ERROR, once; the class logs nothing else
+    * at WARN that this pipeline can trigger. */
+  private lazy val silenceLocalCkptUnpersistWarning: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   private def releaseCheckpoint(ds: DataFrame): Unit =
     ds.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        silenceLocalCkptUnpersistWarning
         l.rdd.unpersist(false)
         l.rdd.getCheckpointFile.foreach { f =>
           val path = new org.apache.hadoop.fs.Path(f)

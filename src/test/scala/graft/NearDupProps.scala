@@ -39,14 +39,13 @@ object NearDupProps extends Properties("NearDup") {
       mh.forall { case (pair, score) => exact.get(pair).contains(score) }
     }
 
-  property("prefix-filtered exact pairs equal a driver-side all-pairs Jaccard model") =
+  property("prefix-filtered exact pairs equal a driver-side all-pairs Jaccard model (both orders)") =
     Prop.forAll(genCorpus) { corpus =>
       import spark.implicits._
       val df = corpus.toDF("doc_id", "text")
-      val got = NearDup.exactJaccardPairs(df, "doc_id", "text", 3, 0.6)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       // independent model: plain-Scala shingles + all-pairs Jaccard —
-      // losslessness of BOTH prefix and size filtering rides on this
+      // losslessness of the prefix filter (under BOTH global orders) and
+      // of the size filter rides on this
       def shingles(t: String): Set[String] = {
         val w = t.trim.split("\\s+").filter(_.nonEmpty)
         (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
@@ -58,7 +57,11 @@ object NearDupProps extends Properties("NearDup") {
         j2 = inter.toDouble / (a.size + b.size - inter)
         if j2 >= 0.6
       } yield (i, j) -> j2).toMap
-      got == model
+      Seq("hash", "docfreq").forall { order =>
+        val got = NearDup.exactJaccardPairs(df, "doc_id", "text", 3, 0.6, order)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        got == model
+      }
     }
 
   property("collapseNearDups equals a driver-side union-find over the pair graph") =

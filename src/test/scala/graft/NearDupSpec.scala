@@ -76,12 +76,24 @@ class NearDupSpec extends SparkTestBase {
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct().count()
     assert(uncapped == 43L * 42 / 2, "boilerplate makes every pair a raw candidate")
 
-    val pruned = NearDup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.8).count()
-    assert(pruned < uncapped / 10,
-      s"prefix filter should collapse the boilerplate bucket: $pruned vs $uncapped")
+    // doc-freq order: hot shingles sort LAST, so the boilerplate bucket
+    // collapses (the order to pick for boilerplate-heavy corpora)
+    val prunedDf =
+      NearDup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.8, "docfreq").count()
+    assert(prunedDf < uncapped / 10,
+      s"doc-freq prefix should collapse the boilerplate bucket: $prunedDf vs $uncapped")
+    // hash order: hot shingles land in ~(1-t) of prefixes — candidates
+    // shrink vs uncapped but by design less than doc-freq order does
+    val prunedHash =
+      NearDup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.8, "hash").count()
+    assert(prunedHash < uncapped,
+      s"hash prefix must still prune: $prunedHash vs $uncapped")
+    assert(prunedDf <= prunedHash,
+      "doc-freq order is the tighter candidate bound under boilerplate")
 
     // losslessness: results equal the naive full-join formulation (the
-    // oracle's shape) at both thresholds, including exact scores
+    // oracle's shape) at both thresholds, including exact scores —
+    // under BOTH orders
     def naive(t: Double): Map[(Long, Long), Double] = {
       val W = org.apache.spark.sql.expressions.Window
       val shn = docs
@@ -97,10 +109,10 @@ class NearDupSpec extends SparkTestBase {
         .filter(col("j") >= t)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     }
-    for (t <- Seq(0.8, 0.5)) {
-      val got = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, t)
+    for (t <- Seq(0.8, 0.5); order <- Seq("hash", "docfreq")) {
+      val got = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, t, order)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      assert(got == naive(t), s"prefix-filtered result diverged at t=$t")
+      assert(got == naive(t), s"prefix-filtered result diverged at t=$t order=$order")
     }
     // and the planted pairs are the ones found at 0.8
     val at08 = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
