@@ -109,4 +109,46 @@ class PullQuerySpec extends SparkTestBase {
       assert(r23.length == 1 && r23(0).getAs[Long]("event_id") == 950L)
     } finally q.stop()
   }
+
+  test("pruned point lookup falls back to the full scan when no snapshot is uploaded yet") {
+    import spark.implicits._
+    ChangelogStream.configure(spark)
+    // changelog checkpointing ON: commits write changelog files only;
+    // snapshots appear at the maintenance cadence (default 60 s), so a
+    // fresh query has NONE — the serving path must still answer
+    val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val input = MemoryStream[ReplayEv](spark)
+    val stream = ChangelogStream
+      .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pruned-fb").toString
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .start()
+    val isDel = col("event_type") === "delete"
+    try {
+      input.addData((1L to 10L).map(k => ReplayEv(k, k, "insert", k.toDouble)))
+      q.processAllAvailable()
+      val nStateParts = new java.io.File(s"$ckpt/state/0").listFiles()
+        .count(f => f.isDirectory && f.getName.forall(_.isDigit))
+      val pruned = PullQuery.pointLookupPruned(spark, ckpt, isDel, "user_id", 4L)
+      val zips = new java.io.File(s"$ckpt/state/0").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .count(f => f.getName.matches("""\d+\.(zip|snapshot)"""))
+      if (zips == 0) // the intended scenario: fallback = full scan
+        assert(pruned.rdd.getNumPartitions == nStateParts,
+          "without a snapshot the lookup must fall back to scanning all partitions")
+      val r = pruned.collect()
+      assert(r.length == 1 && r(0).getAs[Double]("value") == 4.0)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
