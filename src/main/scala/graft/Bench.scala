@@ -89,10 +89,12 @@ private[graft] object Replay {
     }
   }
 
-  /** Three timed replays, best kept: the first absorbs one-time
-    * streaming/state-store init, and GC pauses only ever add time — same
-    * min-of-N rationale as the query sweep. */
-  def best(spark: SparkSession, sfDir: String): (Long, Double) = {
+  /** Three timed replays, ALL timings returned (min is the figure, the
+    * spread is published so ambient-load contamination of the replay is
+    * as visible as it is for the query sweep): the first run absorbs
+    * one-time streaming/state-store init, and GC pauses only ever add
+    * time — same min-of-N rationale as the query sweep. */
+  def best(spark: SparkSession, sfDir: String): (Long, Seq[Double]) = {
     graft.streaming.ChangelogStream.configure(spark)
     val log = java.nio.file.Files.createTempDirectory("graft-replay-log")
     try {
@@ -100,7 +102,7 @@ private[graft] object Replay {
       (n, Seq(
         replayLogOnce(spark, log.toString),
         replayLogOnce(spark, log.toString),
-        replayLogOnce(spark, log.toString)).min)
+        replayLogOnce(spark, log.toString)))
     } finally wipe(log)
   }
 }
@@ -128,10 +130,10 @@ object ReplayBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
-    val (events, sec) = Replay.best(spark, sfDir)
+    val (events, secs) = Replay.best(spark, sfDir)
     // marker line on stdout is the contract with Bench; println elsewhere
     // in this JVM goes to stderr or is ignored by the parser
-    println(s"$Marker events=$events sec=$sec")
+    println(s"$Marker events=$events sec=${secs.min} iters=${secs.mkString(",")}")
     spark.stop()
   }
 }
@@ -170,7 +172,7 @@ object Bench {
 
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
-  private def forkedReplay(): Option[(Long, Double)] =
+  private def forkedReplay(): Option[(Long, Seq[Double])] =
     try {
       val javaBin = java.nio.file.Paths
         .get(sys.props("java.home"), "bin", "java").toString
@@ -204,10 +206,11 @@ object Bench {
         // the child's teardown then exited nonzero, because the fallback
         // would re-run the whole replay on the sweep's heap (the exact
         // contamination the fork exists to prevent)
-        val Pattern = (ReplayBench.Marker + """ events=(\d+) sec=([0-9.Ee+-]+)""").r
+        val Pattern =
+          (ReplayBench.Marker + """ events=(\d+) sec=[0-9.Ee+-]+ iters=([0-9.Ee+,-]+)""").r
         import scala.jdk.CollectionConverters._
-        val parsed = lines.asScala.collectFirst { case Pattern(ev, sec) =>
-          (ev.toLong, sec.toDouble)
+        val parsed = lines.asScala.collectFirst { case Pattern(ev, iters) =>
+          (ev.toLong, iters.split(',').toSeq.map(_.toDouble))
         }
         if (p.exitValue() != 0)
           System.err.println(s"forked replay exited ${p.exitValue()}" +
@@ -221,7 +224,7 @@ object Bench {
   /** In-process fallback: replay-first (so the measurement itself sees a
     * quiet heap), all replay state confined to this frame, GC before
     * returning so the sweep starts as clean as this JVM can get. */
-  private def inProcessReplay(spark: SparkSession, sfDir: String): (Long, Double) = {
+  private def inProcessReplay(spark: SparkSession, sfDir: String): (Long, Seq[Double]) = {
     val r = Replay.best(spark, sfDir)
     System.gc()
     r
@@ -246,10 +249,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
 
-    val (replayEvents, replaySec) = forked.getOrElse {
+    val (replayEvents, replaySecs) = forked.getOrElse {
       try inProcessReplay(spark, sfDir)
-      catch { case e: Throwable => e.printStackTrace(System.err); (0L, -1.0) }
+      catch { case e: Throwable => e.printStackTrace(System.err); (0L, Seq.empty[Double]) }
     }
+    val replaySec = if (replaySecs.nonEmpty) replaySecs.min else -1.0
     val replayMode = if (forked.isDefined) "forked" else "inprocess"
     val replayRate = if (replaySec > 0) (replayEvents / replaySec).round else -1L
 
@@ -341,8 +345,9 @@ object Bench {
     val r1Results = best.filter(r => r1Keys(r._1))
     val r1Subset =
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
+    val replayIters = replaySecs.map(fmt).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}""")
     spark.stop()
     if (best.exists(_._3.isDefined)) sys.exit(2)
   }

@@ -76,7 +76,8 @@ object ScaleProbe {
     val cores = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val copies = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val spark = GraftSession.local("graft-scale-probe", cores = cores)
-    val probes = Seq("q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf")
+    val probes = Seq(
+      "q_neardup_jaccard", "q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
