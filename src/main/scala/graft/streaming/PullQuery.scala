@@ -96,50 +96,63 @@ object PullQuery {
       isDeleted: Column,
       keyCol: String,
       key: Any,
-      operatorId: Int = 0): DataFrame = {
-    val fallback = pointLookup(spark, checkpointDir, isDeleted, keyCol, key)
-    lastCommittedBatch(spark, checkpointDir) match {
-      case None => fallback // nothing committed: empty-state full scan
-      case Some(batch) =>
-        val stateDir = new org.apache.hadoop.fs.Path(s"$checkpointDir/state/$operatorId")
-        val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
-        val nParts = fs.listStatus(stateDir)
-          .count(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
-        require(nParts > 0, s"no state partitions under $stateDir")
-        // the state key schema names the grouping column(s); single-column
-        // keys (the pointLookup contract) hash directly
-        val keyType = spark.read.format("statestore").option("path", checkpointDir)
-          .load().schema("key").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-        if (keyType.length != 1) fallback // composite key: routing needs all fields
-        else {
-          import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-          val h = new Murmur3Hash(Seq(Literal.create(key, keyType.head.dataType)), 42)
-            .eval(null).asInstanceOf[Int]
-          val p = java.lang.Math.floorMod(h, nParts)
-          // latest uploaded snapshot for THIS partition, at or before the
-          // committed version (RocksDB uploads {v}.zip, HDFS {v}.snapshot)
-          val SnapName = """(\d+)\.(?:zip|snapshot)""".r
-          val snapVersions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir, p.toString))
-            .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
-            .filter(_ <= batch + 1)
-          if (snapVersions.isEmpty) fallback
-          else {
-            val snapshotVersion = snapVersions.max
-            val pruned = spark.read
-              .format("statestore")
-              .option("path", checkpointDir)
-              .option("batchId", batch)
-              .option("snapshotStartBatchId", snapshotVersion - 1)
-              .option("snapshotPartitionId", p)
-              .load()
-              .select(col("value.groupState.*"))
-            pruned
-              .filter(!coalesce(isDeleted, lit(true)))
-              .filter(col(keyCol) === lit(key))
-          }
-        }
+      operatorId: Int = 0): DataFrame =
+    prunedStateSnapshot(spark, checkpointDir, key, operatorId) match {
+      case None => pointLookup(spark, checkpointDir, isDeleted, keyCol, key)
+      case Some(pruned) =>
+        pruned
+          .filter(!coalesce(isDeleted, lit(true)))
+          .filter(col(keyCol) === lit(key))
     }
-  }
+
+  /** The single state partition `routingKey` hashes to, as a
+    * [[stateSnapshot]]-shaped DataFrame (one input partition), or None
+    * when the pruned read is unavailable (nothing committed, composite
+    * state key, or no snapshot uploaded yet) and the caller must fall
+    * back to the full scan. `routingKey` must be the value the
+    * changelog's `groupByKey` keyed by — for
+    * [[ReplicationPipeline]] that is the key's STRING form, which is why
+    * routing and filtering are separate concerns here. */
+  def prunedStateSnapshot(
+      spark: SparkSession,
+      checkpointDir: String,
+      routingKey: Any,
+      operatorId: Int = 0): Option[DataFrame] =
+    lastCommittedBatch(spark, checkpointDir).flatMap { batch =>
+      val stateDir = new org.apache.hadoop.fs.Path(s"$checkpointDir/state/$operatorId")
+      val fs = stateDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val nParts = fs.listStatus(stateDir)
+        .count(s => s.isDirectory && s.getPath.getName.forall(_.isDigit))
+      require(nParts > 0, s"no state partitions under $stateDir")
+      // the state key schema names the grouping column(s); single-column
+      // keys (the pointLookup contract) hash directly
+      val keyType = spark.read.format("statestore").option("path", checkpointDir)
+        .load().schema("key").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (keyType.length != 1) None // composite key: routing needs all fields
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+        val h = new Murmur3Hash(
+          Seq(Literal.create(routingKey, keyType.head.dataType)), 42)
+          .eval(null).asInstanceOf[Int]
+        val p = java.lang.Math.floorMod(h, nParts)
+        // latest uploaded snapshot for THIS partition, at or before the
+        // committed version (RocksDB uploads {v}.zip, HDFS {v}.snapshot)
+        val SnapName = """(\d+)\.(?:zip|snapshot)""".r
+        val snapVersions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir, p.toString))
+          .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
+          .filter(_ <= batch + 1)
+        if (snapVersions.isEmpty) None
+        else Some(
+          spark.read
+            .format("statestore")
+            .option("path", checkpointDir)
+            .option("batchId", batch)
+            .option("snapshotStartBatchId", snapVersions.max - 1)
+            .option("snapshotPartitionId", p)
+            .load()
+            .select(col("value.groupState.*")))
+      }
+    }
 
   /** Highest batch id with a commit-log entry — the state version pull
     * queries serve (the statestore source's own default). */

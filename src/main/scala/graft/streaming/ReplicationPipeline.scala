@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Connection
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -81,6 +81,32 @@ object ReplicationPipeline {
   def isDeletion(row: Row): Boolean = {
     val i = row.fieldIndex("__DELETED")
     row.isNullAt(i) || row.getString(i) == "true"
+  }
+
+  /** ksqlDB-style pull query against the RUNNING pipeline's own state:
+    * the replicated table's current row for `key`, served from the
+    * changelog query's RocksDB state — no round-trip to the target
+    * database, freshness = the last committed micro-batch. Empty result
+    * = key absent or deleted (tombstone semantics identical to the
+    * sink's [[isDeletion]]).
+    *
+    * Served PARTITION-PRUNED when possible: the pipeline keys its state
+    * by the key's STRING form ([[start]]'s `groupByKey`), so the lookup
+    * routes by `murmur3(String.valueOf(key))` to the key's own state
+    * partition and reads exactly one store
+    * ([[PullQuery.prunedStateSnapshot]]); it falls back to the
+    * distributed full scan when no snapshot is uploaded yet. Output is
+    * the flattened uppercase sink row shape. */
+  def pullQuery(spark: SparkSession, cfg: Config, key: Any): DataFrame = {
+    val snap = PullQuery
+      .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
+      .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
+    val keyCol = cfg.keyField.toUpperCase(Locale.ROOT)
+    flatten(snap, cfg.keyField, cfg.projectCols)
+      // live = NOT deleted, where deleted mirrors isDeletion:
+      // NULL __DELETED (raw tombstone) or "true" (rewrite record)
+      .filter(coalesce(col("__DELETED") =!= "true", lit(false)))
+      .filter(col(keyCol) === lit(key))
   }
 
   /** Start the continuous replication: envelope stream in, target table

@@ -147,6 +147,30 @@ class ReplicationPipelineSpec extends SparkTestBase {
         .select(col("kafka_key.user_id"), col("kafka_value.after.title"))
         .collect()
       assert(row.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "one")))
+
+      // the facade's own pull query: flattened sink-row shape, served
+      // partition-pruned from the pipeline's state (string-keyed routing)
+      val cfg = ReplicationPipeline.Config(
+        keyField = "user_id",
+        sink = graft.sink.JdbcMerge.Config("events_sink", keyCols = Nil),
+        checkpointDir = ckpt)
+      val live = ReplicationPipeline.pullQuery(spark, cfg, 1L)
+      assert(live.rdd.getNumPartitions == 1,
+        "facade pull query must be served from ONE state partition")
+      val liveRows = live.collect()
+      assert(liveRows.length == 1)
+      assert(liveRows(0).getAs[Long]("USER_ID") == 1L)
+      assert(liveRows(0).getAs[String]("TITLE") == "one")
+      assert(liveRows(0).getAs[String]("__DELETED") == "false")
+      // deleted key: empty; absent key: empty
+      assert(ReplicationPipeline.pullQuery(spark, cfg, 2L).isEmpty)
+      assert(ReplicationPipeline.pullQuery(spark, cfg, 999L).isEmpty)
+
+      // freshness: re-insert after delete is served by the pruned path
+      input.addData(Seq(RWire(2L, Some(RRec(13L, "two-again")), "c", 13L)))
+      q.processAllAvailable()
+      val r2 = ReplicationPipeline.pullQuery(spark, cfg, 2L).collect()
+      assert(r2.length == 1 && r2(0).getAs[String]("TITLE") == "two-again")
     } finally q.stop()
   }
 }
