@@ -97,4 +97,23 @@ class PlanSpec extends SparkTestBase {
       assert(!l.contains("text#"), l)
     }
   }
+
+  test("hash-ordered prefix candidates shuffle NOTHING before the self-join") {
+    // the zero-shuffle property of the default order: the per-row array
+    // pipeline (shingles → hash → sort → slice → explode) reaches the
+    // self-join with no exchange at all — the only shuffles in the whole
+    // candidate stage belong to the final pair distinct. A reintroduced
+    // corpus shuffle (e.g. a window creeping back in) fails here.
+    val cands = graft.ops.NearDup.prefixFilterCandidates(
+      Tables.documents(spark, sf001), "doc_id", "text", 3, 0.8, "hash")
+    val p = cands.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"hash order must not use a window:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    // only the pair-distinct aggregate may exchange, and it carries id
+    // pairs — never a shingle, hash-prefix, or text column
+    assert(exchanges.nonEmpty && exchanges.forall(l =>
+      l.contains("id1") && l.contains("id2") &&
+        !l.contains("text#") && !l.contains("h#")),
+      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+  }
 }
