@@ -53,6 +53,12 @@ object AvroSerde {
     case TimestampType => // epoch-micros, Debezium NanoTimestamp-style long
       org.apache.avro.LogicalTypes.timestampMicros()
         .addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      // the reference's rating DECIMAL(3,1) wire shape: bytes + decimal
+      // logical type (Debezium/Connect default decimal.handling.mode=
+      // precise; SURVEY §1.2) — unscaled big-endian two's-complement
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case st: StructType => avroSchema(st, name, ns)
     case ArrayType(elem, containsNull) =>
       val e = avroType(elem, s"${name}_item", ns)
@@ -82,6 +88,15 @@ object AvroSerde {
       // millis are floor-based and getNanos is always in [0, 1e9)).
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + (ts.getNanos / 1000L)
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (bd: java.math.BigDecimal, d: DecimalType) =>
+      // normalize to the declared scale so the unscaled bytes round-trip
+      // (Connect serializes at the schema's scale; a mismatched scale is
+      // a data error better caught here than on the wire)
+      java.nio.ByteBuffer.wrap(
+        bd.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().toByteArray)
+    case (bd: BigDecimal, d: DecimalType) =>
+      toAvroValue(bd.bigDecimal, d, schema)
     case (x, _) => x
   }
 
@@ -108,6 +123,9 @@ object AvroSerde {
       ts
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+    case (bb: java.nio.ByteBuffer, d: DecimalType) =>
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+      new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)
     case (x, _) => x
   }
 

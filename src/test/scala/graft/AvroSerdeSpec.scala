@@ -9,12 +9,14 @@ import graft.sources.AvroSerde
   * embedding extension. */
 class AvroSerdeSpec extends SparkTestBase {
 
-  // The movies schema, §1.2 of SURVEY.md (decimal modeled as double here;
-  // rating DECIMAL(3,1) maps through the JDBC layer, not the Avro one).
+  // The movies schema, §1.2 of SURVEY.md — including rating DECIMAL(3,1)
+  // on its reference wire shape (bytes + decimal logical type, Debezium
+  // decimal.handling.mode=precise).
   private val movies = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
     StructField("title", StringType),
     StructField("release_year", IntegerType),
+    StructField("rating", DecimalType(3, 1)),
     StructField("budget", LongType),
     StructField("description", StringType),
     StructField("created_at", TimestampType)))
@@ -28,18 +30,33 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(s.getField("title").hasDefaultValue)
   }
 
-  test("rows round-trip bit-exact, including NULLs and timestamps") {
+  test("rows round-trip bit-exact, including NULLs, decimals and timestamps") {
     val ts = java.sql.Timestamp.valueOf("2026-08-12 10:30:00.123456")
     val preEpoch = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
+    def dec(s: String) = new java.math.BigDecimal(s)
     val rows = Seq(
-      Row(1, "Interstellar", 2014, 165000000L, "space", ts),
-      Row(2, null, null, null, null, null),
-      Row(3, "pre-epoch", 1969, 0L, "negative micros", preEpoch))
+      Row(1, "Interstellar", 2014, dec("8.7"), 165000000L, "space", ts),
+      Row(2, null, null, null, null, null, null),
+      Row(3, "pre-epoch", 1969, dec("-1.5"), 0L, "negative micros", preEpoch),
+      Row(4, "zero rating", 2000, dec("0.0"), 1L, "boundary", ts),
+      Row(5, "max precision", 2000, dec("-99.9"), 1L, "boundary", ts))
     val schema = AvroSerde.avroSchema(movies)
     rows.foreach { r =>
       val back = AvroSerde.fromBytes(AvroSerde.toBytes(r, movies, schema), movies, schema)
       assert(back == r)
     }
+    // the decimal wire shape is the reference's: bytes + logical type at
+    // the declared precision/scale
+    val rating = schema.getField("rating").schema().getTypes.get(1)
+    assert(rating.getType == org.apache.avro.Schema.Type.BYTES)
+    val lt = rating.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+    assert(lt.getPrecision == 3 && lt.getScale == 1)
+    // an integer-scaled input round-trips at the schema scale (8 → 8.0):
+    // Connect serializes unscaled bytes at the SCHEMA's scale
+    val rescaled = AvroSerde.fromBytes(
+      AvroSerde.toBytes(Row(6, "t", 1999, dec("8"), 1L, "d", ts), movies, schema),
+      movies, schema)
+    assert(rescaled.get(movies.fieldIndex("rating")) == dec("8.0"))
   }
 
   test("struct keys round-trip (Debezium STRUCT{ID} message key)") {
