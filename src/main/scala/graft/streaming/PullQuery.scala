@@ -89,7 +89,10 @@ object PullQuery {
     * Scale note: this is the serving-path complement of the distributed
     * scan — at 1000 executors and thousands of state partitions, a
     * per-lookup full scan is O(total state); this is O(one partition's
-    * store), independent of cluster width. */
+    * store), independent of cluster width. Each call re-reads the commit
+    * log and state schema (driver-side metadata); a production serving
+    * layer would cache that routing metadata per query and invalidate
+    * on commit. */
   def pointLookupPruned(
       spark: SparkSession,
       checkpointDir: String,
@@ -138,10 +141,20 @@ object PullQuery {
         // latest uploaded snapshot for THIS partition, at or before the
         // committed version (RocksDB uploads {v}.zip, HDFS {v}.snapshot)
         val SnapName = """(\d+)\.(?:zip|snapshot)""".r
-        val snapVersions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir, p.toString))
-          .map(_.getPath.getName).collect { case SnapName(v) => v.toLong }
+        val partFiles = fs
+          .listStatus(new org.apache.hadoop.fs.Path(stateDir, p.toString))
+          .map(_.getPath.getName)
+        val snapVersions = partFiles
+          .collect { case SnapName(v) => v.toLong }
           .filter(_ <= batch + 1)
-        if (snapVersions.isEmpty) None
+        // a snapshot OLDER than the committed version needs change files
+        // ({v}.changelog / {v}.delta) to replay forward — without them
+        // (RocksDB changelog checkpointing off + a failed upload) the
+        // pruned read would error at execution; fall back instead
+        val canReplayForward =
+          partFiles.exists(n => n.endsWith(".changelog") || n.endsWith(".delta"))
+        if (snapVersions.isEmpty ||
+          (snapVersions.max < batch + 1 && !canReplayForward)) None
         else Some(
           spark.read
             .format("statestore")
