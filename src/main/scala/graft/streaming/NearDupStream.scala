@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One doc's membership in one MinHash band bucket (the unit of streaming
+  * near-dup state): `sig` is the FULL signature so candidate pairs carry
+  * an unbiased similarity estimate, not just the matching band. */
+case class BandedDoc(id: Long, band: Int, bucket: Long, sig: Seq[Long])
+
+/** A streaming near-dup candidate: `est_jaccard` is the MinHash estimate
+  * (fraction of agreeing signature positions; E[est] = true Jaccard). */
+case class NearDupCand(id1: Long, id2: Long, est_jaccard: Double)
+
+/** Retained members of one (band, bucket) — bounded by `maxBucket`. */
+case class BucketState(members: Seq[BandedMember])
+case class BandedMember(id: Long, sig: Seq[Long])
+
+/** Streaming near-duplicate candidate detection — the continuous flavor
+  * of [[graft.ops.NearDup.minhashCandidatePairs]] for ingest-time
+  * pipelines (near-dups of anything seen before are flagged as documents
+  * ARRIVE, instead of re-running the batch self-join per snapshot).
+  *
+  * Same candidate contract as the batch operator: two docs are a
+  * candidate iff some MinHash band hashes them to the same bucket
+  * (banding expression shared verbatim, so stream and batch agree).
+  * Each emitted pair carries the signature-agreement estimate of its
+  * Jaccard — the full text of prior documents is NOT retained, so exact
+  * verification stays a batch concern ([[graft.ops.NearDup
+  * .jaccardVerify]] over the flagged ids); the estimate is what a
+  * streaming gate acts on.
+  *
+  * Scale shape: state lives per (band, bucket) — `bands` signatures per
+  * document (`bands × perms × 8` bytes ≈ 8 KB/doc at the defaults),
+  * hash-partitioned across executors like any keyed state. `maxBucket`
+  * caps any one bucket: a bucket that fills is boilerplate-like (its
+  * members were already mutually flagged as they arrived); later
+  * arrivals still match against the retained members but are not added.
+  * The same pair can surface from several bands and several batches,
+  * always with the IDENTICAL estimate (it is a pure function of the two
+  * full signatures) — dedupe downstream where it matters.
+  */
+object NearDupStream {
+
+  /** Per-doc banded signatures — the same projection
+    * [[graft.ops.NearDup.minhashCandidatePairs]] self-joins on, emitted
+    * as one row per (doc, band). Works on batch or streaming input. */
+  def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): Dataset[BandedDoc] = {
+    import df.sparkSession.implicits._
+    df
+      .select(col(idCol).as("id"), graft.ops.NearDup.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"),
+        graft.ops.NearDup.minhashSignature(col("__sh"), bands * rowsPerBand).as("sig"))
+      .select(
+        col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(lit("band"), lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)),
+        col("sig"))
+      .toDF("id", "band", "bucket", "sig")
+      .as[BandedDoc]
+  }
+
+  /** Candidate pairs of each arriving document against everything
+    * retained in its buckets, with the MinHash Jaccard estimate. Update
+    * output mode; no timeout (ksqlDB-TABLE-like unbounded regime — the
+    * watermarked analog of [[DedupStream.dedupWithinWatermark]] would
+    * time out buckets instead). */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 64): Dataset[NearDupCand] = {
+    import df.sparkSession.implicits._
+    bandedSignatures(df, idCol, textCol, k, bands, rowsPerBand)
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupCand](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members.toVector).getOrElse(Vector.empty)
+          val known = scala.collection.mutable.Set(members.map(_.id): _*)
+          val out = Vector.newBuilder[NearDupCand]
+          // deterministic intra-batch order so re-executed tasks emit
+          // identical results regardless of upstream row order
+          rows.toVector.sortBy(_.id).foreach { d =>
+            if (!known.contains(d.id)) {
+              members.foreach { m =>
+                val agree = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+                val est = agree.toDouble / d.sig.length
+                out += (if (m.id < d.id) NearDupCand(m.id, d.id, est)
+                        else NearDupCand(d.id, m.id, est))
+              }
+              known += d.id
+              if (members.length < maxBucket) members :+= BandedMember(d.id, d.sig)
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+}
