@@ -85,4 +85,49 @@ class NearDupStreamSpec extends SparkTestBase {
     val got = run(Seq(Seq(d), Seq(d), Seq(d)))
     assert(got.isEmpty, s"replay must not self-pair: $got")
   }
+
+  test("within-watermark flavor expires buckets past the horizon") {
+    import org.apache.spark.sql.{Dataset => Ds}
+    def ts(minutes: Long) = new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val input = MemoryStream[SDoc](spark)
+    val out = NearDupStream.candidatePairsWithinWatermark(
+      input.toDF(), "doc_id", "text", "ts", "10 minutes")
+    val got = ArrayBuffer[(Long, Long, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ndstream-wm").toString
+    val q = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Ds[graft.streaming.NearDupCand], _: Long) =>
+        val rows = batch.collect().map(c => (c.id1, c.id2, c.est_jaccard))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try {
+      // near-in-time duplicate: flagged
+      input.addData(Seq(SDoc(1L, text, ts(0))))
+      q.processAllAvailable()
+      input.addData(Seq(SDoc(2L, text, ts(5))))
+      q.processAllAvailable()
+      assert(got.map(p => (p._1, p._2)).distinct == Seq((1L, 2L)))
+      got.clear()
+      // advance the watermark far past the horizon (watermark = max
+      // event time - delay), then let the timeout fire
+      input.addData(Seq(SDoc(50L, "completely different filler content here now", ts(60))))
+      q.processAllAvailable()
+      input.addData(Seq(SDoc(51L, "more unrelated filler content to tick the clock", ts(61))))
+      q.processAllAvailable()
+      got.clear()
+      // the identical doc re-arrives AFTER expiry: bucket state is gone,
+      // so no pair — it becomes the new retained member instead
+      input.addData(Seq(SDoc(3L, text, ts(62))))
+      q.processAllAvailable()
+      assert(got.isEmpty, s"expired bucket must not pair: $got")
+      // and the NEW member is live: a fresh near-in-time duplicate pairs
+      input.addData(Seq(SDoc(4L, text, ts(63))))
+      q.processAllAvailable()
+      assert(got.map(p => (p._1, p._2)).distinct == Seq((3L, 4L)), got.toString)
+    } finally q.stop()
+  }
 }
