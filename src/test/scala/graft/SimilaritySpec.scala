@@ -170,7 +170,8 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.writeIvfIndex(emb, "embedding", centroids, path)
     // bucket-partitioned directories on disk (≤ k; a trained centroid may
     // legitimately attract no fixture vectors)
-    val bucketDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+    val bucketDirs =
+      new java.io.File(s"$path/base").listFiles().filter(_.getName.startsWith("bucket="))
     assert(bucketDirs.nonEmpty && bucketDirs.length <= 8)
     val qVec = vecs.find(_._1 == queryId).get._2
     val probed = Similarity.probeIvfIndex(
@@ -185,6 +186,42 @@ class SimilaritySpec extends SparkTestBase {
       .ivfTopK(emb, "vec_id", "embedding", queryId, k, nCentroids = 8, nProbe = 6)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == mem)
+  }
+
+  test("streamed IVF ingestion: probes see appended vectors, pruning intact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-stream-ck").toString
+    // base index from the first half of the corpus…
+    val half = vecs.length / 2
+    val (baseVecs, lateVecs) = vecs.sortBy(_._1).splitAt(half)
+    Similarity.writeIvfIndex(
+      baseVecs.toSeq.toDF("vec_id", "embedding"), "embedding", centroids, path)
+    // …the second half ARRIVES over two streamed batches
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt)
+    try {
+      val (b1, b2) = lateVecs.splitAt(lateVecs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val probed = Similarity.probeIvfIndex(
+      spark, path, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId))
+    // both index roots are scanned bucket-pruned
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // and the result equals the in-memory search over the FULL corpus
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queryId, k, nCentroids = 8, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == mem, s"streamed-index probe diverged: $got vs $mem")
   }
 
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
