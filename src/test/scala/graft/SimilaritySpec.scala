@@ -230,7 +230,8 @@ class SimilaritySpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
     Similarity.writeLshIndex(emb, "embedding", path, bands, bits)
     // band-partitioned directories on disk, one sig sub-dir per bucket hit
-    val bandDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("band="))
+    val bandDirs =
+      new java.io.File(s"$path/base").listFiles().filter(_.getName.startsWith("band="))
     assert(bandDirs.length == bands)
     val qVec = vecs.find(_._1 == queryId).get._2
     val probed = Similarity.probeLshIndex(
@@ -255,6 +256,37 @@ class SimilaritySpec extends SparkTestBase {
     }.sum
     assert(files > 0 && files <= bands,
       s"probe scanned $files leaf partitions (want 1..$bands): $scanned")
+  }
+
+  test("streamed LSH ingestion: probes see appended vectors, pruning intact") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val (bands, bits) = (24, 3)
+    val dim = vecs.head._2.length
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lsh-stream-ck").toString
+    val half = vecs.length / 2
+    val (baseVecs, lateVecs) = vecs.sortBy(_._1).splitAt(half)
+    Similarity.writeLshIndex(
+      baseVecs.toSeq.toDF("vec_id", "embedding"), "embedding", path, bands, bits)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.ingestLshIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", dim, path, ckpt, bands, bits)
+    try {
+      input.addData(lateVecs.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val probed = Similarity.probeLshIndex(
+      spark, path, "vec_id", "embedding", qVec, k, bands, bits,
+      excludeId = Some(queryId))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("band"), plan)
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity
+      .lshTopK(emb, "vec_id", "embedding", queryId, k, bands, bits)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == mem, s"streamed-index probe diverged: $got vs $mem")
   }
 
   test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
