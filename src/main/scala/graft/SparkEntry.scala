@@ -185,6 +185,13 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextOps.textStats(Tables.documents(s, dir), "lang", "text", "n_chars")),
 
+    "q_repetition" -> ((s, dir) =>
+      // Gopher-style duplicate-n-gram quality rule: fraction of word-
+      // 3-gram windows repeating an earlier window, per doc — a
+      // boilerplate/spam gate signal. Pure projection (shingle kernel +
+      // length arithmetic), no shuffle but the oracle-determinism sort.
+      TextOps.repetition(Tables.documents(s, dir), "doc_id", "text")),
+
     "q_dedup_norm" -> ((s, dir) =>
       TextOps
         .normalizedDedupIds(Tables.documents(s, dir), "text", "doc_id")
@@ -472,6 +479,25 @@ object SparkEntry {
         |       MAX(n_chars) AS max_chars,
         |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_repetition" ->
+      // same tokenization + 3-gram construction as the q_neardup_jaccard
+      // oracle; n_windows arithmetic mirrors the Spark projection exactly
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_windows FROM toks),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM sh GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_windows,
+        |       COALESCE(d.n_distinct, 0) AS n_distinct,
+        |       CASE WHEN w.n_windows > 0
+        |            THEN CAST(w.n_windows - COALESCE(d.n_distinct, 0) AS DOUBLE) / w.n_windows
+        |       END AS rep_ratio
+        |FROM w LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

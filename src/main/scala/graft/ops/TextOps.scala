@@ -171,4 +171,25 @@ object TextOps {
         max(col(nCharsCol)).as("max_chars"),
         sum(tokenCount(col(textCol))).as("total_tokens"))
       .orderBy(col(langCol))
+
+  /** Within-document repetition: the fraction of word-`k`-gram windows
+    * that repeat an earlier window — the Gopher-style duplicate-n-gram
+    * quality rule (a high ratio marks boilerplate/spam for a
+    * pretraining-data gate). `n_windows` counts ALL windows
+    * (`max(words − k + 1, 0)`), `n_distinct` the distinct shingles, so
+    * `rep_ratio = (n_windows − n_distinct) / n_windows` — NULL when a
+    * doc is too short to have a window. Pure per-row projection (the
+    * shingle kernel + length arithmetic — no explode, no shuffle). */
+  def repetition(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val words = size(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
+    val windows = greatest(words - lit(k - 1), lit(0)).cast("bigint")
+    val distinct = size(NearDup.shingles(col(textCol), k)).cast("bigint")
+    df.select(
+        col(idCol).as("doc_id"),
+        windows.as("n_windows"),
+        distinct.as("n_distinct"),
+        when(windows > 0,
+          (windows - distinct).cast("double") / windows).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -234,4 +234,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(graft.functions.TextKernels.md5Long(UTF8String.fromString("abc")) ==
       java.lang.Long.parseUnsignedLong("900150983cd24fb0", 16))
   }
+
+  test("repetition: duplicate-window fraction, short-doc NULL, exact arithmetic") {
+    val docs = Seq(
+      (0L, "a b c a b c"),        // windows 4 ("a b c","b c a","c a b","a b c"), distinct 3 -> 0.25
+      (1L, "a b c d e"),          // windows 3, all distinct -> 0.0
+      (2L, "x x x x x"),          // windows 3, distinct 1 -> 2/3
+      (3L, "one two"),            // too short: 0 windows -> NULL ratio
+      (4L, "   "),                // whitespace-only: 0 windows -> NULL
+      (5L, "a b c")               // exactly one window -> 0.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0L) == ((4L, 3L, Some(0.25))))
+    assert(got(1L) == ((3L, 3L, Some(0.0))))
+    assert(got(2L) == ((3L, 1L, Some(2.0 / 3))))
+    assert(got(3L) == ((0L, 0L, None)))
+    assert(got(4L)._3.isEmpty)
+    assert(got(5L) == ((1L, 1L, Some(0.0))))
+    // pure projection: no exchange except the oracle-determinism sort
+    val plan = TextOps.repetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
 }
