@@ -346,7 +346,70 @@ object SparkEntry {
         queryId = 0L,
         k = 10,
         nCentroids = 8,
-        nProbe = 6))
+        nProbe = 6)),
+
+    "q_asof_join" -> ((s, dir) => {
+      // As-of enrichment: each purchase gets the latest click of the same
+      // user at or before it (trades/quotes shape). One shuffle, no
+      // interval cross product — see ops/AsOfJoin.
+      val ev = Tables.withTsMicros(Tables.events(s, dir))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+      AsOfJoin
+        .asOfJoin(purchases, clicks,
+          keys = Seq("user_id"), timeCol = "ts_us",
+          rightTieBreak = "click_id", rightCols = Seq("click_id", "click_ts_us"))
+        .select("event_id", "user_id", "ts_us", "value", "click_id", "click_ts_us")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // Windowed interval count: errors of the same user in the 60 minutes
+      // before each purchase, zero-filled — bucketed equi-join, never a
+      // per-key cross product (ops/Joins.rangeJoinCount).
+      val ev = Tables.withTsMicros(Tables.events(s, dir))
+      Joins
+        .rangeJoinCount(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "error"),
+          keys = Seq("user_id"), leftId = "event_id",
+          leftTime = "ts_us", rightTime = "ts_us",
+          lower = -3600000000L, upper = 0L, // (ts − 60 min, ts] in micros
+          countName = "n_errors")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: drop training docs sharing any word-
+      // 8-gram with the held-out eval slice (doc_id ≡ 0 mod 20 stands in
+      // for the benchmark suite). Eval grams broadcast; the training
+      // corpus is never shuffled (TextOps.decontaminate).
+      val docs = Tables.documents(s, dir)
+      TextOps
+        .decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample" -> ((s, dir) =>
+      // Deterministic stratified downsampling (mixture weights): keep all
+      // non-English docs, ~30% of English, by a reproducible per-row hash
+      // verdict — no RNG state, identical across engines and re-runs.
+      TextOps
+        .deterministicSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.3), defaultRate = 1.0)
+        .select("doc_id", "lang")
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -636,7 +699,58 @@ object SparkEntry {
         |WHERE cos_sim >= 0.5 ORDER BY id1, id2""".stripMargin,
 
     "q_neardup_simhash" -> simhashOracle,
-    "q_neardup_winnow" -> winnowOracle
+    "q_neardup_winnow" -> winnowOracle,
+
+    // As-of semantics pinned on both sides: right rows at equal (user, ts)
+    // collapse to the max click_id BEFORE the ASOF match, `<=` inclusive.
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id, c.ts_us AS click_ts_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, COUNT(e.ts_us) AS n_errors
+        |FROM p LEFT JOIN e
+        |  ON e.user_id = p.user_id
+        | AND e.ts_us > p.ts_us - 3600000000 AND e.ts_us <= p.ts_us
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    // Word-8-gram overlap vs the doc_id ≡ 0 (mod 20) eval slice; same
+    // tokenization as the shingle kernel (split on \s+, space-joined).
+    // The engine joins on xxhash64 of the gram, the oracle on the gram
+    // itself — id-set outputs agree unless xxhash64 collides (2⁻⁶⁴/pair).
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN [md5(array_to_string(w[i:i+7], ' ')) for i in range(1, len(w) - 6)]
+        |    ELSE [] END) AS g
+        |  FROM toks)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (
+        |    SELECT doc_id FROM grams
+        |    WHERE doc_id % 20 <> 0
+        |      AND g IN (SELECT g FROM grams WHERE doc_id % 20 = 0))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || doc_id), 1, 8))::BIGINT
+        |      < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
+        |ORDER BY doc_id""".stripMargin
   )
 
   private val simTopkOracle: String =

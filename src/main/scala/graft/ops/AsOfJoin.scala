@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — for each left row, the single most recent
+  * right row of the same key at or before the left row's time. The classic
+  * trades/quotes enrichment every event-analytics stack needs and Spark has
+  * no built-in for (extension surface; the reference's join family stops at
+  * stream-table equi-joins).
+  *
+  * Spark-first shape — the union + running-`last` formulation, NOT a range
+  * join: tag both sides, union them, and carry the latest right payload
+  * forward inside one per-key time-ordered window. Costs exactly ONE
+  * shuffle of (left + right) by key and one per-key sort — there is no
+  * (left × right-within-interval) intermediate at any point, so a key with
+  * L probes and R reference rows does O((L+R) log(L+R)) work instead of
+  * the O(L·R) a naive inequality join does. At 100 TB both sides stream
+  * through the same exchange; per-key volume is the only skew axis (same
+  * axis as any keyed window — AQE cannot split a window partition, so a
+  * pathologically hot key needs key-salting with per-salt boundary
+  * handoff, which this operator does not attempt).
+  *
+  * Tie semantics (pinned, deterministic, mirrored by the oracle): a right
+  * row AT the left row's exact time matches (`<=`); among right rows with
+  * equal (key, time) the one with the greatest `rightTieBreak` wins —
+  * right rows sort before left rows at equal time and `last()` keeps the
+  * final non-null payload in sort order, so no pre-dedup aggregate is
+  * needed. Left rows with no prior right row keep NULL payload columns
+  * (left outer).
+  */
+object AsOfJoin {
+
+  /** @param keys          equi-join key columns, same names on both sides
+    * @param timeCol       event-time column, same name on both sides (any
+    *                      orderable type; callers here use epoch micros)
+    * @param rightTieBreak right column breaking ties among equal
+    *                      (key, time) right rows — greatest wins
+    * @param rightCols     right payload columns to carry onto the output
+    *                      (must not collide with left column names)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      rightTieBreak: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == timeCol)
+    require(
+      rightCols.intersect(leftPayload :+ timeCol).isEmpty,
+      s"right payload columns ${rightCols.mkString(",")} must not collide with left columns")
+
+    val l = left.select(
+      (keys :+ timeCol).map(col) ++ Seq(
+        struct(leftPayload.map(col): _*).as("__l"),
+        lit(null).cast(right.select(col(rightTieBreak)).schema.head.dataType).as("__tie"),
+        lit(1).as("__side")): _*)
+    val r = right.select(
+      (keys :+ timeCol).map(col) ++ Seq(
+        struct(rightCols.map(col): _*).as("__r"),
+        col(rightTieBreak).as("__tie"),
+        lit(0).as("__side")): _*)
+    // right rows sort BEFORE left rows at equal time (side 0 < 1) so a
+    // same-instant right row is visible to the left row (`<=` semantics);
+    // the tiebreak makes the running `last` deterministic under equal
+    // (key, time) right rows
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++ Seq(col(timeCol)) ++
+          leftPayload.map(c => col("__l").getField(c).as(c)) ++
+          rightCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

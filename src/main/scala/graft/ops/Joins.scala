@@ -47,6 +47,61 @@ object Joins {
       .drop("__graft_salt")
   }
 
+  /** Keyed interval-count join: for each left row, how many right rows of
+    * the same key fall in the half-open time window
+    * `(leftTime + lower, leftTime + upper]`. ("errors in the 60 minutes
+    * before each purchase" — the windowed-enrichment shape a naive
+    * inequality join turns into a per-key cross product.)
+    *
+    * Scale shape — BUCKETED range join: both sides are bucketed by
+    * `width = upper − lower`; a right row lands in exactly one bucket and
+    * each left row probes only the (at most two) buckets its window can
+    * overlap, via `explode(sequence(…))`. The join is then a pure
+    * EQUI-join on (keys, bucket) — shuffled, AQE-skew-splittable, never a
+    * BroadcastNestedLoop — and the exact range predicate filters within
+    * the matched buckets. Work per left row is bounded by the rows in two
+    * buckets, not the key's whole history; a right row is never counted
+    * twice because its single bucket is probed at most once per left row.
+    * Counts come back onto ALL left ids through a left join against the
+    * (id, count) aggregate, zero-filled, so empty-window rows survive.
+    *
+    * Time columns are numeric (callers here use epoch micros); buckets
+    * use floor division, so negative times are handled correctly.
+    */
+  def rangeJoinCount(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftId: String,
+      leftTime: String,
+      rightTime: String,
+      lower: Long,
+      upper: Long,
+      countName: String): DataFrame = {
+    require(upper > lower, s"empty window: ($lower, $upper]")
+    val width = upper - lower
+    val probes = left
+      .select(keys.map(col) ++ Seq(col(leftId).as("__id"), col(leftTime).as("__lt")): _*)
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          Windowing.floorDiv(col("__lt") + lit(lower), width),
+          Windowing.floorDiv(col("__lt") + lit(upper), width))))
+    val build = right
+      .select(keys.map(col) :+ col(rightTime).as("__rt"): _*)
+      .withColumn("__bucket", Windowing.floorDiv(col("__rt"), width))
+    val counts = probes
+      .join(build, keys :+ "__bucket")
+      .filter(col("__rt") > col("__lt") + lit(lower) && col("__rt") <= col("__lt") + lit(upper))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as(countName))
+    val ids = left.select(col(leftId))
+    ids
+      .join(counts, ids(leftId) === counts("__id"), "left")
+      .na.fill(0, Seq(countName))
+      .select(col(leftId), col(countName))
+  }
+
   /** orders ⋈ customer ⋈ nation, revenue per nation. */
   def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
     orders

@@ -172,6 +172,67 @@ object TextOps {
         sum(tokenCount(col(textCol))).as("total_tokens"))
       .orderBy(col(langCol))
 
+  /** Benchmark decontamination: drop every training document sharing at
+    * least one word-`n`-gram with the evaluation set — the standard
+    * n-gram-overlap rule for keeping test data out of a training corpus.
+    *
+    * Scale shape: the EVAL side drives the cost model. A benchmark suite
+    * is thousands-of-documents small, so its distinct n-gram hashes (8
+    * bytes each via xxhash64) form a broadcastable build side — the
+    * training corpus is scanned once, its exploded n-grams semi-joined
+    * map-side against the broadcast set, and NEVER shuffled; the only
+    * exchange is the distinct over contaminated ids (≪ corpus). A hash
+    * collision can only ADD a dropped doc (2⁻⁶⁴/pair — the usual md5/
+    * xxhash64 dedup bound used across this module); it never leaks a
+    * contaminated one.
+    *
+    * Output: the surviving training rows, schema unchanged.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(NearDup.shingles(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), explode(NearDup.shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .join(broadcast(evalGrams), "__gh")
+      .select(col(idCol))
+      .distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic stratified Bernoulli sampling — the reproducible
+    * mixture-weight downsampler: a row survives iff the first 32 bits of
+    * `md5(strata ‖ ":" ‖ id)` fall below its stratum's rate. Engine- and
+    * run-independent (no RNG state, no partitioning dependence — the same
+    * row always gets the same verdict, which is what makes pipeline
+    * re-runs and incremental backfills consistent), and a pure codegen'd
+    * per-row projection: no shuffle, nothing but a filter at any scale.
+    * A NULL stratum or id nulls the digest and the row is dropped —
+    * matching SQL `||` semantics.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0))
+    val u32 = conv(
+      substring(md5(concat(col(strataCol), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(u32 < rate * lit(4294967296.0))
+  }
+
   /** Within-document repetition: the fraction of word-`k`-gram windows
     * that repeat an earlier window — the Gopher-style duplicate-n-gram
     * quality rule (a high ratio marks boilerplate/spam for a

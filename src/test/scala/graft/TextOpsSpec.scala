@@ -258,4 +258,53 @@ class TextOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"), plan)
   }
+
+  test("decontaminate drops exactly the n-gram-overlapping training docs") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the eval 8-gram "quick brown fox jumps over the lazy dog"
+      (1L, "prefix words quick brown fox jumps over the lazy dog and more"),
+      // shares 7-gram runs only — survives at n=8
+      (2L, "quick brown fox jumps over the lazy cat entirely different ending"),
+      (3L, "completely unrelated text with eight or more words in it"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(train, evalDocs, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("decontaminate broadcasts the eval grams — training side never shuffles for the probe") {
+    val docs = Tables.documents(spark, sf001)
+    val plan = TextOps
+      .decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("deterministicSample is reproducible, rate-monotone, and exact at the endpoints") {
+    val docs = Tables.documents(spark, sf001)
+    def ids(rates: Map[String, Double], default: Double): Seq[Long] =
+      TextOps.deterministicSample(docs, "doc_id", "lang", rates, default)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Map.empty, 1.0) == all)                    // rate 1.0 keeps everything
+    assert(ids(Map.empty, 0.0).isEmpty)                   // rate 0.0 keeps nothing
+    val half = ids(Map.empty, 0.5)
+    assert(half == ids(Map.empty, 0.5))                   // same verdicts on re-run
+    assert(half.toSet.subsetOf(ids(Map.empty, 0.8).toSet)) // nested samples: higher rate ⊇ lower
+    val enOnly = ids(Map("en" -> 0.0), 1.0).toSet
+    val langs = docs.select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enOnly == langs.collect { case (id, l) if l != "en" => id }.toSet)
+  }
+
+  test("deterministicSample drops NULL-stratum rows (SQL || semantics)") {
+    val df = Seq((1L, "en"), (2L, null.asInstanceOf[String])).toDF("doc_id", "lang")
+    val got = TextOps.deterministicSample(df, "doc_id", "lang", Map.empty, 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
 }
