@@ -409,7 +409,27 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "lang",
           rates = Map("en" -> 0.3), defaultRate = 1.0)
         .select("doc_id", "lang")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q_chunk" -> ((s, dir) =>
+      // Context-window chunking: 32-token windows every 24 tokens (8-token
+      // overlap), tail chunk included — pure explode, no shuffle.
+      TextOps
+        .chunk(Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_ix"))),
+
+    "q_vocab" -> ((s, dir) =>
+      // Vocabulary head: top-100 tokens by frequency, tie-broken by token
+      // — map-side-combined hash agg + TakeOrderedAndProject.
+      TextOps.vocab(Tables.documents(s, dir), "text", topK = 100)),
+
+    "q_embed_centroid" -> ((s, dir) =>
+      // Per-label class centroids, exact DECIMAL accumulation per
+      // dimension (bit-reproducible across engines — see
+      // Similarity.labelCentroids).
+      Similarity
+        .labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label")))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -750,7 +770,51 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(lang || ':' || doc_id), 1, 8))::BIGINT
         |      < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // 32-token windows every 24 tokens; starts while inside the doc, so
+    // the tail chunk is emitted (generate_series/sequence are both
+    // stop-inclusive with explicit step — same start set).
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+        |  FROM toks WHERE len(w) > 0)
+        |SELECT doc_id, (s // 24)::INT AS chunk_ix,
+        |       array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+        |       LEAST(32, len(w) - s)::INT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT tok AS token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |      FROM documents) t
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+
+    // Exact per-dimension DECIMAL(38,9) accumulation + one IEEE division
+    // — bit-identical to Similarity.labelCentroids (same convention as
+    // the exactSumDouble aggregates). The v::DOUBLE hop matters: DuckDB
+    // casts FLOAT→DECIMAL through the float's SHORTEST decimal
+    // rendering (0.1f → 0.100000000) while Spark rounds the exact
+    // binary value (→ 0.100000001); FLOAT→DOUBLE is exact in both, so
+    // rounding the double makes the engines agree digit-for-digit.
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, dim,
+        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+        |         / COUNT(*) AS av
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, list(av ORDER BY dim) AS centroid
+        |FROM a GROUP BY label ORDER BY label""".stripMargin
   )
 
   private val simTopkOracle: String =

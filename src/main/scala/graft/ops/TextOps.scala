@@ -172,6 +172,57 @@ object TextOps {
         sum(tokenCount(col(textCol))).as("total_tokens"))
       .orderBy(col(langCol))
 
+  /** Context-window chunking: split each document into overlapping
+    * token-window passages — the prep step that turns raw documents into
+    * training-context-sized pieces. Chunk `i` covers tokens
+    * `[i·stride, i·stride + window)`; starts run while they are inside
+    * the document, so a shorter tail chunk is emitted rather than
+    * dropped (standard behavior — the tail is training data too).
+    * Pure per-row compute (normalize → split → `sequence` of starts →
+    * `posexplode` → `slice`): no shuffle at any scale, output rows ∝
+    * tokens/stride. Empty/whitespace-only docs yield no chunks.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn(
+        "__starts",
+        when(size(col("__toks")) > 0,
+          sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
+      .select(
+        col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_ix", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_ix"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__start")).as("n_tokens"))
+  }
+
+  /** Vocabulary head: the `topK` most frequent whitespace tokens with
+    * deterministic tie-break (count desc, token asc) — the first step of
+    * any tokenizer/vocab build. Explode → hash aggregate (map-side
+    * partial combine collapses each partition's token counts before the
+    * shuffle, so the exchange carries ∝ distinct tokens, not corpus
+    * tokens) → TakeOrderedAndProject (per-partition top-k, k-row driver
+    * merge — no global sort). */
+  def vocab(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topK)
+
   /** Benchmark decontamination: drop every training document sharing at
     * least one word-`n`-gram with the evaluation set — the standard
     * n-gram-overlap rule for keeping test data out of a training corpus.

@@ -346,4 +346,35 @@ class SimilaritySpec extends SparkTestBase {
     val b = emb.select(col("vec_id"), sig.as("s")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("labelCentroids equals the driver-side exact mean, dims in order") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = Similarity.labelCentroids(emb, "label", "embedding")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .toMap
+    // model: exact BigDecimal(scale 9) accumulation of the double view
+    val rows = emb.select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expect = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> (0 until dim).map { d =>
+        val sum = vs.map { case (_, v) =>
+          BigDecimal(v(d).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        sum.toDouble / vs.length
+      }.toSeq
+    }
+    assert(got.keySet == expect.keySet)
+    for (l <- got.keySet) assert(got(l) == expect(l), s"label $l")
+  }
+
+  test("labelCentroids is partitioning-independent (exact, order-free accumulation)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = Similarity.labelCentroids(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val b = Similarity.labelCentroids(emb.repartition(13), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+  }
 }

@@ -301,6 +301,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(enOnly == langs.collect { case (id, l) if l != "en" => id }.toSet)
   }
 
+  test("chunk: overlapping windows, emitted tail, empty docs dropped") {
+    val docs = Seq(
+      (0L, "a b c d e f g"),  // 7 toks, window 4 stride 3: [a b c d],[d e f g],[g]
+      (1L, "x y"),            // shorter than window: one short chunk
+      (2L, "   "),            // whitespace-only: no chunks
+      (3L, "")                // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (0L, 0, "a b c d", 4), (0L, 1, "d e f g", 4), (0L, 2, "g", 1),
+      (1L, 0, "x y", 2)))
+    // pure per-row explode: no exchange in the plan
+    val plan = TextOps.chunk(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("vocab: frequency order with deterministic token tie-break") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextOps.vocab(docs, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 2L))) // b before c? no — counts 3,2,2; tie b<c
+    val plan = TextOps.vocab(docs, "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan) // no global sort
+  }
+
   test("deterministicSample drops NULL-stratum rows (SQL || semantics)") {
     val df = Seq((1L, "en"), (2L, null.asInstanceOf[String])).toDF("doc_id", "lang")
     val got = TextOps.deterministicSample(df, "doc_id", "lang", Map.empty, 1.0)
