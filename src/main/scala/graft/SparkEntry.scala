@@ -429,7 +429,16 @@ object SparkEntry {
       // Similarity.labelCentroids).
       Similarity
         .labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    "q_quantiles" -> ((s, dir) =>
+      // Corpus length-distribution stats: exact discrete p50/p90/p99 of
+      // n_chars per language — rank arithmetic only, engine-exact (no
+      // interpolation blend); see Relational.groupQuantilesDisc.
+      Relational
+        .groupQuantilesDisc(
+          Tables.documents(s, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang")))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -814,7 +823,22 @@ object SparkEntry {
         |         / COUNT(*) AS av
         |  FROM e GROUP BY 1, 2)
         |SELECT label, list(av ORDER BY dim) AS centroid
-        |FROM a GROUP BY label ORDER BY label""".stripMargin
+        |FROM a GROUP BY label ORDER BY label""".stripMargin,
+
+    // Discrete quantiles at rank floor(p*(n-1))+1 — integer rank
+    // arithmetic plus one identically-rounded multiply, so the engines
+    // agree exactly (an interpolating quantile's blend would not).
+    "q_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN n_chars END) AS p50,
+        |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,
+        |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   private val simTopkOracle: String =

@@ -77,6 +77,41 @@ object Relational {
       .filter(col("rank") <= n)
   }
 
+  /** Exact per-group DISCRETE quantiles: for each probability `p` the
+    * value at 1-based sorted rank `⌊p·(n−1)⌋ + 1` (p=0 → min, p=1 → max;
+    * always an actual data value, no interpolation — which is what keeps
+    * the result type the input type and the contract engine-exact: rank
+    * arithmetic is integer + one identically-rounded IEEE multiply,
+    * unlike interpolating quantiles whose blend `a + (b−a)·f` vs
+    * `a·(1−f) + b·f` differ by an ulp across engines). Tied values make
+    * the row_number assignment arbitrary but the value AT a rank
+    * deterministic, so no tiebreak column is needed.
+    *
+    * One shuffle by group + per-key window sort — the honest cost of
+    * EXACT quantiles (same skew axis as [[topNPerGroup]]). At 100 TB
+    * prefer `approx_percentile` (t-digest sketch, map-side combinable,
+    * no per-key sort) when a bounded rank error is acceptable; this
+    * operator is the exact/oracle-checkable form.
+    */
+  def groupQuantilesDisc(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(groupCol), col(valueCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = ps.map { p =>
+      val name = s"p${(p * 100).round}"
+      max(when(col("__rk") === floor(lit(p) * (col("__n") - 1)) + 1, col(valueCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact decimal sum of a double column — deterministic under any
     * aggregation order (double sums are not associative; decimal sums are).
     *

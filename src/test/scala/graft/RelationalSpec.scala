@@ -106,4 +106,30 @@ class RelationalSpec extends SparkTestBase {
     val kept = df.filter(Relational.nullGuard(col("v"))).collect().map(_.getDouble(0)).toSet
     assert(kept == Set(1.0, Double.PositiveInfinity))
   }
+
+  test("groupQuantilesDisc matches the sorted-rank model (endpoints, ties, singleton)") {
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L),
+      ("b", 7L), ("b", 7L), ("b", 9L), // ties
+      ("c", 42L)                        // singleton group
+    ).toDF("g", "v")
+    val got = Relational.groupQuantilesDisc(df, "g", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // model: value at 1-based rank floor(p*(n-1))+1
+    assert(got("a") == ((10L, 30L, 50L)))
+    assert(got("b") == ((7L, 7L, 9L)))
+    assert(got("c") == ((42L, 42L, 42L)))
+    // exact rank arithmetic against a driver-side model on fixture data
+    val docs = Tables.documents(spark, sf001).select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expect = docs.groupBy(_._1).map { case (l, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def q(p: Double) = sorted(math.floor(p * (sorted.length - 1)).toInt)
+      l -> ((q(0.5), q(0.9), q(0.99)))
+    }
+    val fixture = Relational
+      .groupQuantilesDisc(Tables.documents(spark, sf001), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fixture == expect)
+  }
 }

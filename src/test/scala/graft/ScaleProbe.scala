@@ -65,6 +65,29 @@ object ScaleProbe {
     copies * base.count()
   }
 
+  /** Tile events with disjoint per-copy key/sequence spaces (user_id and
+    * event_id offset per copy, timestamps unchanged): keys grow with the
+    * data, so per-key as-of/interval work stays constant and total work
+    * should scale ~linearly. `ts` round-trips as the epoch-nanos Long the
+    * nanosAsLong read produced — Tables.events renames it identically on
+    * re-read. */
+  def tileEvents(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val base = Tables.events(spark, sfDir).withColumnRenamed("ts_ns", "ts")
+    val spans = base.agg(max(col("user_id")), max(col("event_id"))).head()
+    val uspan = spans.getLong(0) + 1
+    val espan = spans.getLong(1) + 1
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .select(
+        (col("event_id") + col("copy") * espan).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("copy") * uspan).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    copies * base.count()
+  }
+
   private def usedHeapMb(): Long = {
     System.gc(); System.gc()
     val r = Runtime.getRuntime
@@ -77,7 +100,10 @@ object ScaleProbe {
     val copies = args.drop(2).headOption.map(_.toInt).getOrElse(8)
     val spark = GraftSession.local("graft-scale-probe", cores = cores)
     val probes = Seq(
-      "q_neardup_jaccard", "q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf")
+      "q_neardup_jaccard", "q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf",
+      // round-7 operators: keyed time joins scale with keys (tiled
+      // user spaces), text/vector pipelines with rows
+      "q_asof_join", "q_range_join", "q_decontaminate", "q_chunk", "q_embed_centroid")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
@@ -85,8 +111,10 @@ object ScaleProbe {
       val bigDir = s"$work/x$copies"
       val n1 = tileDocuments(spark, sfDir, oneDir, 1)
       tileEmbeddings(spark, sfDir, oneDir, 1)
+      tileEvents(spark, sfDir, oneDir, 1)
       val nBig = tileDocuments(spark, sfDir, bigDir, copies)
       tileEmbeddings(spark, sfDir, bigDir, copies)
+      tileEvents(spark, sfDir, bigDir, copies)
       println(s"SCALEPROBE docs x1=$n1 x$copies=$nBig")
 
       def run(dir: String, name: String): Double = {
