@@ -833,7 +833,7 @@ object SparkEntry {
         |  SELECT lang, n_chars,
         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
         |         COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
+        |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT lang,
         |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN n_chars END) AS p50,
         |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,

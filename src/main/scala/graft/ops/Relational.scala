@@ -100,8 +100,12 @@ object Relational {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     import org.apache.spark.sql.expressions.Window
+    // quantiles are over NON-NULL values (the standard contract; it also
+    // sidesteps the engines' opposite default NULL sort positions —
+    // Spark ASC is NULLS FIRST, SQL engines commonly NULLS LAST)
     val ranked = df
       .select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(groupCol).orderBy(valueCol)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))

@@ -109,9 +109,10 @@ class RelationalSpec extends SparkTestBase {
 
   test("groupQuantilesDisc matches the sorted-rank model (endpoints, ties, singleton)") {
     val df = Seq(
-      ("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 50L),
-      ("b", 7L), ("b", 7L), ("b", 9L), // ties
-      ("c", 42L)                        // singleton group
+      ("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)), ("a", Some(40L)), ("a", Some(50L)),
+      ("a", None),                                    // NULL excluded from ranks and counts
+      ("b", Some(7L)), ("b", Some(7L)), ("b", Some(9L)), // ties
+      ("c", Some(42L))                                // singleton group
     ).toDF("g", "v")
     val got = Relational.groupQuantilesDisc(df, "g", "v", Seq(0.0, 0.5, 1.0))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
