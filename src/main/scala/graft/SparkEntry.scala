@@ -438,7 +438,27 @@ object SparkEntry {
       Relational
         .groupQuantilesDisc(
           Tables.documents(s, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    "q_bigrams" -> ((s, dir) =>
+      // Word-bigram LM count head: top-50 word pairs — explode windows,
+      // map-side-combined hash agg, TakeOrderedAndProject.
+      TextOps.ngramCounts(Tables.documents(s, dir), "text", n = 2, topK = 50)),
+
+    "q_source_mix" -> ((s, dir) =>
+      // Mixture-weights table: per-source docs, tokens, and corpus token
+      // share — the input to data-mixture decisions and sampling rates.
+      TextOps.sourceMix(Tables.documents(s, dir), "source", "text")),
+
+    "q_knn_label" -> ((s, dir) =>
+      // Nearest-class-mean classification confusion table over the
+      // embedding column — bounded centroid collect + one kernel pass.
+      Similarity.classifyByCentroid(Tables.embeddings(s, dir), "label", "embedding")),
+
+    "q_pricing" -> ((s, dir) =>
+      // TPC-H-Q1-shaped pricing summary: one scan, exact decimal sums of
+      // per-row derived measures, 6-group output.
+      Relational.pricingSummary(Tables.lineitem(s, dir)))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -838,7 +858,89 @@ object SparkEntry {
         |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN n_chars END) AS p50,
         |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Sliding word windows as space-joined strings; DuckDB list slicing
+    // w[i : i+1] is stop-INCLUSIVE (2 tokens), generate_series(1, len-1)
+    // is empty when len < 2 — same window set as the engine's
+    // sequence-of-starts formulation.
+    "q_bigrams" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT array_to_string(w[i : i + 1], ' ') AS ngram
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
+        |SELECT ngram, COUNT(*) AS cnt
+        |FROM g GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // Token count by the same length arithmetic as the engine
+    // (whitespace runs collapse to single spaces → spaces+1); the share
+    // is one IEEE division of exact BIGINT sums.
+    "q_source_mix" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         SUM(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+        |                  ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |                     - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+        |                     + 1 END)::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       n_tokens::DOUBLE / (SUM(n_tokens) OVER ())::DOUBLE AS token_share
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Nearest-class-mean confusion table. Centroids replicate the
+    // q_embed_centroid DECIMAL(38,9) exact-mean contract, then round
+    // ONCE to FLOAT (::FLOAT — IEEE round-to-nearest, same as the
+    // engine's .toFloat); the cosine then accumulates FLOAT values in
+    // DOUBLE in dimension order (list_sum convention, bit-identical to
+    // the NearestCentroid kernel). Argmax tie-break: lowest label
+    // (kernel keeps the first strictly-greater over the label-ascending
+    // table).
+    "q_knn_label" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, dim,
+        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+        |         / COUNT(*) AS av
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT clabel, list(av::FLOAT ORDER BY dim) AS cvec
+        |  FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, cl.clabel,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                 i -> e.embedding[i]::DOUBLE * cl.cvec[i]::DOUBLE))
+        |         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |            * sqrt(list_sum(list_transform(cl.cvec, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+        |  FROM embeddings e CROSS JOIN cl),
+        |best AS (
+        |  SELECT vec_id, label, clabel,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos DESC, clabel ASC) AS rk
+        |  FROM scored)
+        |SELECT label, clabel AS predicted, COUNT(*) AS cnt
+        |FROM best WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Derived measures evaluate in DOUBLE (same expression shape ⇒ same
+    // IEEE result), sums accumulate in DECIMAL(38,6), avg is one IEEE
+    // division of exact parts — the exactSum/exactAvg convention.
+    "q_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS count_order,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 
   private val simTopkOracle: String =

@@ -116,6 +116,37 @@ object Relational {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** TPC-H-Q1-shaped pricing summary: the canonical scan-heavy OLAP
+    * aggregate — per (returnflag, linestatus): row count, exact sums of
+    * quantity / base price / discounted price / discounted+taxed charge,
+    * and the average quantity.
+    *
+    * Scale shape: ONE pass over the fact table; the derived measures
+    * (`price·(1−disc)`, `·(1+tax)`) are per-row projections inside
+    * whole-stage codegen, the aggregate combines map-side to ≤ 6 groups
+    * per partition, and the exchange carries 6 rows of decimals — the
+    * scan is the entire cost at any corpus size.
+    *
+    * Exactness: products evaluate in DOUBLE (IEEE, identical across
+    * engines for the same expression shape) and accumulate via
+    * [[exactSum]]'s DECIMAL(38,6) (order-independent); the average is
+    * one IEEE division of exact parts ([[exactAvgLong]] convention). */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        exactSumDouble(col("l_quantity")).as("sum_qty"),
+        exactSumDouble(col("l_extendedprice")).as("sum_base_price"),
+        exactSumDouble(discPrice).as("sum_disc_price"),
+        exactSumDouble(charge).as("sum_charge"),
+        (exactSum(col("l_quantity")).cast("double") / count(col("l_quantity")))
+          .as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Exact decimal sum of a double column — deterministic under any
     * aggregation order (double sums are not associative; decimal sums are).
     *

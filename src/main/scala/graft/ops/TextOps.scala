@@ -223,6 +223,59 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
 
+  /** Word n-gram frequency head: the `topK` most frequent word-`n`-grams
+    * with deterministic tie-break (count desc, gram asc) — the count
+    * table of a word-level language model (and the generalization of
+    * [[vocab]] beyond n=1). Each document contributes its `words−n+1`
+    * sliding windows as space-joined strings; docs shorter than `n`
+    * words contribute nothing.
+    *
+    * Scale shape: same as vocab — the per-row window construction is a
+    * pure projection (`transform` over a `sequence` of starts, no
+    * intermediate corpus copy beyond the gram explode), the hash
+    * aggregate combines map-side so the exchange carries ∝ distinct
+    * grams (not corpus windows), and top-k is TakeOrderedAndProject
+    * (per-partition top-k, k-row driver merge — no global sort). */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    require(n >= 1 && topK >= 1, s"n=$n topK=$topK must be >= 1")
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+    // guard: sequence(1, stop) with stop < 1 would generate DESCENDING
+    // steps, not an empty list — short docs must yield no windows
+    val grams = when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
+  /** Source-mixture table: per-source document and token counts plus each
+    * source's share of all corpus tokens — the table a pretraining run
+    * derives its mixture weights (and [[deterministicSample]] rates)
+    * from. One hash aggregate keyed by source (map-side combined, the
+    * exchange carries ∝ sources); the share is an unpartitioned window
+    * over the AGGREGATED output — rows ∝ sources, so the single-partition
+    * window is O(sources) however large the corpus. Token counts use the
+    * [[tokenCount]] length arithmetic (no token arrays); the share is one
+    * IEEE division of exact BIGINT sums, so the DuckDB oracle agrees
+    * bit-for-bit. */
+  def sourceMix(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("bigint")).as("n_tokens"))
+      .withColumn(
+        "token_share",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+      .orderBy(col(srcCol))
+
   /** Benchmark decontamination: drop every training document sharing at
     * least one word-`n`-gram with the evaluation set — the standard
     * n-gram-overlap rule for keeping test data out of a training corpus.

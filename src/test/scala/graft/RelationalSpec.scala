@@ -133,4 +133,37 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(fixture == expect)
   }
+
+  test("pricingSummary matches an exact driver-side decimal model") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val rows = Tables.lineitem(spark, sf001)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // model: the same double-expression products, each rounded once to
+    // scale 6 (Spark's double→DECIMAL(38,6) cast), summed exactly
+    def dec(x: Double) = BigDecimal(x).setScale(6, HALF_UP)
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+      val sumQty = vs.map(v => dec(v._3)).sum
+      k -> ((vs.length.toLong,
+        sumQty.toDouble,
+        vs.map(v => dec(v._4)).sum.toDouble,
+        vs.map(v => dec(v._4 * (1.0 - v._5))).sum.toDouble,
+        vs.map(v => dec(v._4 * (1.0 - v._5) * (1.0 + v._6))).sum.toDouble,
+        sumQty.toDouble / vs.length))
+    }
+    val got = Relational.pricingSummary(Tables.lineitem(spark, sf001))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got == expect)
+    // one scan, map-side-combined hash agg: exactly one exchange
+    val plan = Relational.pricingSummary(Tables.lineitem(spark, sf001))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan) // agg + orderBy sort
+  }
 }

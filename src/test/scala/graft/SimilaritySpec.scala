@@ -377,4 +377,55 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(a == b)
   }
+
+  test("classifyByCentroid: separable clusters classify to their own label") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), (3L, Array(0.1f, 0.9f, 0.0f), 1),
+      (4L, Array(0.0f, 0.1f, 1.0f), 2), (5L, Array(0.0f, 0.0f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classifyByCentroid(rows, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 0, 2L), (1, 1, 2L), (2, 2, 2L)))
+  }
+
+  test("classifyByCentroid equals the driver-side argmax over labelCentroids") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cents = Similarity.labelCentroids(emb, "label", "embedding")
+      .orderBy(org.apache.spark.sql.functions.col("label"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+    val data = emb.select("embedding", "label").collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // first-wins strictly-greater argmax over the label-ascending table —
+    // the kernel's tie rule
+    val model = data
+      .map { case (v, lab) =>
+        var best = cents.head._1
+        var bestSim = cosF(v, cents.head._2)
+        for ((cl, cv) <- cents.tail) {
+          val s = cosF(v, cv)
+          if (java.lang.Double.compare(s, bestSim) > 0) { best = cl; bestSim = s }
+        }
+        (lab, best)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((l, p), c) => (l, p, c) }.sorted
+    val got = Similarity.classifyByCentroid(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == model)
+    // confusion counts cover the whole corpus
+    assert(got.map(_._3).sum == data.length.toLong)
+  }
 }

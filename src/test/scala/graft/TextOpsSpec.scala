@@ -336,4 +336,42 @@ class TextOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L))
   }
+
+  test("ngramCounts: sliding windows, short/empty docs excluded, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b c a b"), // bigrams: a b, b c, c a, a b
+      (2L, "a"),         // shorter than n: nothing
+      (3L, "   "),       // whitespace-only: nothing
+      (4L, "c a")        // one window
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramCounts(docs, "text", n = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b", 2L), ("c a", 2L), ("b c", 1L)))
+    // top-k truncates after the deterministic order
+    val top1 = TextOps.ngramCounts(docs, "text", 2, 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("a b"))
+    // n=1 degenerates to vocab
+    val uni = TextOps.ngramCounts(docs, "text", 1, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val voc = TextOps.vocab(docs, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(uni == voc)
+    // same top-k shape as vocab: no global sort
+    val plan = TextOps.ngramCounts(docs, "text", 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("sourceMix: per-source docs/tokens, shares are exact fractions of the total") {
+    val docs = Seq(
+      ("s1", "a b  c"), ("s1", "d"), ("s2", "e f"), ("s2", "   ")
+    ).toDF("source", "text")
+    val got = TextOps.sourceMix(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(("s1", 2L, 4L, 4.0 / 6.0), ("s2", 2L, 2L, 2.0 / 6.0)))
+    assert(got.map(_._4).sum == 1.0)
+  }
 }
