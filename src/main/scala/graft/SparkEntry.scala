@@ -458,7 +458,14 @@ object SparkEntry {
     "q_pricing" -> ((s, dir) =>
       // TPC-H-Q1-shaped pricing summary: one scan, exact decimal sums of
       // per-row derived measures, 6-group output.
-      Relational.pricingSummary(Tables.lineitem(s, dir)))
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+
+    "q_pack" -> ((s, dir) =>
+      // Token-stream packing: per-shard running token offsets → which
+      // 1024-token training sequence each doc starts in, and where.
+      TextOps
+        .pack(Tables.documents(s, dir), "doc_id", "text", budget = 1024, shards = 8)
+        .orderBy(col("shard"), col("doc_id")))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -940,7 +947,27 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Per-shard running token offsets (same length-arithmetic token
+    // count), integer sequence arithmetic — engine-exact.
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 8)::INT AS shard,
+        |         (CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+        |               ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |                  - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+        |                  + 1 END)::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT shard, doc_id, n_tokens,
+        |       ((off - off % 1024) / 1024)::INT AS seq_ix,
+        |       (off % 1024)::INT AS seq_off
+        |FROM c ORDER BY shard, doc_id""".stripMargin
   )
 
   private val simTopkOracle: String =

@@ -337,6 +337,47 @@ object TextOps {
     df.filter(u32 < rate * lit(4294967296.0))
   }
 
+  /** Token-stream packing: lay the corpus out as fixed-`budget`-token
+    * training sequences — the step after [[chunk]] in a pretraining
+    * pipeline (concatenate documents in order, cut every `budget`
+    * tokens; a document may straddle a cut). Each doc gets its position
+    * in the stream: `seq_ix` = which training sequence its first token
+    * lands in, `seq_off` = the offset inside that sequence.
+    *
+    * Packing is per-shard (`shard = doc_id % shards`, docs in id order
+    * within a shard): each shard's token stream is independent, which is
+    * both what a distributed trainer consumes (one stream per data
+    * worker) and what makes the operator parallel — the running-total
+    * window sorts per shard, never globally, so skew is bounded by
+    * corpus/shards (same axis as any keyed window; raise `shards` with
+    * the corpus). Token counts use [[tokenCount]] length arithmetic;
+    * empty docs carry no tokens and are dropped. Deterministic:
+    * (shards, id order) fix every offset, so re-runs and engines agree
+    * exactly — integer arithmetic only. */
+  def pack(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      shards: Int): DataFrame = {
+    require(budget >= 1 && shards >= 1, s"budget=$budget shards=$shards must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(
+        col(idCol),
+        (col(idCol) % shards).cast("int").as("shard"),
+        tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(W), lit(0L)))
+      .select(
+        col("shard"),
+        col(idCol),
+        col("n_tokens"),
+        (col("__off") - (col("__off") % budget)).divide(budget).cast("int").as("seq_ix"),
+        (col("__off") % budget).cast("int").as("seq_off"))
+  }
+
   /** Within-document repetition: the fraction of word-`k`-gram windows
     * that repeat an earlier window — the Gopher-style duplicate-n-gram
     * quality rule (a high ratio marks boilerplate/spam for a

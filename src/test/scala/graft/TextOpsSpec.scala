@@ -363,6 +363,32 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("pack: per-shard running offsets, straddling docs, empty docs dropped") {
+    val docs = Seq(
+      (0L, "a b c"),     // shard 0: off 0 → seq 0 @ 0
+      (2L, "d e f g"),   // shard 0: off 3 → seq 0 @ 3
+      (4L, "h i"),       // shard 0: off 7 → seq 1 @ 2  (budget 5: straddle at 5)
+      (1L, "x"),         // shard 1: off 0 → seq 0 @ 0
+      (3L, "   "),       // shard 1: empty — dropped
+      (5L, "y z w v u t")// shard 1: off 1 → seq 0 @ 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.pack(docs, "doc_id", "text", budget = 5, shards = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (0, 0L, 3L, 0, 0), (0, 2L, 4L, 0, 3), (0, 4L, 2L, 1, 2),
+      (1, 1L, 1L, 0, 0), (1, 5L, 6L, 0, 1)))
+    // offsets are a per-shard prefix sum: each doc starts where the
+    // previous ended (seq_ix*budget + seq_off is cumulative)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).foldLeft(0L) { case (expectOff, (_, _, n, six, soff)) =>
+        assert(six * 5L + soff == expectOff)
+        expectOff + n
+      }
+    }
+  }
+
   test("sourceMix: per-source docs/tokens, shares are exact fractions of the total") {
     val docs = Seq(
       ("s1", "a b  c"), ("s1", "d"), ("s2", "e f"), ("s2", "   ")
