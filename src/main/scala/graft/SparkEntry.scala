@@ -465,7 +465,20 @@ object SparkEntry {
       // 1024-token training sequence each doc starts in, and where.
       TextOps
         .pack(Tables.documents(s, dir), "doc_id", "text", budget = 1024, shards = 8)
-        .orderBy(col("shard"), col("doc_id")))
+        .orderBy(col("shard"), col("doc_id"))),
+
+    "q_neardup_keep_best" -> ((s, dir) => {
+      // q_neardup_dedup with the keeper policy real curation wants: each
+      // near-dup cluster keeps its LONGEST member (n_chars, ties to the
+      // lowest id) instead of the lowest id.
+      val docs = Tables.documents(s, dir)
+      NearDup
+        .collapseNearDupsKeepBest(docs, "doc_id",
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8),
+          scoreCol = "n_chars")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column
@@ -729,6 +742,42 @@ object SparkEntry {
         |  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
         |SELECT doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.n = d.doc_id AND r.m < d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same component structure as q_neardup_dedup (transitive closure
+    // over the symmetric pair edges); the keeper is then the component
+    // member with (n_chars DESC, id ASC) instead of the minimum id.
+    "q_neardup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter
+        |  JOIN sizes na ON id1 = na.doc_id
+        |  JOIN sizes nb ON id2 = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |r(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a),
+        |comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS label FROM r GROUP BY n),
+        |best AS (
+        |  SELECT c.node,
+        |         ROW_NUMBER() OVER (PARTITION BY c.label
+        |                            ORDER BY d.n_chars DESC, c.node ASC) AS rk
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp)
+        |   OR doc_id IN (SELECT node FROM best WHERE rk = 1)
         |ORDER BY doc_id""".stripMargin,
 
     // Exact cosine top-k. The per-row list_sum/list_transform pipeline

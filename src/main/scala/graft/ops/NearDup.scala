@@ -483,6 +483,60 @@ object NearDup {
       pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val (labels, release) = componentLabels(pairs, maxIter, reliable)
+    // pin ONLY the tiny drop-set (non-representative ids), then free the
+    // loop state — the returned anti-join depends on nothing else
+    val dropPlan =
+      labels.filter(col("label") < col("node")).select(col("node").as(idCol))
+    val drop =
+      if (reliable) reliableCkpt(dropPlan) else dropPlan.localCheckpoint()
+    release()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[collapseNearDups]] with a KEEPER POLICY: each near-dup component
+    * keeps its best member by `scoreCol` (highest score, ties to the
+    * lowest id) instead of the lowest id — the policy real curation
+    * pipelines want (keep the longest / highest-quality member of a
+    * duplicate cluster, drop the rest). Same component structure,
+    * checkpoint hygiene, and loud non-convergence as [[collapseNearDups]].
+    *
+    * Scale note: one extra touch of the corpus — a join of the member
+    * set (≪ corpus) against `(id, score)` to score members — plus a
+    * per-COMPONENT window over members only; the full corpus is still
+    * touched exactly once by the final anti-join. */
+  def collapseNearDupsKeepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      scoreCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val (labels, release) = componentLabels(pairs, maxIter, reliable)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("__score").desc, col("node").asc)
+    val dropPlan = labels
+      .join(df.select(col(idCol).as("node"), col(scoreCol).as("__score")), "node")
+      .withColumn("__rk", row_number().over(W))
+      .filter(col("__rk") > 1)
+      .select(col("node").as(idCol))
+    val drop =
+      if (reliable) reliableCkpt(dropPlan) else dropPlan.localCheckpoint()
+    release()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Min-label propagation over the undirected pair graph: labels every
+    * node appearing in a pair with its component's minimum id. Returns
+    * the converged `(node, label)` frame (checkpointed) and the release
+    * hook that frees ALL loop state — callers MUST derive and checkpoint
+    * their drop-set from `labels` and then call release before building
+    * the final plan. Throws (after releasing) when `maxIter` rounds
+    * don't converge. */
+  private def componentLabels(
+      pairs: DataFrame,
+      maxIter: Int,
+      reliable: Boolean): (DataFrame, () => Unit) = {
     // one scan of `pairs` builds both edge directions — the old
     // self-union evaluated the (expensive) pair pipeline twice
     val edgesPlan = pairs
@@ -534,14 +588,7 @@ object NearDup {
         s"collapseNearDups did not converge within $maxIter rounds — " +
           s"a component's diameter exceeds maxIter; raise it")
     }
-    // pin ONLY the tiny drop-set (non-representative ids), then free the
-    // loop state — the returned anti-join depends on nothing else
-    val dropPlan =
-      labels.filter(col("label") < col("node")).select(col("node").as(idCol))
-    val drop =
-      if (reliable) reliableCkpt(dropPlan) else dropPlan.localCheckpoint()
-    release()
-    df.join(drop, Seq(idCol), "left_anti")
+    (labels, () => release())
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for

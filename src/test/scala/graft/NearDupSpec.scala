@@ -183,6 +183,39 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Set(0L))
   }
 
+  test("collapseNearDupsKeepBest keeps the highest-scoring member per component") {
+    import spark.implicits._
+    // same component structure as the min-id test, plus a score column:
+    // {0,1,2} chain — best is 1 (score 50); {5,7} — tie at 10 keeps the
+    // LOWER id 5; {3,4,8} triangle — best is 8; 6 and 9 unpaired survive
+    val docs = Seq(
+      (0L, 20L), (1L, 50L), (2L, 30L),
+      (3L, 5L), (4L, 7L), (8L, 9L),
+      (5L, 10L), (7L, 10L),
+      (6L, 1L), (9L, 2L)
+    ).toDF("doc_id", "score")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),
+      (5L, 7L),
+      (3L, 4L), (3L, 8L), (4L, 8L)
+    ).toDF("id1", "id2")
+    val got = NearDup.collapseNearDupsKeepBest(docs, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L, 6L, 8L, 9L))
+  }
+
+  test("collapseNearDupsKeepBest degenerates to collapseNearDups under a constant score") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, 0L)).toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L), (3L, 4L), (3L, 8L), (4L, 8L))
+      .toDF("id1", "id2")
+    val best = NearDup.collapseNearDupsKeepBest(docs, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = NearDup.collapseNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == minId)
+  }
+
   test("collapseNearDups refuses to return under-merged components at maxIter") {
     import spark.implicits._
     // truncating the propagation silently would RETAIN near-duplicates;

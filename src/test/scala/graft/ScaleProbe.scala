@@ -103,7 +103,10 @@ object ScaleProbe {
       "q_neardup_jaccard", "q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf",
       // round-7 operators: keyed time joins scale with keys (tiled
       // user spaces), text/vector pipelines with rows
-      "q_asof_join", "q_range_join", "q_decontaminate", "q_chunk", "q_embed_centroid")
+      "q_asof_join", "q_range_join", "q_decontaminate", "q_chunk", "q_embed_centroid",
+      // round-7 batch 2: explode-heavy LM counts, per-shard packing
+      // window, bounded-collect centroid classification
+      "q_bigrams", "q_pack", "q_knn_label")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
