@@ -467,6 +467,16 @@ object SparkEntry {
         .pack(Tables.documents(s, dir), "doc_id", "text", budget = 1024, shards = 8)
         .orderBy(col("shard"), col("doc_id"))),
 
+    "q_split" -> ((s, dir) =>
+      // Reproducible train/val/test assignment (dyadic 75/12.5/12.5
+      // fractions — binary-exact thresholds), audited per (split, lang).
+      TextOps
+        .assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split"), col("lang"))),
+
     "q_neardup_keep_best" -> ((s, dir) => {
       // q_neardup_dedup with the keeper policy real curation wants: each
       // near-dup cluster keeps its LONGEST member (n_chars, ties to the
@@ -743,6 +753,20 @@ object SparkEntry {
         |SELECT doc_id FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.n = d.doc_id AND r.m < d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Dyadic cumulative thresholds (0.75·2³² = 3221225472, 0.875·2³² =
+    // 3758096384 — exact integers), same md5-u32 machinery as q_sample.
+    "q_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         CASE WHEN u < 3221225472.0 THEN 'train'
+        |              WHEN u < 3758096384.0 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |               ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT AS u
+        |        FROM documents))
+        |SELECT split, lang, COUNT(*) AS cnt
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same component structure as q_neardup_dedup (transitive closure
     // over the symmetric pair edges); the keeper is then the component

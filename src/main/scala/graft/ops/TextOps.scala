@@ -378,6 +378,38 @@ object TextOps {
         (col("__off") % budget).cast("int").as("seq_off"))
   }
 
+  /** Deterministic multi-way split assignment — reproducible
+    * train/val/test partitioning: a row's split is decided by where the
+    * first 32 bits of `md5(salt ‖ ":" ‖ id)` fall among the cumulative
+    * fraction thresholds. Same contract family as
+    * [[deterministicSample]]: no RNG state, engine/run/partitioning
+    * independent, a pure codegen'd projection (zero shuffle — the
+    * assignment is a column, not a repartition). The LAST split absorbs
+    * the remainder, so fractions must sum to 1 (±1e-9). Thresholds are
+    * `cum · 2³²` doubles — use binary-representable fractions (0.75,
+    * 0.125, …) when an external system must reproduce them exactly.
+    * NULL ids get a NULL split. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(fractions.forall(_._2 > 0.0), s"fractions must be positive: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val u32 = conv(
+      substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = fractions.init.zip(bounds)
+      .foldRight(when(col(idCol).isNotNull, lit(fractions.last._1))) {
+        case (((name, _), cum), acc) =>
+          when(col(idCol).isNotNull && u32 < cum * 4294967296.0, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Within-document repetition: the fraction of word-`k`-gram windows
     * that repeat an earlier window — the Gopher-style duplicate-n-gram
     * quality rule (a high ratio marks boilerplate/spam for a

@@ -389,6 +389,33 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("assignSplit: total partition, reproducible, NULL id unassigned, fractions validated") {
+    val docs = (0L to 499L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val got = TextOps.assignSplit(docs, "doc_id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split
+    assert(got.values.sum == 500L)
+    assert(got.keySet == Set("train", "val", "test"))
+    // roughly proportional (md5 is uniform; 500 rows, generous bounds)
+    assert(got("train") > 300L && got("train") < 450L)
+    // reproducible across invocations and partitionings
+    val again = TextOps.assignSplit(docs.repartition(7), "doc_id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // NULL id → NULL split
+    val nul = TextOps.assignSplit(
+      Seq(Tuple1(Option.empty[Long])).toDF("doc_id"), "doc_id", splits)
+      .select("split").collect().head
+    assert(nul.isNullAt(0))
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      TextOps.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("sourceMix: per-source docs/tokens, shares are exact fractions of the total") {
     val docs = Seq(
       ("s1", "a b  c"), ("s1", "d"), ("s2", "e f"), ("s2", "   ")
