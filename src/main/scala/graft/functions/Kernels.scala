@@ -61,6 +61,29 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word k-gram windows in document order, WITH multiplicity — the
+    * LM-count flavor of [[shingles]] (which dedups for set-similarity).
+    * Empty array for docs shorter than k words. */
+  def ngrams(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al.): rolling
     * polynomial hashes over character k-grams of the whitespace-normalized
     * lowercased text, rightmost-minimum per window of `w` consecutive

@@ -32,6 +32,22 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL word k-gram windows with multiplicity (document order) — the
+  * LM-count companion of [[WordShingles]], one compiled pass per doc
+  * (the HOF transform/array_join formulation evaluates interpreted per
+  * window and was the cost center of the n-gram count head). */
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "ngram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.ngrams(input.asInstanceOf[UTF8String], k)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.ngrams($c, $k)")
+  protected override def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** One-hash MinHash signature over a (non-empty) shingle array. */
 case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
   require(perms >= 1, "need at least one permutation")
@@ -221,6 +237,9 @@ object native {
 
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def wordNgrams(text: Column, k: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), k))
 
   def minhashSignature(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))

@@ -230,25 +230,16 @@ object TextOps {
     * sliding windows as space-joined strings; docs shorter than `n`
     * words contribute nothing.
     *
-    * Scale shape: same as vocab — the per-row window construction is a
-    * pure projection (`transform` over a `sequence` of starts, no
-    * intermediate corpus copy beyond the gram explode), the hash
-    * aggregate combines map-side so the exchange carries ∝ distinct
-    * grams (not corpus windows), and top-k is TakeOrderedAndProject
-    * (per-partition top-k, k-row driver merge — no global sort). */
+    * Scale shape: same as vocab — the per-row window construction is ONE
+    * compiled kernel pass per doc ([[graft.functions.WordNgrams]]; the
+    * HOF `transform`+`array_join` formulation evaluates interpreted per
+    * window and cost 4× as much end-to-end), the hash aggregate combines
+    * map-side so the exchange carries ∝ distinct grams (not corpus
+    * windows), and top-k is TakeOrderedAndProject (per-partition top-k,
+    * k-row driver merge — no global sort). */
   def ngramCounts(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
     require(n >= 1 && topK >= 1, s"n=$n topK=$topK must be >= 1")
-    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
-    val toks = when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-    // guard: sequence(1, stop) with stop < 1 would generate DESCENDING
-    // steps, not an empty list — short docs must yield no windows
-    val grams = when(size(toks) >= n,
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(explode(grams).as("ngram"))
+    df.select(explode(graft.functions.native.wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
