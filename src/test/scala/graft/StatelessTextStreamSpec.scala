@@ -75,4 +75,15 @@ class StatelessTextStreamSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("assignSplit streams batch-identically (same per-row split verdicts)") {
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val streamed = runStream(docs)(TextOps.assignSplit(_, "doc_id", splits)
+      .select("doc_id", "split"))
+      .flatMap(_.map(r => (r.getLong(0), r.getString(1)))).sorted
+    val batch = TextOps.assignSplit(docs.flatten.toDF(), "doc_id", splits)
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed == batch)
+  }
 }
