@@ -98,6 +98,36 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_split assigns splits as a pure projection — no exchange before the audit agg") {
+    // the split column must be a codegen'd CASE over the md5 hash, never
+    // a repartition; the only exchanges belong to the (split, lang)
+    // audit aggregate and its oracle sort
+    val p = plan("q_split")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.size <= 1, s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+    exchanges.foreach(l => assert(!l.contains("doc_id#"), l))
+  }
+
+  test("q_pack shuffles (id, shard, count) only — the text never moves") {
+    val p = plan("q_pack")
+    p.linesIterator.filter(_.contains("hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("q_knn_label classifies via the nearest_centroid kernel, no corpus join") {
+    val p = plan("q_knn_label")
+    assert(p.contains("nearest_centroid"), p)
+    // assignment is a projection: no join anywhere in the classify plan
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_bigrams builds windows with the compiled kernel and takes top-k without a global sort") {
+    val p = plan("q_bigrams")
+    assert(p.contains("word_ngrams"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("hash-ordered prefix candidates shuffle NOTHING before the self-join") {
     // the zero-shuffle property of the default order: the per-row array
     // pipeline (shingles → hash → sort → slice → explode) reaches the
