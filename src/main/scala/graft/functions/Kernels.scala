@@ -84,6 +84,34 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** All overlapping token-window chunk texts in start order: window `i`
+    * covers tokens `[i·stride, i·stride + window)`, starts run while
+    * inside the document (tail chunk emitted). One compiled pass — the
+    * built-in `slice`+`array_join` per chunk are CodegenFallback
+    * (interpreted). Empty array for empty/whitespace-only docs. */
+  def chunks(text: UTF8String, window: Int, stride: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any]((toks.length + stride - 1) / stride)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    var c = 0
+    while (s < toks.length) {
+      val end = math.min(s + window, toks.length)
+      sb.setLength(0)
+      var j = s
+      while (j < end) {
+        if (j > s) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+      s += stride
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al.): rolling
     * polynomial hashes over character k-grams of the whitespace-normalized
     * lowercased text, rightmost-minimum per window of `w` consecutive

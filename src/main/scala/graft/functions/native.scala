@@ -48,6 +48,21 @@ case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All overlapping token-window chunk texts in one compiled pass — the
+  * context-window chunking kernel (see [[TextKernels.chunks]]). */
+case class WordChunks(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression {
+  require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.chunks(input.asInstanceOf[UTF8String], window, stride)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.chunks($c, $window, $stride)")
+  protected override def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
 /** One-hash MinHash signature over a (non-empty) shingle array. */
 case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
   require(perms >= 1, "need at least one permutation")
@@ -240,6 +255,9 @@ object native {
 
   def wordNgrams(text: Column, k: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), k))
+
+  def wordChunks(text: Column, window: Int, stride: Int): Column =
+    ColumnBridge.column(WordChunks(ColumnBridge.expression(text), window, stride))
 
   def minhashSignature(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))

@@ -178,9 +178,11 @@ object TextOps {
     * `[i·stride, i·stride + window)`; starts run while they are inside
     * the document, so a shorter tail chunk is emitted rather than
     * dropped (standard behavior — the tail is training data too).
-    * Pure per-row compute (normalize → split → `sequence` of starts →
-    * `posexplode` → `slice`): no shuffle at any scale, output rows ∝
-    * tokens/stride. Empty/whitespace-only docs yield no chunks.
+    * Pure per-row compute — ONE compiled kernel pass per doc
+    * ([[graft.functions.WordChunks]]; the built-in `slice`+`array_join`
+    * per chunk are CodegenFallback, i.e. interpreted) → `posexplode`:
+    * no shuffle at any scale, output rows ∝ tokens/stride.
+    * Empty/whitespace-only docs yield no chunks.
     */
   def chunk(
       df: DataFrame,
@@ -189,23 +191,16 @@ object TextOps {
       window: Int,
       stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
-    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
-    val toks = when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-    df.select(col(idCol), toks.as("__toks"))
-      .withColumn(
-        "__starts",
-        when(size(col("__toks")) > 0,
-          sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
-          .otherwise(array().cast("array<int>")))
-      .select(
-        col(idCol), col("__toks"),
-        posexplode(col("__starts")).as(Seq("chunk_ix", "__start")))
+    df.select(
+        col(idCol),
+        tokenCount(col(textCol)).as("__n"),
+        posexplode(graft.functions.native.wordChunks(col(textCol), window, stride))
+          .as(Seq("chunk_ix", "chunk_text")))
       .select(
         col(idCol),
         col("chunk_ix"),
-        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ").as("chunk_text"),
-        least(lit(window), size(col("__toks")) - col("__start")).as("n_tokens"))
+        col("chunk_text"),
+        least(lit(window), col("__n") - col("chunk_ix") * stride).as("n_tokens"))
   }
 
   /** Vocabulary head: the `topK` most frequent whitespace tokens with
