@@ -178,11 +178,10 @@ object TextOps {
     * `[i·stride, i·stride + window)`; starts run while they are inside
     * the document, so a shorter tail chunk is emitted rather than
     * dropped (standard behavior — the tail is training data too).
-    * Pure per-row compute — ONE compiled kernel pass per doc
-    * ([[graft.functions.WordChunks]]; the built-in `slice`+`array_join`
-    * per chunk are CodegenFallback, i.e. interpreted) → `posexplode`:
-    * no shuffle at any scale, output rows ∝ tokens/stride.
-    * Empty/whitespace-only docs yield no chunks.
+    * Pure per-row compute — ONE kernel pass per doc
+    * ([[graft.functions.WordChunks]]) → `posexplode`: no shuffle at any
+    * scale, output rows ∝ tokens/stride. Empty/whitespace-only docs
+    * yield no chunks.
     */
   def chunk(
       df: DataFrame,
