@@ -84,6 +84,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Sorted 64-bit hashes of the distinct word k-shingles — the
+    * prefix-filter candidate pipeline's per-row stage
+    * (shingles → hash → sort) in ONE compiled pass. The hash only
+    * provides a global total order on shingles (ANY order is lossless
+    * for prefix filtering, and a collision can only ADD a candidate for
+    * the verify stage to reject), so it is a polynomial-mix hash over
+    * the shingle's chars, not a specific named function. Hashes of
+    * distinct shingles that collide are KEPT (array length must equal
+    * the distinct-shingle count — the lossless prefix bound is over set
+    * sizes, and dropping a collided element would shorten the prefix
+    * below it). Empty array for docs shorter than k words. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var out = new Array[Long](toks.length - k + 1)
+    var n = 0
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        var h = Golden
+        var c = 0
+        while (c < s.length) { h = h * 1000003L + s.charAt(c); c += 1 }
+        out(n) = fmix64(h ^ (Golden * (s.length + 1)))
+        n += 1
+      }
+      i += 1
+    }
+    if (n < out.length) out = java.util.Arrays.copyOf(out, n)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** All overlapping token-window chunk texts in start order: window `i`
     * covers tokens `[i·stride, i·stride + window)`, starts run while
     * inside the document (tail chunk emitted). One pass over the token

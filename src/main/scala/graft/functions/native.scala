@@ -48,6 +48,22 @@ case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted 64-bit hashes of the distinct word k-shingles in one compiled
+  * pass — the per-row stage of the hash-ordered prefix-filter candidate
+  * pipeline (see [[TextKernels.shingleHashes]]: any consistent hash is a
+  * valid global order; collisions only add candidates). */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], k)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $k)")
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** All overlapping token-window chunk texts in one compiled pass — the
   * context-window chunking kernel (see [[TextKernels.chunks]]). */
 case class WordChunks(child: Expression, window: Int, stride: Int)
@@ -258,6 +274,9 @@ object native {
 
   def wordChunks(text: Column, window: Int, stride: Int): Column =
     ColumnBridge.column(WordChunks(ColumnBridge.expression(text), window, stride))
+
+  def shingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
 
   def minhashSignature(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))

@@ -52,15 +52,17 @@ object NearDup {
     * joining only each doc's first `|A| − ⌈t·|A|⌉ + 1` shingles misses
     * no qualifying pair — for ANY global order. Two orders are offered:
     *
-    *  - `order = "hash"` (default): global order = `xxhash64(shingle)`.
-    *    Computable PER ROW inside the shingle array (transform → sort →
-    *    slice → explode), so the candidate stage performs ZERO shuffles
-    *    of the exploded corpus — the only exchanges in the whole operator
-    *    are over id pairs. The join key is the 8-byte hash, not the
-    *    shingle string (a hash collision can only ADD a candidate — the
-    *    verify stage rejects it — never lose one, since equal shingles
-    *    have equal hashes). At 100 TB this is the difference between
-    *    shuffling the exploded corpus twice and not shuffling it at all.
+    *  - `order = "hash"` (default): global order = a 64-bit shingle hash
+    *    computed per row by the ONE-pass compiled
+    *    [[graft.functions.ShingleHashes]] kernel (shingles → hash →
+    *    sort; any consistent hash is a valid total order), so the
+    *    candidate stage performs ZERO shuffles of the exploded corpus —
+    *    the only exchanges in the whole operator are over id pairs. The
+    *    join key is the 8-byte hash, not the shingle string (a hash
+    *    collision can only ADD a candidate — the verify stage rejects
+    *    it — never lose one, since equal shingles have equal hashes).
+    *    At 100 TB this is the difference between shuffling the exploded
+    *    corpus twice and not shuffling it at all.
     *  - `order = "docfreq"`: global order = (document frequency asc,
     *    shingle asc), the classic rarest-first heuristic. Costs a
     *    corpus-wide window over the exploded shingles (shuffle by
@@ -116,14 +118,16 @@ object NearDup {
       textCol: String,
       k: Int,
       threshold: Double): DataFrame = {
-    // per-row pipeline: shingles → hashes → sort → slice(prefix) → explode;
-    // no exchange anywhere before the self-join
+    // per-row pipeline: ONE compiled shingle_hashes kernel pass
+    // (shingles → hash → sort; the HOF transform(xxhash64) it replaced
+    // evaluated interpreted per shingle) → slice(prefix) → explode; no
+    // exchange anywhere before the self-join
     val prefix = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
-      .select(col("id"), size(col("__sh")).as("n"),
-        transform(col("__sh"), x => xxhash64(x)).as("__h"))
+      .select(col(idCol).as("id"),
+        graft.functions.native.shingleHashes(col(textCol), k).as("__h"))
+      .select(col("id"), size(col("__h")).as("n"), col("__h"))
       .select(col("id"), col("n"),
-        explode(slice(sort_array(col("__h")), lit(1),
+        explode(slice(col("__h"), lit(1),
           prefixLenExpr(threshold).cast("int"))).as("h"))
     // AQE broadcasts one side of the self-join (re-evaluating the per-row
     // pipeline for the build side — cheaper than exchanging both sides)
