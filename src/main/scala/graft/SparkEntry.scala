@@ -207,9 +207,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q_neardup_jaccard" -> ((s, dir) =>
+      // Pair queries end with repartition(1)+sortWithinPartitions, not
+      // orderBy: the pair set is bounded (≪ corpus) so one partition is
+      // fine, the total order is identical, and a global sort's
+      // range-partitioning SAMPLE job would re-execute the whole pair
+      // pipeline a second time (measured +40% on this query).
       NearDup
         .exactJaccardPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
-        .orderBy(col("id1"), col("id2"))),
+        .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
     "q_neardup_minhash" -> ((s, dir) =>
       // Scale path: banded-MinHash candidates + exact-Jaccard verify.
@@ -218,7 +223,7 @@ object SparkEntry {
       // NearDupSpec and by sharing its oracle).
       NearDup
         .minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
-        .orderBy(col("id1"), col("id2"))),
+        .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
     "q_neardup_dedup" -> ((s, dir) => {
       // the full near-dup dedup PIPELINE: exact (prefix-filtered) Jaccard
@@ -250,7 +255,7 @@ object SparkEntry {
       // integer-exact, no FP tolerance needed.
       NearDup
         .winnowPairs(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("id1"), col("id2"))),
+        .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
     "q_neardup_simhash" -> ((s, dir) =>
       // 64-bit SimHash (MD5-derived token hash — both engines compute
@@ -260,7 +265,7 @@ object SparkEntry {
       // same result set.
       NearDup
         .simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(col("id1"), col("id2"))),
+        .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
     "q_neardup_embedding" -> ((s, dir) =>
       // Vector near-dup pairs. The fixture's embeddings are near-random
@@ -276,7 +281,7 @@ object SparkEntry {
         .embeddingNearDupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.5, bands = 32, bitsPerBand = 6)
-        .orderBy(col("id1"), col("id2"))),
+        .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
     "q_doc_bytes" -> ((s, dir) =>
       // Multimodal plumbing over the only payloads the fixture offers:
