@@ -482,6 +482,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("split"), col("lang"))),
 
+    "q_rare_terms" -> ((s, dir) =>
+      // Per-doc top-3 rarest tokens by document frequency — integer-exact
+      // TF-IDF core (rarest-first is the idf order, no logarithm).
+      TextOps
+        .rareTerms(Tables.documents(s, dir), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    "q_dup_sources" -> ((s, dir) => {
+      // Cross-source duplication matrix over the exact near-dup pairs:
+      // which sources duplicate each other, and how much.
+      val docs = Tables.documents(s, dir)
+      NearDup
+        .crossSourceMatrix(docs, "doc_id", "source",
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+    }),
+
     "q_neardup_keep_best" -> ((s, dir) => {
       // q_neardup_dedup with the keeper policy real curation wants: each
       // near-dup cluster keeps its LONGEST member (n_chars, ties to the
@@ -772,6 +788,51 @@ object SparkEntry {
         |        FROM documents))
         |SELECT split, lang, COUNT(*) AS cnt
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Distinct tokens per doc (df = DOCUMENT frequency), rarest-first
+    // rank — integer ordering only, no idf logarithm to disagree on.
+    "q_rare_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+        |r AS (
+        |  SELECT doc_id, tok AS token, df,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY df, tok) AS rank
+        |  FROM dt JOIN dfq USING (tok))
+        |SELECT doc_id, rank, token, df FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // The q_neardup_jaccard pair CTE joined twice against (doc_id,
+    // source), source pairs canonicalized (LEAST, GREATEST).
+    "q_dup_sources" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter
+        |  JOIN sizes na ON id1 = na.doc_id
+        |  JOIN sizes nb ON id2 = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8)
+        |SELECT LEAST(d1.source, d2.source) AS source_a,
+        |       GREATEST(d1.source, d2.source) AS source_b,
+        |       COUNT(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents d1 ON d1.doc_id = id1
+        |JOIN documents d2 ON d2.doc_id = id2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same component structure as q_neardup_dedup (transitive closure
     // over the symmetric pair edges); the keeper is then the component

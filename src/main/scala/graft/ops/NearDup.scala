@@ -595,6 +595,31 @@ object NearDup {
     (labels, () => release())
   }
 
+  /** Cross-source duplication matrix: how many near-dup pairs link each
+    * (unordered) pair of sources — the contamination view a corpus owner
+    * actually asks for ("how much of source B is already in source A?").
+    * Takes ANY pair set (exact, MinHash, SimHash…); sources are joined
+    * on the bounded pair set (≪ corpus), the matrix aggregate is ∝
+    * sources². Source pairs are canonicalized (least, greatest) so A–B
+    * and B–A accumulate together; pairs within one source count too
+    * (the diagonal). */
+  def crossSourceMatrix(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      pairs: DataFrame): DataFrame = {
+    val src = df.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("id1"), col(srcCol).as("__s1")), "id1")
+      .join(src.select(col(idCol).as("id2"), col(srcCol).as("__s2")), "id2")
+      .select(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for
     * candidates (each vector emits `bands` keys), exact cosine verify.
     * The vector analog of [[minhashNearDupPairs]]. */

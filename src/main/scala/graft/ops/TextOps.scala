@@ -363,6 +363,39 @@ object TextOps {
         (col("__off") % budget).cast("int").as("seq_off"))
   }
 
+  /** Per-document distinctive terms: each doc's `topK` RAREST tokens by
+    * corpus document frequency (df asc, token asc — the integer-exact
+    * core of TF-IDF ranking: within one document every token has the
+    * same TF context, so rarest-first IS the idf order without
+    * computing a logarithm, which no two engines round identically).
+    * Output: (id, rank, token, df).
+    *
+    * Scale shape: tokens are deduped PER DOC before anything leaves the
+    * row (`array_distinct` on the split — df is document frequency, and
+    * shuffling per-occurrence rows would multiply the exchange by the
+    * in-doc repeat rate); the df aggregate combines map-side (exchange
+    * ∝ distinct tokens); the join back and the per-doc top-k window
+    * shuffle (id, token, df) rows — never the text. Same skew axis as
+    * any per-key window (distinct tokens per doc is bounded by doc
+    * length). */
+  def rareTerms(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("token"))
+    val docTerms = df
+      .select(
+        col(idCol),
+        explode(array_distinct(
+          split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val docFreq = docTerms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    docTerms
+      .join(docFreq, "token")
+      .withColumn("rank", row_number().over(W))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("df"))
+  }
+
   /** Deterministic multi-way split assignment — reproducible
     * train/val/test partitioning: a row's split is decided by where the
     * first 32 bits of `md5(salt ‖ ":" ‖ id)` fall among the cumulative

@@ -183,6 +183,18 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Set(0L))
   }
 
+  test("crossSourceMatrix canonicalizes source pairs and counts the diagonal") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A"), (1L, "B"), (2L, "A"), (3L, "B"), (4L, "C")
+    ).toDF("doc_id", "source")
+    // pairs: 0-1 (A,B), 1-2 (A,B — reversed source order), 1-3 (B,B), 4 unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val got = NearDup.crossSourceMatrix(docs, "doc_id", "source", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "B", 2L), ("B", "B", 1L)))
+  }
+
   test("collapseNearDupsKeepBest keeps the highest-scoring member per component") {
     import spark.implicits._
     // same component structure as the min-id test, plus a score column:

@@ -416,6 +416,23 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("rareTerms: rarest-first by document frequency, per-doc dedup, deterministic ties") {
+    val docs = Seq(
+      (1L, "common rare1 common common"), // df: common=3, rare1=1
+      (2L, "common rare2"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val got = TextOps.rareTerms(docs, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // in-doc repeats count once (df is DOCUMENT frequency)
+    assert(got == Seq(
+      (1L, 1, "rare1", 1L), (1L, 2, "common", 3L),
+      (2L, 1, "rare2", 1L), (2L, 2, "common", 3L),
+      (3L, 1, "common", 3L)))
+  }
+
   test("sourceMix: per-source docs/tokens, shares are exact fractions of the total") {
     val docs = Seq(
       ("s1", "a b  c"), ("s1", "d"), ("s2", "e f"), ("s2", "   ")
