@@ -482,6 +482,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("split"), col("lang"))),
 
+    "q_quantize" -> ((s, dir) =>
+      // int8 embedding quantization: per-vector max-abs scale + rounded
+      // codes — the 4x vector-store compression, engine-exact rounding.
+      Similarity
+        .quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
     "q_rare_terms" -> ((s, dir) =>
       // Per-doc top-3 rarest tokens by document frequency — integer-exact
       // TF-IDF core (rarest-first is the idf order, no logarithm).
@@ -788,6 +795,20 @@ object SparkEntry {
         |        FROM documents))
         |SELECT split, lang, COUNT(*) AS cnt
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Per-vector max-abs scale in DOUBLE; divide-then-multiply order
+    // fixed; both engines round ties away from zero.
+    "q_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |       CASE WHEN scale > 0
+        |            THEN list_transform(embedding,
+        |                                x -> round(x::DOUBLE / scale * 127)::INT)
+        |            END AS codes
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // Distinct tokens per doc (df = DOCUMENT frequency), rarest-first
     // rank — integer ordering only, no idf logarithm to disagree on.

@@ -378,6 +378,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("quantizeInt8: codes bounded, round-trip error within half a step, zero vector NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(0.5f, -0.25f, 0.125f)),
+      (1L, Array(-1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)) // zero vector: no scale
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(rows, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getSeq[Int](2)))
+      .sortBy(_._1)
+    assert(got(0)._2 == 0.5 && got(0)._3 == Seq(127, -64, 32))
+    assert(got(1)._3 == Seq(-127, 127, 0))
+    assert(got(2)._3 == null)
+    // fixture round-trip: |v - code*scale/127| <= scale/254 (+ ulp slack)
+    val fx = Similarity.quantizeInt8(Tables.embeddings(spark, sf001), "vec_id", "embedding")
+      .join(Tables.embeddings(spark, sf001), "vec_id")
+      .collect()
+    fx.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      val vec = r.getSeq[Float](3)
+      codes.zip(vec).foreach { case (c, v) =>
+        assert(math.abs(c) <= 127)
+        assert(math.abs(v.toDouble - c * scale / 127.0) <= scale / 254.0 + 1e-12)
+      }
+    }
+  }
+
   test("classifyByCentroid: separable clusters classify to their own label") {
     import spark.implicits._
     val rows = Seq(
