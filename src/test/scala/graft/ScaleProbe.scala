@@ -106,7 +106,9 @@ object ScaleProbe {
       "q_asof_join", "q_range_join", "q_decontaminate", "q_chunk", "q_embed_centroid",
       // round-7 batch 2: explode-heavy LM counts, per-shard packing
       // window, bounded-collect centroid classification
-      "q_bigrams", "q_pack", "q_knn_label")
+      "q_bigrams", "q_pack", "q_knn_label",
+      // round-7 batch 3: df-join + per-doc window, pure-projection quantize
+      "q_rare_terms", "q_quantize")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
