@@ -482,6 +482,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("split"), col("lang"))),
 
+    "q_dedup_incr" -> ((s, dir) => {
+      // Incremental dedup: the doc_id % 10 == 0 slice plays the "new
+      // crawl batch", the rest the historical corpus; keep new docs
+      // whose normalized text is not already in history.
+      val docs = Tables.documents(s, dir)
+      TextOps
+        .dedupAgainst(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quantize" -> ((s, dir) =>
       // int8 embedding quantization: per-vector max-abs scale + rounded
       // codes — the 4x vector-store compression, engine-exact rounding.
@@ -795,6 +809,19 @@ object SparkEntry {
         |        FROM documents))
         |SELECT split, lang, COUNT(*) AS cnt
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // History reduced to distinct normalized texts; NOT EXISTS ≡ the
+    // fingerprint anti-join (md5 is injective up to the declared
+    // collision bound).
+    "q_dedup_incr" ->
+      """SELECT doc_id FROM documents n
+        |WHERE doc_id % 10 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 10 <> 0
+        |      AND trim(regexp_replace(h.text, '\s+', ' ', 'g'))
+        |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
 
     // Per-vector max-abs scale in DOUBLE; divide-then-multiply order
     // fixed; both engines round ties away from zero.

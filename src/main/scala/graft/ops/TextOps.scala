@@ -46,6 +46,28 @@ object TextOps {
         graft.functions.LatestRow.earliestRow(col(textCol), col(idCol)).as(textCol))
       .select(col(idCol), col(textCol))
 
+  /** Incremental dedup: keep the rows of `incoming` whose normalized
+    * text does NOT already exist in `history` — the daily-ingest flavor
+    * of dedup (a new crawl batch checked against the full corpus), which
+    * the within-corpus [[exactDedup]] cannot express.
+    *
+    * Scale shape: the corpus-sized `history` is reduced to DISTINCT
+    * 16-byte fingerprints before the anti-join (map-side combine
+    * collapses repeats; the exchange carries fingerprints, never text),
+    * and the typically-small `incoming` side anti-joins against it —
+    * with AQE the small side broadcasts when it fits. The md5 collision
+    * bound (2⁻⁶⁴/pair) is the module-wide dedup convention; a collision
+    * can only DROP a new doc, never resurrect a duplicate. Output: the
+    * surviving `incoming` rows, schema unchanged. */
+  def dedupAgainst(history: DataFrame, incoming: DataFrame, textCol: String): DataFrame = {
+    val fp = fingerprint(col(textCol))
+    val seen = history.select(fp.as("__fp")).distinct()
+    incoming
+      .withColumn("__fp", fp)
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization pattern
     * family (contractions | space?+letters | space?+digits |
     * space?+punctuation-run), without the trailing-whitespace lookahead

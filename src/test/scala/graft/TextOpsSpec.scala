@@ -416,6 +416,21 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dedupAgainst keeps only incoming docs absent from history (normalized)") {
+    val history = Seq((1L, "seen before"), (2L, "also  seen")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen before"),   // exact dup — dropped
+      (11L, "also seen"),     // whitespace-normalized dup — dropped
+      (12L, "brand new")      // survives
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupAgainst(history, incoming, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(12L))
+    // schema unchanged, no helper columns leak
+    assert(TextOps.dedupAgainst(history, incoming, "text").columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
   test("rareTerms: rarest-first by document frequency, per-doc dedup, deterministic ties") {
     val docs = Seq(
       (1L, "common rare1 common common"), // df: common=3, rare1=1
