@@ -44,4 +44,27 @@ object DedupStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming flavor of [[graft.ops.TextOps.dedupAgainst]]: drop
+    * arriving docs whose normalized text already exists in a STATIC
+    * historical corpus — a stream-static anti-join, the ingest-time
+    * "is this already in the training set" gate. The history is reduced
+    * once to distinct 16-byte fingerprints (Spark re-plans the static
+    * side per micro-batch but the stream side carries only a
+    * fingerprint column; persist the fingerprint set if the history
+    * scan dominates a micro-batch). Stateless on the stream side —
+    * no watermark needed, unlike [[dedup]]'s within-stream state.
+    * Compose with [[dedup]] downstream to also collapse duplicates
+    * WITHIN the stream. */
+  def dedupAgainstHistory(
+      stream: DataFrame,
+      history: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = md5(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val seen = history.select(fp.as("__fp")).distinct()
+    stream
+      .withColumn("__fp", fp)
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
 }

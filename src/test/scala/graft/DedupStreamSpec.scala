@@ -73,4 +73,21 @@ class DedupStreamSpec extends SparkTestBase {
     assert(got.count(_._2 == "alpha") == 2, s"expected re-admission, got $got")
     assert(got.toMap.keySet == Set(1L, 3L, 4L))
   }
+
+  test("dedupAgainstHistory drops docs already in the static corpus, streamed == batch") {
+    val history = Seq((100L, "seen before"), (101L, "also  seen"))
+      .toDF("doc_id", "text")
+    val chunks = Seq(
+      Seq(SDoc(1, "seen before", ts(0)), SDoc(2, "fresh one", ts(1))),
+      Seq(SDoc(3, "also seen", ts(2)),   // normalized dup of history
+          SDoc(4, "fresh two", ts(3)),
+          SDoc(5, "fresh one", ts(4))))  // within-stream dup: NOT dropped (stateless)
+    val got = run(chunks)(DedupStream.dedupAgainstHistory(_, history, "text"))
+    assert(got.map(_._1).sorted == Seq(2L, 4L, 5L))
+    // equals the batch operator on the same data
+    val batch = graft.ops.TextOps
+      .dedupAgainst(history, chunks.flatten.toDF().drop("ts"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.map(_._1).sorted == batch)
+  }
 }
