@@ -60,6 +60,21 @@ object GraftFunctions {
       arity("word_shingles", args, 2)
       WordShingles(args(0), intArg(args(1), "word_shingles", "k"))
     },
+    "word_ngrams" -> { args =>
+      arity("word_ngrams", args, 2)
+      WordNgrams(args(0), intArg(args(1), "word_ngrams", "k"))
+    },
+    "word_chunks" -> { args =>
+      arity("word_chunks", args, 3)
+      WordChunks(
+        args(0),
+        intArg(args(1), "word_chunks", "window"),
+        intArg(args(2), "word_chunks", "stride"))
+    },
+    "shingle_hashes" -> { args =>
+      arity("shingle_hashes", args, 2)
+      ShingleHashes(args(0), intArg(args(1), "shingle_hashes", "k"))
+    },
     "minhash_signature" -> { args =>
       arity("minhash_signature", args, 2)
       MinHashSignature(args(0), intArg(args(1), "minhash_signature", "perms"))

@@ -52,6 +52,15 @@ class GraftFunctionsSpec extends SparkTestBase {
         |       char_class_counts(text)[3] AS ntok
         |FROM t_one""".stripMargin).collect()(0)
     assert(r.getInt(0) == 2 && r.getInt(1) == 16 && r.getInt(2) > 0 && r.getLong(3) == 4L)
+    // round-7 kernels are first-class in SQL too
+    val r2 = spark.sql(
+      """SELECT word_ngrams(text, 2) AS grams,
+        |       word_chunks(text, 3, 2) AS chunks,
+        |       size(shingle_hashes(text, 3)) AS nh
+        |FROM t_one""".stripMargin).collect()(0)
+    assert(r2.getSeq[String](0) == Seq("alpha beta", "beta gamma", "gamma delta"))
+    assert(r2.getSeq[String](1) == Seq("alpha beta gamma", "gamma delta"))
+    assert(r2.getInt(2) == 2)
   }
 
   test("non-literal size parameters are rejected with a clear error") {
