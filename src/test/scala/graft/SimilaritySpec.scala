@@ -408,6 +408,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("quantizeInt8 equals the driver-side model on seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 50L).map { i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f))
+    }
+    val got = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toList))
+      .sortBy(_._1).toList
+    val model = rows.map { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      val codes = v.map(x =>
+        BigDecimal(x.toDouble / scale * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt).toList
+      (id, scale, codes)
+    }.sortBy(_._1).toList
+    assert(got == model)
+  }
+
   test("classifyByCentroid: separable clusters classify to their own label") {
     import spark.implicits._
     val rows = Seq(

@@ -39,6 +39,39 @@ object TextOpsProps extends Properties("TextOps") {
       Prop(got == model) :| s"got=$got model=$model"
     }
 
+  property("rareTerms equals the driver-side df+rank model") =
+    Prop.forAll(genCorpus, Gen.chooseNum(1, 3)) { (corpus, topK) =>
+      import spark.implicits._
+      val got = TextOps.rareTerms(corpus.toDF("doc_id", "text"), "doc_id", "text", topK)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toList
+      val docTerms = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).distinct.toList
+      }
+      val df = docTerms.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val model = docTerms.flatMap { case (id, terms) =>
+        terms.map(t => (t, df(t))).sortBy { case (t, d) => (d, t) }
+          .take(topK).zipWithIndex
+          .map { case ((t, d), i) => (id, i + 1, t, d) }
+      }.sortBy(x => (x._1, x._2))
+      Prop(got == model) :| s"got=$got model=$model"
+    }
+
+  property("dedupAgainst equals set difference on normalized text") =
+    Prop.forAll(genCorpus, genCorpus) { (hist, inc) =>
+      import spark.implicits._
+      // offset incoming ids so the frames are distinct rows
+      val incoming = inc.map { case (i, t) => (i + 1000L, t) }
+      val got = TextOps
+        .dedupAgainst(hist.toDF("doc_id", "text"), incoming.toDF("doc_id", "text"), "text")
+        .collect().map(_.getLong(0)).sorted.toList
+      def norm(t: String) = t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val seen = hist.map(h => norm(h._2)).toSet
+      val model = incoming.filterNot(r => seen(norm(r._2))).map(_._1).sorted
+      Prop(got == model) :| s"got=$got model=$model"
+    }
+
   property("pack offsets are the per-shard prefix sums of token counts") =
     Prop.forAll(genCorpus, Gen.chooseNum(1, 16), Gen.chooseNum(1, 4)) {
       (corpus, budget, shards) =>
