@@ -428,6 +428,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == model)
   }
 
+  test("search over the int8-quantized store recovers the exact top-k (high overlap)") {
+    // the point of quantizeInt8: a 4x-smaller store that still answers
+    // similarity queries — dequantize (code*scale/127) and brute-force
+    // top-k, then compare against the exact-float top-k
+    val deq = Similarity.quantizeInt8(Tables.embeddings(spark, sf001), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Int](2).map(c => (c * r.getDouble(1) / 127.0).toFloat).toArray))
+    val q = deq.find(_._1 == queryId).get._2
+    val approx = deq
+      .filter(_._1 != queryId)
+      .map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1).toSet
+    val exact = expected.map(_._1).toSet
+    val overlap = (approx & exact).size
+    assert(overlap >= k - 2, s"quantized search overlap $overlap/$k too low")
+  }
+
   test("classifyByCentroid: separable clusters classify to their own label") {
     import spark.implicits._
     val rows = Seq(
