@@ -188,6 +188,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == mem)
   }
 
+  test("quantized IVF index: smaller on disk, pruned probe, high top-k overlap") {
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val fDir = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    val qDir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    Similarity.writeIvfIndex(emb, "embedding", centroids, fDir)
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, qDir)
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir))
+    }
+    // the index payload shrinks materially (int8 codes vs float vectors;
+    // parquet encoding keeps it from a pure 4x, but it must be well
+    // under the float index)
+    assert(bytes(qDir) < bytes(fDir) * 0.6,
+      s"quantized ${bytes(qDir)} vs float ${bytes(fDir)}")
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val probed = Similarity.probeIvfIndexQuantized(
+      spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val approx = probed.collect().map(_.getLong(0)).toSet
+    val exact = Similarity.probeIvfIndex(
+      spark, fDir, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
+    assert((approx & exact).size >= k - 2,
+      s"overlap ${(approx & exact).size}/$k too low")
+  }
+
   test("streamed IVF ingestion: probes see appended vectors, pruning intact") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf001)
