@@ -480,7 +480,9 @@ object SparkEntry {
           Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("split"), col("lang"))),
+        // NULLS LAST on both keys (NULL id ⇒ NULL split; NULL lang)
+        // to match the oracle engine's default sort
+        .orderBy(col("split").asc_nulls_last, col("lang").asc_nulls_last)),
 
     "q_dedup_incr" -> ((s, dir) => {
       // Incremental dedup: the doc_id % 10 == 0 slice plays the "new

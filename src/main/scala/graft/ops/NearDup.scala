@@ -617,7 +617,8 @@ object NearDup {
         greatest(col("__s1"), col("__s2")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("source_a"), col("source_b"))
+      // NULLS LAST to match SQL-engine default ordering of a NULL source
+      .orderBy(col("source_a").asc_nulls_last, col("source_b").asc_nulls_last)
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for

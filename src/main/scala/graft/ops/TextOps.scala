@@ -281,7 +281,10 @@ object TextOps {
         "token_share",
         col("n_tokens").cast("double") /
           sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
-      .orderBy(col(srcCol))
+      // NULLS LAST: Spark's ASC default is NULLS FIRST, SQL engines'
+      // (and the oracle's) is NULLS LAST — a NULL source must sort the
+      // same on both sides
+      .orderBy(col(srcCol).asc_nulls_last)
 
   /** Benchmark decontamination: drop every training document sharing at
     * least one word-`n`-gram with the evaluation set — the standard
