@@ -484,6 +484,11 @@ object SparkEntry {
         // to match the oracle engine's default sort
         .orderBy(col("split").asc_nulls_last, col("lang").asc_nulls_last)),
 
+    "q_report" -> ((s, dir) =>
+      // One-row corpus profile: totals, cardinalities, exact dup
+      // fraction — the pipeline-stage logging summary.
+      TextOps.corpusReport(Tables.documents(s, dir), "text", "lang", "source")),
+
     "q_dedup_incr" -> ((s, dir) => {
       // Incremental dedup: the doc_id % 10 == 0 slice plays the "new
       // crawl batch", the rest the historical corpus; keep new docs
@@ -811,6 +816,20 @@ object SparkEntry {
         |        FROM documents))
         |SELECT split, lang, COUNT(*) AS cnt
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same token arithmetic; dup fraction over distinct RAW texts (the
+    // fingerprint is injective up to the declared md5 bound); one IEEE
+    // division of exact integer counts.
+    "q_report" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       SUM(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+        |                ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |                   - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+        |                   + 1 END)::BIGINT AS n_tokens,
+        |       COUNT(DISTINCT lang) AS n_langs,
+        |       COUNT(DISTINCT source) AS n_sources,
+        |       1.0 - COUNT(DISTINCT text)::DOUBLE / COUNT(text)::DOUBLE AS dup_fraction
+        |FROM documents""".stripMargin,
 
     // History reduced to distinct normalized texts; NOT EXISTS ≡ the
     // fingerprint anti-join (md5 is injective up to the declared

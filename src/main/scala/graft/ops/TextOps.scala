@@ -421,6 +421,31 @@ object TextOps {
       .select(col(idCol), col("rank"), col("token"), col("df"))
   }
 
+  /** One-row corpus profile — the "what is this corpus" summary a
+    * pipeline run logs before/after each stage: doc and token totals,
+    * language/source cardinalities, and the exact-duplicate fraction
+    * (1 − distinct texts / docs).
+    *
+    * Scale shape: ONE aggregate over the corpus. The distinct counts are
+    * exact (Catalyst plans multi-distinct via expand + two-phase
+    * aggregation — the honest cost; `approx_count_distinct` is the
+    * 100 TB swap-in when HLL error is acceptable); the duplicate
+    * fraction counts distinct 16-byte fingerprints, never comparing
+    * text. Token totals use [[tokenCount]] length arithmetic. */
+  def corpusReport(
+      df: DataFrame,
+      textCol: String,
+      langCol: String,
+      srcCol: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("bigint")).as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        countDistinct(col(srcCol)).as("n_sources"),
+        (lit(1.0) -
+          countDistinct(md5(col(textCol).cast("binary"))).cast("double") /
+            count(col(textCol)).cast("double")).as("dup_fraction"))
+
   /** Deterministic multi-way split assignment — reproducible
     * train/val/test partitioning: a row's split is decided by where the
     * first 32 bits of `md5(salt ‖ ":" ‖ id)` fall among the cumulative

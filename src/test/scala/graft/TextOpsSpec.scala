@@ -416,6 +416,21 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpusReport: totals, cardinalities, exact duplicate fraction") {
+    val docs = Seq(
+      ("dup text", "en", "s1"),
+      ("dup text", "en", "s2"), // exact duplicate
+      ("other", "de", "s1"),
+      ("third one here", "en", "s1")
+    ).toDF("text", "lang", "source")
+    val r = TextOps.corpusReport(docs, "text", "lang", "source").collect()(0)
+    assert(r.getLong(0) == 4L)        // n_docs
+    assert(r.getLong(1) == 2 + 2 + 1 + 3) // n_tokens
+    assert(r.getLong(2) == 2L)        // n_langs
+    assert(r.getLong(3) == 2L)        // n_sources
+    assert(r.getDouble(4) == 1.0 - 3.0 / 4.0) // dup_fraction
+  }
+
   test("dedupAgainst keeps only incoming docs absent from history (normalized)") {
     val history = Seq((1L, "seen before"), (2L, "also  seen")).toDF("doc_id", "text")
     val incoming = Seq(
