@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.TextOps
+
+/** The training-data INGEST pipeline as ONE deployable call — the
+  * LLM-corpus analog of [[ReplicationPipeline]] (the reference's CDC
+  * deployable unit): arriving documents are quality-gated, deduped
+  * against the historical corpus AND within the stream, chunked into
+  * context windows, and appended exactly-once to a parquet corpus.
+  *
+  * Stage shapes (all established by their batch/stream counterparts):
+  *  - quality gates: pure per-row kernel projections
+  *    ([[graft.ops.TextOps.qualityFeatures]] — no shuffle, no state);
+  *  - against-history dedup: stream-static anti-join on distinct
+  *    16-byte fingerprints ([[DedupStream.dedupAgainstHistory]]);
+  *  - within-stream dedup: first-arrival-wins `dropDuplicates` state,
+  *    16 bytes per distinct doc ([[DedupStream.dedup]] — the unbounded
+  *    TABLE regime; swap in the within-watermark flavor when bounded
+  *    state matters more than long-range exactness);
+  *  - chunking: per-row `word_chunks` kernel explode
+  *    ([[graft.ops.TextOps.chunk]]);
+  *  - sink: streaming parquet append — exactly-once via the sink's
+  *    commit log, the corpus directory is readable mid-stream.
+  */
+object IngestPipeline {
+
+  /** `outDir`/`checkpointDir` are required; gates default to pass-all. */
+  case class Config(
+      outDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      maxPunctRatio: Double = 1.0,
+      chunkWindow: Int = 32,
+      chunkStride: Int = 24)
+
+  /** Start the pipeline on an arriving document stream; `history` is the
+    * static corpus whose texts must not be re-ingested. Output rows:
+    * `(idCol, chunk_ix, chunk_text, n_tokens)`. */
+  def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
+    val passthrough = stream.columns.map(col)
+    val gated = TextOps
+      .qualityFeatures(stream, cfg.textCol)
+      .filter(
+        col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+          col("punct_ratio") <= cfg.maxPunctRatio)
+      .select(passthrough: _*)
+    val fresh = DedupStream.dedup(
+      DedupStream.dedupAgainstHistory(gated, history, cfg.textCol),
+      cfg.textCol)
+    TextOps
+      .chunk(fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .format("parquet")
+      .option("path", cfg.outDir)
+      .start()
+  }
+}

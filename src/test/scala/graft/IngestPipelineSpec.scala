@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.IngestPipeline
+
+/** End-to-end contract of the one-call ingest pipeline: gates drop
+  * low-quality docs, history and in-stream duplicates are removed
+  * (first arrival wins across batches), survivors land in the parquet
+  * corpus as context-window chunks, exactly once. */
+class IngestPipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ingest: gate -> dedup (history + stream) -> chunk -> parquet, end to end") {
+    val history = Seq((100L, "already ingested text here"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    val cfg = IngestPipeline.Config(
+      outDir = out, checkpointDir = ckpt,
+      minTokens = 2, chunkWindow = 3, chunkStride = 2)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = IngestPipeline.run(
+      input.toDF().toDF("doc_id", "text"), history, cfg)
+    try {
+      input.addData(Seq(
+        (1L, "already ingested text here"),   // history dup — dropped
+        (2L, "one two three four five"),      // survives: 2 chunks
+        (3L, "solo")))                        // below minTokens — gated out
+      q.processAllAvailable()
+      input.addData(Seq(
+        (4L, "one two three four five"),      // in-stream dup of 2 — dropped
+        (5L, "six seven eight")))             // survives: 1 chunk
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (2L, 0, "one two three", 3), (2L, 1, "three four five", 3),
+      (2L, 2, "five", 1), // tail chunk (window 3, stride 2 over 5 tokens)
+      (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
+  }
+}
