@@ -108,7 +108,9 @@ object ScaleProbe {
       // window, bounded-collect centroid classification
       "q_bigrams", "q_pack", "q_knn_label",
       // round-7 batch 3: df-join + per-doc window, pure-projection quantize
-      "q_rare_terms", "q_quantize")
+      "q_rare_terms", "q_quantize",
+      // round-7 batch 4: fingerprint anti-join, multi-distinct profile
+      "q_dedup_incr", "q_report")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
