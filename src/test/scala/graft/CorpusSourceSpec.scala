@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.sources.CorpusSource
+
+/** Corrupt-row quarantine contract: good rows parse to the expected
+  * schema, broken lines land in quarantine with their raw text, and
+  * nothing is silently dropped (good + quarantined = input lines). */
+class CorpusSourceSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("readJsonl splits good rows and quarantined raw lines, losing nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "missing lang field"}""",       // schema-on-read: lang NULL
+      """{"doc_id": 3, "text": "broken line""",                 // malformed JSON
+      """not json at all""",                                    // malformed
+      """{"doc_id": 4, "text": "fine again", "lang": "de"}""")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    val (good, quarantine) = CorpusSource.readJsonl(spark, dir.toString, schema)
+    assert(good.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val g = good.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(g == Seq(
+      (1L, "hello world", Some("en")),
+      (2L, "missing lang field", None),
+      (4L, "fine again", Some("de"))))
+    val q = quarantine.collect().map(_.getString(0)).sorted.toSeq
+    assert(q == Seq("""not json at all""", """{"doc_id": 3, "text": "broken line"""))
+    // conservation: every input line is accounted for exactly once
+    assert(good.count() + quarantine.count() == lines.length.toLong)
+  }
+
+  test("readJsonl rejects a schema that collides with the corrupt marker") {
+    val bad = StructType(Seq(StructField("_corrupt", StringType)))
+    intercept[IllegalArgumentException] {
+      CorpusSource.readJsonl(spark, "/tmp/unused", bad)
+    }
+  }
+}
