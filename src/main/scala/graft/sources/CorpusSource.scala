@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
@@ -8,15 +8,32 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * crawl/export pipeline actually crosses: JSONL (and CSV) dumps always
   * contain malformed lines, and the two default behaviors are both
   * wrong at scale (FAILFAST kills a 100 TB job for one bad line;
-  * silent DROPMALFORMED makes data loss invisible). This reader splits
-  * the input into (good rows, quarantined raw lines) so the pipeline
+  * silent DROPMALFORMED makes data loss invisible). These readers split
+  * the input into good rows and quarantined raw lines so the pipeline
   * keeps running AND the loss is observable, bounded, and replayable.
   *
-  * Scale shape: one pass — Spark's PERMISSIVE mode parses per row and
-  * fills the corrupt-record column for failures; good/quarantine are
-  * two filters over the same scan (no shuffle). The quarantine carries
-  * the RAW line, so a fixed parser can re-ingest it later. */
+  * Scale shape: one pass — lines are read as text and parsed per row by
+  * `from_json` in PERMISSIVE mode with a corrupt-record marker; the
+  * good/quarantine split is two filters over the same map-side parse
+  * (no shuffle, no caching, and the IDENTICAL code path works on a
+  * file STREAM — `from_json` is a plain expression). */
 object CorpusSource {
+
+  private def markerSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema must not already contain the _corrupt marker column")
+    StructType(schema.fields :+ StructField("_corrupt", StringType))
+  }
+
+  /** Parse a raw-JSON string column against `schema`: returns the parsed
+    * struct whose `_corrupt` field is NULL for good rows and carries the
+    * raw line for malformed ones. Composable in batch AND streaming
+    * plans. */
+  def parseJsonl(raw: Column, schema: StructType): Column =
+    from_json(
+      raw,
+      markerSchema(schema),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
 
   /** Parsed corpus + quarantine from a JSONL directory/file.
     * `schema` is the EXPECTED document schema (schema-on-read: fields
@@ -27,25 +44,32 @@ object CorpusSource {
       spark: SparkSession,
       path: String,
       schema: StructType): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains("_corrupt"),
-      "schema must not already contain the _corrupt marker column")
-    val withMarker = StructType(schema.fields :+ StructField("_corrupt", StringType))
-    val parsed = spark.read
-      .schema(withMarker)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
-      // the corrupt column is populated lazily from the raw line; cache
-      // the parsed frame so the good/quarantine split shares one parse
-      // and Spark's "queries on the internal corrupt column alone"
-      // restriction is never hit
-      .cache()
+    val parser = parseJsonl(col("value"), schema) // validates schema first
+    val parsed = spark.read.text(path).withColumn("__p", parser)
     val good = parsed
-      .filter(col("_corrupt").isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      .filter(col("__p._corrupt").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toSeq: _*)
     val quarantine = parsed
-      .filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("raw"))
+      .filter(col("__p._corrupt").isNotNull)
+      .select(col("value").as("raw"))
     (good, quarantine)
+  }
+
+  /** Streaming flavor: a file stream of JSONL under `path`, parsed the
+    * same way, as ONE frame carrying the schema's columns plus a
+    * `quarantined_raw` column (NULL for good rows, the raw line for
+    * malformed ones) — a streaming source cannot hand back two live
+    * frames without reading the directory twice, so the caller forks
+    * good/quarantine per micro-batch (e.g. in `foreachBatch`). */
+  def readJsonlStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): DataFrame = {
+    val parser = parseJsonl(col("value"), schema) // validates schema first
+    val parsed = spark.readStream.text(path).withColumn("__p", parser)
+    val fields = schema.fieldNames.map(f => col(s"__p.$f")).toSeq
+    parsed.select(
+      fields :+
+        when(col("__p._corrupt").isNotNull, col("value")).as("quarantined_raw"): _*)
   }
 }

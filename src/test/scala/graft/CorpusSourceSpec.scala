@@ -45,4 +45,32 @@ class CorpusSourceSpec extends SparkTestBase {
       CorpusSource.readJsonl(spark, "/tmp/unused", bad)
     }
   }
+
+  test("readJsonlStream parses a file stream with the same quarantine semantics") {
+    import org.apache.spark.sql.{Dataset, Row}
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "good", "lang": "en"}""",
+        """garbage line""").mkString("\n").getBytes("UTF-8"))
+    val out = scala.collection.mutable.ArrayBuffer[(Option[Long], Option[String])]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jsonl-ckpt").toString
+    val q = CorpusSource.readJsonlStream(spark, dir.toString, schema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect().map { r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            Option(r.getString(r.fieldIndex("quarantined_raw"))))
+        }
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(out.sortBy(_._1).toList == List(
+      (None, Some("garbage line")),
+      (Some(1L), None)))
+  }
 }
