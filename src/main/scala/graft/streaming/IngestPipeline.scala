@@ -40,6 +40,37 @@ object IngestPipeline {
       chunkWindow: Int = 32,
       chunkStride: Int = 24)
 
+  /** The whole adopter path from FILES: JSONL documents dropped under
+    * `inDir` flow through quarantine → gates → dedup → chunking into the
+    * parquet corpus, while malformed lines land as raw text under
+    * `quarantineDir`. Two queries over the file stream (the corpus path
+    * is stateful — within-stream dedup — so the quarantine fork cannot
+    * share its plan); the quarantine query is a cheap parse+filter.
+    * Returns (corpus query, quarantine query). */
+  def runFromJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      history: DataFrame,
+      cfg: Config,
+      quarantineDir: String,
+      quarantineCheckpointDir: String): (StreamingQuery, StreamingQuery) = {
+    val parsed = graft.sources.CorpusSource.readJsonlStream(spark, inDir, schema)
+    val corpus = run(
+      parsed.filter(col("quarantined_raw").isNull).drop("quarantined_raw"),
+      history, cfg)
+    val quarantine = parsed
+      .filter(col("quarantined_raw").isNotNull)
+      .select(col("quarantined_raw").as("raw"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", quarantineCheckpointDir)
+      .format("parquet")
+      .option("path", quarantineDir)
+      .start()
+    (corpus, quarantine)
+  }
+
   /** Start the pipeline on an arriving document stream; `history` is the
     * static corpus whose texts must not be re-ingested. Output rows:
     * `(idCol, chunk_ix, chunk_text, n_tokens)`. */

@@ -44,4 +44,34 @@ class IngestPipelineSpec extends SparkTestBase {
       (2L, 2, "five", 1), // tail chunk (window 3, stride 2 over 5 tokens)
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
+
+  test("ingest from JSONL files: corpus out, quarantine out, one call") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val in = java.nio.file.Files.createTempDirectory("graft-ingest-in")
+    java.nio.file.Files.write(in.resolve("batch-0.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "alpha beta gamma delta"}""",
+        """{"doc_id": 2, "text": "already ingested text here"}""", // history dup
+        """this line is not json""").mkString("\n").getBytes("UTF-8"))
+    val history = Seq((100L, "already ingested text here")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest2-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest2-ckpt").toString
+    val qOut = java.nio.file.Files.createTempDirectory("graft-quar-out").toString
+    val qCkpt = java.nio.file.Files.createTempDirectory("graft-quar-ckpt").toString
+    val cfg = IngestPipeline.Config(
+      outDir = out, checkpointDir = ckpt, minTokens = 2,
+      chunkWindow = 3, chunkStride = 3)
+    val (corpusQ, quarQ) = IngestPipeline.runFromJsonl(
+      spark, in.toString, schema, history, cfg, qOut, qCkpt)
+    try { corpusQ.processAllAvailable(); quarQ.processAllAvailable() }
+    finally { corpusQ.stop(); quarQ.stop() }
+    val chunks = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(chunks == Seq((1L, 0, "alpha beta gamma"), (1L, 1, "delta")))
+    val quarantined = spark.read.parquet(qOut).collect().map(_.getString(0)).toSeq
+    assert(quarantined == Seq("this line is not json"))
+  }
 }
