@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for a parquet corpus — the operational
+  * counterpart of the streaming sinks: a micro-batch parquet sink
+  * appends at least one file per batch per partition, and a week of
+  * 2-second triggers turns a corpus into millions of KB-sized files
+  * whose open/footer overhead dominates every downstream scan.
+  *
+  * Compaction writes a NEW generation directory (never in place — the
+  * source may be a live streaming sink whose `_spark_metadata` commit
+  * log and in-flight readers must stay untouched) sized to
+  * `targetFileBytes`: file count = ⌈input bytes / target⌉, data
+  * round-robin-repartitioned so output files are uniform. The caller
+  * swaps readers to the new generation and retires the old one — the
+  * same generation pattern as the persisted ANN index rebuilds. */
+object Compact {
+
+  /** Compact `srcDir` (parquet) into `destDir`; returns the output file
+    * count. `targetFileBytes` defaults to 128 MiB — the usual
+    * scan-friendly parquet size. */
+  def corpus(
+      spark: SparkSession,
+      srcDir: String,
+      destDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(destDir != srcDir, "compaction must write a new generation directory")
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(src, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcDir)
+      .repartition(files)
+      .write.mode("overwrite").parquet(destDir)
+    files
+  }
+}

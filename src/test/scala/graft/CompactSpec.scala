@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Compact
+
+/** Compaction contract: many small files collapse to the computed
+  * generation size with no row loss, and in-place compaction is
+  * refused. */
+class CompactSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("corpus compaction collapses small files, preserves rows, writes a new generation") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-src").toString
+    // 20 tiny appends — the micro-batch sink pattern
+    (0 until 20).foreach { i =>
+      Seq((i.toLong, s"doc number $i")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+    }
+    val before = new java.io.File(src).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 20)
+    val dest = java.nio.file.Files.createTempDirectory("graft-compact-dst").toString
+    val n = Compact.corpus(spark, src, dest) // tiny input -> 1 file
+    assert(n == 1)
+    val after = new java.io.File(dest).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    // no row loss, identical content
+    val a = spark.read.parquet(src).collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(dest).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.length == 20)
+  }
+
+  test("in-place compaction is refused") {
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/same-dir", "/tmp/same-dir")
+    }
+  }
+}
