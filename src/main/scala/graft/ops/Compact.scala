@@ -17,14 +17,19 @@ import org.apache.spark.sql.SparkSession
   * same generation pattern as the persisted ANN index rebuilds. */
 object Compact {
 
-  /** Compact `srcDir` (parquet) into `destDir`; returns the output file
-    * count. `targetFileBytes` defaults to 128 MiB — the usual
-    * scan-friendly parquet size. */
+  /** Compact `srcDir` (parquet) into `destDir`; returns the task count
+    * sized from the input bytes. `targetFileBytes` defaults to 128 MiB —
+    * the usual scan-friendly parquet size. `partitionBy` preserves a
+    * directory-partitioned layout (e.g. the lang-partitioned corpus):
+    * tasks are then CLUSTERED by the partition columns so each output
+    * partition directory receives coalesced files rather than one
+    * fragment per task. */
   def corpus(
       spark: SparkSession,
       srcDir: String,
       destDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(destDir != srcDir, "compaction must write a new generation directory")
     val src = new org.apache.hadoop.fs.Path(srcDir)
@@ -36,9 +41,13 @@ object Compact {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcDir)
-      .repartition(files)
-      .write.mode("overwrite").parquet(destDir)
+    val df = spark.read.parquet(srcDir)
+    val sized =
+      if (partitionBy.isEmpty) df.repartition(files)
+      else df.repartition(files, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    val writer = sized.write.mode("overwrite")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
+      .parquet(destDir)
     files
   }
 }

@@ -31,6 +31,27 @@ class CompactSpec extends SparkTestBase {
     assert(a == b && a.length == 20)
   }
 
+  test("compaction preserves a directory-partitioned layout") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-psrc").toString
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+        .toDF("doc_id", "text", "lang")
+        .write.mode("append").partitionBy("lang").parquet(src)
+    }
+    val dest = java.nio.file.Files.createTempDirectory("graft-compact-pdst").toString
+    Compact.corpus(spark, src, dest, partitionBy = Seq("lang"))
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en"))
+    // each partition dir coalesced to one file; rows conserved
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$dest/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files")
+    }
+    assert(spark.read.parquet(dest).count() == 10)
+  }
+
   test("in-place compaction is refused") {
     intercept[IllegalArgumentException] {
       Compact.corpus(spark, "/tmp/same-dir", "/tmp/same-dir")
