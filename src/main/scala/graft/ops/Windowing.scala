@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Windowing {
 
-  /** Exact floor-division of a non-negative Long column by a positive
-    * constant. `Column./` is IEEE double division — epoch-nanos values
-    * (~1.7e18) exceed double's 2^53 exact-integer range, so a plain `/`
-    * can mis-bucket rows near window boundaries. Subtracting the modulus
-    * first makes the numerator exactly divisible; the decimal division is
-    * then exact.
+  /** Exact floor-division of a Long column by a positive constant —
+    * correct for NEGATIVE values too (`pmod` is the non-negative
+    * modulus, so `a - pmod(a,d)` is `floor(a/d)·d` on both sides of
+    * zero; RangeJoinSpec exercises pre-epoch times through this).
+    * `Column./` is IEEE double division — epoch-nanos values (~1.7e18)
+    * exceed double's 2^53 exact-integer range, so a plain `/` can
+    * mis-bucket rows near window boundaries. Subtracting the modulus
+    * first makes the numerator exactly divisible; the decimal division
+    * is then exact.
     */
   def floorDiv(a: Column, d: Long): Column =
     ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(java.math.BigDecimal.valueOf(d)))
