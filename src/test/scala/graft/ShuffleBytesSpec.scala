@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** The PLANS.md shuffle claims, measured: operators that promise "the
+  * text never enters an exchange" must move only fingerprint/id-sized
+  * bytes through shuffles, and broadcast-side operators must shuffle
+  * almost nothing. Plan-shape tests catch a reintroduced exchange;
+  * these catch an exchange that exists but silently got WIDE. */
+class ShuffleBytesSpec extends SparkTestBase {
+
+  /** Total shuffle-write bytes across all stages of `body`. */
+  private def shuffleBytes(body: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        total.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.GraftSparkTestHooks.flushListeners(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get()
+  }
+
+  private lazy val corpusTextBytes: Long =
+    Tables.documents(spark, sf01)
+      .agg(sum(octet_length(col("text")))).collect()(0).getLong(0)
+
+  test("normalized dedup shuffles fingerprints, not documents") {
+    val b = shuffleBytes {
+      SparkEntry.queries("q_dedup_norm")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // 16-byte md5 + id per doc ≪ corpus text; generous 20% bound covers
+    // serialization framing and the tiny oracle sort
+    assert(b < corpusTextBytes / 5, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
+  test("decontamination never shuffles the training corpus") {
+    val b = shuffleBytes {
+      SparkEntry.queries("q_decontaminate")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(b < corpusTextBytes / 5, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
+  test("the sampling filter shuffles nothing at all") {
+    val b = shuffleBytes {
+      graft.ops.TextOps
+        .deterministicSample(
+          Tables.documents(spark, sf01), "doc_id", "lang",
+          rates = Map("en" -> 0.3), defaultRate = 1.0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(b == 0L, s"sampling shuffled $b bytes")
+  }
+}
