@@ -47,6 +47,19 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(b < corpusTextBytes / 5, s"shuffled $b bytes vs corpus $corpusTextBytes")
   }
 
+  test("exact-Jaccard near-dup keeps the corpus out of every exchange") {
+    // the flagship claim: candidates exchange 8-byte prefix hashes and
+    // id pairs; the verify stage broadcasts the (small) pair set so the
+    // shingle arrays never shuffle — total exchange bytes must stay far
+    // below even the RAW text volume (the exploded shingle volume is a
+    // multiple of it)
+    val b = shuffleBytes {
+      SparkEntry.queries("q_neardup_jaccard")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(b < corpusTextBytes / 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
   test("the sampling filter shuffles nothing at all") {
     val b = shuffleBytes {
       graft.ops.TextOps
