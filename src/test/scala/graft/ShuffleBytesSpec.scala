@@ -60,6 +60,21 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(b < corpusTextBytes / 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
   }
 
+  test("the changelog combine ships at most keys-per-partition rows, not events") {
+    val eventBytes: Long = {
+      val e = Tables.withTsMicros(Tables.events(spark, sf01))
+      e.agg(sum(octet_length(to_json(struct(e.columns.map(col): _*)))))
+        .collect()(0).getLong(0)
+    }
+    val b = shuffleBytes {
+      SparkEntry.queries("q_latest_by_key")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // latest_row's map-side combine collapses each partition to ≤1 row
+    // per key before the exchange — far below the raw event volume
+    assert(b < eventBytes / 5, s"shuffled $b bytes vs events $eventBytes")
+  }
+
   test("the sampling filter shuffles nothing at all") {
     val b = shuffleBytes {
       graft.ops.TextOps
