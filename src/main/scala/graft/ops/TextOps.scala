@@ -446,6 +446,79 @@ object TextOps {
           countDistinct(md5(col(textCol).cast("binary"))).cast("double") /
             count(col(textCol)).cast("double")).as("dup_fraction"))
 
+  /** Learn byte-pair-encoding merges from the corpus — the TRAINING half
+    * of a tokenizer build ([[vocab]]/[[ngramCounts]] are the counting
+    * half): repeatedly find the most frequent adjacent symbol pair over
+    * the word-frequency table and fuse it, returning the merge sequence
+    * in order (what a BPE tokenizer ships as `merges.txt`).
+    *
+    * Semantics (pinned by the spec's driver model): symbols start as
+    * single characters; pair counts are weighted by word frequency and
+    * include overlapping occurrences (a run "aaa" holds TWO "aa" pairs
+    * — the reference BPE formulation, Sennrich et al.'s `get_stats`);
+    * the merge APPLIES greedily left-to-right non-overlapping (also the
+    * reference behavior); ties break lexicographically on
+    * (first, second). Determinism makes two training runs on the same
+    * corpus produce identical tokenizers.
+    *
+    * Scale shape: BPE trains on the WORD-FREQUENCY TABLE, not the
+    * corpus — one corpus pass builds it (map-side-combined hash agg,
+    * exchange ∝ distinct words), then each round is one aggregate over
+    * the (≪ corpus) word table plus a 1-row argmax to the driver; the
+    * evolving symbolization is a localCheckpoint'd word table (bounded
+    * blocks, reclaimed by the context cleaner). Rounds are inherently
+    * sequential (each merge depends on the last) — `nMerges` drives
+    * cost, corpus size only the first pass. */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    val SEP = "\u0001"
+    var words = df
+      .select(explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(SEP), concat_ws(SEP, split(col("w"), "")), lit(SEP)).as("state"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val syms = filter(split(col("state"), SEP), s => s =!= "")
+      val counted = words
+        .select(
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              ix => struct(
+                element_at(syms, ix).as("a"),
+                element_at(syms, ix + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"),
+          col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (counted.isEmpty) exhausted = true
+      else {
+        val (a, b) = (counted(0).getString(0), counted(0).getString(1))
+        merges += ((a, b))
+        // greedy left-to-right non-overlapping fusion: the lookahead
+        // keeps the trailing separator in the text so back-to-back
+        // occurrences ("x y x y") both fuse, while a run of one symbol
+        // ("x x x") fuses once — reference BPE application
+        words = words
+          .withColumn("state",
+            regexp_replace(col("state"),
+              java.util.regex.Pattern.quote(s"$SEP$a$SEP$b") +
+                "(?=" + java.util.regex.Pattern.quote(SEP) + ")",
+              java.util.regex.Matcher.quoteReplacement(s"$SEP$a$b")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
   /** Deterministic multi-way split assignment — reproducible
     * train/val/test partitioning: a row's split is decided by where the
     * first 32 bits of `md5(salt ‖ ":" ‖ id)` fall among the cumulative
