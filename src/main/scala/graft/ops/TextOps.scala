@@ -519,6 +519,37 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Apply a learned BPE merge sequence ([[learnBpeMerges]]) to a text
+    * column, returning the array of BPE tokens per row — the other half
+    * of the train→apply loop (what a tokenizer does at encode time,
+    * word-internal: merges never cross a whitespace boundary).
+    *
+    * One projection: the text is symbolized per word and each merge is
+    * one chained literal-regex fusion (the SAME lookahead scan training
+    * used, so encode(text) reproduces training's final symbolization
+    * exactly — pinned by the spec). Cost ∝ merges × text length,
+    * map-side, no shuffle; ~50-32K chained replaces is a long but
+    * purely per-row pipeline. */
+  def applyBpeMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val SEP = "\u0001"
+    val BND = "\u0002" // word boundary: merges must not cross it
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    // symbolize: chars separated by SEP, words separated by BND
+    val sym = concat(
+      lit(SEP),
+      concat_ws(
+        s"$SEP$BND$SEP",
+        transform(split(norm, " "), w => concat_ws(SEP, split(w, "")))),
+      lit(SEP))
+    val fused = merges.foldLeft(sym) { case (acc, (a, b)) =>
+      regexp_replace(acc,
+        java.util.regex.Pattern.quote(s"$SEP$a$SEP$b") +
+          "(?=" + java.util.regex.Pattern.quote(SEP) + ")",
+        java.util.regex.Matcher.quoteReplacement(s"$SEP$a$b"))
+    }
+    filter(split(fused, SEP), s => s =!= "" && s =!= BND)
+  }
+
   /** Deterministic multi-way split assignment — reproducible
     * train/val/test partitioning: a row's split is decided by where the
     * first 32 bits of `md5(salt ‖ ":" ‖ id)` fall among the cumulative

@@ -55,6 +55,33 @@ class BpeTrainSpec extends SparkTestBase {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  test("applyBpeMerges encodes exactly as the reference model tokenizes") {
+    val docs = Seq((0L, "low lower lowest low low")).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(docs, "text", nMerges = 4)
+    // reference: tokenize each word by applying the merges in order
+    def encode(w: String): Vector[String] = {
+      var syms = w.toVector.map(_.toString)
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val got = docs
+      .select(TextOps.applyBpeMerges(org.apache.spark.sql.functions.col("text"), merges))
+      .collect()(0).getSeq[String](0).toVector
+    val expect = "low lower lowest low low".split(" ").toVector.flatMap(encode)
+    assert(got == expect, s"got=$got expect=$expect")
+    // merges never cross the word boundary: token count ≥ word count
+    assert(got.length >= 5)
+  }
+
   test("learnBpeMerges stops early when no pair remains") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text") // single-char words only
     assert(TextOps.learnBpeMerges(docs, "text", nMerges = 5).isEmpty)
