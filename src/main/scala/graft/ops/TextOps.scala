@@ -210,18 +210,22 @@ object TextOps {
       idCol: String,
       textCol: String,
       window: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
     df.select(
-        col(idCol),
-        tokenCount(col(textCol)).as("__n"),
-        posexplode(graft.functions.native.wordChunks(col(textCol), window, stride))
-          .as(Seq("chunk_ix", "chunk_text")))
+        Seq(
+          col(idCol),
+          tokenCount(col(textCol)).as("__n"),
+          posexplode(graft.functions.native.wordChunks(col(textCol), window, stride))
+            .as(Seq("chunk_ix", "chunk_text"))) ++ carryCols.map(col): _*)
       .select(
-        col(idCol),
-        col("chunk_ix"),
-        col("chunk_text"),
-        least(lit(window), col("__n") - col("chunk_ix") * stride).as("n_tokens"))
+        Seq(
+          col(idCol),
+          col("chunk_ix"),
+          col("chunk_text"),
+          least(lit(window), col("__n") - col("chunk_ix") * stride).as("n_tokens")) ++
+          carryCols.map(col): _*)
   }
 
   /** Vocabulary head: the `topK` most frequent whitespace tokens with

@@ -28,7 +28,10 @@ import graft.ops.TextOps
   */
 object IngestPipeline {
 
-  /** `outDir`/`checkpointDir` are required; gates default to pass-all. */
+  /** `outDir`/`checkpointDir` are required; gates default to pass-all.
+    * `partitionBy` names PASSTHROUGH columns (e.g. a language column)
+    * to directory-partition the corpus by — downstream per-language
+    * reads then partition-prune instead of scanning everything. */
   case class Config(
       outDir: String,
       checkpointDir: String,
@@ -38,7 +41,8 @@ object IngestPipeline {
       maxTokens: Long = Long.MaxValue,
       maxPunctRatio: Double = 1.0,
       chunkWindow: Int = 32,
-      chunkStride: Int = 24)
+      chunkStride: Int = 24,
+      partitionBy: Seq[String] = Nil)
 
   /** The whole adopter path from FILES: JSONL documents dropped under
     * `inDir` flow through quarantine → gates → dedup → chunking into the
@@ -85,13 +89,15 @@ object IngestPipeline {
     val fresh = DedupStream.dedup(
       DedupStream.dedupAgainstHistory(gated, history, cfg.textCol),
       cfg.textCol)
-    TextOps
-      .chunk(fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride)
-      .writeStream
+    val chunks = TextOps.chunk(
+      fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride,
+      carryCols = cfg.partitionBy)
+    val writer = chunks.writeStream
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpointDir)
       .format("parquet")
       .option("path", cfg.outDir)
+    (if (cfg.partitionBy.isEmpty) writer else writer.partitionBy(cfg.partitionBy: _*))
       .start()
   }
 }

@@ -45,6 +45,36 @@ class IngestPipelineSpec extends SparkTestBase {
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
 
+  test("ingest with a partitioned corpus layout (lang directories)") {
+    val history = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest3-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest3-ckpt").toString
+    val cfg = IngestPipeline.Config(
+      outDir = out, checkpointDir = ckpt,
+      chunkWindow = 3, chunkStride = 3, partitionBy = Seq("lang"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = IngestPipeline.run(
+      input.toDF().toDF("doc_id", "text", "lang"), history, cfg)
+    try {
+      input.addData(Seq(
+        (1L, "uno dos tres", "es"),
+        (2L, "one two three", "en")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("lang=en", "lang=es"))
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "chunk_text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(rows == Seq((1L, "uno dos tres", "es"), (2L, "one two three", "en")))
+  }
+
   test("ingest from JSONL files: corpus out, quarantine out, one call") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
