@@ -97,6 +97,26 @@ object NearDupProps extends Properties("NearDup") {
       got == model
     }
 
+  property("crossSourceMatrix equals the canonical pair-count model") =
+    Prop.forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      // assign sources by id parity, pairs from the exact operator
+      val docs = corpus.toDF("doc_id", "text")
+        .withColumn("source",
+          when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+      val pairs = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      val got = NearDup.crossSourceMatrix(docs, "doc_id", "source", pairs)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def srcOf(id: Long) = if (id % 2 == 0) "even" else "odd"
+      val model = pairs.select("id1", "id2").collect()
+        .map { r =>
+          val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+          (if (a <= b) (a, b) else (b, a))
+        }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      Prop(got == model) :| s"got=$got model=$model"
+    }
+
   property("simhash explode+aggregate equals the HOF formulation") =
     Prop.forAll(genCorpus) { corpus =>
       import spark.implicits._
