@@ -236,8 +236,9 @@ object TextOps {
     * tokens) → TakeOrderedAndProject (per-partition top-k, k-row driver
     * merge — no global sort). */
   def vocab(df: DataFrame, textCol: String, topK: Int): DataFrame =
-    df.select(explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("token"))
-      .filter(col("token") =!= "")
+    // n=1 word_ngrams = the token stream (kernel tokenization already
+    // drops empties, so no post-filter)
+    df.select(explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
