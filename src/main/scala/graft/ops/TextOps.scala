@@ -416,8 +416,7 @@ object TextOps {
       .select(
         col(idCol),
         explode(array_distinct(
-          split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))).as("token"))
-      .filter(col("token") =!= "")
+          graft.functions.native.wordNgrams(col(textCol), 1))).as("token"))
     val docFreq = docTerms.groupBy(col("token")).agg(count(lit(1)).as("df"))
     docTerms
       .join(docFreq, "token")
@@ -478,8 +477,7 @@ object TextOps {
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
     val SEP = "\u0001"
     var words = df
-      .select(explode(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(
