@@ -517,6 +517,15 @@ object SparkEntry {
         .rareTerms(Tables.documents(s, dir), "doc_id", "text", topK = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    "q_dup_clusters" -> ((s, dir) => {
+      // Dedup audit: size of every near-dup cluster (component of the
+      // exact-pair graph), labeled by its minimum id.
+      val docs = Tables.documents(s, dir)
+      NearDup
+        .nearDupClusters(docs, "doc_id",
+          NearDup.exactJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8))
+    }),
+
     "q_dup_sources" -> ((s, dir) => {
       // Cross-source duplication matrix over the exact near-dup pairs:
       // which sources duplicate each other, and how much.
@@ -875,6 +884,35 @@ object SparkEntry {
         |  FROM dt JOIN dfq USING (tok))
         |SELECT doc_id, rank, token, df FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Component labels from the same transitive closure as
+    // q_neardup_dedup: label = LEAST(n, MIN(reachable)), size = member
+    // count per label.
+    "q_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id1, id2
+        |  FROM inter
+        |  JOIN sizes na ON id1 = na.doc_id
+        |  JOIN sizes nb ON id2 = nb.doc_id
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |r(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a),
+        |comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS label FROM r GROUP BY n)
+        |SELECT label AS cluster, COUNT(*) AS size
+        |FROM comp GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     // The q_neardup_jaccard pair CTE joined twice against (doc_id,
     // source), source pairs canonicalized (LEAST, GREATEST).

@@ -595,6 +595,27 @@ object NearDup {
     (labels, () => release())
   }
 
+  /** Near-dup cluster report: one row per connected component of the
+    * pair graph — `(cluster, size)` where `cluster` is the component's
+    * minimum id — the dedup AUDIT view ("how big are my duplicate
+    * families") that decides whether a corpus needs the boilerplate-
+    * armored candidate order or a tighter threshold. Same propagation +
+    * checkpoint hygiene as [[collapseNearDups]]; the size aggregate is
+    * over the paired-member set (≪ corpus), singletons (unpaired docs)
+    * are not rows. */
+  def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val (labels, release) = componentLabels(pairs, maxIter, reliable)
+    val reportPlan = labels
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("size"))
+    val report =
+      if (reliable) reliableCkpt(reportPlan) else reportPlan.localCheckpoint()
+    release()
+    report.orderBy(col("cluster"))
+  }
+
   /** Cross-source duplication matrix: how many near-dup pairs link each
     * (unordered) pair of sources — the contamination view a corpus owner
     * actually asks for ("how much of source B is already in source A?").

@@ -195,6 +195,19 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Seq(("A", "B", 2L), ("B", "B", 1L)))
   }
 
+  test("nearDupClusters reports component sizes labeled by minimum id") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),          // chain {0,1,2}
+      (5L, 7L),                    // pair {5,7}
+      (3L, 4L), (3L, 8L), (4L, 8L) // triangle {3,4,8}
+    ).toDF("id1", "id2")
+    val got = NearDup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (3L, 3L), (5L, 2L)))
+  }
+
   test("collapseNearDupsKeepBest keeps the highest-scoring member per component") {
     import spark.implicits._
     // same component structure as the min-id test, plus a score column:
