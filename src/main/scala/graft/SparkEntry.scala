@@ -431,10 +431,14 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, dir) =>
       // Per-label class centroids, exact DECIMAL accumulation per
       // dimension (bit-reproducible across engines — see
-      // Similarity.labelCentroids).
+      // Similarity.labelCentroids). Declared flattened to one row per
+      // (label, dim) — the harness comparator sorts rows via pandas and
+      // cannot hash array cells, so the contract output is array-free.
       Similarity
         .labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
-        .orderBy(col("label"))),
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("value"))
+        .orderBy(col("label"), col("dim"))),
 
     "q_quantiles" -> ((s, dir) =>
       // Corpus length-distribution stats: exact discrete p50/p90/p99 of
@@ -506,9 +510,16 @@ object SparkEntry {
     "q_quantize" -> ((s, dir) =>
       // int8 embedding quantization: per-vector max-abs scale + rounded
       // codes — the 4x vector-store compression, engine-exact rounding.
+      // Declared flattened to one row per (vec_id, i) — array cells break
+      // the harness comparator's pandas row sort. Zero vectors (NULL
+      // codes) drop in BOTH engines: posexplode and unnest each emit no
+      // rows for a NULL array.
       Similarity
         .quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("i", "code")))
+        .select(col("vec_id"), col("scale"), col("i").cast("long").as("i"), col("code"))
+        .orderBy(col("vec_id"), col("i"))),
 
     "q_rare_terms" -> ((s, dir) =>
       // Per-doc top-3 rarest tokens by document frequency — integer-exact
@@ -859,13 +870,20 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT vec_id, embedding,
         |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
-        |  FROM embeddings)
-        |SELECT vec_id, scale,
-        |       CASE WHEN scale > 0
-        |            THEN list_transform(embedding,
-        |                                x -> round(x::DOUBLE / scale * 127)::INT)
-        |            END AS codes
-        |FROM s ORDER BY vec_id""".stripMargin,
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         CASE WHEN scale > 0
+        |              THEN list_transform(embedding,
+        |                                  x -> round(x::DOUBLE / scale * 127)::INT)
+        |              END AS codes
+        |  FROM s)
+        |SELECT * FROM (
+        |  SELECT vec_id, scale,
+        |         CAST(generate_subscripts(codes, 1) - 1 AS BIGINT) AS i,
+        |         unnest(codes) AS code
+        |  FROM q)
+        |ORDER BY vec_id, i""".stripMargin,
 
     // Distinct tokens per doc (df = DOCUMENT frequency), rarest-first
     // rank — integer ordering only, no idf logarithm to disagree on.
@@ -1088,15 +1106,12 @@ object SparkEntry {
     "q_embed_centroid" ->
       """WITH e AS (
         |  SELECT label, unnest(embedding) AS v,
-        |         generate_subscripts(embedding, 1) AS dim
-        |  FROM embeddings),
-        |a AS (
-        |  SELECT label, dim,
-        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-        |         / COUNT(*) AS av
-        |  FROM e GROUP BY 1, 2)
-        |SELECT label, list(av ORDER BY dim) AS centroid
-        |FROM a GROUP BY label ORDER BY label""".stripMargin,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+        |       / COUNT(*) AS value
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     // Discrete quantiles at rank floor(p*(n-1))+1 — integer rank
     // arithmetic plus one identically-rounded multiply, so the engines
@@ -1211,7 +1226,7 @@ object SparkEntry {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |  FROM t WHERE n_tokens > 0)
         |SELECT shard, doc_id, n_tokens,
-        |       ((off - off % 1024) / 1024)::INT AS seq_ix,
+        |       (off // 1024)::BIGINT AS seq_ix,
         |       (off % 1024)::INT AS seq_off
         |FROM c ORDER BY shard, doc_id""".stripMargin
   )

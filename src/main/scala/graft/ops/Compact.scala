@@ -31,9 +31,23 @@ object Compact {
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(destDir != srcDir, "compaction must write a new generation directory")
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    // Alias-proof overwrite guard: a raw string compare passes trailing
+    // slashes or relative-vs-absolute spellings of the SAME directory and
+    // the mode("overwrite") below would then clobber the live source
+    // generation. Compare fully-qualified paths, and reject nesting in
+    // either direction (dest inside src is destroyed by the overwrite;
+    // src inside dest is read while being rewritten).
+    val qSrc = fs.makeQualified(src)
+    val qDest = fs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
+    def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null && p != a) p = p.getParent
+      p != null
+    }
+    require(qDest != qSrc && !contains(qSrc, qDest) && !contains(qDest, qSrc),
+      s"compaction must write a disjoint new generation directory ($qSrc vs $qDest)")
     val it = fs.listFiles(src, true)
     var bytes = 0L
     while (it.hasNext) {

@@ -389,7 +389,11 @@ object TextOps {
         col("shard"),
         col(idCol),
         col("n_tokens"),
-        (col("__off") - (col("__off") % budget)).divide(budget).cast("int").as("seq_ix"),
+        // exact floor division (Windowing.floorDiv pattern): a plain
+        // Column./ is IEEE double division, inexact past 2^53 tokens per
+        // shard; seq_ix stays BIGINT — a 100 TB shard can exceed 2^31
+        // sequences
+        Windowing.floorDiv(col("__off"), budget.toLong).as("seq_ix"),
         (col("__off") % budget).cast("int").as("seq_off"))
   }
 
@@ -481,7 +485,11 @@ object TextOps {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(
-        concat(lit(SEP), concat_ws(SEP, split(col("w"), "")), lit(SEP)).as("state"),
+        // symbolize by Unicode CODE POINT — `split(w, "")` cuts between
+        // UTF-16 units, shredding supplementary-plane chars (emoji, rare
+        // CJK) into unpaired surrogates; the zero-width (?<=.) boundary
+        // is codepoint-atomic in Java regex
+        concat(lit(SEP), concat_ws(SEP, split(col("w"), "(?<=.)")), lit(SEP)).as("state"),
         col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -537,12 +545,13 @@ object TextOps {
     val SEP = "\u0001"
     val BND = "\u0002" // word boundary: merges must not cross it
     val norm = trim(regexp_replace(text, "\\s+", " "))
-    // symbolize: chars separated by SEP, words separated by BND
+    // symbolize: CODE POINTS separated by SEP, words separated by BND —
+    // (?<=.) keeps surrogate pairs whole (same boundary as training)
     val sym = concat(
       lit(SEP),
       concat_ws(
         s"$SEP$BND$SEP",
-        transform(split(norm, " "), w => concat_ws(SEP, split(w, "")))),
+        transform(split(norm, " "), w => concat_ws(SEP, split(w, "(?<=.)")))),
       lit(SEP))
     val fused = merges.foldLeft(sym) { case (acc, (a, b)) =>
       regexp_replace(acc,

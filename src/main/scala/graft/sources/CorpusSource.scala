@@ -19,21 +19,27 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * file STREAM — `from_json` is a plain expression). */
 object CorpusSource {
 
+  // Namespaced marker: a syntactically VALID line whose payload happens to
+  // carry a top-level key with the marker's name would parse with the
+  // marker non-null and be misrouted to quarantine — "_corrupt" is a
+  // plausible crawl-metadata key; "__graft_corrupt" is not.
+  private val Marker = "__graft_corrupt"
+
   private def markerSchema(schema: StructType): StructType = {
-    require(!schema.fieldNames.contains("_corrupt"),
-      "schema must not already contain the _corrupt marker column")
-    StructType(schema.fields :+ StructField("_corrupt", StringType))
+    require(!schema.fieldNames.contains(Marker),
+      s"schema must not already contain the $Marker marker column")
+    StructType(schema.fields :+ StructField(Marker, StringType))
   }
 
   /** Parse a raw-JSON string column against `schema`: returns the parsed
-    * struct whose `_corrupt` field is NULL for good rows and carries the
+    * struct whose `__graft_corrupt` field is NULL for good rows and carries the
     * raw line for malformed ones. Composable in batch AND streaming
     * plans. */
   def parseJsonl(raw: Column, schema: StructType): Column =
     from_json(
       raw,
       markerSchema(schema),
-      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__graft_corrupt"))
 
   /** Parsed corpus + quarantine from a JSONL directory/file.
     * `schema` is the EXPECTED document schema (schema-on-read: fields
@@ -47,10 +53,10 @@ object CorpusSource {
     val parser = parseJsonl(col("value"), schema) // validates schema first
     val parsed = spark.read.text(path).withColumn("__p", parser)
     val good = parsed
-      .filter(col("__p._corrupt").isNull)
+      .filter(col("__p.__graft_corrupt").isNull)
       .select(schema.fieldNames.map(f => col(s"__p.$f")).toSeq: _*)
     val quarantine = parsed
-      .filter(col("__p._corrupt").isNotNull)
+      .filter(col("__p.__graft_corrupt").isNotNull)
       .select(col("value").as("raw"))
     (good, quarantine)
   }
@@ -70,6 +76,6 @@ object CorpusSource {
     val fields = schema.fieldNames.map(f => col(s"__p.$f")).toSeq
     parsed.select(
       fields :+
-        when(col("__p._corrupt").isNotNull, col("value")).as("quarantined_raw"): _*)
+        when(col("__p.__graft_corrupt").isNotNull, col("value")).as("quarantined_raw"): _*)
   }
 }

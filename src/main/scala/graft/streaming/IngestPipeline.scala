@@ -79,6 +79,16 @@ object IngestPipeline {
     * static corpus whose texts must not be re-ingested. Output rows:
     * `(idCol, chunk_ix, chunk_text, n_tokens)`. */
   def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
+    // qualityFeatures writes its feature columns with withColumn — an
+    // input that already carries one of those names would be silently
+    // OVERWRITTEN by the computed feature and then passed through under
+    // the original name. Reject the collision instead of mis-gating.
+    val featureCols =
+      Set("n_chars", "n_tokens", "punct_ratio", "upper_ratio", "mean_token_len")
+    val clash = stream.columns.filter(featureCols.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with quality-gate feature names; " +
+        "rename them before ingest")
     val passthrough = stream.columns.map(col)
     val gated = TextOps
       .qualityFeatures(stream, cfg.textCol)

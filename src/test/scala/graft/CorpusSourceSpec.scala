@@ -40,10 +40,27 @@ class CorpusSourceSpec extends SparkTestBase {
   }
 
   test("readJsonl rejects a schema that collides with the corrupt marker") {
-    val bad = StructType(Seq(StructField("_corrupt", StringType)))
+    val bad = StructType(Seq(StructField("__graft_corrupt", StringType)))
     intercept[IllegalArgumentException] {
       CorpusSource.readJsonl(spark, "/tmp/unused", bad)
     }
+  }
+
+  test("a valid line carrying a '_corrupt' payload key is NOT quarantined") {
+    // the marker is namespaced precisely so plausible crawl-metadata keys
+    // in the DATA cannot masquerade as the parser's corrupt-row signal
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-marker")
+    java.nio.file.Files.write(
+      dir.resolve("a.jsonl"),
+      java.util.List.of(
+        """{"doc_id": 1, "text": "ok", "_corrupt": "from the crawler"}""",
+        """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("text", StringType)))
+    val (good, quarantine) = CorpusSource.readJsonl(spark, dir.toString, schema)
+    assert(good.count() == 1L && quarantine.count() == 1L)
+    assert(quarantine.collect().head.getString(0) == "not json at all")
   }
 
   test("readJsonlStream parses a file stream with the same quarantine semantics") {

@@ -374,11 +374,11 @@ class TextOpsSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val got = TextOps.pack(docs, "doc_id", "text", budget = 5, shards = 2)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
       .sortBy(x => (x._1, x._2)).toSeq
     assert(got == Seq(
-      (0, 0L, 3L, 0, 0), (0, 2L, 4L, 0, 3), (0, 4L, 2L, 1, 2),
-      (1, 1L, 1L, 0, 0), (1, 5L, 6L, 0, 1)))
+      (0, 0L, 3L, 0L, 0), (0, 2L, 4L, 0L, 3), (0, 4L, 2L, 1L, 2),
+      (1, 1L, 1L, 0L, 0), (1, 5L, 6L, 0L, 1)))
     // offsets are a per-shard prefix sum: each doc starts where the
     // previous ended (seq_ix*budget + seq_off is cumulative)
     got.groupBy(_._1).foreach { case (_, rows) =>
