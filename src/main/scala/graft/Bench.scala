@@ -170,6 +170,22 @@ object ReplayBench {
   */
 object Bench {
 
+  /** Directory that anchors BENCH_LAST.json and the BENCH_r*.json
+    * search. A CWD-relative path both loses the prior when the bench is
+    * launched from elsewhere (guard silently no-ops) and scatters
+    * BENCH_LAST.json files outside the repo — so resolve against
+    * SPARK_GRAFT_BENCH_HOME when set, else walk up from CWD to the
+    * nearest sbt project root (build.sbt), else fall back to CWD. */
+  private[graft] def benchHome: java.nio.file.Path =
+    sys.env.get("SPARK_GRAFT_BENCH_HOME")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get("").toAbsolutePath
+        Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.isRegularFile(p.resolve("build.sbt")))
+          .getOrElse(cwd)
+      }
+
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
   private def forkedReplay(): Option[(Long, Seq[Double])] =
@@ -290,15 +306,31 @@ object Bench {
     // can legitimately double on a codegen-cache miss
     def noisy(ts: Vector[Double]): Boolean =
       ts.min > 0.1 && ts.max / ts.min > rerunSpread
+    // Rising-not-spiking is the OTHER ambient-load signature (round 8:
+    // q_neardup_keep_best [1.60, 2.53, 4.51] and q_union_counts
+    // [0.42, 0.62, 1.07] climbed monotonically under a machine ramp-up and
+    // the spread check never tripped because min was the first, clean,
+    // iteration — the recorded min was still load-inflated and the series
+    // looked like a regression). A real plan cost is flat across
+    // iterations; strictly-increasing timings ending >1.5× where they
+    // started mean the machine got busier DURING the block — re-run it.
+    val rerunRise = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_RISE", "1.5").toDouble
+    def rising(ts: Vector[Double]): Boolean =
+      ts.length >= 2 && ts.min > 0.1 &&
+        ts.iterator.zip(ts.iterator.drop(1)).forall { case (a, b) => b > a } &&
+        ts.last / ts.head > rerunRise
     val firstPass = queries.map { case (name, fn) =>
       if (warmupErrors.contains(name))
         (name, Left(warmupErrors(name)): Either[Throwable, Vector[Double]], false)
       else (name, timeBlock(name, fn), false)
     }
     val spreadAdjusted = firstPass.map {
-      case (name, Right(ts), _) if noisy(ts) =>
+      case (name, Right(ts), _) if noisy(ts) || rising(ts) =>
+        val why =
+          if (noisy(ts)) f"spread ${ts.max / ts.min}%.1fx"
+          else f"monotone rise ${ts.last / ts.head}%.1fx"
         System.err.println(
-          f"bench: $name spread ${ts.max / ts.min}%.1fx (${ts.mkString(", ")}) — re-running once")
+          s"bench: $name $why (${ts.mkString(", ")}) — re-running once")
         queries.collectFirst { case (`name`, fn) => timeBlock(name, fn) } match {
           case Some(Right(ts2)) => (name, Right(ts ++ ts2), true)
           case _                => (name, Right(ts), true) // re-run failed: keep 1st block
@@ -319,28 +351,44 @@ object Bench {
     // driver's BENCH_r*.json artifacts keep only a 2000-char output tail),
     // else the newest driver artifact's surviving iteration lists.
     val priorQueries: Map[String, Double] = {
+      val home = benchHome
       val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
-        .orElse(Option(new java.io.File("BENCH_LAST.json"))
+        .orElse(Option(home.resolve("BENCH_LAST.json").toFile)
           .filter(_.isFile).map(_.getPath))
-        .orElse(Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        .orElse(Option(home.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(_.getName.matches("BENCH_r\\d+\\.json"))
           .sortBy(_.getName).lastOption.map(_.getPath))
       path.flatMap { p =>
         try {
-          val txt = new String(
+          val raw = new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-          // accept both shapes: `"q_x":0.12` (queries map) and
-          // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
-          val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-          val listRe = "\"(q_[A-Za-z0-9_]+)\":\\[([0-9.,eE+-]+)\\]".r
-          val scalars = scalarRe.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-          val lists = listRe.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).min)
-          Some((scalars ++ lists).toSeq.groupBy(_._1)
-            .map { case (k, vs) => k -> vs.map(_._2).filter(_ >= 0).foldLeft(
-              Double.MaxValue)(math.min) }
-            .filter(_._2 != Double.MaxValue))
+          // driver BENCH_r*.json artifacts hold the bench line inside a
+          // JSON-escaped "tail" string (\"q_x\":[...]) — unescape before
+          // matching or the quote-colon patterns below never fire there
+          val txt = raw.replace("\\\"", "\"")
+          // a prior recorded at a different scale factor is not a prior:
+          // every query would re-run (or the guard goes inert) — only
+          // apply the cross-round guard when the sf matches
+          val sfRe = "\"sf\":\"([^\"]+)\"".r
+          val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+          if (priorSf.exists(_ != sfDir)) {
+            System.err.println(
+              s"bench: prior $p is sf=${priorSf.get}, current sf=$sfDir — cross-round guard disabled")
+            None
+          } else {
+            // accept both shapes: `"q_x":0.12` (queries map) and
+            // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
+            val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            val listRe = "\"(q_[A-Za-z0-9_]+)\":\\[([0-9.,eE+-]+)\\]".r
+            val scalars = scalarRe.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+            val lists = listRe.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).min)
+            Some((scalars ++ lists).toSeq.groupBy(_._1)
+              .map { case (k, vs) => k -> vs.map(_._2).filter(_ >= 0).foldLeft(
+                Double.MaxValue)(math.min) }
+              .filter(_._2 != Double.MaxValue))
+          }
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
@@ -404,9 +452,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}"""
     println(line)
     // persist the full line: the driver's BENCH_r*.json keeps only an
-    // output tail, and the cross-round guard needs last round's mins
+    // output tail, and the cross-round guard needs last round's mins.
+    // Anchored at benchHome, not the CWD, so a bench launched from
+    // anywhere updates (and later finds) the same prior.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      benchHome.resolve("BENCH_LAST.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"bench: BENCH_LAST.json write failed: $e") }
     spark.stop()
     if (best.exists(_._3.isDefined)) sys.exit(2)

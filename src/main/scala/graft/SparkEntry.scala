@@ -206,6 +206,26 @@ object SparkEntry {
           minTokens = 20L, maxTokens = 400L, maxPunctRatio = 0.05)
         .orderBy(col("doc_id"))),
 
+    "q_ingest" -> ((s, dir) => {
+      // the flagship one-call adopter path (IngestPipeline), batch
+      // flavor: sources src0-src3 play the historical corpus, the rest
+      // arrive as the ingest batch — gate → anti-join history → dedup
+      // within batch → chunk, end-to-end under the oracle.
+      // the fixture's precomputed n_chars would collide with the
+      // pipeline's own quality-feature columns — feed only what an
+      // arriving batch carries
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val hist = Seq("src0", "src1", "src2", "src3")
+      graft.streaming.IngestPipeline
+        .batch(
+          docs.filter(!col("source").isin(hist: _*)).drop("source"),
+          docs.filter(col("source").isin(hist: _*)),
+          graft.streaming.IngestPipeline.Config(
+            outDir = "", checkpointDir = "",
+            minTokens = 20L, maxTokens = 400L, maxPunctRatio = 0.05))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
     "q_neardup_jaccard" -> ((s, dir) =>
       // Pair queries end with repartition(1)+sortWithinPartitions, not
       // orderBy: the pair set is bounded (≪ corpus) so one partition is
@@ -779,6 +799,43 @@ object SparkEntry {
         |FROM documents
         |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin,
+
+    // The composed ingest pipeline: the q_quality gate expressions, the
+    // q_dedup_norm normalized-fingerprint grouping (anti-joined against
+    // the src0-src3 "history" first — lowest-id survivor carries its
+    // text via arg_min), then the q_chunk windowing — each stage's
+    // engine-oracle pairing is already proven by its standalone query.
+    "q_ingest" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT trim(regexp_replace(text, '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |         END AS punct_ratio
+        |  FROM documents WHERE source NOT IN ('src0','src1','src2','src3')),
+        |gated AS (
+        |  SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS fp
+        |  FROM q WHERE n_tokens BETWEEN 20 AND 400 AND punct_ratio <= 0.05),
+        |fresh AS (
+        |  SELECT MIN(g.doc_id) AS doc_id, arg_min(g.text, g.doc_id) AS text
+        |  FROM gated g LEFT JOIN hist h ON g.fp = h.fp
+        |  WHERE h.fp IS NULL
+        |  GROUP BY g.fp),
+        |toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM fresh),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+        |  FROM toks WHERE len(w) > 0)
+        |SELECT doc_id, (s // 24)::INT AS chunk_ix,
+        |       array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+        |       LEAST(32, len(w) - s)::INT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT lang,

@@ -34,13 +34,20 @@ object Compact {
     val src = new org.apache.hadoop.fs.Path(srcDir)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     // Alias-proof overwrite guard: a raw string compare passes trailing
-    // slashes or relative-vs-absolute spellings of the SAME directory and
-    // the mode("overwrite") below would then clobber the live source
-    // generation. Compare fully-qualified paths, and reject nesting in
-    // either direction (dest inside src is destroyed by the overwrite;
-    // src inside dest is read while being rewritten).
-    val qSrc = fs.makeQualified(src)
-    val qDest = fs.makeQualified(new org.apache.hadoop.fs.Path(destDir))
+    // slashes, relative-vs-absolute spellings, or ".." segments naming
+    // the SAME directory and the mode("overwrite") below would then
+    // clobber the live source generation. Compare fully-qualified paths
+    // with dot-segments resolved (URI.normalize — makeQualified alone
+    // keeps ".." literal, so src+"/../<srcname>" would slip through),
+    // and reject nesting in either direction (dest inside src is
+    // destroyed by the overwrite; src inside dest is read while being
+    // rewritten). Symlink aliases are out of scope — a generic
+    // FileSystem has no realpath; callers juggling symlinked
+    // generations must pass resolved paths.
+    def norm(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(p.toUri.normalize()))
+    val qSrc = norm(src)
+    val qDest = norm(new org.apache.hadoop.fs.Path(destDir))
     def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
       var p: org.apache.hadoop.fs.Path = b
       while (p != null && p != a) p = p.getParent

@@ -146,4 +146,57 @@ object AvroSerde {
     val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
     fromRecord(new GenericDatumReader[GenericRecord](schema).read(null, decoder), st)
   }
+
+  // ---- registry-style framing (schema-id dispatch) ------------------------
+  //
+  // The Confluent wire format the reference's converters actually ship
+  // (start-source-connector.sh:97-100: AvroConverter + Schema Registry):
+  // magic byte 0x00, 4-byte big-endian schema id, then the Avro binary
+  // payload. The id is how a consumer knows WHICH writer schema encoded
+  // this record — the piece that makes mid-stream schema evolution
+  // decodable (ksqlDB resolves it against the registered subject,
+  // ksql-transformations/01-movies-transform.sql:17-24).
+
+  val RegistryMagic: Byte = 0x00
+  private val HeaderLen = 5
+
+  /** Row → framed binary: 0x00 + big-endian schema id + Avro payload. */
+  def toBytesWithId(row: Row, st: StructType, schema: Schema, schemaId: Int): Array[Byte] = {
+    val payload = toBytes(row, st, schema)
+    java.nio.ByteBuffer.allocate(HeaderLen + payload.length)
+      .put(RegistryMagic).putInt(schemaId).put(payload).array()
+  }
+
+  /** Schema id of a framed record; loud failure on a frame that was not
+    * registry-encoded (a plain [[toBytes]] record here means the producer
+    * and consumer disagree about the wire contract — decoding it as if it
+    * had a header would yield garbage rows, not an error). */
+  def schemaIdOf(bytes: Array[Byte]): Int = {
+    require(bytes.length >= HeaderLen && bytes(0) == RegistryMagic,
+      s"not a registry-framed Avro record (len=${bytes.length}, " +
+        s"magic=${if (bytes.isEmpty) "none" else bytes(0).toString})")
+    java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+  }
+
+  /** Framed binary → Row under WRITER/READER schema resolution (Avro's
+    * standard rules): the payload is decoded with the writer schema its
+    * id names, projected to the reader schema — fields the writer lacks
+    * fill their null default, fields the reader dropped are skipped.
+    * This is exactly the registry consumer contract: old records stay
+    * decodable after the subject evolves, with NULLs for the new
+    * columns. Evolution must be additive-nullable (the same rule
+    * [[graft.sink.JdbcMerge.evolveTableSql]] enforces on the sink side);
+    * a reader field that is non-nullable and absent from the writer has
+    * no default and fails resolution loudly. */
+  def fromBytesResolved(
+      bytes: Array[Byte],
+      writer: Schema,
+      readerSt: StructType,
+      reader: Schema): Row = {
+    val decoder = DecoderFactory.get()
+      .binaryDecoder(bytes, HeaderLen, bytes.length - HeaderLen, null)
+    fromRecord(
+      new GenericDatumReader[GenericRecord](writer, reader).read(null, decoder),
+      readerSt)
+  }
 }

@@ -92,6 +92,38 @@ object KafkaWire {
 
   def avroEncode(struct: Column, schema: StructType): Column =
     ColumnBridge.column(AvroEncode(ColumnBridge.expression(struct), schema))
+
+  /** Registry-style decode (schema-id dispatch): each record is decoded
+    * with the writer schema its Confluent-framed id names and widened to
+    * the registry's LATEST schema — NULLs for fields the writer predates.
+    * This is the wire-side half of schema evolution (the sink half is
+    * [[graft.sink.JdbcMerge.evolveTableSql]]): a producer ALTER TABLE
+    * mid-stream keeps every old record decodable. */
+  def avroDecodeRegistry(bytes: Column, registry: Map[Int, StructType]): Column =
+    ColumnBridge.column(AvroDecodeRegistry(ColumnBridge.expression(bytes), registry))
+
+  /** Registry-style encode: Confluent framing (0x00 + schema id) around
+    * the Avro payload, the id naming which registered schema wrote it. */
+  def avroEncodeWithId(struct: Column, schema: StructType, schemaId: Int): Column =
+    ColumnBridge.column(
+      AvroEncodeRegistry(ColumnBridge.expression(struct), schema, schemaId))
+
+  /** [[decodeEnvelope]] for an EVOLVING value subject: the value column
+    * is registry-framed and decoded by schema id, output widened to the
+    * latest registered schema. The key schema stays static — a key
+    * schema change redefines row identity, which no changelog consumer
+    * can absorb (and the reference never evolves keys: the Debezium key
+    * is the table's fixed PK struct, README.md:40). Tombstones (NULL
+    * value) pass through as NULL `kafka_value` exactly as in the static
+    * path. */
+  def decodeEnvelopeEvolving(
+      frame: DataFrame,
+      keySchema: StructType,
+      valueRegistry: Map[Int, StructType]): DataFrame =
+    frame.select(
+      avroDecode(col("key"), keySchema).as("kafka_key"),
+      avroDecodeRegistry(col("value"), valueRegistry).as("kafka_value"),
+      col("offset"))
 }
 
 /** Kafka-backed [[ChangeSource]] (A1 streaming half + B6 offset reset):
@@ -143,6 +175,59 @@ case class AvroDecode(child: Expression, schema: StructType)
   protected override def nullSafeEval(input: Any): Any =
     toCatalyst(AvroSerde.fromBytes(input.asInstanceOf[Array[Byte]], schema, avro))
   protected override def withNewChildInternal(newChild: Expression): AvroDecode =
+    copy(child = newChild)
+}
+
+/** Registry-framed Avro binary → struct of the registry's LATEST schema,
+  * dispatching on the per-record schema id (A4 + the wire half of sink
+  * evolution; reference: ksqlDB infers the table schema from the
+  * registered Avro subject and keeps consuming as it evolves,
+  * ksql-transformations/01-movies-transform.sql:17-24, README.md:193).
+  * `registry` models the subject's version history: id → the StructType
+  * registered under that id; the highest id is the current schema and
+  * the expression's output type. Decoding uses Avro writer/reader
+  * resolution ([[AvroSerde.fromBytesResolved]]) so old records widen
+  * with NULLs; an id absent from the registry fails loudly — silently
+  * dropping undecodable records would corrupt the changelog. */
+case class AvroDecodeRegistry(child: Expression, registry: Map[Int, StructType])
+    extends UnaryExpression with CodegenFallback {
+  require(registry.nonEmpty, "schema registry map must not be empty")
+  private val latestId = registry.keys.max
+  private val readerSt = registry(latestId)
+  @transient private lazy val readerAvro = AvroSerde.avroSchema(readerSt)
+  @transient private lazy val writerAvro =
+    registry.map { case (id, st) => id -> AvroSerde.avroSchema(st) }
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(readerSt)
+  override def dataType: DataType = readerSt
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_decode_registry"
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val id = AvroSerde.schemaIdOf(bytes)
+    val writer = writerAvro.getOrElse(id, throw new IllegalArgumentException(
+      s"record written with unregistered schema id $id; registry has ids " +
+        registry.keys.toSeq.sorted.mkString("[", ", ", "]")))
+    toCatalyst(AvroSerde.fromBytesResolved(bytes, writer, readerSt, readerAvro))
+  }
+  protected override def withNewChildInternal(newChild: Expression): AvroDecodeRegistry =
+    copy(child = newChild)
+}
+
+/** Struct → registry-framed Avro binary (0x00 + schema id + payload) —
+  * the producer half of [[AvroDecodeRegistry]]'s wire contract. */
+case class AvroEncodeRegistry(child: Expression, schema: StructType, schemaId: Int)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val avro = AvroSerde.avroSchema(schema)
+  @transient private lazy val toScala =
+    CatalystTypeConverters.createToScalaConverter(schema)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_encode_registry"
+  protected override def nullSafeEval(input: Any): Any =
+    AvroSerde.toBytesWithId(
+      toScala(input).asInstanceOf[org.apache.spark.sql.Row], schema, avro, schemaId)
+  protected override def withNewChildInternal(newChild: Expression): AvroEncodeRegistry =
     copy(child = newChild)
 }
 

@@ -75,27 +75,61 @@ object IngestPipeline {
     (corpus, quarantine)
   }
 
-  /** Start the pipeline on an arriving document stream; `history` is the
-    * static corpus whose texts must not be re-ingested. Output rows:
-    * `(idCol, chunk_ix, chunk_text, n_tokens)`. */
-  def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
-    // qualityFeatures writes its feature columns with withColumn — an
-    // input that already carries one of those names would be silently
-    // OVERWRITTEN by the computed feature and then passed through under
-    // the original name. Reject the collision instead of mis-gating.
+  /** Quality gate shared by the streaming and batch flavors.
+    * qualityFeatures writes its feature columns with withColumn — an
+    * input that already carries one of those names would be silently
+    * OVERWRITTEN by the computed feature and then passed through under
+    * the original name. Reject the collision instead of mis-gating. */
+  private def gate(docs: DataFrame, cfg: Config): DataFrame = {
     val featureCols =
       Set("n_chars", "n_tokens", "punct_ratio", "upper_ratio", "mean_token_len")
-    val clash = stream.columns.filter(featureCols.contains)
+    val clash = docs.columns.filter(featureCols.contains)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with quality-gate feature names; " +
         "rename them before ingest")
-    val passthrough = stream.columns.map(col)
-    val gated = TextOps
-      .qualityFeatures(stream, cfg.textCol)
+    val passthrough = docs.columns.map(col)
+    TextOps
+      .qualityFeatures(docs, cfg.textCol)
       .filter(
         col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
           col("punct_ratio") <= cfg.maxPunctRatio)
       .select(passthrough: _*)
+  }
+
+  /** Batch-equivalent of [[run]]: the same gate → against-history dedup →
+    * within-batch dedup → chunk stages over a static document frame.
+    * This is the backfill/declared-query flavor (and the oracle-checkable
+    * one): where the stream keeps the FIRST arrival of each normalized
+    * text, the batch — which has no arrival order — keeps the LOWEST id;
+    * on an id-ordered replay the two agree row-for-row
+    * (IngestPipelineSpec pins that equivalence). `cfg.outDir` /
+    * `cfg.checkpointDir` are unused here — there is no sink; the caller
+    * owns the result.
+    *
+    * Scale shape: every stage is the already-audited batch operator —
+    * one kernel pass for the gates (no shuffle), history reduced to
+    * distinct 16-byte fingerprints before a broadcast-able anti-join
+    * ([[TextOps.dedupAgainst]]), a fingerprint-keyed hash aggregate for
+    * the within-batch dedup (16-byte keys, text carried once per
+    * survivor), then the zero-shuffle chunk explode. */
+  def batch(incoming: DataFrame, history: DataFrame, cfg: Config): DataFrame = {
+    val fresh = TextOps
+      .dedupAgainst(history, gate(incoming, cfg), cfg.textCol)
+      .groupBy(TextOps.fingerprint(col(cfg.textCol)).as("__fp"))
+      .agg(
+        min(col(cfg.idCol)).as(cfg.idCol),
+        graft.functions.LatestRow
+          .earliestRow(col(cfg.textCol), col(cfg.idCol)).as(cfg.textCol))
+      .select(col(cfg.idCol), col(cfg.textCol))
+    TextOps.chunk(
+      fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride)
+  }
+
+  /** Start the pipeline on an arriving document stream; `history` is the
+    * static corpus whose texts must not be re-ingested. Output rows:
+    * `(idCol, chunk_ix, chunk_text, n_tokens)`. */
+  def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
+    val gated = gate(stream, cfg)
     val fresh = DedupStream.dedup(
       DedupStream.dedupAgainstHistory(gated, history, cfg.textCol),
       cfg.textCol)

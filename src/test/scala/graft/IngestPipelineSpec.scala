@@ -45,6 +45,32 @@ class IngestPipelineSpec extends SparkTestBase {
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
 
+  test("batch flavor agrees with the stream on an id-ordered replay") {
+    // same corpus as the end-to-end stream test, arriving in id order —
+    // the stream's first-arrival-wins and the batch's lowest-id-wins
+    // must then produce identical chunks
+    val history = Seq((100L, "already ingested text here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "already ingested text here"), // history dup — dropped
+      (2L, "one two three four five"),    // survives: 3 chunks
+      (3L, "solo"),                       // below minTokens — gated out
+      (4L, "one two three four five"),    // batch dup of 2 — dropped
+      (5L, "six seven eight"))            // survives: 2 chunks
+      .toDF("doc_id", "text")
+    val cfg = IngestPipeline.Config(
+      outDir = "", checkpointDir = "",
+      minTokens = 2, chunkWindow = 3, chunkStride = 2)
+    val got = IngestPipeline.batch(incoming, history, cfg)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (2L, 0, "one two three", 3), (2L, 1, "three four five", 3),
+      (2L, 2, "five", 1),
+      (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
+  }
+
   test("ingest with a partitioned corpus layout (lang directories)") {
     val history = spark.emptyDataFrame
       .sparkSession.createDataFrame(

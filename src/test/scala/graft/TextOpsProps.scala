@@ -79,7 +79,7 @@ object TextOpsProps extends Properties("TextOps") {
         val got = TextOps
           .pack(corpus.toDF("doc_id", "text"), "doc_id", "text", budget, shards)
           .collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
           .sortBy(x => (x._1, x._2)).toList
         val model = corpus
           .map { case (id, t) => (id, t.split("\\s+").count(_.nonEmpty).toLong) }
@@ -87,10 +87,10 @@ object TextOpsProps extends Properties("TextOps") {
           .groupBy { case (id, _) => (id % shards).toInt }
           .toList
           .flatMap { case (shard, rows) =>
-            rows.sortBy(_._1).foldLeft((0L, List.empty[(Int, Long, Long, Int, Int)])) {
+            rows.sortBy(_._1).foldLeft((0L, List.empty[(Int, Long, Long, Long, Int)])) {
               case ((off, acc), (id, nTok)) =>
                 (off + nTok,
-                  acc :+ ((shard, id, nTok, (off / budget).toInt, (off % budget).toInt)))
+                  acc :+ ((shard, id, nTok, off / budget, (off % budget).toInt)))
             }._2
           }
           .sortBy(x => (x._1, x._2))
