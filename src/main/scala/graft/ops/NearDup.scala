@@ -644,14 +644,26 @@ object NearDup {
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH band join for
     * candidates (each vector emits `bands` keys), exact cosine verify.
-    * The vector analog of [[minhashNearDupPairs]]. */
+    * The vector analog of [[minhashNearDupPairs]].
+    *
+    * `dedupCandidates` moves the duplicate-collapse BEFORE the verify
+    * (distinct on the raw candidate pairs, skipping the post-filter
+    * distinct) instead of after. Measured at the ScaleProbe ×8 tier
+    * (sf0.1 embeddings ×8 = 256K vectors; see PLANS.md): post-verify
+    * wins — the threshold kills almost every candidate so deduping
+    * survivors is a near-empty shuffle, while pre-verify shuffles the
+    * full candidate set to save only ~100-flop re-verifies of
+    * multi-band duplicates. The flag stays for corpora where verify
+    * dominates (much higher dim, or band settings that make candidate
+    * multiplicity high). */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.9,
       bands: Int = 16,
-      bitsPerBand: Int = 8): DataFrame = {
+      bitsPerBand: Int = 8,
+      dedupCandidates: Boolean = false): DataFrame = {
     val dim = Similarity.detectDim(df, vecCol)
     if (dim == 0)
       return df.select(
@@ -671,12 +683,13 @@ object NearDup {
         graft.functions.native
           .hyperplaneSignatures(col(vecCol), bands, bitsPerBand, dim, seed = 1000)))
       .toDF("id", "band", "sig")
-    val cands = banded.select(col("band"), col("sig"), col("id").as("id1"))
+    val rawCands = banded.select(col("band"), col("sig"), col("id").as("id1"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id2")), Seq("band", "sig"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
+    val cands = if (dedupCandidates) rawCands.distinct() else rawCands
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-    cands
+    val verified = cands
       .join(vecs.select(col("__id").as("id1"), col("__vec").as("v1")), "id1")
       .join(vecs.select(col("__id").as("id2"), col("__vec").as("v2")), "id2")
       .select(
@@ -684,6 +697,6 @@ object NearDup {
         col("id2"),
         graft.functions.native.cosineSim(col("v1"), col("v2")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
+    if (dedupCandidates) verified else verified.distinct()
   }
 }

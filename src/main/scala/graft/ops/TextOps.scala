@@ -476,9 +476,29 @@ object TextOps {
     * evolving symbolization is a localCheckpoint'd word table (bounded
     * blocks, reclaimed by the context cleaner). Rounds are inherently
     * sequential (each merge depends on the last) — `nMerges` drives
-    * cost, corpus size only the first pass. */
+    * cost, corpus size only the first pass.
+    *
+    * Cost envelope (and why `nMerges` is capped): every round is ~2
+    * sequential Spark jobs (pair-count argmax + checkpoint of the fused
+    * table), so wall time ≈ nMerges × per-job latency regardless of
+    * cluster size — at a realistic 0.1-1 s/job, a 32K-merge production
+    * vocab is 2-18 HOURS of driver-sequential scheduling latency that no
+    * executor count reduces. That is the wrong tool: past the first
+    * corpus pass, BPE training is a single-process algorithm over the
+    * word-frequency table (≪ corpus — exactly what this builds first),
+    * and a 100 TB pipeline should export that table and train locally.
+    * The cap keeps this distributed trainer inside the regime where it
+    * is the right tool (ablation/per-domain vocabularies); raising it is
+    * a deliberate edit, not a parameter. */
+  val MaxBpeMerges = 4096
+
   def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    require(nMerges <= MaxBpeMerges,
+      s"nMerges=$nMerges exceeds MaxBpeMerges=$MaxBpeMerges: each merge is a " +
+        "sequential Spark job, so large vocabularies pay hours of scheduling " +
+        "latency no cluster can parallelize — export the word-frequency table " +
+        "and train single-process instead (see Scaladoc)")
     val SEP = "\u0001"
     var words = df
       .select(explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("w"))

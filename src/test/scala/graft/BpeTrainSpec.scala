@@ -82,6 +82,15 @@ class BpeTrainSpec extends SparkTestBase {
     assert(got.length >= 5)
   }
 
+  test("learnBpeMerges caps nMerges with single-process-trainer guidance") {
+    // each merge is a sequential Spark job — vocab-scale counts belong in
+    // a local trainer over the exported word table (see Scaladoc/PLANS.md)
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextOps.learnBpeMerges(docs, "text", nMerges = TextOps.MaxBpeMerges + 1))
+    assert(e.getMessage.contains("MaxBpeMerges"))
+  }
+
   test("learnBpeMerges stops early when no pair remains") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text") // single-char words only
     assert(TextOps.learnBpeMerges(docs, "text", nMerges = 5).isEmpty)

@@ -8,8 +8,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
   * LINEARLY in rounds with a small AQE constant (~6 jobs per round — one
   * per query stage), never quadratically. The quadratic failure mode is
   * real: drop a round's checkpoint and every round re-derives all prior
-  * rounds' lineage. CollapseJobsProbe prints the raw counts for a human;
-  * this spec makes the property regression-checked. */
+  * rounds' lineage. This spec makes the property regression-checked. */
 class CollapseJobsSpec extends SparkTestBase {
 
   private def countJobs(body: => Unit): Int = {

@@ -363,5 +363,12 @@ class NearDupSpec extends SparkTestBase {
       val e = cos(data.find(_._1 == i).get._2, data.find(_._1 == j).get._2)
       assert(math.abs(s - e) < 1e-9)
     }
+    // the candidate-dedup placement flag is a pure plan choice — the
+    // pair set and scores must be identical either way
+    val pre = NearDup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.9,
+        dedupCandidates = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pre == got)
   }
 }
