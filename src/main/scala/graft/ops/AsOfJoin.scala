@@ -78,4 +78,44 @@ object AsOfJoin {
           leftPayload.map(c => col("__l").getField(c).as(c)) ++
           rightCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** The hot-key escape hatch the base operator's Scaladoc names: AQE
+    * cannot split a window partition, so a key holding a macroscopic
+    * fraction of the LEFT side serializes on one task. This flavor
+    * salts with the replicate-right/split-left scheme that needs NO
+    * per-salt boundary handoff: left rows scatter over `salts`
+    * sub-partitions by a deterministic row hash, right rows are
+    * REPLICATED into every salt — each (key, salt) window therefore
+    * contains the key's FULL right history, and the per-left-row answer
+    * is exactly the unsalted one (equality pinned by AsOfJoinSpec,
+    * including equal-time tie rows).
+    *
+    * Cost model: the exchange grows by (salts−1)×|right| replicated
+    * rows in return for splitting each key's window sort `salts` ways —
+    * the right trade exactly when a hot key's LEFT volume dominates
+    * (the trades≫quotes regime this join exists for). A key hot on the
+    * RIGHT side gains nothing (every salt still sorts the full right
+    * history); that regime should instead pre-compact the right side
+    * (e.g. keep the per-(key, time) winner by `rightTieBreak` first,
+    * which is semantics-preserving by the tie rule). */
+  def asOfJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      timeCol: String,
+      rightTieBreak: String,
+      rightCols: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "input must not carry a __salt column")
+    // deterministic per-row scatter (content hash, not RNG: retries and
+    // re-runs land every row on the same salt)
+    val l = left.withColumn(
+      "__salt", pmod(hash(left.columns.map(col): _*), lit(salts)).cast("int"))
+    val r = right.withColumn(
+      "__salt", explode(array((0 until salts).map(lit): _*)))
+    asOfJoin(l, r, keys :+ "__salt", timeCol, rightTieBreak, rightCols)
+      .drop("__salt")
+  }
 }

@@ -38,6 +38,34 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.sorted == model(left, right).sorted)
   }
 
+  test("asOfJoinSalted equals asOfJoin exactly, hot key and ties included") {
+    val rnd = new scala.util.Random(11)
+    // key 1 is hot: ~60% of the left side; equal-time collisions are
+    // frequent (t in 0..40) so the tie rule is exercised under salting
+    val left = Seq.tabulate(300) { i =>
+      val k = if (rnd.nextInt(5) < 3) 1L else (rnd.nextInt(4) + 2).toLong
+      (k, rnd.nextInt(40).toLong, s"L$i")
+    }
+    val right = Seq.tabulate(200)(i =>
+      ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val l = left.toDF("k", "t", "p")
+    val r = right.toDF("k", "t", "tie")
+      .select(col("k"), col("t"), col("tie").as("r_tie"), col("t").as("r_t"))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Long])))
+      .toSeq.sorted
+    val base = collectSorted(AsOfJoin.asOfJoin(
+      l, r, Seq("k"), "t", "r_tie", Seq("r_tie", "r_t")))
+    Seq(1, 7).foreach { s =>
+      val salted = collectSorted(AsOfJoin.asOfJoinSalted(
+        l, r, Seq("k"), "t", "r_tie", Seq("r_tie", "r_t"), salts = s))
+      assert(salted == base, s"salts=$s diverged")
+    }
+  }
+
   test("same-instant right row matches (<=) and max tiebreak wins the tie") {
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "p")
     val r = Seq((1L, 10L, 1L), (1L, 10L, 9L), (1L, 9L, 5L)).toDF("k", "t", "tie")

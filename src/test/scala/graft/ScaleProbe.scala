@@ -227,6 +227,39 @@ object ScaleProbe {
         println(f"SCALEPROBE skew $name%-14s uniform=$tu%6.2f s hotkey=$ts%6.2f s " +
           f"ratio=${ts / tu}%5.2f aqe_skew_split=$split")
       }
+      // The salted as-of flavor is the documented hot-key escape hatch
+      // (replicate-right/split-left, ops/AsOfJoin.asOfJoinSalted) —
+      // measure it against the unsalted plan on the same hot-key data.
+      def asofQuery(dir: String, salts: Int): org.apache.spark.sql.DataFrame = {
+        val ev = Tables.withTsMicros(Tables.events(spark, dir))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("click_id"), col("ts_us").as("click_ts_us"))
+        val joined =
+          if (salts <= 1)
+            graft.ops.AsOfJoin.asOfJoin(purchases, clicks,
+              keys = Seq("user_id"), timeCol = "ts_us",
+              rightTieBreak = "click_id", rightCols = Seq("click_id", "click_ts_us"))
+          else
+            graft.ops.AsOfJoin.asOfJoinSalted(purchases, clicks,
+              keys = Seq("user_id"), timeCol = "ts_us",
+              rightTieBreak = "click_id", rightCols = Seq("click_id", "click_ts_us"),
+              salts = salts)
+        joined.select("event_id", "user_id", "ts_us", "value", "click_id", "click_ts_us")
+      }
+      def timeDf(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeDf(asofQuery(skewDir, 1)); timeDf(asofQuery(skewDir, 8)) // warm
+      val tPlain = (1 to 2).map(_ => timeDf(asofQuery(skewDir, 1))).min
+      val tSalt = (1 to 2).map(_ => timeDf(asofQuery(skewDir, 8))).min
+      println(f"SCALEPROBE asof-salt hotkey unsalted=$tPlain%6.2f s salts8=$tSalt%6.2f s " +
+        f"ratio=${tSalt / tPlain}%5.2f")
+
       // At probe scale no partition crosses AQE's skew thresholds (256 MiB
       // default) and small sides broadcast — so the split decision never
       // fires above. Force the 100 TB join shape for the range join (no
