@@ -277,6 +277,15 @@ object SparkEntry {
         .winnowPairs(Tables.documents(s, dir), "doc_id", "text")
         .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
+    "q_containment" -> ((s, dir) =>
+      // Directional passage containment (quote/excerpt/wrapper
+      // detection): ≥ 4/5 of the inner doc's winnow fingerprints also in
+      // the outer doc. Same fingerprint stage as q_neardup_winnow;
+      // integer cross-multiplied threshold so the boundary is exact.
+      NearDup
+        .containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .repartition(1).sortWithinPartitions(col("inner_id"), col("outer_id"))),
+
     "q_neardup_simhash" -> ((s, dir) =>
       // 64-bit SimHash (MD5-derived token hash — both engines compute
       // MD5 identically, so the pipeline is fully oracle-checkable),
@@ -1077,6 +1086,7 @@ object SparkEntry {
 
     "q_neardup_simhash" -> simhashOracle,
     "q_neardup_winnow" -> winnowOracle,
+    "q_containment" -> containOracle,
 
     // As-of semantics pinned on both sides: right rows at equal (user, ts)
     // collapse to the max click_id BEFORE the ASOF match, `<=` inclusive.
@@ -1339,9 +1349,13 @@ object SparkEntry {
     * then the doc-frequency cap and shared-count join of
     * [[graft.ops.NearDup.winnowPairs]]. Signed BIGINT comparison matches
     * the kernel's Long ordering. */
-  private val winnowOracle: String = {
-    // mult^(7-j) mod 2^64 for the direct polynomial form of the rolling
-    // hash (identical ring arithmetic to the kernel's iterative form)
+  /** Shared CTE prefix of the winnow-family oracles: normalized text →
+    * rolling polynomial hash (exact mod-2^64 ring arithmetic, HUGEINT
+    * intermediates) → fmix64 → per-window rightmost-minimum selection →
+    * distinct per-doc fingerprints → stop-fingerprint filter (`ff`).
+    * mult^(7-j) mod 2^64 constants are the direct polynomial form of the
+    * kernel's iterative rolling hash. */
+  private val winnowFpsCtes: String = {
     val pows = Seq(
       "12924618581234127435", "10923514805226455897", "14453212906556403763",
       "14003818205314896721", "1000009000027000027", "1000006000009",
@@ -1381,11 +1395,37 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id, fp FROM sel
        |  WHERE pos <= m - 3 OR (m < 4 AND pos = 1)),
        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-       |ff AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))
-       |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fingerprints
-       |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY id1, id2""".stripMargin
+       |ff AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp))""".stripMargin
   }
+
+  private val winnowOracle: String = winnowFpsCtes +
+    """
+      |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fingerprints
+      |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY id1, id2""".stripMargin
+
+  // Directional containment: same fingerprint stage, pair shared-counts
+  // joined against each side's post-filter total; the 4/5 threshold is
+  // the integer cross-multiply the engine uses (shared*5 >= n*4), and
+  // the containment double is one IEEE division of the same integers in
+  // both engines.
+  private val containOracle: String = winnowFpsCtes +
+    """,
+      |shared AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY doc_id),
+      |dir AS (
+      |  SELECT s.id1 AS inner_id, s.id2 AS outer_id, s.c, t.n
+      |  FROM shared s JOIN totals t ON s.id1 = t.doc_id
+      |  UNION ALL
+      |  SELECT s.id2, s.id1, s.c, t.n
+      |  FROM shared s JOIN totals t ON s.id2 = t.doc_id)
+      |SELECT inner_id, outer_id, c AS shared_fingerprints, n AS n_fingerprints,
+      |       c * 1.0 / n AS containment
+      |FROM dir WHERE c * 5 >= n * 4
+      |ORDER BY inner_id, outer_id""".stripMargin
 
   private val neardupOracle: String =
     """WITH toks AS (

@@ -326,6 +326,33 @@ object NearDup {
     * contributes O(len/window) of them. Winnowing guarantees any shared
     * run of ≥ window+k-1 chars produces a shared fingerprint, so this
     * catches copied PASSAGES, not just whole-document near-dups. */
+  /** Stop-filtered winnow fingerprints, (id, f) rows — the shared stage
+    * of [[winnowPairs]] and [[containmentPairs]].
+    *
+    * Stop-fingerprint filter: a fingerprint present in more than
+    * `maxDocFreq` docs identifies a boilerplate phrase, not a copied
+    * passage — discarding it loses no discriminative signal and bounds
+    * every join bucket (without it, a corpus-wide common k-gram makes
+    * the self-join quadratic; measured on the fixture, whose synthetic
+    * vocabulary puts single 8-grams in 75% of docs). Doc frequency is a
+    * window count (one shuffle on f), NOT a separate aggregate + join:
+    * that shape re-ran the fingerprint kernel for the aggregate and for
+    * each self-join side; here the kernel runs once and both join sides
+    * reuse the same exchange, already partitioned (and sorted) by f. */
+  private def winnowFiltered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      window: Int,
+      maxDocFreq: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.winnowFingerprints(col(textCol), k, window).as("__fp"))
+      .select(col("id"), explode(col("__fp")).as("f"))
+      .withColumn(
+        "__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+      .filter(col("__df") <= maxDocFreq)
+
   def winnowPairs(
       df: DataFrame,
       idCol: String,
@@ -334,30 +361,71 @@ object NearDup {
       window: Int = 4,
       minShared: Int = 20,
       maxDocFreq: Int = 100): DataFrame = {
-    val fps = df
-      .select(col(idCol).as("id"), TextOps.winnowFingerprints(col(textCol), k, window).as("__fp"))
-      .select(col("id"), explode(col("__fp")).as("f"))
-    // Stop-fingerprint filter: a fingerprint present in more than
-    // `maxDocFreq` docs identifies a boilerplate phrase, not a copied
-    // passage — discarding it loses no discriminative signal and bounds
-    // every join bucket (without it, a corpus-wide common k-gram makes
-    // the self-join quadratic; measured on the fixture, whose synthetic
-    // vocabulary puts single 8-grams in 75% of docs). Doc frequency is a
-    // window count (one shuffle on f), NOT a separate aggregate + join:
-    // that shape re-ran the fingerprint kernel for the aggregate and for
-    // each self-join side; here the kernel runs once and both join sides
-    // reuse the same exchange, already partitioned (and sorted) by f.
-    val filtered = fps
-      .withColumn(
-        "__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
-      .filter(col("__df") <= maxDocFreq)
+    val filtered = winnowFiltered(df, idCol, textCol, k, window, maxDocFreq)
     filtered.select(col("f"), col("id").as("id1"))
       .join(filtered.select(col("f"), col("id").as("id2")), "f")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
+  }
+
+  /** ASYMMETRIC passage containment over winnow fingerprints: emit
+    * (inner_id, outer_id) when at least `num/den` of the inner doc's
+    * surviving fingerprints also appear in the outer doc — "doc A is
+    * (mostly) inside doc B". The directional sibling of [[winnowPairs]]:
+    * symmetric near-dup misses the quote/boilerplate-wrapper/excerpt
+    * relationships a training corpus is full of (a short doc embedded in
+    * a long one has tiny Jaccard but containment ≈ 1), and winnowing's
+    * locality makes it catchable with the SAME fingerprint stage — a
+    * selected fingerprint depends only on its k-gram neighborhood, so an
+    * exact shared passage selects identical fingerprints in both docs
+    * apart from O(window) boundary positions.
+    *
+    * The threshold is a RATIONAL (`num`/`den`, default 4/5): the filter
+    * compares `shared·den ≥ n·num` in integers, so the engine and the
+    * SQL oracle agree exactly at the boundary (a double threshold would
+    * make 0.8·n a rounding question). Denominator counts the inner
+    * doc's POST-stop-filter fingerprints: boilerplate mass is excluded
+    * from both sides of the ratio, so a doc of pure boilerplate simply
+    * has no discriminative fingerprints and emits nothing, rather than
+    * being "contained" everywhere. Mutual containment (near-identical
+    * docs) emits both directions — that is the honest answer.
+    *
+    * Scale shape: identical to [[winnowPairs]] (one kernel pass, one
+    * fingerprint exchange reused by both join sides and the totals
+    * aggregate, pair rows ≪ corpus); the directional expansion is a
+    * ×2 map on the bounded pair set. Output: (inner_id, outer_id,
+    * shared_fingerprints, n_fingerprints, containment). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 4,
+      num: Int = 4,
+      den: Int = 5,
+      maxDocFreq: Int = 100): DataFrame = {
+    require(den >= 1 && num >= 1 && num <= den,
+      s"containment threshold $num/$den must be a fraction in (0, 1]")
+    val filtered = winnowFiltered(df, idCol, textCol, k, window, maxDocFreq)
+    val totals = filtered.groupBy(col("id")).agg(count(lit(1)).as("n_fingerprints"))
+    val shared = filtered.select(col("f"), col("id").as("id1"))
+      .join(filtered.select(col("f"), col("id").as("id2")), "f")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+    val d1 = shared.join(totals.withColumnRenamed("id", "id1"), "id1")
+      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
+        col("shared_fingerprints"), col("n_fingerprints"))
+    val d2 = shared.join(totals.withColumnRenamed("id", "id2"), "id2")
+      .select(col("id2").as("inner_id"), col("id1").as("outer_id"),
+        col("shared_fingerprints"), col("n_fingerprints"))
+    d1.unionByName(d2)
+      .filter(col("shared_fingerprints") * den >= col("n_fingerprints") * num)
+      .withColumn(
+        "containment",
+        col("shared_fingerprints").cast("double") / col("n_fingerprints"))
   }
 
   /** Per-doc 64-bit SimHash as a DataFrame op: one native codegen'd

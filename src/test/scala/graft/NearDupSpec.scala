@@ -294,6 +294,31 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L)))
   }
 
+  test("containmentPairs is directional: the excerpt is inside the long doc, not vice versa") {
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray " +
+      "yankee zulu one two three four five six seven eight nine ten eleven twelve"
+    val excerpt = body.split(" ").slice(8, 24).mkString(" ") // interior passage
+    val docs = Seq(
+      (1L, s"wrapper header text $body wrapper footer text"), // long doc
+      (2L, excerpt),                                          // excerpt ⊂ 1
+      (3L, "entirely unrelated text about shuffle partitioning and codegen stages")
+    ).toDF("doc_id", "text")
+    val got = NearDup
+      .containmentPairs(docs, "doc_id", "text", num = 4, den = 5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // 2-in-1 passes the 4/5 bar (boundary fingerprints only differ);
+    // 1-in-2 must NOT (most of doc 1 is not in the excerpt)
+    assert(got.keySet == Set((2L, 1L)))
+    assert(got((2L, 1L)) >= 0.8 && got((2L, 1L)) <= 1.0)
+    // near-identical docs contain each other — both directions emitted
+    val dups = Seq((10L, body), (11L, body + " tail")).toDF("doc_id", "text")
+    val both = NearDup.containmentPairs(dups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == Set((10L, 11L), (11L, 10L)))
+  }
+
   test("empty corpus yields empty vector-near-dup/ANN results, not a crash") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(NearDup.embeddingNearDupPairs(empty, "vec_id", "embedding").count() == 0)
