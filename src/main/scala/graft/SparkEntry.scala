@@ -286,6 +286,14 @@ object SparkEntry {
         .containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .repartition(1).sortWithinPartitions(col("inner_id"), col("outer_id"))),
 
+    "q_subsume" -> ((s, dir) =>
+      // Subsumption dedup: drop docs contained in another doc (keep the
+      // containers; mutual containment keeps the lowest id).
+      NearDup
+        .dropSubsumed(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     "q_neardup_simhash" -> ((s, dir) =>
       // 64-bit SimHash (MD5-derived token hash — both engines compute
       // MD5 identically, so the pipeline is fully oracle-checkable),
@@ -1087,6 +1095,7 @@ object SparkEntry {
     "q_neardup_simhash" -> simhashOracle,
     "q_neardup_winnow" -> winnowOracle,
     "q_containment" -> containOracle,
+    "q_subsume" -> subsumeOracle,
 
     // As-of semantics pinned on both sides: right rows at equal (user, ts)
     // collapse to the max click_id BEFORE the ASOF match, `<=` inclusive.
@@ -1426,6 +1435,32 @@ object SparkEntry {
       |       c * 1.0 / n AS containment
       |FROM dir WHERE c * 5 >= n * 4
       |ORDER BY inner_id, outer_id""".stripMargin
+
+  // Subsumption dedup: the containment edges above, mutual pairs keep the
+  // lowest id, strict containment drops the inner doc; corpus anti-joined
+  // against the drop set.
+  private val subsumeOracle: String = winnowFpsCtes +
+    """,
+      |shared AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+      |  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT doc_id, count(*) AS n FROM ff GROUP BY doc_id),
+      |dir AS (
+      |  SELECT s.id1 AS inner_id, s.id2 AS outer_id, s.c, t.n
+      |  FROM shared s JOIN totals t ON s.id1 = t.doc_id
+      |  UNION ALL
+      |  SELECT s.id2, s.id1, s.c, t.n
+      |  FROM shared s JOIN totals t ON s.id2 = t.doc_id),
+      |edges AS (SELECT inner_id, outer_id FROM dir WHERE c * 5 >= n * 4),
+      |drops AS (
+      |  SELECT DISTINCT d.inner_id AS doc_id
+      |  FROM edges d LEFT JOIN edges r
+      |    ON r.inner_id = d.outer_id AND r.outer_id = d.inner_id
+      |  WHERE r.inner_id IS NULL OR d.inner_id > d.outer_id)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |ORDER BY doc_id""".stripMargin
 
   private val neardupOracle: String =
     """WITH toks AS (

@@ -428,6 +428,47 @@ object NearDup {
         col("shared_fingerprints").cast("double") / col("n_fingerprints"))
   }
 
+  /** Subsumption dedup — the curation policy [[containmentPairs]] exists
+    * for: drop every document whose content is (≥ `num/den`) contained
+    * in ANOTHER document, keeping the containers. Mutual containment
+    * (near-identical docs) keeps the LOWEST id; strict containment
+    * drops the inner doc regardless of id (the excerpt goes, the
+    * full article stays — id order must not override content order).
+    * A doc contained only in an itself-dropped doc is still dropped:
+    * containment chains preserve content upward, so the top of every
+    * chain survives.
+    *
+    * Scale shape: one aggregation over the pair set (≪ corpus) detects
+    * mutuals, the corpus is touched exactly once by the final anti-join
+    * — the same posture as [[collapseNearDups]] without the iteration
+    * (subsumption needs no transitive closure: the drop decision is
+    * per-edge). Output: the surviving rows of `df`, schema unchanged. */
+  def dropSubsumed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 4,
+      num: Int = 4,
+      den: Int = 5,
+      maxDocFreq: Int = 100): DataFrame = {
+    // Mutual detection WITHOUT a pair-set self-join: each unordered pair
+    // surfaces as one (strict) or two (mutual) directional rows, so one
+    // groupBy on the unordered key decides the drop — containmentPairs
+    // (the expensive winnowing pipeline) is evaluated exactly once, where
+    // a self-join with reversed keys would defeat exchange reuse and run
+    // it twice.
+    val fwd = containmentPairs(df, idCol, textCol, k, window, num, den, maxDocFreq)
+      .select(col("inner_id"), col("outer_id"))
+    val drops = fwd
+      .groupBy(
+        least(col("inner_id"), col("outer_id")).as("__lo"),
+        greatest(col("inner_id"), col("outer_id")).as("__hi"))
+      .agg(count(lit(1)).as("__n"), min(col("inner_id")).as("__inner"))
+      .select(when(col("__n") === 2, col("__hi")).otherwise(col("__inner")).as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Per-doc 64-bit SimHash as a DataFrame op: one native codegen'd
     * scalar call per document ([[graft.functions.SimHash64]] — tokenize,
     * md5, tally, pack in a single compiled pass). SimHash is a per-doc

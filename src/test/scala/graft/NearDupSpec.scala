@@ -319,6 +319,27 @@ class NearDupSpec extends SparkTestBase {
     assert(both == Set((10L, 11L), (11L, 10L)))
   }
 
+  test("dropSubsumed removes excerpts and mutual-dup higher ids, keeps containers") {
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray " +
+      "yankee zulu one two three four five six seven eight nine ten eleven twelve"
+    val excerpt = body.split(" ").slice(8, 24).mkString(" ")
+    // disjoint vocabulary from `body`, so the mutual pair relates only
+    // to itself and not to the container/excerpt cluster
+    val other = "grape melon peach plum apple cherry mango banana kiwi lychee papaya " +
+      "guava fig date quince apricot nectarine persimmon pomelo tangerine citron " +
+      "mulberry boysenberry cranberry gooseberry elderberry currant damson sloe medlar"
+    val docs = Seq(
+      (1L, s"wrapper header text $body wrapper footer text"), // container — kept
+      (2L, excerpt),                                          // strict excerpt — dropped
+      (3L, "entirely unrelated text about shuffle partitioning and codegen stages"), // kept
+      (10L, other), (11L, other + " tail")                    // mutual pair — keep 10
+    ).toDF("doc_id", "text")
+    val kept = NearDup.dropSubsumed(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 10L))
+  }
+
   test("empty corpus yields empty vector-near-dup/ANN results, not a crash") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(NearDup.embeddingNearDupPairs(empty, "vec_id", "embedding").count() == 0)
