@@ -192,6 +192,25 @@ object SparkEntry {
       // length arithmetic), no shuffle but the oracle-determinism sort.
       TextOps.repetition(Tables.documents(s, dir), "doc_id", "text")),
 
+    "q_redact" -> ((s, dir) => {
+      // PII-style identifier scrub over the fixture's serial entity names
+      // (the spec exercises the email/IP/phone rule set on crafted text;
+      // the fixture's PII analog is `Customer#000000001`): redact, then
+      // audit — rows seen, hits scrubbed, distinct surviving name forms
+      // (1 per entity proves the identifiers actually collapsed).
+      val named = Tables.customer(s, dir)
+        .select(lit("customer").as("entity"), col("c_name").as("name"))
+        .unionByName(Tables.supplier(s, dir)
+          .select(lit("supplier").as("entity"), col("s_name").as("name")))
+      TextOps.redact(named, "name", Seq(TextOps.serialIdRule), "name_redacted")
+        .groupBy(col("entity"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_serial_id")).cast("bigint").as("n_hits"),
+          countDistinct(col("name_redacted")).as("n_forms"))
+        .orderBy(col("entity"))
+    }),
+
     "q_dedup_norm" -> ((s, dir) =>
       TextOps
         .normalizedDedupIds(Tables.documents(s, dir), "text", "doc_id")
@@ -746,6 +765,23 @@ object SparkEntry {
         |       END AS rep_ratio
         |FROM w LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      // same serial rule text as TextOps.serialIdRule — RE2-subset regex,
+      // so Java (Spark) and RE2 (DuckDB) agree match-for-match
+      """WITH named AS (
+        |  SELECT 'customer' AS entity, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', s_name FROM supplier),
+        |r AS (
+        |  SELECT entity,
+        |         regexp_replace(name, '#\d+', '#<ID>', 'g') AS name_redacted,
+        |         len(regexp_extract_all(name, '#\d+')) AS n
+        |  FROM named)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT name_redacted) AS BIGINT) AS n_forms
+        |FROM r GROUP BY entity ORDER BY entity""".stripMargin,
 
     "q_doc_bytes" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

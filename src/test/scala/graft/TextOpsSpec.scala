@@ -474,4 +474,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq(("s1", 2L, 4L, 4.0 / 6.0), ("s2", 2L, 2L, 2.0 / 6.0)))
     assert(got.map(_._4).sum == 1.0)
   }
+
+  test("redact scrubs emails, IPs, and phones with typed placeholders and per-rule counts") {
+    val docs = Seq(
+      (1L, "mail alice.smith+spam@example.org or bob@sub.example.co today"),
+      (2L, "server at 10.0.255.3 fell over; backup is 192.168.1.17"),
+      (3L, "call +1 (555) 123-4567 or 555-987-6543 now"),
+      (4L, "nothing sensitive here"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.redact(docs, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(got(1L).getString(4) == "mail <EMAIL> or <EMAIL> today")
+    assert(got(1L).getInt(1) == 2 && got(1L).getInt(3) == 0)
+    assert(got(2L).getString(4) == "server at <IP> fell over; backup is <IP>")
+    assert(got(2L).getInt(2) == 2)
+    assert(got(3L).getString(4) == "call <PHONE> or <PHONE> now")
+    assert(got(3L).getInt(3) == 2)
+    assert(got(4L).getString(4) == "nothing sensitive here")
+    assert((1 to 3).forall(i => got(4L).getInt(i) == 0))
+    assert(got(5L).isNullAt(4) && got(5L).isNullAt(1))
+  }
+
+  test("redact rules apply serially: an email's digit run is not double-counted as a phone") {
+    val docs = Seq((1L, "reach bob123456789@example.com")).toDF("doc_id", "text")
+    val r = TextOps.redact(docs, "text").select("n_email", "n_phone", "text_redacted").head()
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 0) // serial: the digits were consumed by <EMAIL>
+    assert(r.getString(2) == "reach <EMAIL>")
+  }
+
+  test("redact serial-id rule collapses entity serial numbers") {
+    val docs = Seq((1L, "Customer#000000042"), (2L, "Supplier#000000007 and Customer#000000042"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redact(docs, "text", Seq(TextOps.serialIdRule))
+      .select("doc_id", "n_serial_id", "text_redacted")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1, "Customer#<ID>")))
+    assert(got(2L) == ((2, "Supplier#<ID> and Customer#<ID>")))
+  }
 }
