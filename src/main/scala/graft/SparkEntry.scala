@@ -370,6 +370,18 @@ object SparkEntry {
       Meta.listTables(s)
     }),
 
+    "q_bm25" -> ((s, dir) =>
+      // Ranked keyword retrieval: BM25 (Lucene practical formula) top-10
+      // for a 3-term query — two corpus scans (per-doc tf projection,
+      // one-row stats agg broadcast back) + TakeOrdered; nothing
+      // shuffles proportional to the corpus.
+      Search.bm25TopK(
+        Tables.documents(s, dir),
+        "doc_id",
+        "text",
+        Seq("spark", "window", "merge"),
+        k = 10)),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.embeddings(s, dir),
@@ -1111,6 +1123,7 @@ object SparkEntry {
     // so the compare needs no FP tolerance. Shared by the LSH variant:
     // its banding achieves recall 1.0 in the fixture's cosine regime
     // (SimilaritySpec), so equality with brute force IS its contract.
+    "q_bm25" -> bm25Oracle,
     "q_sim_topk" -> simTopkOracle,
     "q_sim_topk_lsh" -> simTopkOracle,
     "q_sim_topk_ivf" -> simTopkOracle,
@@ -1342,6 +1355,42 @@ object SparkEntry {
         |       (off % 1024)::INT AS seq_off
         |FROM c ORDER BY shard, doc_id""".stripMargin
   )
+
+  // BM25 with the per-term parts written out in the engine's exact
+  // left-to-right arithmetic order (and constants as the same IEEE ops:
+  // `1.2 + 1`, `1 - 0.75` — never pre-folded decimals that could round
+  // differently), so both engines produce bit-identical doubles modulo
+  // the 1-ulp ln() tolerance the 9-digit comparator absorbs. dl/df/n
+  // are integer-valued doubles, so the avg/sum stats are order-exact.
+  private val bm25Oracle: String = {
+    val terms = Seq("spark", "window", "merge")
+    val toks = """string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter($toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n|         ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n|         ")
+    val parts = terms.indices.map(i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * (1.2 + 1) / " +
+        s"(tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))")
+      .mkString("\n|    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS dl,
+       |         $tfs
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         avg(dl) AS avgdl,
+       |         $dfs
+       |  FROM d)
+       |SELECT doc_id, CAST(
+       |      $parts
+       |  AS DOUBLE) AS score
+       |FROM d, s
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
 
   private val simTopkOracle: String =
     """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

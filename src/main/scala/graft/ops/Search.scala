@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over the corpus — the search-engine
+  * capability of the analytics surface: BM25 scoring (the Lucene/
+  * Elasticsearch default ranking function) expressed as two corpus
+  * scans and a TakeOrdered, no inverted index required.
+  *
+  * Scale shape: per-term term frequencies are a per-row projection
+  * (query terms are few — the per-doc work is O(tokens × terms)); the
+  * corpus statistics BM25 needs (N, avgdl, per-term document frequency)
+  * reduce to ONE row in one aggregation and come back via a broadcast
+  * cross join; scoring is again per-row; the final top-k is
+  * TakeOrderedAndProject (per-partition heaps, never a global sort).
+  * Nothing shuffles ∝ corpus at any scale — a 100 TB search costs two
+  * scans. A persisted-index variant would trade the scans for a
+  * pre-built posting table; at the declared ad-hoc query shape the
+  * scan is the honest cost and stays embarrassingly parallel.
+  */
+object Search {
+
+  /** BM25 top-k: score every document against `terms` and return the
+    * best `k` as (id, score), ties broken by ascending id so the result
+    * is deterministic.
+    *
+    * Scoring follows the Lucene practical formula: per term,
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` (never negative) and
+    * `tf_part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`; the score
+    * sums terms in the caller's order with plain left-to-right IEEE
+    * addition — the same evaluation order the SQL oracle spells out, so
+    * engine and oracle agree bit-for-bit within comparator precision.
+    * Tokenization is the whitespace-run convention every other text
+    * operator uses; `dl` counts all tokens, matching term counting on
+    * the same split. Docs containing no query term score exactly 0. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"terms must be single whitespace-free tokens: $terms")
+
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf$i")
+    }
+    val perDoc = df.select(
+      col(idCol) +: TextOps.tokenCount(col(textCol)).cast("double").as("__dl") +: tfCols: _*)
+
+    // ONE row: corpus size, average doc length, per-term doc frequency.
+    val statCols =
+      count(lit(1)).cast("double").as("__n") +:
+        avg(col("__dl")).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val score = terms.indices
+      .map { i =>
+        val tf = col(s"__tf$i")
+        val df_ = col(s"__df$i")
+        val idf = log((col("__n") - df_ + lit(0.5)) / (df_ + lit(0.5)) + lit(1.0))
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+      }
+      .reduceLeft(_ + _) // left-to-right: the oracle's textual + order
+
+    scored
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -146,4 +146,13 @@ class PlanSpec extends SparkTestBase {
         !l.contains("text#") && !l.contains("h#")),
       s"unexpected exchanges:\n${exchanges.mkString("\n")}")
   }
+
+  test("q_bm25 never shuffles the corpus: broadcast stats + TakeOrdered") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the one-row stats aggregate is the only exchange; corpus rows are
+    // never hash-partitioned
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Search
+
+class SearchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Driver-side BM25 model in the operator's exact arithmetic order. */
+  private def model(
+      docs: Seq[(Long, String)],
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size.toDouble }
+    val n = docs.size.toDouble
+    val avgdl = dl.values.sum / n
+    val tf = terms.map(t => t -> toks.map { case (id, ts) => id -> ts.count(_ == t).toDouble }).toMap
+    val df = terms.map(t => t -> tf(t).values.count(_ > 0).toDouble).toMap
+    docs
+      .map { case (id, _) =>
+        val score = terms
+          .map { t =>
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            idf * tf(t)(id) * (k1 + 1.0) / (tf(t)(id) + k1 * (1.0 - b + b * dl(id) / avgdl))
+          }
+          .reduceLeft(_ + _)
+        (id, score)
+      }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k)
+  }
+
+  test("bm25TopK matches the driver-side model, ranks heavy term hits first") {
+    val docs = Seq(
+      (1L, "spark window merge spark"),
+      (2L, "window window window table scan"),
+      (3L, "merge"),
+      (4L, "nothing relevant here at all whatsoever today"),
+      (5L, "spark table scan row agg window batch")
+    )
+    val terms = Seq("spark", "window", "merge")
+    val got = Search.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = model(docs, terms, 5)
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) <= 1e-12, s"score drift: $g vs $w")
+    }
+    // the all-terms doc outranks everything; the no-term doc scores 0 and ranks last
+    assert(got.head._1 == 1L)
+    assert(got.last._1 == 4L && got.last._2 == 0.0)
+  }
+
+  test("bm25TopK k caps the result and ties break by ascending id") {
+    val docs = Seq(
+      (7L, "alpha beta"), (3L, "alpha beta"), (5L, "alpha beta"),
+      (9L, "gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("alpha"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 5L)) // identical scores -> id order decides
+  }
+
+  test("bm25TopK rejects empty, duplicate, and multi-token terms") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq("a", "a")))
+    intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq("a b")))
+  }
+}
