@@ -192,6 +192,12 @@ object SparkEntry {
       // length arithmetic), no shuffle but the oracle-determinism sort.
       TextOps.repetition(Tables.documents(s, dir), "doc_id", "text")),
 
+    "q_lm_score" -> ((s, dir) =>
+      // Perplexity-gate quality signal: per-doc average negative
+      // log-likelihood (+ ppl) under Laplace-smoothed corpus unigram
+      // probabilities; vocab head bounded, tail smoothed as OOV.
+      TextOps.unigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
+
     "q_redact" -> ((s, dir) => {
       // PII-style identifier scrub over the fixture's serial entity names
       // (the spec exercises the email/IP/phone rule set on crafted text;
@@ -777,6 +783,36 @@ object SparkEntry {
         |       END AS rep_ratio
         |FROM w LEFT JOIN d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      // same Laplace arithmetic and left-to-right token-order summation
+      // as the engine's per-row fold (list_sum over list_transform is the
+      // proven cosine-oracle pattern); total/vsize over the KEPT vocab
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  WHERE term <> '' GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 65536),
+        |m AS (
+        |  SELECT map(list(term ORDER BY term), list(c ORDER BY term)) AS lm,
+        |         CAST(sum(c) AS DOUBLE) AS total,
+        |         CAST(count(*) AS DOUBLE) AS vsize
+        |  FROM vocab),
+        |score AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         list_sum(list_transform(list_filter(t, x -> x <> ''),
+        |           x -> -ln((CAST(coalesce(list_extract(map_extract(lm, x), 1), 0) AS DOUBLE) + 1.0)
+        |                    / (total + vsize + 1.0)))) AS nll
+        |  FROM toks, m)
+        |SELECT doc_id, n_tokens,
+        |       CASE WHEN n_tokens > 0 THEN nll / CAST(n_tokens AS DOUBLE) END AS avg_nll,
+        |       CASE WHEN n_tokens > 0 THEN exp(nll / CAST(n_tokens AS DOUBLE)) END AS ppl
+        |FROM score ORDER BY doc_id""".stripMargin,
 
     "q_redact" ->
       // same serial rule text as TextOps.serialIdRule — RE2-subset regex,

@@ -614,6 +614,58 @@ object TextOps {
     df.withColumn("split", split)
   }
 
+  /** Unigram language-model quality score — the perplexity-gate stage of
+    * a pretraining pipeline (CCNet-style LM filtering, reduced to the
+    * unigram model the engine can train on its own corpus in one pass):
+    * per document, the average negative log-likelihood of its tokens
+    * under Laplace-smoothed corpus unigram probabilities
+    * `p(t) = (c_t + 1) / (total + |V| + 1)`, plus `ppl = exp(avg_nll)`.
+    * Atypical-vocabulary docs (spam, wrong language, mojibake) surface
+    * as high perplexity; a gate thresholds on it.
+    *
+    * Scale shape: the vocabulary build is an explode + map-side-combined
+    * count (exchange ∝ distinct terms), capped at the `maxVocab` head by
+    * a TakeOrdered (count desc, term asc — deterministic); tail terms
+    * fall into the smoothed OOV mass, so the broadcast map stays bounded
+    * no matter the corpus (`total`/`|V|` are taken over the KEPT vocab so
+    * engine and oracle agree under truncation). Scoring is a per-row
+    * fold over the token array against the broadcast one-row map —
+    * corpus rows never shuffle. */
+  def unigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Int = 65536): DataFrame = {
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val vocab = df
+      .select(explode(toks).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(maxVocab)
+    val lm = vocab.agg(
+      map_from_entries(collect_list(struct(col("term"), col("c")))).as("__lm"),
+      sum(col("c")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__vsize"))
+
+    val nTok = tokenCount(col(textCol))
+    val denom = col("__total") + col("__vsize") + lit(1.0)
+    val nll = aggregate(
+      filter(toks, x => x =!= lit("")),
+      lit(0.0),
+      (acc, x) =>
+        acc - log((coalesce(element_at(col("__lm"), x), lit(0L)).cast("double") + lit(1.0)) / denom))
+    df.crossJoin(broadcast(lm))
+      .select(
+        col(idCol).as("doc_id"),
+        nTok.cast("bigint").as("n_tokens"),
+        when(nTok > 0, nll / nTok.cast("double")).as("avg_nll"),
+        when(nTok > 0, exp(nll / nTok.cast("double"))).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One redaction rule: a regex and the typed placeholder that replaces
     * every match. Patterns must stay inside the RE2-expressible subset
     * (no lookaround, no backreferences) so the same rule text runs

@@ -147,6 +147,16 @@ class PlanSpec extends SparkTestBase {
       s"unexpected exchanges:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_lm_score exchanges only vocab terms, never corpus rows") {
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    // the vocab count agg is the only shuffle and it carries term keys,
+    // never document text or ids
+    assert(exchanges.forall(l => l.contains("term") && !l.contains("text#") && !l.contains("doc_id")),
+      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_bm25 never shuffles the corpus: broadcast stats + TakeOrdered") {
     val p = plan("q_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)

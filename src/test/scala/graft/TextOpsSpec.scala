@@ -475,6 +475,51 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.map(_._4).sum == 1.0)
   }
 
+  test("unigramLmScore matches a driver-side Laplace model and flags atypical vocab") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zxqv wkjh qpzm vbnx glrt"), // all-rare vocab -> highest ppl
+      (4L, "the the the the"),          // all-common vocab -> lowest ppl
+      (5L, "   ")                       // no tokens -> NULL score
+    )
+    val got = graft.ops.TextOps.unigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // driver-side model with the operator's exact arithmetic order
+    val counts = docs.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    val vsize = counts.size.toDouble
+    for ((id, text) <- docs) {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) {
+        assert(got(id).isNullAt(2) && got(id).isNullAt(3) && got(id).getLong(1) == 0L)
+      } else {
+        val nll = toks.foldLeft(0.0)((acc, t) =>
+          acc - math.log((counts.getOrElse(t, 0L).toDouble + 1.0) / (total + vsize + 1.0)))
+        assert(got(id).getLong(1) == toks.length.toLong)
+        assert(math.abs(got(id).getDouble(2) - nll / toks.length) <= 1e-12)
+        assert(math.abs(got(id).getDouble(3) - math.exp(nll / toks.length)) <= 1e-9)
+      }
+    }
+    assert(got(3L).getDouble(3) > got(1L).getDouble(3), "rare vocab must score higher ppl")
+    assert(got(4L).getDouble(3) < got(1L).getDouble(3), "common vocab must score lower ppl")
+  }
+
+  test("unigramLmScore vocab cap pushes tail terms into the OOV mass deterministically") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    // maxVocab=2 keeps {a:3, b:2}; c and d become OOV (count 0)
+    val got = graft.ops.TextOps.unigramLmScore(docs, "doc_id", "text", maxVocab = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val total = 5.0 // kept vocab mass: a=3, b=2
+    val vsize = 2.0
+    def nllOf(ts: Seq[Long]) =
+      ts.foldLeft(0.0)((acc, c) => acc - math.log((c + 1.0) / (total + vsize + 1.0)))
+    assert(math.abs(got(1L) - nllOf(Seq(3, 3, 3, 2, 2, 0)) / 6) <= 1e-12)
+    assert(math.abs(got(2L) - nllOf(Seq(0, 0)) / 2) <= 1e-12)
+  }
+
   test("redact scrubs emails, IPs, and phones with typed placeholders and per-rule counts") {
     val docs = Seq(
       (1L, "mail alice.smith+spam@example.org or bob@sub.example.co today"),
