@@ -171,6 +171,20 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    "q_funnel" -> ((s, dir) =>
+      // view -> click -> purchase conversion funnel: greedy subsequence
+      // match over each user's (ts_us, event_id)-ordered events (micros
+      // ordering — the finest precision both engines read identically).
+      EventAnalytics.funnel(
+        Tables.withTsMicros(Tables.events(s, dir)),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    "q_retention" -> ((s, dir) =>
+      // Cohort retention: users cohorted by first active epoch-day,
+      // counted on each later active day (offset capped at 30).
+      EventAnalytics.retention(Tables.events(s, dir), "user_id", "ts_ns")),
+
     "q_enrich_join" -> ((s, dir) =>
       Joins.revenueByNation(
         Tables.orders(s, dir),
@@ -725,6 +739,41 @@ object SparkEntry {
         |       event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      // greedy subsequence match == cascaded min-row-number: each step's
+      // first qualifying event strictly after the previous step's match
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.rn > s1.r GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.rn > s2.r GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, CAST(n_users AS BIGINT) AS n_users
+        |FROM c ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      // day bucketing is truncation-immune: epoch_ns here is the
+      // micros-truncated read, but floor-div by a day never crosses a
+      // bucket under sub-microsecond truncation
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+        |       CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |WHERE ud.day - c.cohort_day <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_hop" ->
       """WITH h AS (

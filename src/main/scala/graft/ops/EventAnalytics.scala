@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics over the event stream: funnel conversion and
+  * cohort retention — the ksqlDB-style continuous aggregations' batch
+  * complements, on the same epoch-nanos event table the windowing
+  * operators use (`ts` is a nanos LONG via the nanos-as-long reader).
+  *
+  * Scale shape: both operators shuffle once on the analysis key
+  * (user), reduce to per-user scalars or (user, day) pairs immediately
+  * (map-side combined — events never re-shuffle), and finish with a
+  * tiny aggregate ∝ steps or cohort-days. No windows over unpartitioned
+  * data, no event-level joins.
+  */
+object EventAnalytics {
+
+  /** Funnel depth per user, counted down the step list: a user is "at
+    * depth i" when their event sequence — ordered by (ts, eventId), the
+    * total order that makes same-nanosecond ties deterministic —
+    * contains the first i step types as a subsequence. Returns one row
+    * per step: (step, step_name, n_users) where n_users counts users
+    * whose depth reaches that step, so the column is monotonically
+    * non-increasing down the funnel.
+    *
+    * One shuffle: events group to per-user sorted arrays (bounded by a
+    * user's own event count), the subsequence match is a per-row fold,
+    * and the final step histogram exchanges ≤ |steps| rows per
+    * partition. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("ts"), col(eventIdCol).as("eid"), col(typeCol).as("et")))).as("ev"))
+    val depth = aggregate(
+      col("ev"),
+      lit(0),
+      (acc: Column, e: Column) =>
+        steps.zipWithIndex.foldLeft(when(lit(false), acc)) { case (w, (s, i)) =>
+          w.when(acc === i && e.getField("et") === s, i + 1)
+        }.otherwise(acc))
+    val stepName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (w, (s, i)) => when(col("step") === (i + 1), s).otherwise(w)
+    }
+    val counts = perUser
+      .select(depth.as("depth"))
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — depth-0
+      // users must not reach the explode at all
+      .where(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("step"))
+      .groupBy(col("step").cast("bigint").as("step"))
+      .agg(count(lit(1)).as("n_users"))
+    // a step nobody reaches still reports (with 0) — funnel reports
+    // enumerate every step
+    events.sparkSession
+      .range(1, steps.size + 1)
+      .select(col("id").as("step"))
+      .join(counts, Seq("step"), "left")
+      .select(col("step"), stepName.as("step_name"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("step"))
+  }
+
+  /** Classic cohort retention: users cohort by their first active day
+    * (epoch-nanos floor-divided into days), and each (cohort_day,
+    * day_offset) row counts how many of that cohort were active
+    * day_offset days later. day_offset 0 is the cohort size itself.
+    *
+    * The event stream collapses to distinct (user, day) pairs in the
+    * first map-side-combined aggregate — everything downstream is ∝
+    * users × active-days, not events. The per-user first day joins back
+    * broadcast-small under AQE. */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be non-negative: $maxOffsetDays")
+    val dayNanos = 86400000000000L
+    val userDays = events
+      .select(col(userCol).as("user"), Windowing.floorDiv(col(tsCol), dayNanos).as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy(col("user")).agg(min(col("day")).as("cohort_day"))
+    userDays
+      .join(cohorts, "user")
+      .select(col("user"), col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+}
