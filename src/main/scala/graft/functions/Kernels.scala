@@ -378,6 +378,27 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-doc unigram NLL: one tokenize pass accumulating each token's
+    * PRECOMPUTED contribution (`-ln((c+1)/denom)`, computed once per
+    * vocab entry at table build — the identical IEEE op the per-token
+    * formulation performs, so the sum is bit-identical), `oov` for
+    * unknown terms. O(1) hashed lookups — the reason this kernel exists:
+    * a MapData `element_at` is a linear scan, hopeless at a 65K vocab. */
+  def unigramNll(
+      text: UTF8String,
+      contrib: java.util.HashMap[String, java.lang.Double],
+      oov: Double): Double = {
+    val toks = tokenize(text.toString)
+    var acc = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val c = contrib.get(toks(i))
+      acc += (if (c == null) oov else c.doubleValue())
+      i += 1
+    }
+    acc
+  }
 }
 
 object VectorKernels {

@@ -261,6 +261,39 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Unigram-LM negative log-likelihood — see [[TextKernels.unigramNll]].
+  * The (term, count) vocab ships as a codegen reference object hashed
+  * once per task (`Seq` so Catalyst's case-class canonicalization stays
+  * structural); each term's contribution is precomputed with the exact
+  * per-token IEEE ops, so results are bit-identical to the HOF fold the
+  * kernel replaces while lookups drop from O(|V|) MapData scans to
+  * O(1). */
+case class UnigramNll(child: Expression, vocab: Seq[(String, Long)], total: Double, vsize: Double)
+    extends UnaryExpression {
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val denom = total + vsize + 1.0
+    val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2 + 16)
+    vocab.foreach { case (t, c) =>
+      m.put(t, java.lang.Double.valueOf(-math.log((c + 1.0) / denom)))
+    }
+    m
+  }
+  private val oov: Double = -math.log(1.0 / (total + vsize + 1.0))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "unigram_nll"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.unigramNll(input.asInstanceOf[UTF8String], table, oov)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabTable", table, "java.util.HashMap")
+    // exact-bits double literal — a decimal rendering could round
+    val oovBits = java.lang.Double.doubleToLongBits(oov)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.unigramNll($c, $ref, java.lang.Double.longBitsToDouble(${oovBits}L))")
+  }
+  protected override def withNewChildInternal(newChild: Expression): UnigramNll =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -303,4 +336,7 @@ object native {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(vec), centroids.toSeq.map(_.toSeq)))
+
+  def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
+    ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))
 }

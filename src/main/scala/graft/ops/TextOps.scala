@@ -626,11 +626,14 @@ object TextOps {
     * Scale shape: the vocabulary build is an explode + map-side-combined
     * count (exchange ∝ distinct terms), capped at the `maxVocab` head by
     * a TakeOrdered (count desc, term asc — deterministic); tail terms
-    * fall into the smoothed OOV mass, so the broadcast map stays bounded
+    * fall into the smoothed OOV mass, so the vocab table stays bounded
     * no matter the corpus (`total`/`|V|` are taken over the KEPT vocab so
-    * engine and oracle agree under truncation). Scoring is a per-row
-    * fold over the token array against the broadcast one-row map —
-    * corpus rows never shuffle. */
+    * engine and oracle agree under truncation). The capped vocab is
+    * collected (≤ `maxVocab` rows — bounded by design, the IVF-centroid
+    * posture) and scoring is ONE zero-shuffle projection through the
+    * `unigram_nll` kernel: per-term contributions precomputed once,
+    * O(1) hashed lookups — a broadcast-map `element_at` formulation
+    * would linear-scan the map per token, hopeless at a 65K vocab. */
   def unigramLmScore(
       df: DataFrame,
       idCol: String,
@@ -645,20 +648,15 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term"))
       .limit(maxVocab)
-    val lm = vocab.agg(
-      map_from_entries(collect_list(struct(col("term"), col("c")))).as("__lm"),
-      sum(col("c")).cast("double").as("__total"),
-      count(lit(1)).cast("double").as("__vsize"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val total = vocab.map(_._2).sum.toDouble
+    val vsize = vocab.size.toDouble
 
     val nTok = tokenCount(col(textCol))
-    val denom = col("__total") + col("__vsize") + lit(1.0)
-    val nll = aggregate(
-      filter(toks, x => x =!= lit("")),
-      lit(0.0),
-      (acc, x) =>
-        acc - log((coalesce(element_at(col("__lm"), x), lit(0L)).cast("double") + lit(1.0)) / denom))
-    df.crossJoin(broadcast(lm))
-      .select(
+    val nll = graft.functions.native.unigramNll(col(textCol), vocab, total, vsize)
+    df.select(
         col(idCol).as("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
         when(nTok > 0, nll / nTok.cast("double")).as("avg_nll"),

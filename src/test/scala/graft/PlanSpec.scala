@@ -147,14 +147,12 @@ class PlanSpec extends SparkTestBase {
       s"unexpected exchanges:\n${exchanges.mkString("\n")}")
   }
 
-  test("q_lm_score exchanges only vocab terms, never corpus rows") {
+  test("q_lm_score scores through the unigram_nll kernel with zero corpus shuffle") {
     val p = plan("q_lm_score")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
-    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
-    // the vocab count agg is the only shuffle and it carries term keys,
-    // never document text or ids
-    assert(exchanges.forall(l => l.contains("term") && !l.contains("text#") && !l.contains("doc_id")),
-      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+    // the vocab build runs as its own bounded job at construction; the
+    // scoring plan itself is a pure kernel projection + determinism sort
+    assert(p.contains("unigram_nll"), p)
+    assert(!p.contains("hashpartitioning"), p)
   }
 
   test("q_bm25 never shuffles the corpus: broadcast stats + TakeOrdered") {
