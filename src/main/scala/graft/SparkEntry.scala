@@ -171,6 +171,13 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    "q_profile" -> ((s, dir) =>
+      // Data-quality profiling: per-column n/nulls/exact-distinct/min/
+      // max/exact-sum over the fact table's numeric columns in one scan.
+      Relational.profile(
+        Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
+
     "q_funnel" -> ((s, dir) =>
       // view -> click -> purchase conversion funnel: greedy subsequence
       // match over each user's (ts_us, event_id)-ordered events (micros
@@ -739,6 +746,21 @@ object SparkEntry {
         |       event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_profile" -> {
+      // per-column stats, exact-decimal sums (the exactSum convention)
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count($c) AS BIGINT) AS n,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_val,
+           |       CAST(max($c) AS DOUBLE) AS max_val,
+           |       CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q_funnel" ->
       // greedy subsequence match == cascaded min-row-number: each step's

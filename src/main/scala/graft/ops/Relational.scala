@@ -180,4 +180,44 @@ object Relational {
     * start-sink-connector.sh:81). */
   def nullGuard(c: Column): Column =
     c.isNotNull && !isnan(c)
+
+  /** Per-column data-quality profile over numeric columns: one output
+    * row per column with non-null count, null count, exact distinct
+    * count, min/max (as DOUBLE), and the exact decimal-accumulated sum
+    * ([[exactSumDouble]] — order-independent, so engines agree).
+    *
+    * One scan: every column's aggregates compute in a single agg (Spark
+    * plans the multi-distinct via Expand — row volume ×|cols|, the
+    * honest cost of exact distinct counts; swap to approx_count_distinct
+    * when profiling at 100 TB if ±2% is acceptable), then the one-row
+    * result unpivots driver-side to (col_name, stats) rows — output is
+    * ∝ columns, never data. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        exactSumDouble(col(c)).as(s"${c}__sum"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"),
+        col(s"${c}__sum").as("sum_val"))
+    }
+    one
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -166,4 +166,23 @@ class RelationalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size <= 2, plan) // agg + orderBy sort
   }
+
+  test("profile reports per-column n/nulls/distinct/min/max/exact-sum, null-aware") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10.0)),
+      (Some(2.5), None),
+      (Some(2.5), Some(30.0)),
+      (None, Some(10.0))
+    ).toDF("a", "b")
+    val got = Relational.profile(df, Seq("a", "b"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("a") == ((3L, 1L, 2L, 1.0, 2.5, 6.0)))
+    assert(got("b") == ((3L, 1L, 2L, 10.0, 30.0, 50.0)))
+    intercept[IllegalArgumentException](Relational.profile(df, Seq.empty))
+    intercept[IllegalArgumentException](Relational.profile(df, Seq("a", "a")))
+  }
 }
