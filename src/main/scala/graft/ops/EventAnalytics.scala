@@ -24,10 +24,18 @@ object EventAnalytics {
     * whose depth reaches that step, so the column is monotonically
     * non-increasing down the funnel.
     *
-    * One shuffle: events group to per-user sorted arrays (bounded by a
-    * user's own event count), the subsequence match is a per-row fold,
-    * and the final step histogram exchanges ≤ |steps| rows per
-    * partition. */
+    * One shuffle, O(1) memory per user: events repartition by user and
+    * SECONDARY-SORT within partitions on (user, ts, eventId), then a
+    * partition-local streaming fold computes each user's depth as their
+    * contiguous run flows past — no per-user array ever materializes,
+    * so a hot user costs time, not aggregation-buffer memory (the
+    * collect_list formulation this replaces spikes ∝ the hottest user).
+    * The step histogram afterwards exchanges ≤ |steps| rows per
+    * partition. `userCol`/`eventIdCol`/`tsCol` must be LONG (the
+    * engine's event-table convention); the fold is the justified
+    * mapPartitions case — per-partition imperative logic over a
+    * secondary sort that no built-in aggregate expresses without
+    * materializing the group. */
   def funnel(
       events: DataFrame,
       userCol: String,
@@ -37,23 +45,45 @@ object EventAnalytics {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
 
-    val perUser = events
-      .groupBy(col(userCol))
-      .agg(array_sort(collect_list(struct(
-        col(tsCol).as("ts"), col(eventIdCol).as("eid"), col(typeCol).as("et")))).as("ev"))
-    val depth = aggregate(
-      col("ev"),
-      lit(0),
-      (acc: Column, e: Column) =>
-        steps.zipWithIndex.foldLeft(when(lit(false), acc)) { case (w, (s, i)) =>
-          w.when(acc === i && e.getField("et") === s, i + 1)
-        }.otherwise(acc))
+    val depths = events
+      .select(
+        col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(eventIdCol).cast("long").as("eid"),
+        col(typeCol).cast("string").as("et"))
+      .repartition(col("user"))
+      .sortWithinPartitions(col("user"), col("ts"), col("eid"))
+      .as[(Long, Long, Long, String)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Int)] {
+          private var cur: (Long, Long, Long, String) = _
+          private var has = it.hasNext
+          if (has) cur = it.next()
+          override def hasNext: Boolean = has
+          override def next(): (Long, Int) = {
+            val user = cur._1
+            var depth = 0
+            var sameUser = true
+            while (has && sameUser) {
+              if (cur._1 != user) sameUser = false
+              else {
+                if (depth < steps.size && cur._4 == steps(depth)) depth += 1
+                if (it.hasNext) cur = it.next() else has = false
+              }
+            }
+            (user, depth)
+          }
+        }
+      }
+      .toDF("user", "depth")
+
     val stepName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (w, (s, i)) => when(col("step") === (i + 1), s).otherwise(w)
     }
-    val counts = perUser
-      .select(depth.as("depth"))
+    val counts = depths
       // sequence(1, 0) would generate a DESCENDING [1, 0] — depth-0
       // users must not reach the explode at all
       .where(col("depth") >= 1)
@@ -62,7 +92,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
     // a step nobody reaches still reports (with 0) — funnel reports
     // enumerate every step
-    events.sparkSession
+    spark
       .range(1, steps.size + 1)
       .select(col("id").as("step"))
       .join(counts, Seq("step"), "left")

@@ -155,6 +155,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), p)
   }
 
+  test("q_funnel secondary-sorts instead of materializing per-user arrays") {
+    val p = plan("q_funnel")
+    assert(!p.toLowerCase.contains("collect_list"), p)
+    // one corpus-sized exchange (by user) + the steps-sized histogram agg
+    assert("hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("q_bm25 never shuffles the corpus: broadcast stats + TakeOrdered") {
     val p = plan("q_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
