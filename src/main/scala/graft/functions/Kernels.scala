@@ -531,3 +531,50 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 }
+
+/** Header-level media parsing — codec-free metadata kernels. */
+object MediaKernels {
+
+  /** Pixel dimensions from media container HEADERS — metadata extraction
+    * that needs no codec: PNG (big-endian int32 at 16/20), GIF
+    * (little-endian uint16 at 6/8), BMP (little-endian int32 at 18/22),
+    * JPEG (marker walk to the first SOF frame header). Returns
+    * `Array(width, height)` or null for unrecognized/truncated payloads
+    * — a corrupt container is data, not an exception. */
+  def mediaDims(b: Array[Byte]): ArrayData = {
+    if (b == null) return null
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def dims(w: Int, h: Int): ArrayData = new GenericArrayData(Array[Any](w, h))
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      return dims(be32(16), be32(20))
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      return dims(le16(6), le16(8))
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return dims(le32(18), le32(22))
+    if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG SOF segment: FF Cn len16 precision8 height16 width16
+      var i = 2
+      while (i + 1 < b.length) {
+        if (u8(i) != 0xff) return null
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone marker
+        else if (i + 3 < b.length) {
+          val len = be16(i + 2)
+          if (len < 2) return null
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 8 >= b.length) return null
+            return dims(be16(i + 7), be16(i + 5))
+          }
+          i += 2 + len
+        } else return null
+      }
+      return null
+    }
+    null
+  }
+}

@@ -294,6 +294,29 @@ case class UnigramNll(child: Expression, vocab: Seq[(String, Long)], total: Doub
     copy(child = newChild)
 }
 
+/** Codec-free media dimensions — see [[MediaKernels.mediaDims]]: parses
+  * PNG/GIF/BMP fixed-offset headers and walks JPEG markers to the SOF
+  * frame header, returning `[width, height]` or NULL for unrecognized or
+  * truncated payloads (corrupt media is data, not an exception). */
+case class MediaDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_dims"
+  protected override def nullSafeEval(input: Any): Any =
+    MediaKernels.mediaDims(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dims")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.MediaKernels.mediaDims($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): MediaDims =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -339,4 +362,7 @@ object native {
 
   def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
     ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))
+
+  def mediaDims(bytes: Column): Column =
+    ColumnBridge.column(MediaDims(ColumnBridge.expression(bytes)))
 }

@@ -47,6 +47,17 @@ object MultiModal {
       .withColumn("format", sniffFormat(col(bytesCol)))
       .withColumn("content_sha", sha2(col(bytesCol), 256))
 
+  /** REAL (not stubbed) pixel dimensions from container headers — PNG/
+    * GIF/BMP fixed offsets, JPEG SOF marker walk, via the codegen'd
+    * `media_dims` kernel; no codec involved, so this runs in the same
+    * zero-shuffle projection as the rest of the metadata. NULL columns
+    * for unrecognized/truncated payloads (corrupt media is data). */
+  def withDimensions(df: DataFrame, bytesCol: String): DataFrame = {
+    val dims = graft.functions.native.mediaDims(col(bytesCol))
+    df.withColumn("width", element_at(dims, 1))
+      .withColumn("height", element_at(dims, 2))
+  }
+
   /** STUB feature extractor: a deterministic pseudo-embedding derived by
     * hashing (payload, dimension-index) — stands in for "decode media,
     * run the encoder". Real per-dim values in [-1, 1], fixed `dim`,

@@ -63,6 +63,38 @@ class MultiModalSpec extends SparkTestBase {
     assert(frames.distinct.length == 4) // spaced, not repeated
   }
 
+  test("withDimensions parses PNG/GIF/BMP headers and walks JPEG markers to the SOF") {
+    // minimal real headers: magic + the bytes the parser actually reads
+    val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
+      blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
+    val gif = "GIF89a".getBytes ++ blob(0x40, 0x01, 0xf0, 0x00) // 320 x 240 LE
+    val bmp = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x28, 0, 0, 0) ++
+      blob(0x00, 0x04, 0, 0) ++ blob(0x00, 0x03, 0, 0) // 1024 x 768 LE @18/22
+    // JPEG: SOI, APP0 (skipped via its length), then SOF0 with h=600 w=800
+    val jpg = blob(0xff, 0xd8) ++
+      blob(0xff, 0xe0, 0x00, 0x04, 0x00, 0x00) ++ // APP0 len 4
+      blob(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x02, 0x58, 0x03, 0x20, 0x01, 0x11, 0x00)
+    val truncatedPng = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
+    val rows = Seq(
+      (1L, png), (2L, gif), (3L, bmp), (4L, jpg),
+      (5L, truncatedPng), (6L, "not media".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+    val got = MultiModal.withDimensions(rows, "bytes")
+      .select(col("media_id"), col("width"), col("height"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2)))))
+      .toMap
+    assert(got == Map(
+      1L -> Some((640, 480)),
+      2L -> Some((320, 240)),
+      3L -> Some((1024, 768)),
+      4L -> Some((800, 600)),
+      5L -> None,
+      6L -> None))
+  }
+
   test("docBlobs round-trips text bytes (the fixture's opaque payload)") {
     val one = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(1).collect()(0)
     val orig = Tables.documents(spark, sf001)
