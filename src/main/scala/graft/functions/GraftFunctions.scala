@@ -86,6 +86,9 @@ object GraftFunctions {
         intArg(args(1), "winnow_fingerprints", "k"),
         intArg(args(2), "winnow_fingerprints", "window"))
     },
+    "media_dims" -> { args =>
+      arity("media_dims", args, 1); MediaDims(args(0))
+    },
     "hyperplane_signatures" -> { args =>
       arity("hyperplane_signatures", args, 5)
       HyperplaneSignatures(

@@ -639,6 +639,33 @@ object TextOps {
       idCol: String,
       textCol: String,
       maxVocab: Int = 65536): DataFrame = {
+    val lm = trainUnigramLm(df, textCol, maxVocab)
+    val nTok = tokenCount(col(textCol))
+    df.select(
+        col(idCol).as("doc_id"),
+        nTok.cast("bigint").as("n_tokens"),
+        lm.avgNll(col(textCol)).as("avg_nll"),
+        exp(lm.avgNll(col(textCol))).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A trained Laplace-smoothed unigram model — a plain value, so it can
+    * gate a STREAM (the scoring column is a stateless projection) or any
+    * other frame than the one it was trained on (train on the trusted
+    * history, gate arriving docs). */
+  final case class UnigramLm(vocab: Seq[(String, Long)], total: Double, vsize: Double) {
+    /** Average negative log-likelihood per token; NULL for empty docs. */
+    def avgNll(text: Column): Column = {
+      val nTok = tokenCount(text)
+      val nll = graft.functions.native.unigramNll(text, vocab, total, vsize)
+      when(nTok > 0, nll / nTok.cast("double"))
+    }
+  }
+
+  /** One-pass unigram training: map-side-combined term counts, head
+    * capped at `maxVocab` by a deterministic TakeOrdered, collected
+    * (bounded by the cap — the IVF-centroid posture). */
+  def trainUnigramLm(df: DataFrame, textCol: String, maxVocab: Int = 65536): UnigramLm = {
     require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
     val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
     val vocab = df
@@ -651,17 +678,7 @@ object TextOps {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
-    val total = vocab.map(_._2).sum.toDouble
-    val vsize = vocab.size.toDouble
-
-    val nTok = tokenCount(col(textCol))
-    val nll = graft.functions.native.unigramNll(col(textCol), vocab, total, vsize)
-    df.select(
-        col(idCol).as("doc_id"),
-        nTok.cast("bigint").as("n_tokens"),
-        when(nTok > 0, nll / nTok.cast("double")).as("avg_nll"),
-        when(nTok > 0, exp(nll / nTok.cast("double"))).as("ppl"))
-      .orderBy(col("doc_id"))
+    UnigramLm(vocab, vocab.map(_._2).sum.toDouble, vocab.size.toDouble)
   }
 
   /** One redaction rule: a regex and the typed placeholder that replaces

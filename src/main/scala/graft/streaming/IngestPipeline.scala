@@ -42,7 +42,17 @@ object IngestPipeline {
       maxPunctRatio: Double = 1.0,
       chunkWindow: Int = 32,
       chunkStride: Int = 24,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // optional scrub: rules applied to textCol BEFORE dedup/chunking,
+      // so the corpus ships redacted and docs differing only in PII
+      // dedup together ([[TextOps.redact]]; Nil = off)
+      redactRules: Seq[TextOps.RedactRule] = Nil,
+      // optional perplexity gate: a unigram LM trained OUTSIDE the
+      // pipeline (usually on the trusted history corpus) — scoring is a
+      // stateless projection, so the gate works identically in the
+      // batch and streaming flavors (None = off)
+      lm: Option[TextOps.UnigramLm] = None,
+      maxAvgNll: Double = Double.MaxValue)
 
   /** The whole adopter path from FILES: JSONL documents dropped under
     * `inDir` flow through quarantine → gates → dedup → chunking into the
@@ -80,20 +90,37 @@ object IngestPipeline {
     * input that already carries one of those names would be silently
     * OVERWRITTEN by the computed feature and then passed through under
     * the original name. Reject the collision instead of mis-gating. */
-  private def gate(docs: DataFrame, cfg: Config): DataFrame = {
+  private def gate(docs0: DataFrame, cfg: Config): DataFrame = {
     val featureCols =
       Set("n_chars", "n_tokens", "punct_ratio", "upper_ratio", "mean_token_len")
-    val clash = docs.columns.filter(featureCols.contains)
+    val clash = docs0.columns.filter(featureCols.contains)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with quality-gate feature names; " +
         "rename them before ingest")
+    // scrub first: the redacted text is what gets gated, deduped,
+    // chunked, and shipped (stateless projection — stream-safe)
+    val docs =
+      if (cfg.redactRules.isEmpty) docs0
+      else {
+        val out = docs0.columns.map {
+          case c if c == cfg.textCol => col("__redacted").as(cfg.textCol)
+          case c => col(c)
+        }
+        TextOps.redact(docs0, cfg.textCol, cfg.redactRules, "__redacted").select(out: _*)
+      }
     val passthrough = docs.columns.map(col)
-    TextOps
+    val gated = TextOps
       .qualityFeatures(docs, cfg.textCol)
       .filter(
         col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
           col("punct_ratio") <= cfg.maxPunctRatio)
       .select(passthrough: _*)
+    // perplexity gate (stateless projection): NULL scores — empty docs —
+    // fail the predicate and drop, consistent with minTokens >= 1
+    cfg.lm match {
+      case Some(lm) => gated.filter(lm.avgNll(col(cfg.textCol)) <= cfg.maxAvgNll)
+      case None => gated
+    }
   }
 
   /** Batch-equivalent of [[run]]: the same gate → against-history dedup →

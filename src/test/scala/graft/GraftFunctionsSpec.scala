@@ -61,6 +61,12 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r2.getSeq[String](0) == Seq("alpha beta", "beta gamma", "gamma delta"))
     assert(r2.getSeq[String](1) == Seq("alpha beta gamma", "gamma delta"))
     assert(r2.getInt(2) == 2)
+    // media_dims: GIF header (320x240 LE) through the SQL path
+    val gif: Array[Byte] =
+      "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00)
+    Seq(Tuple1(gif)).toDF("bytes").createOrReplaceTempView("t_media")
+    val r3 = spark.sql("SELECT media_dims(bytes) AS d FROM t_media").collect()(0)
+    assert(r3.getSeq[Int](0) == Seq(320, 240))
   }
 
   test("non-literal size parameters are rejected with a clear error") {

@@ -71,6 +71,35 @@ class IngestPipelineSpec extends SparkTestBase {
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
 
+  test("optional redact + perplexity gates: scrubbed corpus, PII-dup collapse, atypical docs dropped") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // LM trained on a trusted corpus of ordinary vocabulary
+    val trusted = Seq(
+      (100L, "one two three four five six seven"),
+      (101L, "two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val lm = graft.ops.TextOps.trainUnigramLm(trusted, "text")
+    val incoming = Seq(
+      (1L, "contact alice@example.org about one two three"),
+      (2L, "contact bob@example.net about one two three"), // dup of 1 AFTER redaction
+      (3L, "zxqv wkjh qpzm vbnx glrt mmnn ppqq"))          // atypical vocab — ppl-gated out
+      .toDF("doc_id", "text")
+    val cfg = IngestPipeline.Config(
+      outDir = "", checkpointDir = "",
+      minTokens = 2, chunkWindow = 16, chunkStride = 16,
+      redactRules = graft.ops.TextOps.piiRules,
+      lm = Some(lm),
+      // trusted LM: total=14, V=8, denom=23 -> OOV token costs ln(23)≈3.14,
+      // common (c=2) costs ln(23/3)≈2.04. Docs 1/2 post-redaction mix both
+      // (avg≈2.66); doc 3 is pure OOV (3.14). 2.9 separates them.
+      maxAvgNll = 2.9)
+    val got = IngestPipeline.batch(incoming, history, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // doc 2 deduped against doc 1 BECAUSE redaction unified their texts;
+    // doc 3 ppl-gated; the shipped chunk is scrubbed
+    assert(got == Seq((1L, "contact <EMAIL> about one two three")))
+  }
+
   test("ingest with a partitioned corpus layout (lang directories)") {
     val history = spark.emptyDataFrame
       .sparkSession.createDataFrame(
