@@ -78,4 +78,100 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Build the persisted BM25 posting index under `path` — the
+    * amortize-the-scan swap-in for query volumes where two scans per
+    * query stop being cheap:
+    *  - `{path}/postings`: (term, doc_id, tf, dl) PARTITIONED BY a
+    *    `bucket` = hash(term) mod `buckets` directory key, so a query
+    *    reads only its terms' buckets (partition pruning) instead of
+    *    the corpus. `dl` is denormalized into the posting row — one
+    *    long per row buys queries that never join a doc-length table.
+    *  - `{path}/stats`: ONE row (n, avgdl) — the corpus constants the
+    *    score needs, computed at build time with the same exact
+    *    integer-sum average as the scan path.
+    * Exchange ∝ postings (map-side-combined (doc, term) counts); at any
+    * corpus size the heavy table is partitioned on the pruning key. */
+  def writeBm25Index(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 256): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("double").as("dl"),
+      toks.as("toks"))
+    base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    base
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Driver-side mirror of the build's `pmod(xxhash64(term), buckets)`
+    * so the probe can name its buckets without touching the index. */
+  private def bucketOf(term: String, buckets: Int): Long = {
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    ((h % buckets) + buckets) % buckets
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] index: reads ONLY the query
+    * terms' partitions (per-term df comes from the same pruned read),
+    * reduces postings to per-doc tf columns, scores with the identical
+    * formula/order as [[bm25TopK]], TakeOrdered. Only docs containing a
+    * query term are ever touched — at 100 TB a query costs |terms|
+    * partition reads, not a scan. Equals the scan path exactly whenever
+    * ≥ k docs match (same IEEE ops on the same stats); with fewer
+    * matches it returns just the matches, where the scan flavor pads
+    * with zero-score non-matches — padding a search result with
+    * non-matches is the less useful contract anyway. */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int = 10,
+      buckets: Int = 256,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val wanted = terms.map(t => bucketOf(t, buckets)).distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(wanted: _*) && col("term").isin(terms: _*))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(s"__tf$i")
+    }
+    val perDoc = posts
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfCols = terms.zipWithIndex.map { case (_, i) =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i")
+    }
+    val dfs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+    val stats = spark.read.parquet(s"$path/stats")
+    val scored = perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+    val score = terms.indices
+      .map { i =>
+        val tf = col(s"__tf$i")
+        val df_ = col(s"__df$i")
+        val idf = log((col("n") - df_ + lit(0.5)) / (df_ + lit(0.5)) + lit(1.0))
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }
+      .reduceLeft(_ + _)
+    scored
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

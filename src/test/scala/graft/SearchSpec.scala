@@ -64,6 +64,26 @@ class SearchSpec extends SparkTestBase {
     assert(got == Seq(3L, 5L)) // identical scores -> id order decides
   }
 
+  test("indexed BM25 equals the scan path on the fixture and prunes to the terms' buckets") {
+    val docs = Tables.documents(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Search.writeBm25Index(docs, "doc_id", "text", dir, buckets = 64)
+    val terms = Seq("spark", "window", "merge")
+    val scan = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Search.bm25TopKIndexed(spark, dir, terms, k = 10, buckets = 64)
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed.map(_._1) == scan.map(_._1))
+    indexed.zip(scan).foreach { case ((_, a), (_, s)) =>
+      assert(math.abs(a - s) <= 1e-12, s"score drift: $a vs $s")
+    }
+    // partition pruning: the postings scan reads only the terms' buckets
+    // and the term filter reaches the parquet reader
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), plan)
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+  }
+
   test("bm25TopK rejects empty, duplicate, and multi-token terms") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq.empty))
