@@ -187,6 +187,15 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type",
         Seq("view", "click", "purchase"))),
 
+    "q_funnel_window" -> ((s, dir) =>
+      // Same funnel bounded to a 1-hour conversion window anchored at
+      // each user's FIRST view (first-touch attribution).
+      EventAnalytics.funnel(
+        Tables.withTsMicros(Tables.events(s, dir)),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"),
+        maxSpan = 3600000000L)),
+
     "q_retention" -> ((s, dir) =>
       // Cohort retention: users cohorted by first active epoch-day,
       // counted on each later active day (offset capped at 30).
@@ -774,6 +783,33 @@ object SparkEntry {
         |       WHERE e.event_type = 'click' AND e.rn > s1.r GROUP BY e.user_id),
         |s3 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.rn > s2.r GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, CAST(n_users AS BIGINT) AS n_users
+        |FROM c ORDER BY step""".stripMargin,
+
+    "q_funnel_window" ->
+      // first-touch window: the anchor is the ts AT the first view's
+      // row number; later steps require rn-after-previous AND
+      // within-window-of-anchor — exactly the engine fold's conditions
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |a AS (SELECT e.user_id, s1.r, e.us AS t0
+        |      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.rn = s1.r),
+        |s2 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN a USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.rn > a.r
+        |         AND e.us - a.t0 <= 3600000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.rn) AS r
+        |       FROM e JOIN s2 USING (user_id) JOIN a USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.rn > s2.r
+        |         AND e.us - a.t0 <= 3600000000 GROUP BY e.user_id),
         |c AS (
         |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
         |  UNION ALL

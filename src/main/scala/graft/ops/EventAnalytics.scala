@@ -35,16 +35,24 @@ object EventAnalytics {
     * engine's event-table convention); the fold is the justified
     * mapPartitions case — per-partition imperative logic over a
     * secondary sort that no built-in aggregate expresses without
-    * materializing the group. */
+    * materializing the group.
+    *
+    * `maxSpan` (same unit as `tsCol`) bounds the WHOLE funnel to a
+    * conversion window anchored at the user's FIRST step-1 event —
+    * first-touch attribution, the standard product-analytics choice: a
+    * later step-1 event never re-anchors, so "converted within an hour
+    * of first viewing" means the first view. Default unbounded. */
   def funnel(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       eventIdCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxSpan: Long = Long.MaxValue): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(maxSpan > 0, s"maxSpan must be positive: $maxSpan")
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -66,11 +74,16 @@ object EventAnalytics {
           override def next(): (Long, Int) = {
             val user = cur._1
             var depth = 0
+            var anchor = 0L // ts of the first step-1 match (first touch)
             var sameUser = true
             while (has && sameUser) {
               if (cur._1 != user) sameUser = false
               else {
-                if (depth < steps.size && cur._4 == steps(depth)) depth += 1
+                if (depth < steps.size && cur._4 == steps(depth) &&
+                  (depth == 0 || cur._2 - anchor <= maxSpan)) {
+                  if (depth == 0) anchor = cur._2
+                  depth += 1
+                }
                 if (it.hasNext) cur = it.next() else has = false
               }
             }

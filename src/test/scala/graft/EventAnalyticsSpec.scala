@@ -38,6 +38,22 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(depths(reversed) == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("windowed funnel anchors at the FIRST step-1 event and never re-anchors") {
+    val events = ev(
+      // user 1: purchase lands outside the 100-tick window of the first view
+      (1L, 0L, 1L, "view"), (2L, 50L, 1L, "click"), (3L, 200L, 1L, "purchase"),
+      // a SECOND view at t=150 must NOT re-anchor the window
+      (4L, 150L, 1L, "view"),
+      // user 2: full funnel inside the window
+      (5L, 0L, 2L, "view"), (6L, 40L, 2L, "click"), (7L, 90L, 2L, "purchase"))
+    def counts(span: Long) = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), maxSpan = span)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts(100L) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L)) // user 1 stops at click
+    assert(counts(1000L) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // wide window: both convert
+  }
+
   test("funnel rejects empty and duplicate step lists") {
     val events = ev((1L, 10L, 1L, "view"))
     intercept[IllegalArgumentException](
