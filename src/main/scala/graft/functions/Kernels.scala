@@ -553,8 +553,21 @@ object MediaKernels {
       return dims(be32(16), be32(20))
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
       return dims(le16(6), le16(8))
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return dims(le32(18), le32(22))
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      // dispatch on the DIB header size at offset 14: 12 = legacy
+      // BITMAPCOREHEADER (uint16 dims at 18/20); 40+ = BITMAPINFOHEADER
+      // family (int32 dims at 18/22, negative height = top-down rows —
+      // pixel count is |height|). Anything else is unknown → null.
+      val dib = le32(14)
+      if (dib == 12) return dims(le16(18), le16(20))
+      if (dib >= 40) {
+        val w = le32(18)
+        val h = le32(22)
+        if (w < 0 || h == Int.MinValue) return null
+        return dims(w, math.abs(h))
+      }
+      return null
+    }
     if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG SOF segment: FF Cn len16 precision8 height16 width16
       var i = 2

@@ -110,12 +110,31 @@ object AsOfJoin {
     require(!(left.columns ++ right.columns).contains("__salt"),
       "input must not carry a __salt column")
     // deterministic per-row scatter (content hash, not RNG: retries and
-    // re-runs land every row on the same salt)
+    // re-runs land every row on the same salt). Hash only the columns
+    // Spark's hash() accepts — MapType (e.g. the events table's props
+    // column) is rejected at analysis time, and this hatch exists
+    // precisely for that hot-key regime. keys+timeCol always
+    // participate; hashable payload columns spread rows that share
+    // (key, time). Fully-identical left rows share a salt — harmless
+    // for correctness (output equality is salt-independent) and only a
+    // skew concern if one exact row repeats macroscopically.
+    val hashable = left.schema.fields
+      .filter(f => keys.contains(f.name) || f.name == timeCol || isHashable(f.dataType))
+      .map(f => col(f.name))
     val l = left.withColumn(
-      "__salt", pmod(hash(left.columns.map(col): _*), lit(salts)).cast("int"))
+      "__salt", pmod(hash(hashable.toSeq: _*), lit(salts)).cast("int"))
     val r = right.withColumn(
       "__salt", explode(array((0 until salts).map(lit): _*)))
     asOfJoin(l, r, keys :+ "__salt", timeCol, rightTieBreak, rightCols)
       .drop("__salt")
+  }
+
+  /** Spark's `hash()` rejects MapType anywhere in the type (maps have
+    * no canonical entry order); everything else it accepts. */
+  private def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case a: org.apache.spark.sql.types.ArrayType => isHashable(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => isHashable(f.dataType))
+    case _ => true
   }
 }

@@ -62,6 +62,12 @@ object EventAnalytics {
         col(tsCol).cast("long").as("ts"),
         col(eventIdCol).cast("long").as("eid"),
         col(typeCol).cast("string").as("et"))
+      // non-null contract: an event without a user/time/id cannot be
+      // attributed to a funnel position. Dropping here (rather than
+      // letting a NULL — original or a failed cast — NPE inside the
+      // typed fold's encoder, or silently shift depths) pins the
+      // semantics: such rows do not participate.
+      .where(col("user").isNotNull && col("ts").isNotNull && col("eid").isNotNull)
       .repartition(col("user"))
       .sortWithinPartitions(col("user"), col("ts"), col("eid"))
       .as[(Long, Long, Long, String)]

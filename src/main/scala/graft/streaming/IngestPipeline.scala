@@ -139,9 +139,23 @@ object IngestPipeline {
     * ([[TextOps.dedupAgainst]]), a fingerprint-keyed hash aggregate for
     * the within-batch dedup (16-byte keys, text carried once per
     * survivor), then the zero-shuffle chunk explode. */
+  /** History is compared by its REDACTED text whenever redactRules are
+    * set: incoming docs are scrubbed before the anti-join, so a raw
+    * history (the natural input — the corpus as it was ingested, or any
+    * external do-not-reingest list) whose rows contain PII would
+    * otherwise never match their scrubbed incoming twins and be
+    * silently re-ingested. Scrubbing is idempotent on already-redacted
+    * text (the replacement tokens don't re-match the rules), so a
+    * history that is this pipeline's own output passes through
+    * unchanged. */
+  private def comparableHistory(history: DataFrame, cfg: Config): DataFrame =
+    if (cfg.redactRules.isEmpty) history
+    else TextOps.redact(history, cfg.textCol, cfg.redactRules, "__redacted")
+      .select(col("__redacted").as(cfg.textCol))
+
   def batch(incoming: DataFrame, history: DataFrame, cfg: Config): DataFrame = {
     val fresh = TextOps
-      .dedupAgainst(history, gate(incoming, cfg), cfg.textCol)
+      .dedupAgainst(comparableHistory(history, cfg), gate(incoming, cfg), cfg.textCol)
       .groupBy(TextOps.fingerprint(col(cfg.textCol)).as("__fp"))
       .agg(
         min(col(cfg.idCol)).as(cfg.idCol),
@@ -158,7 +172,7 @@ object IngestPipeline {
   def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
     val gated = gate(stream, cfg)
     val fresh = DedupStream.dedup(
-      DedupStream.dedupAgainstHistory(gated, history, cfg.textCol),
+      DedupStream.dedupAgainstHistory(gated, comparableHistory(history, cfg), cfg.textCol),
       cfg.textCol)
     val chunks = TextOps.chunk(
       fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride,

@@ -66,6 +66,23 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("asOfJoinSalted tolerates an unhashable (map) left payload column") {
+    // the events table's props column is a map — hash() rejects MapType
+    // at analysis time, so the salt hash must skip it (and still equal
+    // the unsalted answer)
+    val l = Seq((1L, 10L, "a"), (1L, 12L, "b"), (2L, 11L, "c"))
+      .toDF("k", "t", "p")
+      .withColumn("props", map(lit("src"), col("p")))
+    val r = Seq((1L, 9L, 1L), (1L, 11L, 2L), (2L, 10L, 3L)).toDF("k", "t", "tie")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("t"), col("p"), col("props")("src"), col("tie"))
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    val base = rows(AsOfJoin.asOfJoin(l, r, Seq("k"), "t", "tie", Seq("tie")))
+    val salted = rows(AsOfJoin.asOfJoinSalted(l, r, Seq("k"), "t", "tie", Seq("tie"), salts = 4))
+    assert(salted == base)
+  }
+
   test("same-instant right row matches (<=) and max tiebreak wins the tie") {
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "p")
     val r = Seq((1L, 10L, 1L), (1L, 10L, 9L), (1L, 9L, 5L)).toDF("k", "t", "tie")

@@ -54,6 +54,20 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(counts(1000L) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // wide window: both convert
   }
 
+  test("funnel drops NULL user/ts/event_id rows instead of NPE-ing or shifting depths") {
+    // java.lang.Long columns so nulls survive into the frame
+    val events = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+      (3L, null, 1L, "purchase"),  // null ts — unattributable, must not count
+      (4L, 30L, null, "view"),     // null user
+      (null, 40L, 2L, "view"))     // null event_id
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_id", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("funnel rejects empty and duplicate step lists") {
     val events = ev((1L, 10L, 1L, "view"))
     intercept[IllegalArgumentException](

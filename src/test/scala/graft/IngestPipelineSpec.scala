@@ -100,6 +100,25 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, "contact <EMAIL> about one two three")))
   }
 
+  test("raw (pre-redaction) history still blocks its scrubbed incoming twin") {
+    // history holds the document AS INGESTED — PII intact. The pipeline
+    // scrubs incoming docs before the anti-join, so history must be
+    // compared by its redacted text too, or this doc re-ingests forever.
+    val history = Seq((1L, "contact alice@example.org about one two three"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (2L, "contact bob@example.net about one two three"), // = history post-redaction
+      (3L, "genuinely new text here"))
+      .toDF("doc_id", "text")
+    val cfg = IngestPipeline.Config(
+      outDir = "", checkpointDir = "",
+      minTokens = 2, chunkWindow = 16, chunkStride = 16,
+      redactRules = graft.ops.TextOps.piiRules)
+    val got = IngestPipeline.batch(incoming, history, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((3L, "genuinely new text here")))
+  }
+
   test("ingest with a partitioned corpus layout (lang directories)") {
     val history = spark.emptyDataFrame
       .sparkSession.createDataFrame(

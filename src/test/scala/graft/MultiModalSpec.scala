@@ -95,6 +95,26 @@ class MultiModalSpec extends SparkTestBase {
       6L -> None))
   }
 
+  test("BMP dims: legacy BITMAPCOREHEADER, top-down negative height, unknown DIB") {
+    // BITMAPCOREHEADER: DIB size 12 at offset 14, uint16 dims at 18/20
+    val core = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x0c, 0, 0, 0) ++
+      blob(0x40, 0x01) ++ blob(0xf0, 0x00) ++ new Array[Byte](6) // 320 x 240
+    // top-down BITMAPINFOHEADER: height is NEGATIVE int32 → |height| pixels
+    val topDown = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x28, 0, 0, 0) ++
+      blob(0x00, 0x04, 0, 0) ++ blob(0x00, 0xfd, 0xff, 0xff) // 1024 x -768
+    // a DIB header size that is neither the core nor the info family
+    val unknownDib = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x10, 0, 0, 0) ++
+      blob(0x40, 0x01, 0, 0) ++ blob(0xf0, 0x00, 0, 0)
+    val got = MultiModal.withDimensions(
+        Seq((1L, core), (2L, topDown), (3L, unknownDib)).toDF("media_id", "bytes"), "bytes")
+      .select(col("media_id"), col("width"), col("height"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2)))))
+      .toMap
+    assert(got == Map(1L -> Some((320, 240)), 2L -> Some((1024, 768)), 3L -> None))
+  }
+
   test("docBlobs round-trips text bytes (the fixture's opaque payload)") {
     val one = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(1).collect()(0)
     val orig = Tables.documents(spark, sf001)
