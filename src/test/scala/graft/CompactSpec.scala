@@ -57,4 +57,26 @@ class CompactSpec extends SparkTestBase {
       Compact.corpus(spark, "/tmp/same-dir", "/tmp/same-dir")
     }
   }
+
+  test("dot-segment and nesting aliases of the source are refused too") {
+    // src + "/../<srcname>" IS the source — a raw string compare passes
+    // it and overwrite would clobber the live generation
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/gen1", "/tmp/gen1/../gen1")
+    }
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/gen1/../gen1", "/tmp/gen1")
+    }
+    // trailing slash alias
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/gen1", "/tmp/gen1/")
+    }
+    // nesting in either direction
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/gen1", "/tmp/gen1/sub")
+    }
+    intercept[IllegalArgumentException] {
+      Compact.corpus(spark, "/tmp/gen1/sub", "/tmp/gen1/sub/../..//gen1")
+    }
+  }
 }
