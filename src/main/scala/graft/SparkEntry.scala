@@ -26,6 +26,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_enrich_join")(spark, "/root/testdata/sf0.001")
 
+  private val Bm25IndexBuckets = 64
+
+  /** One persisted BM25 index per (JVM, sf dir), built on first use into
+    * a fresh temp directory — q_bm25_indexed's amortization model: the
+    * build is paid once, every later probe reads only its terms'
+    * partitions (bench iteration 1 includes the build; the steady state
+    * is the probe). Keyed by the data dir so multi-sf runs don't collide;
+    * never reused across JVMs so a stale index can't shadow fresh data. */
+  private val bm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25Indexes.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-index").toString
+      Search.writeBm25Index(
+        Tables.documents(s, d), "doc_id", "text", path, buckets = Bm25IndexBuckets)
+      path
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference surface (SURVEY.md §2.1 A/B/C/D ops) ------------------
@@ -177,6 +197,30 @@ object SparkEntry {
       Relational.profile(
         Tables.lineitem(s, dir),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
+
+    "q_profile_approx" -> ((s, dir) => {
+      // The documented 100 TB swap-in for q_profile, promoted to its own
+      // oracle row: approx_count_distinct (HLL++, rsd 1%) replaces the
+      // Expand-shaped exact multi-distinct. Cross-engine HLL estimates
+      // can't hash-match, so the declared OUTPUT is the exact stats plus
+      // a `distinct_ok` bound check — the sketch estimate, computed
+      // engine-side, must land within 5% of the exact count (vs the
+      // oracle's literal TRUE). The exact count here is the sf-sized
+      // verification yardstick; the operator itself never computes it.
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val li = Tables.lineitem(s, dir)
+      val approx = Relational.profileApprox(li, cols, rsd = 0.01)
+      val exact = Relational.profile(li, cols)
+        .select(col("col_name"), col("n_distinct"))
+      approx
+        .join(exact, "col_name")
+        .select(
+          col("col_name"), col("n"), col("n_nulls"),
+          col("min_val"), col("max_val"), col("sum_val"),
+          (abs(col("n_distinct_approx") - col("n_distinct"))
+            <= col("n_distinct") * lit(0.05)).as("distinct_ok"))
+        .orderBy(col("col_name"))
+    }),
 
     "q_funnel" -> ((s, dir) =>
       // view -> click -> purchase conversion funnel: greedy subsequence
@@ -417,6 +461,18 @@ object SparkEntry {
         "text",
         Seq("spark", "window", "merge"),
         k = 10)),
+
+    "q_bm25_indexed" -> ((s, dir) =>
+      // The persisted-posting-index path as its own oracle row (it
+      // previously rode only spec equality to the scan path): build the
+      // hash(term)-bucketed index once per (JVM, sf) — the amortization
+      // a real deployment gets — then answer from the query terms'
+      // partitions alone. Shares the scan path's oracle: ≥ k docs match
+      // at every fixture SF, where the two flavors agree bit-for-bit.
+      Search.bm25TopKIndexed(
+        s, bm25IndexFor(s, dir),
+        Seq("spark", "window", "merge"),
+        k = 10, buckets = Bm25IndexBuckets)),
 
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -767,6 +823,24 @@ object SparkEntry {
            |       CAST(min($c) AS DOUBLE) AS min_val,
            |       CAST(max($c) AS DOUBLE) AS max_val,
            |       CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_profile_approx" -> {
+      // Cross-engine HLL sketches can't hash-match, so the contract is
+      // the exact stats plus the engine-side bound check: the oracle
+      // asserts distinct_ok IS true — a sketch estimate drifting past
+      // 5% of exact turns the row red.
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count($c) AS BIGINT) AS n,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(min($c) AS DOUBLE) AS min_val,
+           |       CAST(max($c) AS DOUBLE) AS max_val,
+           |       CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_val,
+           |       TRUE AS distinct_ok
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
@@ -1267,6 +1341,10 @@ object SparkEntry {
     // its banding achieves recall 1.0 in the fixture's cosine regime
     // (SimilaritySpec), so equality with brute force IS its contract.
     "q_bm25" -> bm25Oracle,
+    // the indexed flavor equals the scan flavor whenever ≥ k docs match
+    // (Search.bm25TopKIndexed Scaladoc) — true at every fixture SF, so
+    // the scan oracle IS its oracle
+    "q_bm25_indexed" -> bm25Oracle,
     "q_sim_topk" -> simTopkOracle,
     "q_sim_topk_lsh" -> simTopkOracle,
     "q_sim_topk_ivf" -> simTopkOracle,

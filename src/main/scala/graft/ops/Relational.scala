@@ -220,4 +220,44 @@ object Relational {
       .select(col("p.*"))
       .orderBy(col("col_name"))
   }
+
+  /** The 100 TB flavor of [[profile]]: identical shape except the exact
+    * `countDistinct` becomes `approx_count_distinct` (HyperLogLog++ at
+    * relative standard deviation `rsd`) in `n_distinct_approx`. The
+    * plan difference is the point — the exact multi-distinct plans as
+    * Expand (row volume ×|cols|), the sketch is ONE ordinary hash
+    * aggregate pass whose state is |cols| fixed-size HLL registers, so
+    * the scan cost stays flat no matter how many columns are profiled
+    * (PlanSpec pins the no-Expand shape). The estimate is
+    * deterministic for a given dataset (HLL++ is content-hashed, not
+    * sampled); q_profile_approx pins its error against the exact count
+    * under the driver's oracle gate. */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.01): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        exactSumDouble(col(c)).as(s"${c}__sum"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct_approx"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"),
+        col(s"${c}__sum").as("sum_val"))
+    }
+    one
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 }

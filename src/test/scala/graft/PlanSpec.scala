@@ -170,4 +170,25 @@ class PlanSpec extends SparkTestBase {
     // never hash-partitioned
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("profileApprox is ONE hash-aggregate pass — no Expand, unlike exact profile") {
+    val li = Tables.lineitem(spark, sf001)
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val exact = graft.ops.Relational.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    val approx = graft.ops.Relational.profileApprox(li, cols)
+      .queryExecution.executedPlan.toString
+    // the exact multi-distinct's honest cost: row volume ×|cols| Expand
+    assert(exact.contains("Expand"), exact)
+    // the sketch keeps the scan flat no matter how many columns profile
+    assert(!approx.contains("Expand"), approx)
+  }
+
+  test("q_bm25_indexed reads only the query terms' posting partitions") {
+    val p = plan("q_bm25_indexed")
+    // partition pruning on the bucket directory key reaches the scan
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")), p)
+  }
 }
