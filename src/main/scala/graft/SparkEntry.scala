@@ -46,6 +46,21 @@ object SparkEntry {
       path
     })
 
+  /** FIXED path (not a random temp dir): the q_media_dims oracle is a
+    * static SQL string that must name the same file this JVM writes.
+    * Content is fully deterministic, so a leftover directory from an
+    * earlier run is simply overwritten with identical bytes. */
+  private val MediaFixturePath = "/tmp/graft_media_fixture"
+
+  private val mediaFixtureWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mediaFixtureFor(s: SparkSession): String =
+    mediaFixtureWritten.computeIfAbsent(MediaFixturePath, { p =>
+      Tables.mediaFixture(s).coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference surface (SURVEY.md §2.1 A/B/C/D ops) ------------------
@@ -426,6 +441,21 @@ object SparkEntry {
         .mediaMeta(MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
         .select(col("doc_id"), col("n_bytes"), col("content_sha"))
         .orderBy(col("doc_id"))),
+
+    "q_media_dims" -> ((s, dir) => {
+      // The media_dims kernel under the oracle gate: parse pixel
+      // dimensions out of every container-header layout the kernel
+      // supports, against expectations STORED NEXT TO the bytes in a
+      // deterministic generated fixture (no binary media table exists in
+      // the driver set — Tables.mediaFixture). The oracle reads the same
+      // fixture file and emits the stored expectations; a kernel
+      // mis-parse (or a NULL where dims exist) hash-mismatches.
+      val media = s.read.parquet(mediaFixtureFor(s))
+      MultiModal
+        .withDimensions(media, "bytes")
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
 
     "q_quality" -> ((s, dir) =>
       TextOps
@@ -1016,6 +1046,13 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fixture stores the expected dims next to the bytes; the engine
+    // side must re-derive them from the bytes alone
+    "q_media_dims" ->
+      """SELECT media_id, expected_width AS width, expected_height AS height
+        |FROM read_parquet('/tmp/graft_media_fixture/*.parquet')
+        |ORDER BY media_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id, length(text) AS n_chars,

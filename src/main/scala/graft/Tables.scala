@@ -48,4 +48,42 @@ object Tables {
     * for window / date functions. */
   def tsColumn(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Deterministic binary-media fixture: hand-crafted container headers
+    * (the minimal real bytes each parser reads) with their EXPECTED
+    * dimensions stored alongside, so the media_dims kernel is checkable
+    * by the DuckDB oracle — no binary media table exists in the driver
+    * fixture set (TESTDATA.md), so q_media_dims writes this table at
+    * query time and both engines read it back. Covers every parser
+    * branch: PNG, GIF, JPEG SOF walk, all three BMP header layouts,
+    * truncated and non-media payloads (expected NULL dims). */
+  def mediaFixture(spark: SparkSession): DataFrame = {
+    def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
+      blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
+    val gif = "GIF89a".getBytes ++ blob(0x40, 0x01, 0xf0, 0x00) // 320 x 240 LE
+    val bmpInfo = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x28, 0, 0, 0) ++
+      blob(0x00, 0x04, 0, 0) ++ blob(0x00, 0x03, 0, 0) // 1024 x 768
+    val bmpCore = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x0c, 0, 0, 0) ++
+      blob(0x40, 0x01) ++ blob(0xf0, 0x00) ++ new Array[Byte](6) // 320 x 240
+    val bmpTopDown = "BM".getBytes ++ new Array[Byte](12) ++ blob(0x28, 0, 0, 0) ++
+      blob(0x00, 0x04, 0, 0) ++ blob(0x00, 0xfd, 0xff, 0xff) // 1024 x |-768|
+    val jpg = blob(0xff, 0xd8) ++
+      blob(0xff, 0xe0, 0x00, 0x04, 0x00, 0x00) ++ // APP0, skipped by length
+      blob(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x02, 0x58, 0x03, 0x20, 0x01, 0x11, 0x00) // 800 x 600
+    val truncatedPng = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
+    val notMedia = "just some text".getBytes("UTF-8")
+    val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int])] = Seq(
+      (1L, png, Some(640), Some(480)),
+      (2L, gif, Some(320), Some(240)),
+      (3L, bmpInfo, Some(1024), Some(768)),
+      (4L, bmpCore, Some(320), Some(240)),
+      (5L, bmpTopDown, Some(1024), Some(768)),
+      (6L, jpg, Some(800), Some(600)),
+      (7L, truncatedPng, None, None),
+      (8L, notMedia, None, None))
+    import spark.implicits._
+    rows.toDF("media_id", "bytes", "expected_width", "expected_height")
+  }
 }
