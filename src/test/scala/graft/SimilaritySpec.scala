@@ -321,6 +321,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == mem, s"streamed-index probe diverged: $got vs $mem")
   }
 
+  test("filtered probes: predicate before re-rank (right k), pruning and pushdown intact") {
+    val emb = Tables.embeddings(spark, sf001)
+    // a filtered search: "top-k WHERE label <= 4" (pushable comparison)
+    val pred = col("label") <= 4
+    val qVec = vecs.find(_._1 == queryId).get._2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // LSH: filtered probe of the FULL index == in-memory flavor over the
+    // pre-filtered corpus (same seed/planes → identical candidates)
+    val (bands, bits) = (24, 3)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft-lsh-filt").toString
+    Similarity.writeLshIndex(emb, "embedding", lshDir, bands, bits)
+    val lshProbed = Similarity.probeLshIndex(
+      spark, lshDir, "vec_id", "embedding", qVec, k, bands, bits,
+      excludeId = Some(queryId), predicate = Some(pred))
+    val lshPlan = lshProbed.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("PartitionFilters") && lshPlan.contains("band"), lshPlan)
+    // the payload predicate reaches the parquet scan, it is not post-hoc
+    assert(lshPlan.contains("LessThanOrEqual(label,4)"), lshPlan)
+    val lshMem = Similarity.lshTopK(
+      emb.filter(pred || col("vec_id") === queryId),
+      "vec_id", "embedding", queryId, k, bands, bits)
+    assert(rows(lshProbed) == rows(lshMem))
+    assert(rows(lshProbed).size == k, "k must count filter survivors")
+
+    // IVF (float and quantized): filtered probe of the full index ==
+    // unfiltered probe of an index built from the pre-filtered corpus
+    // with the SAME centroids (identical routing)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val fullF = java.nio.file.Files.createTempDirectory("graft-ivf-filt-a").toString
+    val filtF = java.nio.file.Files.createTempDirectory("graft-ivf-filt-b").toString
+    Similarity.writeIvfIndex(emb, "embedding", centroids, fullF)
+    Similarity.writeIvfIndex(emb.filter(pred), "embedding", centroids, filtF)
+    val ivfGot = Similarity.probeIvfIndex(
+      spark, fullF, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId), predicate = Some(pred))
+    val ivfWant = Similarity.probeIvfIndex(
+      spark, filtF, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId))
+    assert(ivfGot.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(rows(ivfGot) == rows(ivfWant))
+
+    val fullQ = java.nio.file.Files.createTempDirectory("graft-ivfq-filt-a").toString
+    val filtQ = java.nio.file.Files.createTempDirectory("graft-ivfq-filt-b").toString
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, fullQ)
+    Similarity.writeIvfIndexQuantized(emb.filter(pred), "vec_id", "embedding", centroids, filtQ)
+    val qGot = Similarity.probeIvfIndexQuantized(
+      spark, fullQ, "vec_id", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId), predicate = Some(pred))
+    val qWant = Similarity.probeIvfIndexQuantized(
+      spark, filtQ, "vec_id", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId))
+    assert(rows(qGot) == rows(qWant))
+  }
+
   test("assignBuckets: NULL vectors get a NULL bucket; assignment is deterministic") {
     import spark.implicits._
     val df = Seq(
