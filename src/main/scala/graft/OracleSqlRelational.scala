@@ -1,0 +1,414 @@
+package graft
+
+/** DuckDB oracle SQL — relational pull/agg, changelog, windowing, event
+  * analytics, profiling, and per-document text family (SparkEntry's
+  * declared-query contract, split per-family for reviewability; see
+  * [[SparkEntry.oracleSql]] for the conventions all entries follow).
+  */
+private[graft] object OracleSqlRelational {
+
+  def entries: Map[String, String] = Map(
+    "q_project" ->
+      """SELECT l_orderkey AS L_ORDERKEY, l_partkey AS L_PARTKEY,
+        |       l_quantity AS L_QUANTITY, l_extendedprice AS L_EXTENDEDPRICE
+        |FROM lineitem
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_filter_eq" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events WHERE event_id = 42""".stripMargin,
+
+    "q_count" -> "SELECT COUNT(*) AS total FROM lineitem",
+
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_changelog_apply" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_envelope_apply" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q_live_count" ->
+      """SELECT COUNT(*) AS live_count
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'delete'""".stripMargin,
+
+    "q_topn" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+
+    "q_union_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS cnt FROM customer UNION ALL
+        |  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+        |  SELECT 'part', COUNT(*) FROM part UNION ALL
+        |  SELECT 'supplier', COUNT(*) FROM supplier) t
+        |ORDER BY tbl""".stripMargin,
+
+    "q_group_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, (user_id % 10))
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT event_type, event_id, epoch_us(ts) AS ts_us, value, rank
+        |FROM (SELECT event_type, event_id, ts, value,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+        |      FROM events) t
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q_struct_key" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_null_guard" ->
+      """SELECT event_type, COUNT(*) AS n_valid,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_tumble" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_profile" -> {
+      // per-column stats, exact-decimal sums (the exactSum convention)
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count($c) AS BIGINT) AS n,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_val,
+           |       CAST(max($c) AS DOUBLE) AS max_val,
+           |       CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_profile_approx" -> {
+      // Cross-engine HLL sketches can't hash-match, so the contract is
+      // the exact stats plus the engine-side bound check: the oracle
+      // asserts distinct_ok IS true — a sketch estimate drifting past
+      // 5% of exact turns the row red.
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count($c) AS BIGINT) AS n,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(min($c) AS DOUBLE) AS min_val,
+           |       CAST(max($c) AS DOUBLE) AS max_val,
+           |       CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS sum_val,
+           |       TRUE AS distinct_ok
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_funnel" ->
+      // greedy subsequence match == cascaded min-row-number: each step's
+      // first qualifying event strictly after the previous step's match
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.rn > s1.r GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.rn > s2.r GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, CAST(n_users AS BIGINT) AS n_users
+        |FROM c ORDER BY step""".stripMargin,
+
+    "q_funnel_window" ->
+      // first-touch window: the anchor is the ts AT the first view's
+      // row number; later steps require rn-after-previous AND
+      // within-window-of-anchor — exactly the engine fold's conditions
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |a AS (SELECT e.user_id, s1.r, e.us AS t0
+        |      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.rn = s1.r),
+        |s2 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN a USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.rn > a.r
+        |         AND e.us - a.t0 <= 3600000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.rn) AS r
+        |       FROM e JOIN s2 USING (user_id) JOIN a USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.rn > s2.r
+        |         AND e.us - a.t0 <= 3600000000 GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, step_name, CAST(n_users AS BIGINT) AS n_users
+        |FROM c ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      // day bucketing is truncation-immune: epoch_ns here is the
+      // micros-truncated read, but floor-div by a day never crosses a
+      // bucket under sub-microsecond truncation
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+        |       CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |WHERE ud.day - c.cohort_day <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_hop" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ((epoch_ns(ts) // 3600000000000) - unnest(generate_series(0, 1))) * 3600 AS window_start_sec
+        |  FROM events)
+        |SELECT window_start_sec, event_type, COUNT(*) AS cnt
+        |FROM h WHERE window_start_sec >= 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM o)
+        |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_enrich_join" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_dedup_docs" ->
+      """SELECT MIN(doc_id) AS doc_id, text
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+        |       MAX(n_chars) AS max_chars,
+        |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_repetition" ->
+      // same tokenization + 3-gram construction as the q_neardup_jaccard
+      // oracle; n_windows arithmetic mirrors the Spark projection exactly
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_windows FROM toks),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM sh GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_windows,
+        |       COALESCE(d.n_distinct, 0) AS n_distinct,
+        |       CASE WHEN w.n_windows > 0
+        |            THEN CAST(w.n_windows - COALESCE(d.n_distinct, 0) AS DOUBLE) / w.n_windows
+        |       END AS rep_ratio
+        |FROM w LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      // same Laplace arithmetic and left-to-right token-order summation
+      // as the engine's per-row fold (list_sum over list_transform is the
+      // proven cosine-oracle pattern); total/vsize over the KEPT vocab
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  WHERE term <> '' GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 65536),
+        |m AS (
+        |  SELECT map(list(term ORDER BY term), list(c ORDER BY term)) AS lm,
+        |         CAST(sum(c) AS DOUBLE) AS total,
+        |         CAST(count(*) AS DOUBLE) AS vsize
+        |  FROM vocab),
+        |score AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         list_sum(list_transform(list_filter(t, x -> x <> ''),
+        |           x -> -ln((CAST(coalesce(list_extract(map_extract(lm, x), 1), 0) AS DOUBLE) + 1.0)
+        |                    / (total + vsize + 1.0)))) AS nll
+        |  FROM toks, m)
+        |SELECT doc_id, n_tokens,
+        |       CASE WHEN n_tokens > 0 THEN nll / CAST(n_tokens AS DOUBLE) END AS avg_nll,
+        |       CASE WHEN n_tokens > 0 THEN exp(nll / CAST(n_tokens AS DOUBLE)) END AS ppl
+        |FROM score ORDER BY doc_id""".stripMargin,
+
+    "q_redact" ->
+      // same serial rule text as TextOps.serialIdRule — RE2-subset regex,
+      // so Java (Spark) and RE2 (DuckDB) agree match-for-match
+      """WITH named AS (
+        |  SELECT 'customer' AS entity, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', s_name FROM supplier),
+        |r AS (
+        |  SELECT entity,
+        |         regexp_replace(name, '#\d+', '#<ID>', 'g') AS name_redacted,
+        |         len(regexp_extract_all(name, '#\d+')) AS n
+        |  FROM named)
+        |SELECT entity, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT name_redacted) AS BIGINT) AS n_forms
+        |FROM r GROUP BY entity ORDER BY entity""".stripMargin,
+
+    "q_doc_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fixture stores the expected dims next to the bytes; the engine
+    // side must re-derive them from the bytes alone
+    "q_media_dims" ->
+      """SELECT media_id, expected_width AS width, expected_height AS height
+        |FROM read_parquet('/tmp/graft_media_fixture/*.parquet')
+        |ORDER BY media_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |       END AS punct_ratio,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text)
+        |       END AS upper_ratio,
+        |       CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |            ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / len(regexp_extract_all(text, '\S+'))
+        |       END AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT text IS NULL AS is_null,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|une)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|una|que)\b')) AS es
+        |  FROM documents)
+        |SELECT CASE WHEN is_null THEN NULL
+        |            WHEN n_chars > 0 AND cjk * 1.0 / n_chars > 0.2 THEN 'zh'
+        |            WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        |            WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |            WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |            ELSE 'es' END AS lang_pred,
+        |       COUNT(*) AS n
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_show_tables" ->
+      """SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+        |  ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+        |  ('region'), ('supplier')) t(table_name)
+        |ORDER BY table_name""".stripMargin,
+
+    // Composed curation: the quality expressions are the q_quality
+    // oracle's (kernel-exact pairing already proven there), the dedup is
+    // the q_dedup_norm oracle's (fingerprint-vs-text grouping proven
+    // there); filters apply BEFORE dedup, so survivors dedup among
+    // themselves only. Same ASCII-only-exact caveat as q_text_stats.
+    "q_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |         END AS punct_ratio
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id
+        |FROM q
+        |WHERE n_tokens BETWEEN 20 AND 400 AND punct_ratio <= 0.05
+        |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT MIN(doc_id) AS doc_id
+        |FROM documents
+        |GROUP BY trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    // The composed ingest pipeline: the q_quality gate expressions, the
+    // q_dedup_norm normalized-fingerprint grouping (anti-joined against
+    // the src0-src3 "history" first — lowest-id survivor carries its
+    // text via arg_min), then the q_chunk windowing — each stage's
+    // engine-oracle pairing is already proven by its standalone query.
+    "q_ingest" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT trim(regexp_replace(text, '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        |q AS (
+        |  SELECT doc_id, text,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text)
+        |         END AS punct_ratio
+        |  FROM documents WHERE source NOT IN ('src0','src1','src2','src3')),
+        |gated AS (
+        |  SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS fp
+        |  FROM q WHERE n_tokens BETWEEN 20 AND 400 AND punct_ratio <= 0.05),
+        |fresh AS (
+        |  SELECT MIN(g.doc_id) AS doc_id, arg_min(g.text, g.doc_id) AS text
+        |  FROM gated g LEFT JOIN hist h ON g.fp = h.fp
+        |  WHERE h.fp IS NULL
+        |  GROUP BY g.fp),
+        |toks AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM fresh),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+        |  FROM toks WHERE len(w) > 0)
+        |SELECT doc_id, (s // 24)::INT AS chunk_ix,
+        |       array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+        |       LEAST(32, len(w) - s)::INT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT lang,
+        |       CAST(SUM(len(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
