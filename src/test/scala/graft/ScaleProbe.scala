@@ -121,6 +121,54 @@ object ScaleProbe {
     copies * base.count()
   }
 
+  /** Plain row tiling for the fact table (q_profile's input): values
+    * repeat per copy — distinct counts stay constant while row volume
+    * (the Expand ×cols cost driver) grows ×copies, which is exactly the
+    * scaling axis the profile probe measures. */
+  def tileLineitem(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val base = Tables.lineitem(spark, sfDir)
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .drop("copy")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    copies * base.count()
+  }
+
+  /** Boilerplate-heavy corpus: the SAME ~250-char boilerplate block is
+    * appended to every even-id doc (~50% of the corpus), so its winnow
+    * fingerprints appear in half of all documents — the exact regime the
+    * containment pipeline's doc-frequency stop-filter exists for.
+    * Without the cap every boilerplate fingerprint forms an
+    * O((corpus/2)²) self-join bucket; with it the shared block is
+    * dropped from candidate generation and cost stays ∝ genuine
+    * overlaps. */
+  def tileDocumentsBoilerplate(
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val boiler = " Subscribe to our newsletter for updates and exclusive offers." +
+      " All rights reserved worldwide; unauthorized reproduction prohibited." +
+      " The views expressed are those of the author alone and not the publisher." +
+      " See terms and conditions on our website for further details and policies."
+    require(copies <= vowelMaps.length, s"at most ${vowelMaps.length} copies")
+    val base = Tables.documents(spark, sfDir)
+    val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val mutated = vowelMaps.take(copies).zipWithIndex.drop(1)
+      .foldLeft(when(col("copy") === 0, col("text"))) {
+        case (acc, (m, i)) =>
+          acc.when(col("copy") === i, translate(col("text"), "aeiou", m))
+      }
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .select(
+        (col("doc_id") + col("copy") * span).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(mutated, lit(boiler)))
+          .otherwise(mutated).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
   private def usedHeapMb(): Long = {
     System.gc(); System.gc()
     val r = Runtime.getRuntime
@@ -143,7 +191,12 @@ object ScaleProbe {
       // round-7 batch 3: df-join + per-doc window, pure-projection quantize
       "q_rare_terms", "q_quantize",
       // round-7 batch 4: fingerprint anti-join, multi-distinct profile
-      "q_dedup_incr", "q_report")
+      "q_dedup_incr", "q_report",
+      // round-9 operators: winnow-fingerprint self-joins, the secondary-
+      // sort funnel fold, Expand-shaped profiling, BM25 scan + persisted
+      // index probe, broadcast-LM scoring, the composed ingest facade
+      "q_containment", "q_subsume", "q_funnel", "q_profile",
+      "q_bm25", "q_bm25_indexed", "q_lm_score", "q_ingest")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
@@ -152,9 +205,11 @@ object ScaleProbe {
       val n1 = tileDocuments(spark, sfDir, oneDir, 1)
       tileEmbeddings(spark, sfDir, oneDir, 1)
       tileEvents(spark, sfDir, oneDir, 1)
+      tileLineitem(spark, sfDir, oneDir, 1)
       val nBig = tileDocuments(spark, sfDir, bigDir, copies)
       tileEmbeddings(spark, sfDir, bigDir, copies)
       tileEvents(spark, sfDir, bigDir, copies)
+      tileLineitem(spark, sfDir, bigDir, copies)
       println(s"SCALEPROBE docs x1=$n1 x$copies=$nBig")
 
       def run(dir: String, name: String): Double = {
@@ -259,6 +314,41 @@ object ScaleProbe {
       val tSalt = (1 to 2).map(_ => timeDf(asofQuery(skewDir, 8))).min
       println(f"SCALEPROBE asof-salt hotkey unsalted=$tPlain%6.2f s salts8=$tSalt%6.2f s " +
         f"ratio=${tSalt / tPlain}%5.2f")
+
+      // ---- adjudication 2b: hot-USER funnel (one user holds ~50% of all
+      // events — the mapPartitions fold's skew axis). The fold streams a
+      // user's run in O(1) memory, so the hot user costs one task TIME
+      // (its secondary sort + linear scan), never aggregation-buffer
+      // memory; the probe pins that the degradation is a small constant,
+      // not a blow-up (and that no OOM/spill death occurs).
+      run(skewDir, "q_funnel") // warm
+      val fUniform = (1 to 2).map(_ => run(bigDir, "q_funnel")).min
+      val fHot = (1 to 2).map(_ => run(skewDir, "q_funnel")).min
+      val fRatio = fHot / fUniform
+      println(f"SCALEPROBE skew q_funnel       uniform=$fUniform%6.2f s hotkey=$fHot%6.2f s " +
+        f"ratio=$fRatio%5.2f")
+      // one task serializes ~50% of events: bounded by ~(0.5·cores) in
+      // theory; 10× flags a genuine blow-up (quadratic fold or buffer)
+      if (fRatio > 10.0) failures ::= f"q_funnel hot-user ratio $fRatio%.1f > 10"
+
+      // ---- adjudication 2c: boilerplate-heavy containment (the winnow
+      // doc-frequency stop-filter's reason to exist: a shared block in
+      // 50% of docs would otherwise form O((corpus/2)²) fingerprint
+      // buckets). Same corpus size as x1 — the ratio isolates the
+      // boilerplate's cost, and the stop-filter must keep it a small
+      // constant instead of candidate-explosion quadratic.
+      val boilDir = s"$work/boiler"
+      tileDocumentsBoilerplate(spark, sfDir, boilDir, 1)
+      Seq("q_containment", "q_subsume").foreach { name =>
+        run(boilDir, name) // warm
+        val tClean = (1 to 2).map(_ => run(oneDir, name)).min
+        val tBoil = (1 to 2).map(_ => run(boilDir, name)).min
+        val bRatio = tBoil / tClean
+        println(f"SCALEPROBE boiler $name%-14s clean=$tClean%6.2f s boiler=$tBoil%6.2f s " +
+          f"ratio=$bRatio%5.2f")
+        if (bRatio > 10.0)
+          failures ::= f"$name boilerplate ratio $bRatio%.1f > 10 (stop-filter not capping?)"
+      }
 
       // At probe scale no partition crosses AQE's skew thresholds (256 MiB
       // default) and small sides broadcast — so the split decision never
