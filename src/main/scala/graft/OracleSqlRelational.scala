@@ -274,6 +274,49 @@ private[graft] object OracleSqlRelational {
         |       CASE WHEN n_tokens > 0 THEN exp(nll / CAST(n_tokens AS DOUBLE)) END AS ppl
         |FROM score ORDER BY doc_id""".stripMargin,
 
+    // DSIR importance weight = NLL_raw − NLL_target: TWO of the
+    // q_lm_score folds (target model over the English slice, raw model
+    // over the whole corpus — same Laplace arithmetic, same token-order
+    // list_sum), one IEEE subtraction; empty docs coalesce to 0.0
+    // exactly like the engine's empty fold.
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |vt AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks WHERE lang = 'en')
+        |  WHERE term <> '' GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 65536),
+        |mt AS (
+        |  SELECT map(list(term ORDER BY term), list(c ORDER BY term)) AS lm_t,
+        |         CAST(sum(c) AS DOUBLE) AS total_t,
+        |         CAST(count(*) AS DOUBLE) AS vsize_t
+        |  FROM vt),
+        |vr AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  WHERE term <> '' GROUP BY term
+        |  ORDER BY c DESC, term LIMIT 65536),
+        |mr AS (
+        |  SELECT map(list(term ORDER BY term), list(c ORDER BY term)) AS lm_r,
+        |         CAST(sum(c) AS DOUBLE) AS total_r,
+        |         CAST(count(*) AS DOUBLE) AS vsize_r
+        |  FROM vr),
+        |score AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(t, x -> x <> '')) AS BIGINT) AS n_tokens,
+        |         coalesce(list_sum(list_transform(list_filter(t, x -> x <> ''),
+        |           x -> -ln((CAST(coalesce(list_extract(map_extract(lm_r, x), 1), 0) AS DOUBLE) + 1.0)
+        |                    / (total_r + vsize_r + 1.0)))), 0.0)
+        |         - coalesce(list_sum(list_transform(list_filter(t, x -> x <> ''),
+        |           x -> -ln((CAST(coalesce(list_extract(map_extract(lm_t, x), 1), 0) AS DOUBLE) + 1.0)
+        |                    / (total_t + vsize_t + 1.0)))), 0.0) AS weight
+        |  FROM toks, mt, mr)
+        |SELECT doc_id, n_tokens, weight, weight >= 0.0 AS kept
+        |FROM score ORDER BY doc_id""".stripMargin,
+
     "q_redact" ->
       // same serial rule text as TextOps.serialIdRule — RE2-subset regex,
       // so Java (Spark) and RE2 (DuckDB) agree match-for-match

@@ -302,6 +302,18 @@ private[graft] object OracleSqlSimilarity {
         |      < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
 
+    // Same md5 digest text and (digest, id) ordering as TextOps.sourceCap
+    // — both engines emit lowercase-hex md5 and compare it
+    // lexicographically, so the per-source winner set is identical.
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5('cap:' || source || ':' || doc_id), doc_id) AS rk
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL) t
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
     // 32-token windows every 24 tokens; starts while inside the doc, so
     // the tail chunk is emitted (generate_series/sequence are both
     // stop-inclusive with explicit step — same start set).
@@ -358,6 +370,23 @@ private[graft] object OracleSqlSimilarity {
         |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Cross-engine GK-sketch values can't hash-match, so the contract is
+    // the exact quantiles plus the engine-side rank-bound check: the
+    // oracle asserts approx_ok IS true — a sketch estimate drifting past
+    // its rank guarantee turns the row red.
+    "q_quantiles_approx" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang,
+        |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN n_chars END) AS p50,
+        |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,
+        |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99,
+        |       TRUE AS approx_ok
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Sliding word windows as space-joined strings; DuckDB list slicing
     // w[i : i+1] is stop-INCLUSIVE (2 tokens), generate_series(1, len-1)
     // is empty when len < 2 — same window set as the engine's
@@ -372,6 +401,22 @@ private[graft] object OracleSqlSimilarity {
         |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
         |SELECT ngram, COUNT(*) AS cnt
         |FROM g GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // Same sliding-window machinery as q_bigrams, filtered to the
+    // phrase: overlapping occurrences each count (all windows with
+    // multiplicity), docs without the phrase drop out, integer ranking.
+    "q_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |                      ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        |  WHERE array_to_string(w[i : i + 1], ' ') = 'table hash'
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_occurrences
+        |FROM c ORDER BY n DESC, doc_id LIMIT 10""".stripMargin,
 
     // Token count by the same length arithmetic as the engine
     // (whitespace runs collapse to single spaces → spaces+1); the share

@@ -287,6 +287,16 @@ object SparkEntry {
       // probabilities; vocab head bounded, tail smoothed as OOV.
       TextOps.unigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
 
+    "q_dsir" -> ((s, dir) =>
+      // DSIR-style importance weighting: log p_target − log p_raw per doc
+      // under two Laplace-smoothed unigram models (target = the English
+      // slice, raw = the whole corpus), computed as NLL_raw − NLL_target
+      // via two passes of the same unigram_nll kernel; kept = weight ≥ 0
+      // is the deterministic threshold-gate flavor of the resample.
+      TextOps.dsirWeights(
+        Tables.documents(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", tau = 0.0)),
+
     "q_redact" -> ((s, dir) => {
       // PII-style identifier scrub over the fixture's serial entity names
       // (the spec exercises the email/IP/phone rule set on crafted text;
@@ -504,6 +514,15 @@ object SparkEntry {
         Seq("spark", "window", "merge"),
         k = 10, buckets = Bm25IndexBuckets)),
 
+    "q_phrase" -> ((s, dir) =>
+      // Positional phrase retrieval (the query bag-of-words BM25 can't
+      // express): top-10 docs by occurrences of the consecutive-token
+      // phrase "table hash" — one kernel-window filter per row +
+      // TakeOrdered, zero shuffle, integer-exact ranking.
+      Search.phraseTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        phrase = Seq("table", "hash"), k = 10)),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.embeddings(s, dir),
@@ -606,6 +625,14 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy(col("doc_id"))),
 
+    "q_source_cap" -> ((s, dir) =>
+      // Mixture enforcement: at most 10 docs per source, picked by
+      // deterministic hash order (the anti-domination quota a crawl
+      // mixture needs) — narrow rank + semi-join, text never shuffles.
+      TextOps.sourceCap(Tables.documents(s, dir), "doc_id", "source", cap = 10)
+        .select("doc_id", "source")
+        .orderBy(col("doc_id"))),
+
     "q_chunk" -> ((s, dir) =>
       // Context-window chunking: 32-token windows every 24 tokens (8-token
       // overlap), tail chunk included — pure explode, no shuffle.
@@ -638,6 +665,18 @@ object SparkEntry {
         .groupQuantilesDisc(
           Tables.documents(s, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
         .orderBy(col("lang"))),
+
+    "q_quantiles_approx" -> ((s, dir) =>
+      // The documented 100 TB swap-in for q_quantiles, promoted to its
+      // own oracle row (the q_profile_approx pattern): the GK sketch
+      // replaces the per-key window sort with one hash aggregate.
+      // Cross-engine sketch values can't hash-match, so the declared
+      // output is the exact quantiles plus approx_ok — every sketch
+      // estimate must land within its rank guarantee of exact (vs the
+      // oracle's literal TRUE). Exact here is the sf-sized yardstick;
+      // the swap-in itself never computes it.
+      Relational.groupQuantilesApproxChecked(
+        Tables.documents(s, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
 
     "q_bigrams" -> ((s, dir) =>
       // Word-bigram LM count head: top-50 word pairs — explode windows,

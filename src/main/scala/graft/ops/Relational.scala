@@ -116,6 +116,80 @@ object Relational {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The 100 TB flavor of [[groupQuantilesDisc]]: `percentile_approx`
+    * (Greenwald-Khanna sketch at `accuracy`) per group in ONE hash
+    * aggregate — map-side-combinable sketch state, NO per-key window
+    * sort, so the per-group cost is O(values) regardless of skew (the
+    * exact path's hot-group sort axis disappears). The sketch's
+    * guarantee is a RANK error ≤ n/accuracy, which is what
+    * [[groupQuantilesApproxChecked]] verifies against the exact values.
+    * Deterministic for a given dataset (GK compression is
+    * content-driven, not sampled). */
+  def groupQuantilesApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    val aggs = ps.map { p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}_approx")
+    }
+    df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Verification harness for the [[groupQuantilesApprox]] swap-in (the
+    * q_profile_approx pattern): emits the EXACT discrete quantiles (the
+    * hash-matchable yardstick) plus one `approx_ok` column asserting
+    * every sketch estimate lies between the exact values at ranks
+    * `target ± (⌈n/accuracy⌉ + 2)` — the sketch's rank guarantee with
+    * +2 slack for the discrete-vs-sketch target-rank convention
+    * difference (`⌊p·(n−1)⌋+1` here vs the sketch's `p·n`). A sketch
+    * drifting past its bound turns the row red under the driver gate.
+    * Computes the exact path as the sf-sized yardstick; the swap-in
+    * itself ([[groupQuantilesApprox]]) never does. */
+  def groupQuantilesApproxChecked(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = groupQuantilesDisc(df, groupCol, valueCol, ps)
+    val approx = groupQuantilesApprox(df, groupCol, valueCol, ps, accuracy)
+    val ranked = df
+      .select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(valueCol)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val slack = ceil(col("__n").cast("double") / lit(accuracy.toDouble)).cast("long") + lit(2L)
+    val boundAggs = ps.flatMap { p =>
+      val name = s"p${(p * 100).round}"
+      val target = floor(lit(p) * (col("__n") - 1)) + 1
+      Seq(
+        max(when(col("__rk") === greatest(target - slack, lit(1L)), col(valueCol)))
+          .as(s"${name}_lo"),
+        max(when(col("__rk") === least(target + slack, col("__n")), col(valueCol)))
+          .as(s"${name}_hi"))
+    }
+    val bounds = ranked.groupBy(col(groupCol)).agg(boundAggs.head, boundAggs.tail: _*)
+    val names = ps.map(p => s"p${(p * 100).round}")
+    val ok = names
+      .map(n => col(s"${n}_approx").between(col(s"${n}_lo"), col(s"${n}_hi")))
+      .reduceLeft(_ && _)
+    exact
+      .join(approx, groupCol)
+      .join(bounds, groupCol)
+      .select(col(groupCol) +: names.map(col) :+ ok.as("approx_ok"): _*)
+      .orderBy(col(groupCol))
+  }
+
   /** TPC-H-Q1-shaped pricing summary: the canonical scan-heavy OLAP
     * aggregate — per (returnflag, linestatus): row count, exact sums of
     * quantity / base price / discounted price / discounted+taxed charge,

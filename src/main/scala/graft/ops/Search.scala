@@ -79,6 +79,38 @@ object Search {
       .limit(k)
   }
 
+  /** Exact-phrase retrieval: the top `k` documents containing `phrase`
+    * as CONSECUTIVE whitespace tokens, ranked by occurrence count (ties
+    * by ascending id) — the positional query BM25's bag-of-words
+    * scoring cannot express ("new york" must not match "york … new").
+    *
+    * Occurrences are counted per row by filtering the `word_ngrams`
+    * kernel's window array against the joined phrase (all windows with
+    * multiplicity, so overlapping matches each count — "a a a" contains
+    * "a a" twice), the same counting surface `q_bigrams` builds its LM
+    * head from. Pure per-row projection + filter +
+    * TakeOrderedAndProject: zero shuffle at any corpus size, and the
+    * integer count ranking is engine-exact. Docs without the phrase are
+    * filtered out, so a scarce phrase returns fewer than `k` rows
+    * rather than zero-score padding. */
+  def phraseTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(phrase.nonEmpty, "phraseTopK needs a non-empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase words must be single whitespace-free tokens: $phrase")
+    val needle = phrase.mkString(" ")
+    val windows = graft.functions.native.wordNgrams(col(textCol), phrase.length)
+    val occ = size(filter(windows, w => w === lit(needle))).cast("bigint")
+    df.select(col(idCol), occ.as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Build the persisted BM25 posting index under `path` — the
     * amortize-the-scan swap-in for query volumes where two scans per
     * query stop being cheap:

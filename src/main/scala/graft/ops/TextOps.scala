@@ -352,6 +352,46 @@ object TextOps {
     df.filter(u32 < rate * lit(4294967296.0))
   }
 
+  /** Deterministic per-stratum quota cap — mixture ENFORCEMENT where
+    * [[deterministicSample]] is mixture scaling: keep at most `cap` rows
+    * per stratum (source/domain/site), chosen by ascending
+    * `md5(salt ‖ ":" ‖ strata ‖ ":" ‖ id)` so the surviving subset is a
+    * uniform, engine/run/partitioning-independent draw (the hash order
+    * IS the reservoir — re-runs and incremental backfills pick the same
+    * winners, and growing a stratum only ever evicts, never reshuffles,
+    * earlier picks beyond the cap). The anti-domination rule of a
+    * pretraining mixture: no domain may exceed its quota no matter how
+    * large its crawl is. NULL strata are dropped (the
+    * [[deterministicSample]] convention).
+    *
+    * Scale shape: rank runs on a NARROW (strata, id, digest) projection
+    * — one exchange of ~50 B rows, text never shuffles — and survivors
+    * come back via a semi-join on the id, whose left side is bounded at
+    * `cap × |strata|` rows and broadcasts under AQE in the common
+    * regime. The per-stratum window sort is the same skew axis as
+    * [[Relational.topNPerGroup]] (a hot stratum sorts in one task —
+    * n·log n of 50 B rows, not of documents). */
+  def sourceCap(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap >= 1, s"cap must be positive: $cap")
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(concat(
+      lit(salt), lit(":"), col(strataCol).cast("string"), lit(":"), col(idCol).cast("string")))
+    val winners = df
+      .select(col(strataCol), col(idCol))
+      .filter(col(strataCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__ck", digest)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(col("__ck"), col(idCol))))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Token-stream packing: lay the corpus out as fixed-`budget`-token
     * training sequences — the step after [[chunk]] in a pretraining
     * pipeline (concatenate documents in order, cut every `budget`
@@ -679,6 +719,53 @@ object TextOps {
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
     UnigramLm(vocab, vocab.map(_._2).sum.toDouble, vocab.size.toDouble)
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced to the
+    * unigram features the engine already trains): per document, the
+    * log importance weight
+    * `log p_target(doc) − log p_raw(doc)` under two Laplace-smoothed
+    * unigram models — one trained on the `targetPred` slice (the domain
+    * you want more of), one on the whole frame (the raw crawl) — plus
+    * `kept = weight ≥ tau`, the deterministic threshold-gate flavor of
+    * DSIR's resampling step (re-runs and backfills agree row-for-row;
+    * swap in Gumbel-top-k when a sized sample matters more than a
+    * stable gate). The algebra is the reuse: `log p(doc)` is exactly
+    * `−NLL(doc)`, so `weight = NLL_raw − NLL_target`, two passes of the
+    * SAME codegen'd `unigram_nll` kernel [[unigramLmScore]] scores
+    * with, subtracted — per-token lns accumulate left-to-right in each
+    * fold and the subtraction is one IEEE op, so the SQL oracle
+    * (two list_sum folds, one subtraction) lands on identical doubles.
+    *
+    * Scale shape: two bounded-vocab builds (each the
+    * [[trainUnigramLm]] posture — exchange ∝ distinct terms, collect
+    * capped at `maxVocab`), then scoring is ONE zero-shuffle projection
+    * through two kernel columns; the corpus never shuffles. Hashed
+    * bigram buckets (the paper's feature space) are the same fold over
+    * `word_ngrams(text, 2)` tokens — the unigram form is the
+    * oracle-checkable core. Empty docs weigh exactly 0.0 (the empty
+    * fold) and pass iff `tau ≤ 0`. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      tau: Double = 0.0,
+      maxVocab: Int = 65536): DataFrame = {
+    val target = trainUnigramLm(df.filter(targetPred), textCol, maxVocab)
+    val raw = trainUnigramLm(df, textCol, maxVocab)
+    require(target.vsize > 0, "target slice has an empty vocabulary")
+    val nllT = graft.functions.native.unigramNll(
+      col(textCol), target.vocab, target.total, target.vsize)
+    val nllR = graft.functions.native.unigramNll(
+      col(textCol), raw.vocab, raw.total, raw.vsize)
+    df.select(
+        col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
+        (nllR - nllT).as("weight"))
+      .withColumn("kept", col("weight") >= lit(tau))
+      .orderBy(col("doc_id"))
   }
 
   /** One redaction rule: a regex and the typed placeholder that replaces

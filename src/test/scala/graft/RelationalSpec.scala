@@ -185,4 +185,41 @@ class RelationalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Relational.profile(df, Seq.empty))
     intercept[IllegalArgumentException](Relational.profile(df, Seq("a", "a")))
   }
+
+  test("groupQuantilesApprox plans as ONE hash aggregate — no per-key window sort") {
+    val docs = Tables.documents(spark, sf001)
+    val approx = Relational.groupQuantilesApprox(docs, "lang", "n_chars", Seq(0.5, 0.9, 0.99))
+      .queryExecution.executedPlan.toString
+    val exact = Relational.groupQuantilesDisc(docs, "lang", "n_chars", Seq(0.5, 0.9, 0.99))
+      .queryExecution.executedPlan.toString
+    // the exact path's honest cost: a per-key Window sort
+    assert(exact.contains("Window"), exact)
+    // the sketch path: aggregate only, no window, no per-key sort
+    assert(!approx.contains("Window"), approx)
+  }
+
+  test("groupQuantilesApproxChecked: exact columns match the exact path, bound check holds") {
+    val docs = Tables.documents(spark, sf001)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val checked = Relational.groupQuantilesApproxChecked(docs, "lang", "n_chars", ps)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val exact = Relational.groupQuantilesDisc(docs, "lang", "n_chars", ps)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(checked.keySet == exact.keySet)
+    checked.foreach { case (lang, (p50, p90, p99, ok)) =>
+      assert((p50, p90, p99) == exact(lang), lang)
+      assert(ok, s"sketch estimate out of its rank bound for $lang")
+    }
+    // at fixture scale (n < accuracy) the sketch's rank error is < 1, so
+    // the estimates should in fact BE data values inside a tight window —
+    // the bound check above is the contract, this pins the regime
+    val approx = Relational.groupQuantilesApprox(docs, "lang", "n_chars", ps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val values = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    approx.foreach { case (lang, p50a) =>
+      assert(values(lang).exists(_._2 == p50a), s"$lang p50 estimate not a data value")
+    }
+  }
 }

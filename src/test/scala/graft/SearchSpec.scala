@@ -90,4 +90,36 @@ class SearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq("a", "a")))
     intercept[IllegalArgumentException](Search.bm25TopK(docs, "doc_id", "text", Seq("a b")))
   }
+
+  test("phraseTopK: consecutive-token matches only, overlaps count, rank (count desc, id)") {
+    val docs = Seq(
+      (1L, "new york new york city"), // two occurrences
+      (2L, "york new"),               // reversed — no match
+      (3L, "in new york today"),      // one occurrence
+      (4L, ""),                       // empty doc
+      (5L, "new  york")               // whitespace run collapses — matches
+    ).toDF("doc_id", "text")
+    val got = Search.phraseTopK(docs, "doc_id", "text", Seq("new", "york"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (5L, 1L)))
+    // overlapping windows each count: "a a a" contains "a a" twice
+    val over = Seq((1L, "a a a")).toDF("doc_id", "text")
+    assert(Search.phraseTopK(over, "doc_id", "text", Seq("a", "a")).head().getLong(1) == 2L)
+    // absent phrase → empty result, not zero-score padding
+    assert(Search.phraseTopK(docs, "doc_id", "text", Seq("absent", "phrase")).isEmpty)
+  }
+
+  test("phraseTopK plans with no Exchange — per-row windows + TakeOrdered only") {
+    val docs = Tables.documents(spark, sf001)
+    val p = Search.phraseTopK(docs, "doc_id", "text", Seq("table", "hash"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("phraseTopK rejects empty and multi-token phrase words") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Search.phraseTopK(docs, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](Search.phraseTopK(docs, "doc_id", "text", Seq("a b")))
+  }
 }

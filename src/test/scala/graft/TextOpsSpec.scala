@@ -559,4 +559,69 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1L) == ((1, "Customer#<ID>")))
     assert(got(2L) == ((2, "Supplier#<ID> and Customer#<ID>")))
   }
+
+  test("sourceCap: per-stratum quota, hash-order winners, partitioning-independent") {
+    val docs = Tables.documents(spark, sf001)
+    val cap3 = TextOps.sourceCap(docs, "doc_id", "source", cap = 3)
+    val perSrc = cap3.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 3), perSrc.toSeq)
+    val ids3 = cap3.select("doc_id").collect().map(_.getLong(0)).toSet
+    // same verdict under a different physical partitioning
+    val ids3b = TextOps.sourceCap(docs.repartition(7), "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 == ids3b)
+    // the hash order IS the reservoir: growing the cap only adds winners
+    val ids5 = TextOps.sourceCap(docs, "doc_id", "source", cap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids5))
+    // survivors keep their full row (semi-join, not a projection)
+    assert(cap3.columns.toSeq == docs.columns.toSeq)
+    intercept[IllegalArgumentException](TextOps.sourceCap(docs, "doc_id", "source", cap = 0))
+  }
+
+  test("sourceCap drops NULL-stratum rows (the deterministicSample convention)") {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "src")
+      .withColumn("src", when(col("doc_id") =!= 3L, col("src")))
+    val got = TextOps.sourceCap(df, "doc_id", "src", cap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("dsirWeights matches the two-model Laplace algebra and separates the target slice") {
+    // target model on the 't' slice: {a:3}, total 3, V=1; raw model on
+    // all docs: {a:3, b:3}, total 6, V=2 — hand arithmetic
+    val docs = Seq((1L, "a a a", "t"), (2L, "b b b", "r"), (3L, "", "r"))
+      .toDF("doc_id", "text", "slice")
+    val got = graft.ops.TextOps.dsirWeights(
+        docs, "doc_id", "text", org.apache.spark.sql.functions.col("slice") === "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    def nll(c: Long, total: Double, v: Double) = -math.log((c + 1.0) / (total + v + 1.0))
+    val wa = 3.0 * nll(3, 6, 2) - 3.0 * nll(3, 3, 1) // a: raw − target
+    val wb = 3.0 * nll(3, 6, 2) - 3.0 * nll(0, 3, 1) // b: OOV under target
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - wa) < 1e-12 && got(1L)._3)
+    assert(got(2L)._1 == 3L && math.abs(got(2L)._2 - wb) < 1e-12 && !got(2L)._3)
+    // empty doc: the empty fold weighs exactly 0.0 and passes at tau = 0
+    assert(got(3L) == ((0L, 0.0, true)))
+    // target-resembling docs outscore the rest on the fixture
+    val fix = graft.ops.TextOps.dsirWeights(
+        Tables.documents(spark, sf001), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .join(Tables.documents(spark, sf001), "doc_id")
+      .select("lang", "weight").collect().map(r => r.getString(0) -> r.getDouble(1))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val (en, rest) = fix.partition(_._1 == "en")
+    assert(mean(en.map(_._2)) > mean(rest.map(_._2)))
+  }
+
+  test("dsirWeights scoring is a zero-shuffle projection — the corpus never exchanges") {
+    val docs = Tables.documents(spark, sf001)
+    val p = graft.ops.TextOps.dsirWeights(
+        docs, "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // the only allowed exchange is the oracle-determinism output sort's
+    // range partitioning; no hash exchange touches the corpus
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
