@@ -694,11 +694,16 @@ object TextOps {
     * other frame than the one it was trained on (train on the trusted
     * history, gate arriving docs). */
   final case class UnigramLm(vocab: Seq[(String, Long)], total: Double, vsize: Double) {
+    /** Total negative log-likelihood — the un-averaged left-to-right
+      * fold (exactly 0.0 for empty docs); `−log p(doc)`, the quantity
+      * [[dsirWeights]]'s importance algebra subtracts. */
+    def nll(text: Column): Column =
+      graft.functions.native.unigramNll(text, vocab, total, vsize)
+
     /** Average negative log-likelihood per token; NULL for empty docs. */
     def avgNll(text: Column): Column = {
       val nTok = tokenCount(text)
-      val nll = graft.functions.native.unigramNll(text, vocab, total, vsize)
-      when(nTok > 0, nll / nTok.cast("double"))
+      when(nTok > 0, nll(text) / nTok.cast("double"))
     }
   }
 
@@ -756,14 +761,10 @@ object TextOps {
     val target = trainUnigramLm(df.filter(targetPred), textCol, maxVocab)
     val raw = trainUnigramLm(df, textCol, maxVocab)
     require(target.vsize > 0, "target slice has an empty vocabulary")
-    val nllT = graft.functions.native.unigramNll(
-      col(textCol), target.vocab, target.total, target.vsize)
-    val nllR = graft.functions.native.unigramNll(
-      col(textCol), raw.vocab, raw.total, raw.vsize)
     df.select(
         col(idCol).as("doc_id"),
         tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
-        (nllR - nllT).as("weight"))
+        (raw.nll(col(textCol)) - target.nll(col(textCol))).as("weight"))
       .withColumn("kept", col("weight") >= lit(tau))
       .orderBy(col("doc_id"))
   }

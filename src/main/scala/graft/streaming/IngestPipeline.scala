@@ -52,7 +52,15 @@ object IngestPipeline {
       // stateless projection, so the gate works identically in the
       // batch and streaming flavors (None = off)
       lm: Option[TextOps.UnigramLm] = None,
-      maxAvgNll: Double = Double.MaxValue)
+      maxAvgNll: Double = Double.MaxValue,
+      // optional DSIR gate ([[TextOps.dsirWeights]] algebra): keep docs
+      // whose importance weight NLL_raw − NLL_target clears the floor,
+      // under (target, raw) models trained OUTSIDE the pipeline (target
+      // on the domain you want more of, raw on the crawl). A stateless
+      // projection like the perplexity gate, so batch and stream gate
+      // identically (None = off)
+      dsir: Option[(TextOps.UnigramLm, TextOps.UnigramLm)] = None,
+      minDsirWeight: Double = Double.MinValue)
 
   /** The whole adopter path from FILES: JSONL documents dropped under
     * `inDir` flow through quarantine → gates → dedup → chunking into the
@@ -117,9 +125,17 @@ object IngestPipeline {
       .select(passthrough: _*)
     // perplexity gate (stateless projection): NULL scores — empty docs —
     // fail the predicate and drop, consistent with minTokens >= 1
-    cfg.lm match {
+    val ppl = cfg.lm match {
       case Some(lm) => gated.filter(lm.avgNll(col(cfg.textCol)) <= cfg.maxAvgNll)
       case None => gated
+    }
+    // DSIR gate (stateless projection): empty docs weigh exactly 0.0 and
+    // pass iff the floor is ≤ 0 — but minTokens >= 1 drops them upstream
+    cfg.dsir match {
+      case Some((target, raw)) =>
+        ppl.filter(
+          (raw.nll(col(cfg.textCol)) - target.nll(col(cfg.textCol))) >= cfg.minDsirWeight)
+      case None => ppl
     }
   }
 

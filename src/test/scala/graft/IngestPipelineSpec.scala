@@ -100,6 +100,39 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, "contact <EMAIL> about one two three")))
   }
 
+  test("optional DSIR gate: off-domain docs dropped by the importance floor") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // target = the domain we want more of; raw = the whole mixed crawl
+    val targetDocs = Seq(
+      (100L, "one two three four five"),
+      (101L, "two three four five six"))
+      .toDF("doc_id", "text")
+    val crawlDocs = targetDocs.unionByName(Seq(
+      (102L, "zxqv wkjh qpzm vbnx glrt"),
+      (103L, "wkjh qpzm vbnx glrt mmnn"))
+      .toDF("doc_id", "text"))
+    val target = graft.ops.TextOps.trainUnigramLm(targetDocs, "text")
+    val raw = graft.ops.TextOps.trainUnigramLm(crawlDocs, "text")
+    val incoming = Seq(
+      (1L, "one two three four"), // target-resembling: weight > 0
+      (2L, "zxqv wkjh qpzm vbnx")) // off-domain: weight < 0
+      .toDF("doc_id", "text")
+    val cfg = IngestPipeline.Config(
+      outDir = "", checkpointDir = "",
+      minTokens = 2, chunkWindow = 16, chunkStride = 16,
+      dsir = Some((target, raw)), minDsirWeight = 0.0)
+    val got = IngestPipeline.batch(incoming, history, cfg)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "one two three four")))
+    // the gate is a stateless projection: the same floor on the
+    // dsirWeights operator agrees doc-for-doc (batch == stream algebra)
+    val w = graft.ops.TextOps.dsirWeights(
+        crawlDocs.unionByName(incoming), "doc_id", "text",
+        org.apache.spark.sql.functions.col("doc_id").isin(100L, 101L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(w(102L) == false && w(103L) == false)
+  }
+
   test("raw (pre-redaction) history still blocks its scrubbed incoming twin") {
     // history holds the document AS INGESTED — PII intact. The pipeline
     // scrubs incoming docs before the anti-join, so history must be

@@ -196,7 +196,11 @@ object ScaleProbe {
       // sort funnel fold, Expand-shaped profiling, BM25 scan + persisted
       // index probe, broadcast-LM scoring, the composed ingest facade
       "q_containment", "q_subsume", "q_funnel", "q_profile",
-      "q_bm25", "q_bm25_indexed", "q_lm_score", "q_ingest")
+      "q_bm25", "q_bm25_indexed", "q_lm_score", "q_ingest",
+      // round-10 operators: the GK-sketch quantile swap-in (plus its
+      // exact yardstick join), the narrow-rank source quota, the
+      // zero-shuffle phrase scan, and the two-model DSIR weighting
+      "q_quantiles_approx", "q_source_cap", "q_phrase", "q_dsir")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
