@@ -213,7 +213,7 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))),
 
-    "q_profile_approx" -> ((s, dir) => {
+    "q_profile_approx" -> ((s, dir) =>
       // The documented 100 TB swap-in for q_profile, promoted to its own
       // oracle row: approx_count_distinct (HLL++, rsd 1%) replaces the
       // Expand-shaped exact multi-distinct. Cross-engine HLL estimates
@@ -221,21 +221,13 @@ object SparkEntry {
       // a `distinct_ok` bound check — the sketch estimate, computed
       // engine-side, must land within 5% of the exact count (vs the
       // oracle's literal TRUE). The exact count here is the sf-sized
-      // verification yardstick; the operator itself never computes it.
-      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-      val li = Tables.lineitem(s, dir)
-      val approx = Relational.profileApprox(li, cols, rsd = 0.01)
-      val exact = Relational.profile(li, cols)
-        .select(col("col_name"), col("n_distinct"))
-      approx
-        .join(exact, "col_name")
-        .select(
-          col("col_name"), col("n"), col("n_nulls"),
-          col("min_val"), col("max_val"), col("sum_val"),
-          (abs(col("n_distinct_approx") - col("n_distinct"))
-            <= col("n_distinct") * lit(0.05)).as("distinct_ok"))
-        .orderBy(col("col_name"))
-    }),
+      // verification yardstick computed in the SAME single aggregate
+      // pass; the swap-in operator itself (Relational.profileApprox)
+      // never computes it.
+      Relational.profileApproxChecked(
+        Tables.lineitem(s, dir),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        rsd = 0.01)),
 
     "q_funnel" -> ((s, dir) =>
       // view -> click -> purchase conversion funnel: greedy subsequence

@@ -116,6 +116,47 @@ object Relational {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Verification harness for the [[profileApprox]] swap-in: exact
+    * stats plus `distinct_ok` — the HLL++ estimate must land within
+    * `tol` of the exact distinct count. ONE combined aggregate pass
+    * (the Expand the exact multi-distinct costs anyway, with the
+    * sketch riding the same scan) — not exact + approx as two scans
+    * joined, which would double the yardstick's cost for nothing. */
+  def profileApproxChecked(
+      df: DataFrame,
+      cols: Seq[String],
+      rsd: Double = 0.01,
+      tol: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileApproxChecked needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct_approx"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        exactSumDouble(col(c)).as(s"${c}__sum"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"),
+        col(s"${c}__sum").as("sum_val"),
+        (abs(col(s"${c}__distinct_approx") - col(s"${c}__distinct"))
+          <= col(s"${c}__distinct").cast("double") * lit(tol)).as("distinct_ok"))
+    }
+    one
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** The 100 TB flavor of [[groupQuantilesDisc]]: `percentile_approx`
     * (Greenwald-Khanna sketch at `accuracy`) per group in ONE hash
     * aggregate — map-side-combinable sketch state, NO per-key window
