@@ -87,6 +87,29 @@ private[graft] object OracleSqlSimilarity {
         |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
+    // Same derived old snapshot (7-drop → added, 5-vowel-case → changed,
+    // ghost row → removed) and the same normalized-text md5 fingerprint
+    // as TextOps.corpusDiff; statuses are strings, ids integers —
+    // hash-exact.
+    "q_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN translate(text, 'ae', 'AE')
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT -1, 'ghost document'),
+        |o AS (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM old),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |      FROM documents),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.fp <> n.fp THEN 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM d WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     // Per-vector max-abs scale in DOUBLE; divide-then-multiply order
     // fixed; both engines round ties away from zero.
     "q_quantize" ->

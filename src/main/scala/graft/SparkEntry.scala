@@ -728,6 +728,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_corpus_diff" -> ((s, dir) => {
+      // Snapshot audit: the previous corpus generation is derived
+      // deterministically from documents (drop ids % 7 == 0 → those
+      // read as added; vowel-case ids % 5 == 0 → changed; plus one
+      // ghost row only the old side has → removed); diff it against
+      // the current corpus by normalized-text fingerprint.
+      val docs = Tables.documents(s, dir)
+      val old = docs
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0, translate(col("text"), "ae", "AE"))
+            .otherwise(col("text")).as("text"))
+        .unionByName(
+          s.range(1).select(lit(-1L).as("doc_id"), lit("ghost document").as("text")))
+      TextOps.corpusDiff(old, docs, "doc_id", "text")
+    }),
+
     "q_quantize" -> ((s, dir) =>
       // int8 embedding quantization: per-vector max-abs scale + rounded
       // codes — the 4x vector-store compression, engine-exact rounding.

@@ -654,6 +654,36 @@ object TextOps {
     df.withColumn("split", split)
   }
 
+  /** Corpus snapshot diff — the audit step between two generations of an
+    * incrementally-maintained corpus: per document id, whether it was
+    * `added` (id only in the new snapshot), `removed` (only in the old),
+    * or `changed` (present in both with different normalized-text
+    * fingerprints); unchanged docs are dropped, so the output is the
+    * review-sized delta, not the corpus.
+    *
+    * Scale shape: both sides reduce to (id, 16-byte [[fingerprint]])
+    * projections BEFORE the full-outer join — text never shuffles, the
+    * join exchanges ~50 B rows keyed by id (AQE handles a small side by
+    * broadcast). Statuses are string constants, ids integers: the whole
+    * contract is hash-exact across engines. */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("__fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .as("status"))
+      .where(col("status").isNotNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram language-model quality score — the perplexity-gate stage of
     * a pretraining pipeline (CCNet-style LM filtering, reduced to the
     * unigram model the engine can train on its own corpus in one pass):

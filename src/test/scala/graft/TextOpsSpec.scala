@@ -589,6 +589,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L))
   }
 
+  test("corpusDiff: added/removed/changed by normalized fingerprint, unchanged dropped") {
+    val old = Seq(
+      (1L, "same text"),
+      (2L, "old version"),
+      (3L, "whitespace   run"), // normalizes equal to the new side
+      (4L, "will be removed"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"),       // unchanged — dropped
+      (2L, "new version"),     // changed
+      (3L, "whitespace run"),  // normalized-equal — dropped
+      (5L, "brand new doc"))   // added
+      .toDF("doc_id", "text")
+    val got = TextOps.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+    // both sides reduce to (id, fingerprint) projections before the
+    // join: every exchange is keyed by doc_id, never the text
+    val p = TextOps.corpusDiff(old, neu, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("doc_id")), p)
+  }
+
   test("dsirWeights matches the two-model Laplace algebra and separates the target slice") {
     // target model on the 't' slice: {a:3}, total 3, V=1; raw model on
     // all docs: {a:3, b:3}, total 6, V=2 — hand arithmetic
