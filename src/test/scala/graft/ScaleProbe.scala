@@ -368,7 +368,18 @@ object ScaleProbe {
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096",
+        // the skew FACTOR (default 5× median) needs a cluster-like
+        // partition count to be meaningful: at the session default
+        // (partitions = probe cores, e.g. 4) a 50%-hot partition is only
+        // ~3× the median of the other three and AQE correctly declines —
+        // an artifact of the tiny-tier partitioning, not the operator.
+        // 32 partitions model the many-partition cluster regime this
+        // adjudication exists for (median ~1.6%, hot 50% → ≫5×).
+        // Measured (r10): hot-key+single-bucket at 4 partitions runs
+        // ~130 s unsplit; at 32, AQE splits unforced and the same work
+        // spreads to ~31 s on 4 cores.
+        "spark.sql.shuffle.partitions" -> "32")
       // note the Option(...): an unset conf whose get returns null must be
       // restored with unset, not set(null) (which throws)
       val saved = skewConf.map { case (k, _) =>
