@@ -256,6 +256,26 @@ private[graft] object OracleSqlSimilarity {
     "q_sim_topk_lsh" -> simTopkOracle,
     "q_sim_topk_ivf" -> simTopkOracle,
 
+    // The batched flavor: same dimension-order DOUBLE cosine, ranked
+    // per query by (cos desc, id) — the engine's per-branch TakeOrdered.
+    "q_sim_topk_batch" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT qs.query_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                            i -> e.embedding[i]::DOUBLE * qs.qv[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(qs.qv, x -> x::DOUBLE * x::DOUBLE)))) AS cos_sim
+        |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.query_id)
+        |SELECT query_id, vec_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10
+        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin,
+
     // Exact all-pairs ground truth for the banded vector near-dup
     // (threshold 0.5 — the fixture-meaningful regime; see the query).
     "q_neardup_embedding" ->

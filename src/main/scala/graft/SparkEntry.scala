@@ -523,6 +523,18 @@ object SparkEntry {
         queryId = 0L,
         k = 10)),
 
+    "q_sim_topk_batch" -> ((s, dir) =>
+      // Batched serving shape: three query vectors answered as a union
+      // of per-query TakeOrdered heaps over the same corpus — nothing
+      // shuffles proportional to the corpus; the determinism sort sees
+      // queries x k rows. The index probes are the high-volume path.
+      Similarity.bruteForceTopKBatch(
+        Tables.embeddings(s, dir),
+        "vec_id",
+        "embedding",
+        queryIds = Seq(0L, 1L, 2L),
+        k = 10)),
+
     "q_sim_topk_lsh" -> ((s, dir) =>
       // The ANN scale path: banded hyperplane signatures + equi-join +
       // exact re-rank. Bands tuned to the fixture's low-cosine regime

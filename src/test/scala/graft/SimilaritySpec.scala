@@ -585,4 +585,25 @@ class SimilaritySpec extends SparkTestBase {
     // confusion counts cover the whole corpus
     assert(got.map(_._3).sum == data.length.toLong)
   }
+
+  test("bruteForceTopKBatch equals per-query bruteForceTopK, no corpus-sized exchange") {
+    val emb = Tables.embeddings(spark, sf001)
+    val qids = Seq(0L, 1L, 2L)
+    val batch = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    qids.foreach { qid =>
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.filter(_._1 == qid).toSeq == single, s"query $qid diverges")
+    }
+    // each branch is a TakeOrdered heap; the only sort after the union
+    // sees queries×k rows (the determinism orderBy), never the corpus
+    val p = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", qids, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.split("TakeOrderedAndProject").length - 1 >= qids.size, p)
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding", Seq(1L, 1L), 5))
+  }
 }
