@@ -360,6 +360,34 @@ private[graft] object OracleSqlRelational {
         |       END AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Same tokenization, space-strip mean-length, and required-stopword
+    // set as TextOps.gopherQuality; every float is one IEEE division of
+    // exact integer counts, the verdict the same band arithmetic.
+    "q_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |         CASE WHEN n_tokens = 0 THEN 0.0
+        |              ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / n_tokens
+        |         END AS mean_token_len,
+        |         len(list_distinct(list_filter(w,
+        |           x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stopword_hits,
+        |         CASE WHEN n_tokens = 0 THEN 0.0
+        |              ELSE len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / n_tokens
+        |         END AS alpha_fraction
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_token_len,
+        |       CAST(n_stopword_hits AS BIGINT) AS n_stopword_hits, alpha_fraction,
+        |       (n_tokens BETWEEN 50 AND 100000
+        |        AND mean_token_len BETWEEN 3.0 AND 10.0
+        |        AND n_stopword_hits >= 1
+        |        AND alpha_fraction >= 0.8) AS gopher_pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT text IS NULL AS is_null,

@@ -468,6 +468,18 @@ object SparkEntry {
           col("punct_ratio"), col("upper_ratio"), col("mean_token_len"))
         .orderBy(col("doc_id"))),
 
+    "q_gopher" -> ((s, dir) =>
+      // The published Gopher pretraining-filter rule set: required-
+      // stopword hits, alphabetic-token fraction, token-count and
+      // mean-token-length bands, one composite pass verdict — pure
+      // per-row projection, every float an IEEE division of exact ints.
+      // minStopwordHits=1 (not the classic 2): the synthetic fixture's
+      // vocab pool carries only 'the' from the required set, so 1 is
+      // the threshold at which the verdict discriminates here (382/500
+      // docs hit it, 55% sit in the token band).
+      TextOps.gopherQuality(
+        Tables.documents(s, dir), "doc_id", "text", minStopwordHits = 1)),
+
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(TextOps.languageId(col("text")).as("lang_pred"))

@@ -154,6 +154,56 @@ object TextOps {
       .drop("__cc")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", the published pretraining-filter rule
+    * set) — the signals [[qualityFeatures]] doesn't carry: the count of
+    * DISTINCT required stopwords present (the classic "contains ≥ 2 of
+    * the/be/to/of/and/that/have/with" naturalness test), the fraction of
+    * tokens containing an alphabetic character, plus the token-count and
+    * mean-token-length band checks, composited into one `gopher_pass`
+    * verdict. Pure per-row projection (token array ops inside
+    * whole-stage codegen) — zero shuffle at any corpus size; every
+    * float is one IEEE division of exact integer counts, so engine and
+    * oracle agree bit-for-bit. */
+  def gopherQuality(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      requiredStopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanTokenLen: Double = 3.0,
+      maxMeanTokenLen: Double = 10.0,
+      minStopwordHits: Int = 2,
+      minAlphaFraction: Double = 0.8): DataFrame = {
+    require(requiredStopwords.nonEmpty, "need at least one required stopword")
+    val t = col(textCol)
+    val toks = split(trim(regexp_replace(t, "\\s+", " ")), " ")
+    val nTok = tokenCount(t).cast("bigint")
+    val hits = size(array_intersect(
+      array_distinct(toks), array(requiredStopwords.map(lit): _*))).cast("bigint")
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val meanLen = when(nTok === 0, 0.0)
+      .otherwise((length(t) - spaces).cast("double") / nTok.cast("double"))
+    val alpha = when(nTok === 0, 0.0)
+      .otherwise(size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double")
+        / nTok.cast("double"))
+    df.select(
+        col(idCol).as("doc_id"),
+        nTok.as("n_tokens"),
+        meanLen.as("mean_token_len"),
+        hits.as("n_stopword_hits"),
+        alpha.as("alpha_fraction"))
+      .withColumn(
+        "gopher_pass",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("mean_token_len").between(minMeanTokenLen, maxMeanTokenLen) &&
+          col("n_stopword_hits") >= minStopwordHits &&
+          col("alpha_fraction") >= minAlphaFraction)
+      .orderBy(col("doc_id"))
+  }
+
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
     * share first, then scored stopword hits. Deterministic, no model file —
     * a placeholder with the exact plumbing (column in, label column out)
@@ -659,7 +709,9 @@ object TextOps {
     * `added` (id only in the new snapshot), `removed` (only in the old),
     * or `changed` (present in both with different normalized-text
     * fingerprints); unchanged docs are dropped, so the output is the
-    * review-sized delta, not the corpus.
+    * review-sized delta, not the corpus. Ids must be unique within each
+    * snapshot (the corpus invariant every keyed operator here assumes) —
+    * a duplicated id would fan out through the full-outer join.
     *
     * Scale shape: both sides reduce to (id, 16-byte [[fingerprint]])
     * projections BEFORE the full-outer join — text never shuffles, the

@@ -589,6 +589,30 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L))
   }
 
+  test("gopherQuality: stopword hits are DISTINCT, alpha fraction exact, bands composite") {
+    val long = ("the quick brown fox " * 20).trim // 80 tokens, all alpha, 'the' repeated
+    val docs = Seq(
+      (1L, long + " and of"),             // 82 tokens, 3 distinct hits — passes
+      (2L, long),                          // only 'the' — fails minStopwordHits
+      (3L, "the and " + ("12 34 56 78 " * 20).trim), // digits — fails alpha fraction
+      (4L, "the and short text"),          // 4 tokens — fails token band
+      (5L, ""))                            // empty — zeros, fails
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got(1L)._1 == 82L && got(1L)._2 == 3L && got(1L)._3 == 1.0 && got(1L)._4)
+    assert(got(2L)._2 == 1L && !got(2L)._4)       // repeats of 'the' count once
+    assert(got(3L)._3 < 0.8 && !got(3L)._4)
+    assert(got(4L)._1 == 4L && !got(4L)._4)
+    assert(got(5L) == ((0L, 0L, 0.0, false)))
+    // pure projection: no exchange except the determinism sort
+    val p = TextOps.gopherQuality(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("corpusDiff: added/removed/changed by normalized fingerprint, unchanged dropped") {
     val old = Seq(
       (1L, "same text"),
