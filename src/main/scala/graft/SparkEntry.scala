@@ -221,9 +221,10 @@ object SparkEntry {
       // a `distinct_ok` bound check — the sketch estimate, computed
       // engine-side, must land within 5% of the exact count (vs the
       // oracle's literal TRUE). The exact count here is the sf-sized
-      // verification yardstick computed in the SAME single aggregate
-      // pass; the swap-in operator itself (Relational.profileApprox)
-      // never computes it.
+      // verification yardstick (two scans joined — the one-pass combined
+      // form is a measured 40x trap, see profileApproxChecked's doc);
+      // the swap-in operator itself (Relational.profileApprox) never
+      // computes it.
       Relational.profileApproxChecked(
         Tables.lineitem(s, dir),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),

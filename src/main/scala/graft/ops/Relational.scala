@@ -118,10 +118,17 @@ object Relational {
 
   /** Verification harness for the [[profileApprox]] swap-in: exact
     * stats plus `distinct_ok` — the HLL++ estimate must land within
-    * `tol` of the exact distinct count. ONE combined aggregate pass
-    * (the Expand the exact multi-distinct costs anyway, with the
-    * sketch riding the same scan) — not exact + approx as two scans
-    * joined, which would double the yardstick's cost for nothing. */
+    * `tol` of the exact distinct count. Deliberately TWO aggregate
+    * scans joined on col_name, NOT one combined aggregate: under
+    * Spark's multi-distinct rewrite the first stage groups by the
+    * distinct-column TUPLES, and every non-distinct aggregate —
+    * including each column's HLL sketch (thousands of buffer words at
+    * rsd 1%) — is instantiated PER TUPLE GROUP, so the combined form
+    * materializes |distinct tuples| × |cols| full sketch buffers and
+    * exchanges them (measured ~160 s vs ~4 s at sf0.1; the plan shows
+    * the partial aggregate keyed on all four columns with ~6.5K buffer
+    * fields per group). Two scans keep the sketches in exactly one
+    * zero-key aggregate each. */
   def profileApproxChecked(
       df: DataFrame,
       cols: Seq[String],
@@ -129,31 +136,15 @@ object Relational {
       tol: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profileApproxChecked needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__distinct_approx"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max"),
-        exactSumDouble(col(c)).as(s"${c}__sum"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = cols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col(s"${c}__n").as("n"),
-        col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__min").as("min_val"),
-        col(s"${c}__max").as("max_val"),
-        col(s"${c}__sum").as("sum_val"),
-        (abs(col(s"${c}__distinct_approx") - col(s"${c}__distinct"))
-          <= col(s"${c}__distinct").cast("double") * lit(tol)).as("distinct_ok"))
-    }
-    one
-      .select(explode(array(perCol: _*)).as("p"))
-      .select(col("p.*"))
+    val approx = profileApprox(df, cols, rsd)
+    val exact = profile(df, cols).select(col("col_name"), col("n_distinct"))
+    approx
+      .join(exact, "col_name")
+      .select(
+        col("col_name"), col("n"), col("n_nulls"),
+        col("min_val"), col("max_val"), col("sum_val"),
+        (abs(col("n_distinct_approx") - col("n_distinct"))
+          <= col("n_distinct").cast("double") * lit(tol)).as("distinct_ok"))
       .orderBy(col("col_name"))
   }
 

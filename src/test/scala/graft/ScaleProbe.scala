@@ -200,7 +200,10 @@ object ScaleProbe {
       // round-10 operators: the GK-sketch quantile swap-in (plus its
       // exact yardstick join), the narrow-rank source quota, the
       // zero-shuffle phrase scan, and the two-model DSIR weighting
-      "q_quantiles_approx", "q_source_cap", "q_phrase", "q_dsir")
+      "q_quantiles_approx", "q_source_cap", "q_phrase", "q_dsir",
+      // round-10 batch 2: fingerprint full-outer diff, the Gopher rule
+      // projection, and the union-of-heaps batched vector serving
+      "q_corpus_diff", "q_gopher", "q_sim_topk_batch")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
