@@ -479,7 +479,8 @@ object SparkEntry {
       // the threshold at which the verdict discriminates here (382/500
       // docs hit it, 55% sit in the token band).
       TextOps.gopherQuality(
-        Tables.documents(s, dir), "doc_id", "text", minStopwordHits = 1)),
+          Tables.documents(s, dir), "doc_id", "text", minStopwordHits = 1)
+        .orderBy(col("doc_id"))),
 
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)

@@ -164,7 +164,9 @@ object TextOps {
     * verdict. Pure per-row projection (token array ops inside
     * whole-stage codegen) — zero shuffle at any corpus size; every
     * float is one IEEE division of exact integer counts, so engine and
-    * oracle agree bit-for-bit. */
+    * oracle agree bit-for-bit. No output sort (callers order if they
+    * need determinism), so the same code gates a STREAM unchanged —
+    * StatelessTextStreamSpec pins that parity. */
   def gopherQuality(
       df: DataFrame,
       idCol: String,
@@ -201,7 +203,6 @@ object TextOps {
           col("mean_token_len").between(minMeanTokenLen, maxMeanTokenLen) &&
           col("n_stopword_hits") >= minStopwordHits &&
           col("alpha_fraction") >= minAlphaFraction)
-      .orderBy(col("doc_id"))
   }
 
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint

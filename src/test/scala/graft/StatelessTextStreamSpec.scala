@@ -86,4 +86,24 @@ class StatelessTextStreamSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("gopherQuality streams batch-identically (pure projection, no output sort)") {
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getDouble(4), r.getBoolean(5))
+    val streamed = runStream(docs)(TextOps.gopherQuality(_, "doc_id", "text"))
+      .flatMap(_.map(key)).sortBy(_._1)
+    val batch = TextOps.gopherQuality(docs.flatten.toDF(), "doc_id", "text")
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
+  test("redact streams batch-identically (pure projection)") {
+    val streamed = runStream(docs)(TextOps.redact(_, "text")
+      .select("doc_id", "text_redacted"))
+      .flatMap(_.map(r => (r.getLong(0), r.getString(1)))).sorted
+    val batch = TextOps.redact(docs.flatten.toDF(), "text")
+      .select("doc_id", "text_redacted")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed == batch)
+  }
 }
