@@ -91,6 +91,20 @@ private[graft] object OracleSqlRelational {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Same integer nanos bucketing as q_window_tumble, same discrete
+    // rank arithmetic as q_quantiles, non-null values on both sides.
+    "q_window_quantiles" ->
+      """WITH r AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec, value,
+        |         ROW_NUMBER() OVER (PARTITION BY (epoch_ns(ts) // 3600000000000)
+        |                            ORDER BY value) AS rk,
+        |         COUNT(*) OVER (PARTITION BY (epoch_ns(ts) // 3600000000000)) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT window_start_sec,
+        |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN value END) AS p50,
+        |       MAX(CASE WHEN rk = floor(0.95 * (n - 1)) + 1 THEN value END) AS p95
+        |FROM r GROUP BY window_start_sec ORDER BY window_start_sec""".stripMargin,
+
     "q_profile" -> {
       // per-column stats, exact-decimal sums (the exactSum convention)
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")

@@ -206,6 +206,17 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_us"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    "q_window_quantiles" -> ((s, dir) =>
+      // Latency-percentile observability: exact discrete p50/p95 of
+      // value per 1 h tumbling window (non-null values, rank
+      // arithmetic only — the q_quantiles contract with the window as
+      // the group); quantilesStream is the sketch-state stream flavor.
+      Windowing
+        .windowQuantilesDisc(
+          Tables.events(s, dir), col("ts_ns"), widthSeconds = 3600,
+          valueCol = "value", ps = Seq(0.5, 0.95))
+        .orderBy(col("window_start_sec"))),
+
     "q_profile" -> ((s, dir) =>
       // Data-quality profiling: per-column n/nulls/exact-distinct/min/
       // max/exact-sum over the fact table's numeric columns in one scan.

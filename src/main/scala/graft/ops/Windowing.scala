@@ -113,6 +113,59 @@ object Windowing {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-window exact discrete quantiles — the latency-percentile
+    * observability query (p50/p95 of a value per time window): integer
+    * nanos bucketing (the [[tumbleNanos]] convention) feeding
+    * [[Relational.groupQuantilesDisc]] with the window as the group.
+    * Inherits that operator's contract: value at rank `⌊p·(n−1)⌋+1`
+    * over NON-NULL values, engine-exact (no interpolation blend).
+    *
+    * Scale shape: one shuffle by window bucket + per-window sort — the
+    * honest exact cost; windows bound the sort size by construction
+    * (a window holds width-worth of events, the natural skew cap), and
+    * [[quantilesStream]] is the sketch-state streaming flavor. */
+  def windowQuantilesDisc(
+      df: DataFrame,
+      tsNsCol: Column,
+      widthSeconds: Long,
+      valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(widthSeconds > 0, "width must be positive")
+    val widthNs = widthSeconds * 1000000000L
+    Relational.groupQuantilesDisc(
+      df.withColumn(
+        "window_start_sec", floorDiv(tsNsCol.cast("long"), widthNs) * widthSeconds),
+      "window_start_sec", valueCol, ps)
+  }
+
+  /** Streaming flavor of [[windowQuantilesDisc]]: watermarked tumbling
+    * `window()` + `percentile_approx` sketch state per window (GK at
+    * `accuracy` — rank error ≤ n/accuracy, the same guarantee
+    * [[Relational.groupQuantilesApprox]] documents). Append mode: a
+    * window's percentiles emit once, when the watermark passes its end.
+    * State per open window is the fixed-size sketch, not the values —
+    * the difference between state ∝ windows and state ∝ events. */
+  def quantilesStream(
+      df: DataFrame,
+      tsCol: String,
+      duration: String,
+      watermarkDelay: String,
+      valueCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val aggs = ps.map { p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}_approx")
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
   /** Session windows over epoch-nanos (ksqlDB SESSION semantics): events
     * of one key belong to the same session while consecutive gaps stay
     * ≤ `gapNs`. Classic islands construction — per-key lag to mark

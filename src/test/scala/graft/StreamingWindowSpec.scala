@@ -174,4 +174,39 @@ class StreamingWindowSpec extends SparkTestBase {
       .toSet
     assert(streamed == batch)
   }
+
+  test("quantilesStream: windows emit sketch percentiles once, within the exact rank bound") {
+    val input = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val out = Windowing.quantilesStream(
+      input.toDF().toDF("ts", "value"), "ts", "10 minutes", "5 minutes",
+      "value", Seq(0.5, 0.95))
+    val got = ArrayBuffer[(String, Double, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qstream-test").toString
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        got.synchronized {
+          got ++= rows.map { r: Row =>
+            (r.getAs[java.sql.Timestamp]("window_start").toString.substring(11, 16),
+              r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))
+          }
+        }
+        ()
+      }
+      .start()
+    val values = (1 to 9).map(i => (ts(i), i.toDouble))
+    try {
+      input.addData(values); q.processAllAvailable()
+      input.addData(Seq((ts(59), 1000.0))); q.processAllAvailable() // advance watermark
+    } finally q.stop()
+    // the 10:00 window holds 1..9; at n < accuracy the sketch's rank
+    // error is < 1, so estimates must be data values within one rank of
+    // the exact discrete quantile (5 for p50, 8 or 9 for p95)
+    val w0 = got.filter(_._1 == "10:00")
+    assert(w0.size == 1, got.toSeq)
+    assert(math.abs(w0.head._2 - 5.0) <= 1.0, w0.head)
+    assert(w0.head._3 >= 8.0 && w0.head._3 <= 9.0, w0.head)
+  }
 }

@@ -101,4 +101,26 @@ class WindowingSpec extends SparkTestBase {
       .toSet
     assert(got == Set(("10:00", 3.0), ("11:00", 4.0)))
   }
+
+  test("windowQuantilesDisc matches the per-window sorted-rank model on the fixture") {
+    val ev = Tables.events(spark, sf001)
+    val got = Windowing
+      .windowQuantilesDisc(ev, col("ts_ns"), 3600, "value", Seq(0.5, 0.95))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val rows = ev.select(col("ts_ns"), col("value")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (Math.floorDiv(r.getLong(0), 3600000000000L) * 3600L, r.getDouble(1)))
+    val model = rows.groupBy(_._1).map { case (w, vs) =>
+      // java.lang.Double ordering ranks NaN greatest — Spark's sort order
+      val sorted = vs.map(_._2).sorted(Ordering.by((d: Double) => java.lang.Double.valueOf(d)))
+      def q(p: Double) = sorted(math.floor(p * (sorted.length - 1)).toInt)
+      w -> ((q(0.5), q(0.95)))
+    }
+    assert(got.keySet == model.keySet)
+    got.foreach { case (w, (p50, p95)) =>
+      def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+      assert(eq(p50, model(w)._1) && eq(p95, model(w)._2), s"window $w")
+    }
+  }
 }
