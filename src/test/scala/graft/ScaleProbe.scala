@@ -203,7 +203,7 @@ object ScaleProbe {
       "q_quantiles_approx", "q_source_cap", "q_phrase", "q_dsir",
       // round-10 batch 2: fingerprint full-outer diff, the Gopher rule
       // projection, and the union-of-heaps batched vector serving
-      "q_corpus_diff", "q_gopher", "q_sim_topk_batch")
+      "q_corpus_diff", "q_gopher", "q_sim_topk_batch", "q_window_quantiles")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
