@@ -105,7 +105,7 @@ private[graft] object OracleSqlSimilarity {
         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |         CASE WHEN o.doc_id IS NULL THEN 'added'
         |              WHEN n.doc_id IS NULL THEN 'removed'
-        |              WHEN o.fp <> n.fp THEN 'changed' END AS status
+        |              WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM d WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

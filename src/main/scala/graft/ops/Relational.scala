@@ -191,9 +191,13 @@ object Relational {
       valueCol: String,
       ps: Seq[Double],
       accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     import org.apache.spark.sql.expressions.Window
-    val exact = groupQuantilesDisc(df, groupCol, valueCol, ps)
     val approx = groupQuantilesApprox(df, groupCol, valueCol, ps, accuracy)
+    // ONE ranking window feeds both the exact quantiles and the rank
+    // bounds (the exact value IS max(when(rk = target)) over the same
+    // ranking [[groupQuantilesDisc]] builds) — the per-group sort is
+    // the harness's dominant cost and must not run twice
     val ranked = df
       .select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
@@ -201,23 +205,23 @@ object Relational {
         Window.partitionBy(groupCol).orderBy(valueCol)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
     val slack = ceil(col("__n").cast("double") / lit(accuracy.toDouble)).cast("long") + lit(2L)
-    val boundAggs = ps.flatMap { p =>
+    val statAggs = ps.flatMap { p =>
       val name = s"p${(p * 100).round}"
       val target = floor(lit(p) * (col("__n") - 1)) + 1
       Seq(
+        max(when(col("__rk") === target, col(valueCol))).as(name),
         max(when(col("__rk") === greatest(target - slack, lit(1L)), col(valueCol)))
           .as(s"${name}_lo"),
         max(when(col("__rk") === least(target + slack, col("__n")), col(valueCol)))
           .as(s"${name}_hi"))
     }
-    val bounds = ranked.groupBy(col(groupCol)).agg(boundAggs.head, boundAggs.tail: _*)
+    val stats = ranked.groupBy(col(groupCol)).agg(statAggs.head, statAggs.tail: _*)
     val names = ps.map(p => s"p${(p * 100).round}")
     val ok = names
       .map(n => col(s"${n}_approx").between(col(s"${n}_lo"), col(s"${n}_hi")))
       .reduceLeft(_ && _)
-    exact
+    stats
       .join(approx, groupCol)
-      .join(bounds, groupCol)
       .select(col(groupCol) +: names.map(col) :+ ok.as("approx_ok"): _*)
       .orderBy(col(groupCol))
   }

@@ -724,14 +724,24 @@ object TextOps {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("__fp_old"))
-    val n = newDf.select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("__fp_new"))
+    // side presence via explicit markers, NOT fingerprint nullness — a
+    // NULL-text doc has a NULL fingerprint while being present, and
+    // must diff like any other value (NULL vs NULL = unchanged, NULL
+    // vs text = changed: the null-safe <=> below)
+    val o = oldDf.select(
+      col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(
+      col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__fp_old") <=> col("__fp_new")), "changed")
           .as("status"))
       .where(col("status").isNotNull)
       .orderBy(col("doc_id"))
@@ -847,7 +857,10 @@ object TextOps {
     df.select(
         col(idCol).as("doc_id"),
         tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
-        (raw.nll(col(textCol)) - target.nll(col(textCol))).as("weight"))
+        // NULL text folds like the empty doc: weight exactly 0.0 (the
+        // kernel null-propagates; coalesce pins the convention so the
+        // oracle's coalesced list_sum agrees row-for-row)
+        coalesce(raw.nll(col(textCol)) - target.nll(col(textCol)), lit(0.0)).as("weight"))
       .withColumn("kept", col("weight") >= lit(tau))
       .orderBy(col("doc_id"))
   }

@@ -637,6 +637,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(exchanges.forall(_.contains("doc_id")), p)
   }
 
+  test("corpusDiff: NULL text is a value — presence is by side, not fingerprint nullness") {
+    val old = Seq((1L, None), (2L, None), (3L, Option("text")), (4L, None))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, None), (2L, Option("now set")), (3L, None))
+      .toDF("doc_id", "text")
+    val got = TextOps.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1: NULL==NULL unchanged (dropped); 2: NULL→text changed;
+    // 3: text→NULL changed; 4: only-old removed (even with NULL text)
+    assert(got == Seq((2L, "changed"), (3L, "changed"), (4L, "removed")))
+  }
+
   test("dsirWeights matches the two-model Laplace algebra and separates the target slice") {
     // target model on the 't' slice: {a:3}, total 3, V=1; raw model on
     // all docs: {a:3, b:3}, total 6, V=2 — hand arithmetic
@@ -652,6 +664,13 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(2L)._1 == 3L && math.abs(got(2L)._2 - wb) < 1e-12 && !got(2L)._3)
     // empty doc: the empty fold weighs exactly 0.0 and passes at tau = 0
     assert(got(3L) == ((0L, 0.0, true)))
+    // NULL text folds like the empty doc (the oracle's coalesce convention)
+    val withNull = docs.unionByName(
+      Seq((4L, Option.empty[String], "r")).toDF("doc_id", "text", "slice"))
+    val nullRow = graft.ops.TextOps.dsirWeights(
+        withNull, "doc_id", "text", org.apache.spark.sql.functions.col("slice") === "t")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 4L).head()
+    assert(nullRow.isNullAt(1) && nullRow.getDouble(2) == 0.0 && nullRow.getBoolean(3))
     // target-resembling docs outscore the rest on the fixture
     val fix = graft.ops.TextOps.dsirWeights(
         Tables.documents(spark, sf001), "doc_id", "text",
