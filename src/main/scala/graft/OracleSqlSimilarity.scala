@@ -476,6 +476,27 @@ private[graft] object OracleSqlSimilarity {
         |       n_tokens::DOUBLE / (SUM(n_tokens) OVER ())::DOUBLE AS token_share
         |FROM s ORDER BY source""".stripMargin,
 
+    // Same mix arithmetic + the rate decision: least(1, target/share)
+    // for targeted sources, 1.0 otherwise — identical IEEE expression
+    // shape to TextOps.mixRebalance.
+    "q_mix_rebalance" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         SUM(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+        |                  ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |                     - length(replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', ''))
+        |                     + 1 END)::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         n_tokens::DOUBLE / (SUM(n_tokens) OVER ())::DOUBLE AS token_share
+        |  FROM s)
+        |SELECT source, n_docs, n_tokens, token_share,
+        |       CASE WHEN source = 'src0' THEN least(1.0, 0.02 / token_share)
+        |            WHEN source = 'src1' THEN least(1.0, 0.1 / token_share)
+        |            ELSE 1.0 END AS rate
+        |FROM m ORDER BY source""".stripMargin,
+
     // Nearest-class-mean confusion table. Centroids replicate the
     // q_embed_centroid DECIMAL(38,9) exact-mean contract, then round
     // ONCE to FLOAT (::FLOAT — IEEE round-to-nearest, same as the

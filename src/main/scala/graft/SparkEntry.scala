@@ -717,6 +717,15 @@ object SparkEntry {
       // share — the input to data-mixture decisions and sampling rates.
       TextOps.sourceMix(Tables.documents(s, dir), "source", "text")),
 
+    "q_mix_rebalance" -> ((s, dir) =>
+      // Measure → decide: per-source keep rates hitting target token
+      // shares (src0 capped at 2% → downsampled; src1 targeted at 10%,
+      // already below → kept whole; untargeted sources keep rate 1.0).
+      // The output feeds deterministicSample directly.
+      TextOps.mixRebalance(
+        Tables.documents(s, dir), "source", "text",
+        targets = Map("src0" -> 0.02, "src1" -> 0.10))),
+
     "q_knn_label" -> ((s, dir) =>
       // Nearest-class-mean classification confusion table over the
       // embedding column — bounded centroid collect + one kernel pass.

@@ -342,6 +342,38 @@ object TextOps {
       // same on both sides
       .orderBy(col(srcCol).asc_nulls_last)
 
+  /** Mixture rebalancing — the step between [[sourceMix]] (what IS the
+    * mixture) and [[deterministicSample]] (apply rates): given target
+    * token shares per source, compute the per-source keep RATE that
+    * downsamples over-represented sources to their targets,
+    * `rate = min(1, target_share / actual_share)` (sources without a
+    * target, or already at/below target, keep everything — rates never
+    * upsample). The output feeds `deterministicSample(rates = …)`
+    * directly, closing the measure → decide → apply loop.
+    *
+    * Same scale shape as [[sourceMix]] (one map-side-combined agg ∝
+    * sources + an O(sources) unpartitioned window); the rate is IEEE
+    * arithmetic on exact BIGINT sums in a fixed expression shape, so
+    * the oracle agrees bit-for-bit. */
+  def mixRebalance(
+      df: DataFrame,
+      srcCol: String,
+      textCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "mixRebalance needs at least one target share")
+    require(targets.values.forall(t => t > 0.0 && t <= 1.0),
+      s"target shares must be in (0, 1]: $targets")
+    val target = targets.foldLeft(lit(Double.NaN)) { case (acc, (k, v)) =>
+      when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    sourceMix(df, srcCol, textCol)
+      .withColumn(
+        "rate",
+        when(isnan(target), 1.0)
+          .otherwise(least(lit(1.0), target / col("token_share"))))
+      .orderBy(col(srcCol).asc_nulls_last)
+  }
+
   /** Benchmark decontamination: drop every training document sharing at
     * least one word-`n`-gram with the evaluation set — the standard
     * n-gram-overlap rule for keeping test data out of a training corpus.

@@ -613,6 +613,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("mixRebalance: rates downsample to target shares, never upsample, default to 1.0") {
+    // tokens: a=6, b=3, c=1 → shares 0.6, 0.3, 0.1
+    val docs = Seq(
+      (1L, "a", "w w w w w w"),
+      (2L, "b", "w w w"),
+      (3L, "c", "w"))
+      .toDF("doc_id", "src", "text")
+    val got = TextOps.mixRebalance(docs, "src", "text", Map("a" -> 0.3, "c" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("a") == 0.3 / 0.6)  // over target → downsampled
+    assert(got("b") == 1.0)        // no target → keep all
+    assert(got("c") == 1.0)        // under target → rates never upsample
+    // rates feed deterministicSample: expected kept tokens for 'a'
+    // land at its target share of the ORIGINAL total (0.3 of 10 = 3)
+    assert(math.abs(got("a") * 6 - 3.0) < 1e-12)
+    intercept[IllegalArgumentException](
+      TextOps.mixRebalance(docs, "src", "text", Map.empty))
+    intercept[IllegalArgumentException](
+      TextOps.mixRebalance(docs, "src", "text", Map("a" -> 1.5)))
+  }
+
   test("corpusDiff: added/removed/changed by normalized fingerprint, unchanged dropped") {
     val old = Seq(
       (1L, "same text"),
