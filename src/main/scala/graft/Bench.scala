@@ -186,6 +186,40 @@ object Bench {
           .getOrElse(cwd)
       }
 
+  /** The previous round's full bench line, unescaped, and only when its
+    * sf matches the current run — shared by the cross-round query guard
+    * and the replay rerun check. Prior source: SPARK_GRAFT_BENCH_PRIOR,
+    * else BENCH_LAST.json (the full line this main persists each run —
+    * the driver's BENCH_r*.json artifacts keep only a 2000-char output
+    * tail), else the newest driver artifact. Driver artifacts hold the
+    * bench line inside a JSON-escaped "tail" string (\"q_x\":[...]) —
+    * unescaped here so quote-colon patterns fire on either shape. A
+    * prior recorded at a different scale factor is not a prior (every
+    * guard would trip or go inert), hence the sf check. */
+  private def priorArtifactText(sfDir: String): Option[String] = {
+    val home = benchHome
+    val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .orElse(Option(home.resolve("BENCH_LAST.json").toFile)
+        .filter(_.isFile).map(_.getPath))
+      .orElse(Option(home.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption.map(_.getPath))
+    path.flatMap { p =>
+      try {
+        val raw = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        val txt = raw.replace("\\\"", "\"")
+        val sfRe = "\"sf\":\"([^\"]+)\"".r
+        val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+        if (priorSf.exists(_ != sfDir)) {
+          System.err.println(
+            s"bench: prior $p is sf=${priorSf.get}, current sf=$sfDir — cross-round guards disabled")
+          None
+        } else Some(txt)
+      } catch { case _: Throwable => None }
+    }
+  }
+
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
   private def forkedReplay(): Option[(Long, Seq[Double])] =
@@ -254,7 +288,39 @@ object Bench {
     // share a heap with the timed sweep (round-5 lesson — whichever ran
     // second absorbed the other's heap pressure: sweep-side 2.6× total
     // regression / replay-side ~0.7× throughput).
-    val forked = forkedReplay()
+    val forked0 = forkedReplay()
+
+    // Replay rerun heuristic (round-10 finding: the binding replay
+    // artifact wobbled ~2× run-to-run while the query sweep had two
+    // noise self-diagnoses and replay had none). Re-fork ONCE when
+    // either (a) the iteration spread exceeds the sweep's rerun bound —
+    // a load burst inside the block — or (b) the block's min is >1.5×
+    // the prior round's replay_sec at the same sf — a burst spanning
+    // the whole block. Timings from both blocks are kept: min is the
+    // figure, the full spread stays published.
+    val replayRerunSpread =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "3.0").toDouble
+    val priorReplaySec: Option[Double] = priorArtifactText(sfDir).flatMap { txt =>
+      "\"replay_sec\":(-?[0-9][0-9.eE+-]*)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(_ > 0)
+    }
+    val (forked, replayReran) = forked0 match {
+      case Some((ev, ts)) if ts.nonEmpty &&
+          (ts.max / ts.min > replayRerunSpread ||
+            priorReplaySec.exists(p => ts.min > p * 1.5)) =>
+        val why =
+          if (ts.max / ts.min > replayRerunSpread)
+            f"iteration spread ${ts.max / ts.min}%.1fx"
+          else
+            f"min ${ts.min}%.2fs vs prior-round ${priorReplaySec.get}%.2fs"
+        System.err.println(
+          s"bench: replay $why (${ts.mkString(", ")}) — re-forking once")
+        forkedReplay() match {
+          case Some((_, ts2)) => (Some((ev, ts ++ ts2)), true)
+          case None           => (Some((ev, ts)), true) // re-fork failed: keep 1st block
+        }
+      case other => (other, false)
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -351,31 +417,9 @@ object Bench {
     // driver's BENCH_r*.json artifacts keep only a 2000-char output tail),
     // else the newest driver artifact's surviving iteration lists.
     val priorQueries: Map[String, Double] = {
-      val home = benchHome
-      val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
-        .orElse(Option(home.resolve("BENCH_LAST.json").toFile)
-          .filter(_.isFile).map(_.getPath))
-        .orElse(Option(home.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getPath))
-      path.flatMap { p =>
+      priorArtifactText(sfDir).flatMap { txt =>
         try {
-          val raw = new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-          // driver BENCH_r*.json artifacts hold the bench line inside a
-          // JSON-escaped "tail" string (\"q_x\":[...]) — unescape before
-          // matching or the quote-colon patterns below never fire there
-          val txt = raw.replace("\\\"", "\"")
-          // a prior recorded at a different scale factor is not a prior:
-          // every query would re-run (or the guard goes inert) — only
-          // apply the cross-round guard when the sf matches
-          val sfRe = "\"sf\":\"([^\"]+)\"".r
-          val priorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
-          if (priorSf.exists(_ != sfDir)) {
-            System.err.println(
-              s"bench: prior $p is sf=${priorSf.get}, current sf=$sfDir — cross-round guard disabled")
-            None
-          } else {
+          {
             // accept both shapes: `"q_x":0.12` (queries map) and
             // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
             val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
@@ -449,7 +493,7 @@ object Bench {
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     val replayIters = replaySecs.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","replay_reran":$replayReran,"sf":"$sfDir"}"""
     println(line)
     // persist the full line: the driver's BENCH_r*.json keeps only an
     // output tail, and the cross-round guard needs last round's mins.

@@ -141,10 +141,14 @@ private[graft] object OracleSqlRelational {
     "q_funnel" ->
       // greedy subsequence match == cascaded min-row-number: each step's
       // first qualifying event strictly after the previous step's match
+      // the non-null predicate mirrors the engine's funnel guard
+      // (EventAnalytics drops NULL user/ts/event_id rows) so the pair
+      // agrees by construction, not by fixture luck
       """WITH e AS (
         |  SELECT user_id, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (SELECT e.user_id, min(e.rn) AS r FROM e JOIN s1 USING (user_id)
         |       WHERE e.event_type = 'click' AND e.rn > s1.r GROUP BY e.user_id),
@@ -163,10 +167,12 @@ private[graft] object OracleSqlRelational {
       // first-touch window: the anchor is the ts AT the first view's
       // row number; later steps require rn-after-previous AND
       // within-window-of-anchor — exactly the engine fold's conditions
+      // non-null guard mirrored from the engine fold — see q_funnel
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us,
         |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(rn) AS r FROM e WHERE event_type = 'view' GROUP BY user_id),
         |a AS (SELECT e.user_id, s1.r, e.us AS t0
         |      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.rn = s1.r),
@@ -285,7 +291,7 @@ private[graft] object OracleSqlRelational {
         |  FROM toks, m)
         |SELECT doc_id, n_tokens,
         |       CASE WHEN n_tokens > 0 THEN nll / CAST(n_tokens AS DOUBLE) END AS avg_nll,
-        |       CASE WHEN n_tokens > 0 THEN exp(nll / CAST(n_tokens AS DOUBLE)) END AS ppl
+        |       CASE WHEN n_tokens > 0 THEN round(exp(nll / CAST(n_tokens AS DOUBLE)), 6) END AS ppl
         |FROM score ORDER BY doc_id""".stripMargin,
 
     // DSIR importance weight = NLL_raw − NLL_target: TWO of the
@@ -356,9 +362,9 @@ private[graft] object OracleSqlRelational {
     // the fixture stores the expected dims next to the bytes; the engine
     // side must re-derive them from the bytes alone
     "q_media_dims" ->
-      """SELECT media_id, expected_width AS width, expected_height AS height
-        |FROM read_parquet('/tmp/graft_media_fixture/*.parquet')
-        |ORDER BY media_id""".stripMargin,
+      s"""SELECT media_id, expected_width AS width, expected_height AS height
+         |FROM read_parquet('${Tables.mediaFixturePath}/*.parquet')
+         |ORDER BY media_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -41,16 +41,25 @@ object SparkEntry {
     bm25Indexes.computeIfAbsent(dir, { d =>
       val path = java.nio.file.Files
         .createTempDirectory("graft-bm25-index").toString
+      // the index is (JVM, sf)-scoped — without cleanup every bench run
+      // leaves a posting-index directory in /tmp, so delete the tree at
+      // JVM exit (same hygiene as ScaleProbe's work dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
       Search.writeBm25Index(
         Tables.documents(s, d), "doc_id", "text", path, buckets = Bm25IndexBuckets)
       path
     })
 
-  /** FIXED path (not a random temp dir): the q_media_dims oracle is a
-    * static SQL string that must name the same file this JVM writes.
-    * Content is fully deterministic, so a leftover directory from an
-    * earlier run is simply overwritten with identical bytes. */
-  private val MediaFixturePath = "/tmp/graft_media_fixture"
+  /** Per-user/per-process path ([[Tables.mediaFixturePath]]) interpolated
+    * into the q_media_dims oracle SQL, so writer and oracle always name
+    * the same directory within a run and concurrent JVMs never race. */
+  private val MediaFixturePath = Tables.mediaFixturePath
 
   private val mediaFixtureWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

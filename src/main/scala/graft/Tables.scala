@@ -30,12 +30,34 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** The CDC-changelog stand-in. `ts` is parquet TIMESTAMP(NANOS); we read
-    * it as an epoch-nanos Long (`ts_ns`) — lossless, totally ordered, and
-    * identical in Spark and the DuckDB oracle (`epoch_ns(ts)`).
-    */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+  /** The CDC-changelog stand-in, normalized so `ts` is ALWAYS exposed as
+    * the epoch-nanos Long `ts_ns` — lossless, totally ordered, and
+    * identical in Spark and the DuckDB oracle (`epoch_ns(ts)`), whatever
+    * the on-disk layout:
+    *  - parquet TIMESTAMP(NANOS) arrives as LongType via the
+    *    `nanosAsLong` legacy read (the original driver layout), and the
+    *    ScaleProbe tiles round-trip that Long directly — rename;
+    *  - parquet TIMESTAMP(MICROS) (the current driver layout) arrives as
+    *    TIMESTAMP/TIMESTAMP_NTZ — widen `unix_micros`×1000 to the same
+    *    nanos Long (exact: micros-precision input, ×1000 is lossless and
+    *    far from Long range). The NTZ→timestamp cast reads wall-clock in
+    *    the session zone, which [[GraftSession.configure]] pins to UTC —
+    *    the zone the data was generated in.
+    * Column position is preserved (select-in-place, not append+drop) so
+    * positional consumers and specs see one stable shape. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+      case _ =>
+        df.select(df.columns.toSeq.map {
+          case "ts" =>
+            (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts_ns")
+          case c => col(c)
+        }: _*)
+    }
+  }
 
   /** Epoch-micros view of `ts_ns` for engine-portable output (DuckDB
     * truncates parquet TIMESTAMP_NANOS to micros on read, so micros is the
@@ -57,6 +79,24 @@ object Tables {
     * query time and both engines read it back. Covers every parser
     * branch: PNG, GIF, JPEG SOF walk, all three BMP header layouts,
     * truncated and non-media payloads (expected NULL dims). */
+  /** Per-user, per-process fixture path: concurrent driver JVMs must not
+    * race on one world-writable directory (an overwrite deletes part
+    * files while another process's DuckDB oracle reads the glob), and a
+    * directory owned by a different user on a shared host would make
+    * the write fail outright. The oracle SQL interpolates this value
+    * (built in Scala, dumped per-run by Verify), so writer and reader
+    * always agree within a run; the fixture must OUTLIVE this JVM —
+    * the driver's DuckDB pass runs after Verify exits — so it is never
+    * deleted on exit, just left as a few KB under tmpdir. */
+  val mediaFixturePath: String = {
+    val user = System.getProperty("user.name", "unknown")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
+    val pid = ProcessHandle.current().pid()
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_media_fixture_${user}_$pid").getAbsolutePath
+  }
+
   def mediaFixture(spark: SparkSession): DataFrame = {
     def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++

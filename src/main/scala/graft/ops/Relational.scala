@@ -93,12 +93,23 @@ object Relational {
     * no per-key sort) when a bounded rank error is acceptable; this
     * operator is the exact/oracle-checkable form.
     */
+  /** Column labels are `p${round(p*100)}` — two ps that round to the
+    * same integer (0.5 and 0.504) would emit duplicate column names and
+    * make the checked harness's `_lo`/`_hi`/`_approx` lookups resolve
+    * ambiguously, so every quantile entry point rejects them up front. */
+  private[graft] def requireDistinctQuantileLabels(ps: Seq[Double]): Unit = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val labels = ps.map(p => (p * 100).round)
+    require(labels.distinct.size == labels.size,
+      s"percentiles $ps collide after p*100 rounding: labels $labels")
+  }
+
   def groupQuantilesDisc(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    requireDistinctQuantileLabels(ps)
     import org.apache.spark.sql.expressions.Window
     // quantiles are over NON-NULL values (the standard contract; it also
     // sidesteps the engines' opposite default NULL sort positions —
@@ -163,7 +174,7 @@ object Relational {
       valueCol: String,
       ps: Seq[Double],
       accuracy: Int = 10000): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    requireDistinctQuantileLabels(ps)
     require(accuracy >= 1, s"accuracy must be positive: $accuracy")
     val aggs = ps.map { p =>
       percentile_approx(col(valueCol), lit(p), lit(accuracy))
@@ -191,7 +202,7 @@ object Relational {
       valueCol: String,
       ps: Seq[Double],
       accuracy: Int = 10000): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    requireDistinctQuantileLabels(ps)
     import org.apache.spark.sql.expressions.Window
     val approx = groupQuantilesApprox(df, groupCol, valueCol, ps, accuracy)
     // ONE ranking window feeds both the exact quantiles and the rank

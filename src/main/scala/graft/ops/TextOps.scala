@@ -810,7 +810,12 @@ object TextOps {
         col(idCol).as("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
         lm.avgNll(col(textCol)).as("avg_nll"),
-        exp(lm.avgNll(col(textCol))).as("ppl"))
+        // ppl rounded to 6 decimals: `exp` is not correctly-rounded and
+        // JDK vs libm answers differ in the last ulp for some inputs —
+        // avg_nll (bit-exact across engines) stays the full-precision
+        // yardstick, the derived convenience column is pinned to a
+        // precision both engines compute identically
+        round(exp(lm.avgNll(col(textCol))), 6).as("ppl"))
       .orderBy(col("doc_id"))
   }
 

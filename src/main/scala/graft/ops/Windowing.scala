@@ -153,7 +153,7 @@ object Windowing {
       valueCol: String,
       ps: Seq[Double],
       accuracy: Int = 10000): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    Relational.requireDistinctQuantileLabels(ps)
     val aggs = ps.map { p =>
       percentile_approx(col(valueCol), lit(p), lit(accuracy))
         .as(s"p${(p * 100).round}_approx")

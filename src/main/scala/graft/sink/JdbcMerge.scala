@@ -32,7 +32,10 @@ object JdbcMerge {
   /** Knobs, defaulted to the reference's sink connector config.
     * `table` may be schema-qualified with dots (`cso.movies_sink`); dots
     * are ALWAYS qualifier separators, so identifiers that themselves
-    * contain a dot cannot be expressed — see [[quoteTable]]. */
+    * contain a dot cannot be expressed — see [[quoteTable]].
+    * `dialect` picks the SQL surface: [[TSql]] (the reference's MSSQL
+    * target) by default, [[Derby]] for the embedded engine the
+    * integration spec executes against for real. */
   case class Config(
       table: String,
       keyCols: Seq[String],
@@ -41,16 +44,192 @@ object JdbcMerge {
       retryBackoffMs: Long = 3000L,
       autoCreate: Boolean = true,
       autoEvolve: Boolean = true,
-      deleteEnabled: Boolean = true)
+      deleteEnabled: Boolean = true,
+      dialect: Dialect = TSql)
 
-  // ---- SQL generation (T-SQL dialect — the reference's sink is MSSQL) ----
+  /** The dialect seam: everything engine-specific about the generated
+    * SQL lives behind this trait — identifier quoting, the type map,
+    * whether CREATE carries its own existence guard, the MERGE shape
+    * (and, because shapes differ, the parameter bind order), and the
+    * ADD-COLUMN syntax. Two implementations: [[TSql]] mirrors the
+    * reference's kafka-connect-jdbc → MSSQL sink; [[Derby]] exists so
+    * the generated statements are parsed AND EXECUTED by a real SQL
+    * engine in the test suite (embedded Derby 10.16 supports MERGE) —
+    * a typo in the generated dialect can't hide behind a recording
+    * proxy. */
+  sealed trait Dialect extends Serializable {
+    def quoteId(name: String): String
+    def quoteTable(name: String): String =
+      name.split('.').map(quoteId).mkString(".")
+    def sqlType(dt: DataType): String
+    /** true when [[createTableSql]] embeds its own IF-NOT-EXISTS-style
+      * guard; false makes [[ensureTable]] consult live metadata first. */
+    def guardedCreate: Boolean
+    def createTableSql(cfg: Config, schema: StructType): String
+    def mergeSql(cfg: Config, schema: StructType): String
+    /** Field indices (into `schema`) in [[mergeSql]]'s `?` order — the
+      * T-SQL VALUES row binds each column once in schema order, the
+      * Derby SYSDUMMY1 idiom binds keys (ON), non-keys (SET), then the
+      * full row (INSERT). */
+    def mergeBindIndices(cfg: Config, schema: StructType): Seq[Int]
+    def deleteSql(cfg: Config): String
+    def alterAddSql(cfg: Config, f: StructField): String
+  }
 
-  /** T-SQL bracket-quoted identifier — the reference sink quotes
-    * identifiers by default (kafka-connect-jdbc `quote.sql.identifiers`
-    * defaults to ALWAYS), so reserved words, spaces, or hostile column
-    * names can't break or inject into the generated statements. `]`
-    * escapes by doubling per T-SQL rules. */
-  def quoteId(name: String): String = "[" + name.replace("]", "]]") + "]"
+  /** T-SQL (MSSQL) — the reference sink's actual target dialect. */
+  case object TSql extends Dialect {
+    /** Bracket-quoted identifier — the reference sink quotes identifiers
+      * by default (kafka-connect-jdbc `quote.sql.identifiers` defaults
+      * to ALWAYS); `]` escapes by doubling per T-SQL rules. */
+    def quoteId(name: String): String = "[" + name.replace("]", "]]") + "]"
+
+    def sqlType(dt: DataType): String = dt match {
+      case IntegerType        => "INT"
+      case LongType           => "BIGINT"
+      case ShortType          => "SMALLINT"
+      case ByteType           => "TINYINT"
+      case BooleanType        => "BIT"
+      case FloatType          => "REAL"
+      case DoubleType         => "FLOAT"
+      case d: DecimalType     => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType         => "NVARCHAR(MAX)"
+      case BinaryType         => "VARBINARY(MAX)"
+      case DateType           => "DATE"
+      case TimestampType      => "DATETIME2"
+      case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+    }
+
+    def guardedCreate: Boolean = true
+
+    def createTableSql(cfg: Config, schema: StructType): String = {
+      val cols = schema.fields
+        .map { f =>
+          val nullability =
+            if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
+          s"${quoteId(f.name)} ${sqlType(f.dataType)}$nullability"
+        }
+        .mkString(", ")
+      val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
+      // OBJECT_ID must receive the SAME quoted form CREATE uses — with
+      // the raw name, a bracketed-identifier table (space/reserved word)
+      // parses as NULL every time and the "idempotent" DDL re-runs and
+      // fails.
+      val quoted = quoteTable(cfg.table)
+      s"IF OBJECT_ID(N'${quoted.replace("'", "''")}', N'U') IS NULL " +
+        s"CREATE TABLE $quoted ($cols$pk)"
+    }
+
+    def mergeSql(cfg: Config, schema: StructType): String = {
+      val cols = schema.fieldNames.toSeq.map(quoteId)
+      val keys = cfg.keyCols.map(quoteId)
+      val nonKey = cols.filterNot(keys.contains)
+      val src = cols.map(_ => "?").mkString(", ")
+      val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val set = nonKey.map(c => s"$c = s.$c").mkString(", ")
+      val insertCols = cols.mkString(", ")
+      val insertVals = cols.map(c => s"s.$c").mkString(", ")
+      s"MERGE INTO ${quoteTable(cfg.table)} AS t " +
+        s"USING (VALUES ($src)) AS s (${cols.mkString(", ")}) " +
+        s"ON $on " +
+        (if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else "") +
+        s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals);"
+    }
+
+    def mergeBindIndices(cfg: Config, schema: StructType): Seq[Int] =
+      schema.fields.indices
+
+    def deleteSql(cfg: Config): String =
+      s"DELETE FROM ${quoteTable(cfg.table)} WHERE " +
+        cfg.keyCols.map(k => s"${quoteId(k)} = ?").mkString(" AND ")
+
+    def alterAddSql(cfg: Config, f: StructField): String =
+      s"ALTER TABLE ${quoteTable(cfg.table)} ADD " +
+        s"${quoteId(f.name)} ${sqlType(f.dataType)} NULL"
+  }
+
+  /** Embedded Apache Derby — the dialect the integration spec runs for
+    * real (the only SQL engine available offline that parses MERGE).
+    * Differences from T-SQL, each verified against Derby 10.16:
+    *  - double-quoted identifiers (`"` doubled to escape);
+    *  - no NVARCHAR/MAX types: VARCHAR(32672) (Derby's max), BLOB,
+    *    BOOLEAN, DOUBLE, TIMESTAMP; DECIMAL precision caps at 31;
+    *  - no IF-guard syntax: CREATE is unguarded, [[ensureTable]] checks
+    *    live metadata first ([[guardedCreate]] = false);
+    *  - MERGE's source must be a base table or table function — the
+    *    `USING SYSIBM.SYSDUMMY1 ON t.k = ?` one-row idiom replaces the
+    *    VALUES row, which changes the bind order (keys, non-keys, full
+    *    row) and drops the statement terminator (Derby rejects `;`). */
+  case object Derby extends Dialect {
+    def quoteId(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+    def sqlType(dt: DataType): String = dt match {
+      case IntegerType        => "INTEGER"
+      case LongType           => "BIGINT"
+      case ShortType          => "SMALLINT"
+      case ByteType           => "SMALLINT" // Derby has no TINYINT
+      case BooleanType        => "BOOLEAN"
+      case FloatType          => "REAL"
+      case DoubleType         => "DOUBLE"
+      case d: DecimalType if d.precision <= 31 =>
+        s"DECIMAL(${d.precision},${d.scale})"
+      case d: DecimalType =>
+        throw new IllegalArgumentException(
+          s"Derby DECIMAL precision caps at 31, got $d")
+      case StringType         => "VARCHAR(32672)"
+      case BinaryType         => "BLOB"
+      case DateType           => "DATE"
+      case TimestampType      => "TIMESTAMP"
+      case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+    }
+
+    def guardedCreate: Boolean = false
+
+    def createTableSql(cfg: Config, schema: StructType): String = {
+      val cols = schema.fields
+        .map { f =>
+          val nullability =
+            if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
+          s"${quoteId(f.name)} ${sqlType(f.dataType)}$nullability"
+        }
+        .mkString(", ")
+      val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
+      s"CREATE TABLE ${quoteTable(cfg.table)} ($cols$pk)"
+    }
+
+    def mergeSql(cfg: Config, schema: StructType): String = {
+      val keys = cfg.keyCols.map(quoteId)
+      val cols = schema.fieldNames.toSeq.map(quoteId)
+      val nonKey = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.$k = ?").mkString(" AND ")
+      val set = nonKey.map(c => s"$c = ?").mkString(", ")
+      s"MERGE INTO ${quoteTable(cfg.table)} AS t USING SYSIBM.SYSDUMMY1 " +
+        s"ON $on " +
+        (if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else "") +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+
+    def mergeBindIndices(cfg: Config, schema: StructType): Seq[Int] = {
+      val keyIdx = cfg.keyCols.map(schema.fieldIndex)
+      val nonKeyIdx = schema.fields.indices.filterNot(keyIdx.contains)
+      keyIdx ++ nonKeyIdx ++ schema.fields.indices
+    }
+
+    def deleteSql(cfg: Config): String =
+      s"DELETE FROM ${quoteTable(cfg.table)} WHERE " +
+        cfg.keyCols.map(k => s"${quoteId(k)} = ?").mkString(" AND ")
+
+    def alterAddSql(cfg: Config, f: StructField): String =
+      s"ALTER TABLE ${quoteTable(cfg.table)} ADD COLUMN " +
+        s"${quoteId(f.name)} ${sqlType(f.dataType)}"
+  }
+
+  // ---- SQL generation (dispatches to the Config's dialect; the
+  // ---- T-SQL default preserves the original static surface) ------------
+
+  /** T-SQL bracket-quoted identifier (see [[TSql.quoteId]]) — kept as a
+    * top-level function because the sink's default target is MSSQL. */
+  def quoteId(name: String): String = TSql.quoteId(name)
 
   /** Quote each dot-separated segment of a (possibly schema-qualified)
     * table name, e.g. `cso.movies_sink` → `[cso].[movies_sink]`.
@@ -60,45 +239,16 @@ object JdbcMerge {
     * (it would be split/double-quoted). The reference sink has the same
     * surface (`table.name.format` is a plain dotted name,
     * start-sink-connector.sh:72). */
-  def quoteTable(name: String): String =
-    name.split('.').map(quoteId).mkString(".")
+  def quoteTable(name: String): String = TSql.quoteTable(name)
 
   /** Spark → T-SQL column type (the sink side of the §1.2 type table). */
-  def sqlType(dt: DataType): String = dt match {
-    case IntegerType        => "INT"
-    case LongType           => "BIGINT"
-    case ShortType          => "SMALLINT"
-    case ByteType           => "TINYINT"
-    case BooleanType        => "BIT"
-    case FloatType          => "REAL"
-    case DoubleType         => "FLOAT"
-    case d: DecimalType     => s"DECIMAL(${d.precision},${d.scale})"
-    case StringType         => "NVARCHAR(MAX)"
-    case BinaryType         => "VARBINARY(MAX)"
-    case DateType           => "DATE"
-    case TimestampType      => "DATETIME2"
-    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
-  }
+  def sqlType(dt: DataType): String = TSql.sqlType(dt)
 
   /** `auto.create`-style idempotent DDL derived from the value schema
     * (reference: start-sink-connector.sh:67, auto-created `movies_sink`).
     */
-  def createTableSql(cfg: Config, schema: StructType): String = {
-    val cols = schema.fields
-      .map { f =>
-        val nullability =
-          if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
-        s"${quoteId(f.name)} ${sqlType(f.dataType)}$nullability"
-      }
-      .mkString(", ")
-    val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
-    // OBJECT_ID must receive the SAME quoted form CREATE uses — with the
-    // raw name, a bracketed-identifier table (space/reserved word) parses
-    // as NULL every time and the "idempotent" DDL re-runs and fails.
-    val quoted = quoteTable(cfg.table)
-    s"IF OBJECT_ID(N'${quoted.replace("'", "''")}', N'U') IS NULL " +
-      s"CREATE TABLE $quoted ($cols$pk)"
-  }
+  def createTableSql(cfg: Config, schema: StructType): String =
+    cfg.dialect.createTableSql(cfg, schema)
 
   /** Live column inventory of the sink table via JDBC metadata
     * (name, declared type), in ordinal order; empty when the table does
@@ -160,7 +310,7 @@ object JdbcMerge {
     schema.fields.toSeq.flatMap { f =>
       byName.get(f.name.toUpperCase(Locale.ROOT)) match {
         case Some(have) =>
-          val want = sqlType(f.dataType)
+          val want = cfg.dialect.sqlType(f.dataType)
           if (baseType(have) != baseType(want))
             throw new IllegalArgumentException(
               s"auto.evolve cannot change column '${f.name}' of ${cfg.table} " +
@@ -171,36 +321,20 @@ object JdbcMerge {
             throw new IllegalArgumentException(
               s"auto.evolve can only add NULLable columns to ${cfg.table}; " +
                 s"'${f.name}' is NOT NULL")
-          Some(
-            s"ALTER TABLE ${quoteTable(cfg.table)} ADD " +
-              s"${quoteId(f.name)} ${sqlType(f.dataType)} NULL")
+          Some(cfg.dialect.alterAddSql(cfg, f))
       }
     }
   }
 
   /** One-row MERGE upsert keyed on the record key
-    * (`insert.mode=upsert`, `pk.mode=record_key`). */
-  def mergeSql(cfg: Config, schema: StructType): String = {
-    val cols = schema.fieldNames.toSeq.map(quoteId)
-    val keys = cfg.keyCols.map(quoteId)
-    val nonKey = cols.filterNot(keys.contains)
-    val src = cols.map(_ => "?").mkString(", ")
-    val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
-    val set = nonKey.map(c => s"$c = s.$c").mkString(", ")
-    val insertCols = cols.mkString(", ")
-    val insertVals = cols.map(c => s"s.$c").mkString(", ")
-    s"MERGE INTO ${quoteTable(cfg.table)} AS t " +
-      s"USING (VALUES ($src)) AS s (${cols.mkString(", ")}) " +
-      s"ON $on " +
-      (if (nonKey.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set " else "") +
-      s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals);"
-  }
+    * (`insert.mode=upsert`, `pk.mode=record_key`); shape and bind order
+    * are the dialect's ([[Dialect.mergeSql]] / [[Dialect.mergeBindIndices]]). */
+  def mergeSql(cfg: Config, schema: StructType): String =
+    cfg.dialect.mergeSql(cfg, schema)
 
   /** Tombstone handler: key-only DELETE (`delete.enabled=true`,
     * TOMBSTONE_HANDLING_GUIDE.md:219-228). */
-  def deleteSql(cfg: Config): String =
-    s"DELETE FROM ${quoteTable(cfg.table)} WHERE " +
-      cfg.keyCols.map(k => s"${quoteId(k)} = ?").mkString(" AND ")
+  def deleteSql(cfg: Config): String = cfg.dialect.deleteSql(cfg)
 
   // ---- batch mechanics --------------------------------------------------
 
@@ -237,11 +371,13 @@ object JdbcMerge {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Bind one row's values (in schema order) to a prepared statement. */
-  private def bindRow(ps: PreparedStatement, row: Row, schema: StructType): Unit =
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val v = if (row.isNullAt(i)) null else row.get(i)
-      ps.setObject(i + 1, v)
+  /** Bind one row's values to a prepared statement, `indices` being the
+    * row field index for each successive `?` (schema order for T-SQL's
+    * VALUES row; keys++nonkeys++row for Derby's SYSDUMMY1 idiom). */
+  private def bindRow(ps: PreparedStatement, row: Row, indices: Seq[Int]): Unit =
+    indices.zipWithIndex.foreach { case (fieldIdx, pos) =>
+      val v = if (row.isNullAt(fieldIdx)) null else row.get(fieldIdx)
+      ps.setObject(pos + 1, v)
     }
 
   /** Apply one partition's rows through a live connection: tombstones to
@@ -270,6 +406,10 @@ object JdbcMerge {
     val keyIdx = cfg.keyCols.map(schema.fieldIndex)
     val merge = conn.prepareStatement(mergeSql(cfg, schema))
     val delete = conn.prepareStatement(deleteSql(cfg))
+    val mergeBind = cfg.dialect.mergeBindIndices(cfg, schema)
+    // tombstone rows are re-packed to key-only Rows; DELETE's `?`s are
+    // the keys in cfg.keyCols order on every dialect
+    val deleteBind = keySchema.fields.indices
     val pendingMerge = scala.collection.mutable.ArrayBuffer[Row]()
     val pendingDelete = scala.collection.mutable.ArrayBuffer[Row]()
     // Roll back between attempts: servers that abort the transaction on
@@ -280,21 +420,21 @@ object JdbcMerge {
     def flush(
         ps: PreparedStatement,
         pending: scala.collection.mutable.ArrayBuffer[Row],
-        rowSchema: StructType): Unit =
+        bindIdx: Seq[Int]): Unit =
       if (pending.nonEmpty) {
         // commit is INSIDE the retried block — a transient commit failure
         // re-binds and re-applies the batch (idempotent by key) instead of
         // aborting the task unretried.
         withRetries(cfg.maxRetries, cfg.retryBackoffMs, sleep, rollbackQuietly) {
           ps.clearBatch() // drop any half-added batch from a failed attempt
-          pending.foreach { r => bindRow(ps, r, rowSchema); ps.addBatch() }
+          pending.foreach { r => bindRow(ps, r, bindIdx); ps.addBatch() }
           ps.executeBatch()
           conn.commit()
         }
         pending.clear()
       }
-    def flushMerges(): Unit = flush(merge, pendingMerge, schema)
-    def flushDeletes(): Unit = flush(delete, pendingDelete, keySchema)
+    def flushMerges(): Unit = flush(merge, pendingMerge, mergeBind)
+    def flushDeletes(): Unit = flush(delete, pendingDelete, deleteBind)
     rows.foreach { row =>
       if (isTombstone(row)) {
         if (cfg.deleteEnabled) {
@@ -321,7 +461,13 @@ object JdbcMerge {
   def ensureTable(cfg: Config, schema: StructType, conn: Connection): Unit = {
     val st = conn.createStatement()
     try {
-      if (cfg.autoCreate) { st.execute(createTableSql(cfg, schema)); conn.commit() }
+      // dialects whose CREATE embeds its own guard (T-SQL IF OBJECT_ID)
+      // execute unconditionally; the rest (Derby has no IF-NOT-EXISTS)
+      // consult live metadata first — same observable idempotence
+      if (cfg.autoCreate &&
+          (cfg.dialect.guardedCreate || tableColumns(conn, cfg.table).isEmpty)) {
+        st.execute(createTableSql(cfg, schema)); conn.commit()
+      }
       if (cfg.autoEvolve) {
         val existing = tableColumns(conn, cfg.table)
         // an absent table means autoCreate=false and nothing to evolve —
@@ -347,19 +493,28 @@ object JdbcMerge {
       isTombstone: Row => Boolean,
       connect: () => Connection): (DataFrame, Long) => Unit = { (df, _) =>
     val schema = df.schema
+    // Roll back any residual open transaction before close: all real
+    // work commits explicitly, but metadata reads and statement
+    // preparation open a transaction too, and strict engines (Derby)
+    // refuse to close a connection while one is active — found by
+    // executing this path against a real database, not a proxy.
+    def closeClean(conn: Connection): Unit = {
+      try conn.rollback() catch { case _: Exception => () }
+      conn.close()
+    }
     if (cfg.autoCreate || cfg.autoEvolve) {
       val conn = connect()
       try {
         conn.setAutoCommit(false)
         ensureTable(cfg, schema, conn)
-      } finally conn.close()
+      } finally closeClean(conn)
     }
     df.foreachPartition { rows: Iterator[Row] =>
       val conn = connect()
       try {
         conn.setAutoCommit(false)
         applyPartition(rows, schema, cfg, isTombstone, conn)
-      } finally conn.close()
+      } finally closeClean(conn)
     }
   }
 }

@@ -203,7 +203,12 @@ object ScaleProbe {
       "q_quantiles_approx", "q_source_cap", "q_phrase", "q_dsir",
       // round-10 batch 2: fingerprint full-outer diff, the Gopher rule
       // projection, and the union-of-heaps batched vector serving
-      "q_corpus_diff", "q_gopher", "q_sim_topk_batch", "q_window_quantiles")
+      "q_corpus_diff", "q_gopher", "q_sim_topk_batch", "q_window_quantiles",
+      // round-11 restore of the "every declared operator probed"
+      // invariant: the O(sources) rebalance aggregate and the per-row
+      // header-parse projection (both trivially-safe shapes, measured
+      // anyway so the claim is a number, not an argument)
+      "q_mix_rebalance", "q_media_dims")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
@@ -219,9 +224,22 @@ object ScaleProbe {
       tileLineitem(spark, sfDir, bigDir, copies)
       println(s"SCALEPROBE docs x1=$n1 x$copies=$nBig")
 
+      // q_media_dims' declared query reads a fixed 8-row generated
+      // fixture (no binary media table exists in the driver set), so
+      // probing it verbatim would measure nothing — the honest scale
+      // measurement is the same header-parse kernel over the tiled
+      // corpus's bytes (all-NULL dims, but the per-row parse runs on
+      // every row, which is the cost that scales).
+      val probeOverrides: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame] = Map(
+        "q_media_dims" -> ((s, dir) =>
+          graft.ops.MultiModal.withDimensions(
+            graft.ops.MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
+            .select(col("doc_id"), col("width"), col("height"))))
+
       def run(dir: String, name: String): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
+        probeOverrides.getOrElse(name, SparkEntry.queries(name))(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

@@ -366,8 +366,12 @@ class SimilaritySpec extends SparkTestBase {
 
     val fullQ = java.nio.file.Files.createTempDirectory("graft-ivfq-filt-a").toString
     val filtQ = java.nio.file.Files.createTempDirectory("graft-ivfq-filt-b").toString
-    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, fullQ)
-    Similarity.writeIvfIndexQuantized(emb.filter(pred), "vec_id", "embedding", centroids, filtQ)
+    // the filtered probe needs `label` in the index payload — opt in
+    // (the default payload is the bare id/scale/codes/bucket shape)
+    Similarity.writeIvfIndexQuantized(
+      emb, "vec_id", "embedding", centroids, fullQ, payloadCols = Seq("label"))
+    Similarity.writeIvfIndexQuantized(
+      emb.filter(pred), "vec_id", "embedding", centroids, filtQ, payloadCols = Seq("label"))
     val qGot = Similarity.probeIvfIndexQuantized(
       spark, fullQ, "vec_id", qVec, centroids, k, nProbe = 6,
       excludeId = Some(queryId), predicate = Some(pred))

@@ -500,7 +500,8 @@ class TextOpsSpec extends SparkTestBase {
           acc - math.log((counts.getOrElse(t, 0L).toDouble + 1.0) / (total + vsize + 1.0)))
         assert(got(id).getLong(1) == toks.length.toLong)
         assert(math.abs(got(id).getDouble(2) - nll / toks.length) <= 1e-12)
-        assert(math.abs(got(id).getDouble(3) - math.exp(nll / toks.length)) <= 1e-9)
+        // ppl is emitted rounded to 6 decimals (engine-portable exp)
+        assert(math.abs(got(id).getDouble(3) - math.exp(nll / toks.length)) <= 5e-7)
       }
     }
     assert(got(3L).getDouble(3) > got(1L).getDouble(3), "rare vocab must score higher ppl")
