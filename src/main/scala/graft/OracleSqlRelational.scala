@@ -501,5 +501,107 @@ private[graft] object OracleSqlRelational {
         |       CAST(SUM(len(regexp_extract_all(text,
         |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same exactSum convention as q_pricing: decimal accumulation,
+    // one final DOUBLE cast per cell
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // bucket arithmetic mirrors the engine exactly: floor((x-lo)/width)
+    // with binary-exact lo/width literals, >= hi clamped to the last
+    // bucket, the bucket spine generated so empty buckets surface
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT LEAST(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 21) AS bucket,
+        |         count(*) AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        |    AND l_extendedprice >= 0.0
+        |  GROUP BY 1),
+        |s AS (SELECT unnest(generate_series(0, 21)) AS bucket)
+        |SELECT s.bucket, 0.0 + s.bucket * 5000.0 AS bucket_lo,
+        |       0.0 + (s.bucket + 1) * 5000.0 AS bucket_hi,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+        |FROM s LEFT JOIN c USING (bucket) ORDER BY s.bucket""".stripMargin,
+
+    // exact decimal moments (order-independent), then textbook sample
+    // variance on the identical double parts — every step after the
+    // sums is correctly-rounded IEEE, so the z classification matches
+    // the engine bit-for-bit
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value AS value,
+        |       (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+        |FROM events e JOIN s USING (event_type)
+        |WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+        |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
+
+    // slots by integer floor-division of epoch-nanos; latest-in-slot by
+    // (ts, event_id); per-key slot spine via generate_series; LOCF via
+    // IGNORE NULLS last_value — same shapes as the engine's plan
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS slot,
+        |         epoch_ns(ts) AS tsn, event_id, value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (
+        |  SELECT user_id, slot, value FROM (
+        |    SELECT user_id, slot, value,
+        |           row_number() OVER (PARTITION BY user_id, slot
+        |                              ORDER BY tsn DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi)) AS slot
+        |  FROM (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |        FROM e GROUP BY user_id)),
+        |j AS (
+        |  SELECT s.user_id, s.slot, o.value AS obs
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.user_id = o.user_id AND s.slot = o.slot)
+        |SELECT user_id, CAST(slot * 86400000000 AS BIGINT) AS slot_start_us,
+        |       last_value(obs IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY slot
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |       obs IS NULL AS filled
+        |FROM j ORDER BY user_id, slot_start_us""".stripMargin,
+
+    // same whitespace tokenization as q_lm_score; smooth idf
+    // (ln((N+1)/(df+1))+1) with the score ROUNDED to 6 decimals on both
+    // sides and the rank ordered by the rounded score — engine-portable
+    // despite ln's last-ulp libm variance
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(
+        |           trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |           x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |         round(tf.tf * (ln((nd + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS "rank"
+        |      FROM scored)
+        |SELECT doc_id, term, tf, df, score, "rank"
+        |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
   )
 }

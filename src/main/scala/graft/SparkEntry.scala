@@ -851,7 +851,44 @@ object SparkEntry {
           scoreCol = "n_chars")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- round 11: cross-tab / distribution / time-series / keyword ops --
+
+    "q_pivot" -> ((s, dir) =>
+      // Cross-tab: order value by priority × status, declared pivot
+      // values (one scan, static schema — no distinct-values driver job).
+      Relational.pivotAgg(
+        Tables.orders(s, dir),
+        "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
+        "o_totalprice")),
+
+    "q_histogram" -> ((s, dir) =>
+      // Fixed-width price histogram, empty buckets included — the
+      // distribution profile a data-quality dashboard draws.
+      Relational.histogram(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, n = 22)),
+
+    "q_outliers" -> ((s, dir) =>
+      // Per-type z-score anomalies over the event stream — exact-moment
+      // arithmetic so both engines classify identically.
+      Relational.zOutliers(
+        Tables.events(s, dir), "event_type", "event_id", "value", z = 3.0)),
+
+    "q_gap_fill" -> ((s, dir) =>
+      // Per-user daily value series with gaps filled by carry-forward
+      // (locf) — the time-series regularization step before any
+      // windowed model sees the data.
+      Windowing.gapFill(
+        Tables.events(s, dir), "user_id", "ts_ns", "event_id", "value",
+        stepNs = 86400000000000L)),
+
+    "q_tfidf" -> ((s, dir) =>
+      // Top-3 TF-IDF keywords per document (smooth idf, rounded score,
+      // deterministic rank) — the log-weighted counterpart of
+      // q_rare_terms' integer-exact idf ordering.
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

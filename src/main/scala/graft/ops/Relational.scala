@@ -381,4 +381,119 @@ object Relational {
       .select(col("p.*"))
       .orderBy(col("col_name"))
   }
+
+  /** Pivot aggregate (cross-tab): one row per `groupCol`, one column per
+    * DECLARED pivot value, each cell the exact decimal sum of `valueCol`
+    * ([[exactSumDouble]]) for that (group, pivot) pair; absent pairs are
+    * NULL.
+    *
+    * `values` is EXPLICIT and required: Spark's value-less `pivot()`
+    * first runs a distinct-values job and collects it to the driver —
+    * an extra full scan plus an unbounded driver collect at 100 TB.
+    * With declared values the plan is ONE scan and one ≤|groups|-row
+    * exchange (map-side partials per group, |values| cells each), and
+    * the output schema is static — the same reasons the reference's
+    * cross-tabs declare their columns. */
+  def pivotAgg(
+      df: DataFrame,
+      groupCol: String,
+      pivotCol: String,
+      values: Seq[String],
+      valueCol: String): DataFrame = {
+    require(values.nonEmpty, "pivotAgg needs declared pivot values")
+    require(values.distinct.size == values.size, s"duplicate pivot values: $values")
+    df.groupBy(col(groupCol))
+      .pivot(pivotCol, values)
+      .agg(exactSumDouble(col(valueCol)))
+      .orderBy(col(groupCol))
+  }
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi): `n` equal
+    * buckets, every bucket emitted (zero-count included), values ≥ hi
+    * clamped into the last bucket, values < lo dropped. Output:
+    * (bucket, bucket_lo, bucket_hi, n_rows).
+    *
+    * Determinism: bucket = floor((x−lo)/width) with lo/width as DOUBLE
+    * literals — one subtraction, one division, one floor, all
+    * correctly-rounded IEEE ops every engine computes bit-identically
+    * (no transcendentals). Edges are a DESIGN choice, not noise: a
+    * value exactly on a boundary lands in the upper bucket on every
+    * engine.
+    *
+    * Scale shape: one scan, map-side combine to ≤ n cells per task, an
+    * n-row exchange, then a broadcast join against the n-row bucket
+    * spine (`spark.range`) to surface empty buckets — output ∝ n,
+    * never data. */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      n: Int): DataFrame = {
+    require(n > 0 && hi > lo, s"need n>0 and hi>lo, got n=$n [$lo,$hi)")
+    val width = (hi - lo) / n
+    val x = col(valueCol).cast("double")
+    val bucket = least(
+      floor((x - lit(lo)) / lit(width)).cast("long"), lit(n.toLong - 1L))
+    val counts = df
+      .filter(x.isNotNull && !isnan(x) && x >= lit(lo))
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val spine = df.sparkSession.range(n.toLong).withColumnRenamed("id", "bucket")
+    spine
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("bucket_hi"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-group z-score outliers: rows whose value deviates from the
+    * group mean by more than `z` sample standard deviations. Output:
+    * (group, id, value, zscore), ordered by group then id.
+    *
+    * Determinism: the moments accumulate EXACTLY ([[exactSum]]'s
+    * DECIMAL(38,6) for Σx and Σx², order-independent), and everything
+    * after is +,−,×,÷,√ on identical doubles — all correctly-rounded
+    * IEEE, so Spark and the oracle agree bit-for-bit (the reason this
+    * does NOT use the engine's incremental `stddev_samp`, whose
+    * accumulation order varies). Sample variance is the textbook
+    * (Σx² − (Σx)²/n)/(n−1) on the exact parts.
+    *
+    * Scale shape: two scans of (group, value) — a ≤|groups|-row exact
+    * aggregate, broadcast back, then a stateless filter projection; no
+    * per-group sort, no window. Skewed groups cost nothing beyond their
+    * row count. */
+  def zOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df
+      .filter(v.isNotNull && !isnan(v))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        exactSum(v).cast("double").as("__sum"),
+        exactSum(v * v).cast("double").as("__sumsq"))
+      .withColumn("__mean", col("__sum") / col("__n"))
+      // singleton groups have no sample variance: NULL sd (ANSI-safe —
+      // the n−1 division would throw), so their rows never classify
+      .withColumn(
+        "__sd",
+        when(col("__n") > 1,
+          sqrt((col("__sumsq") - col("__sum") * col("__sum") / col("__n"))
+            / (col("__n") - 1))))
+      .select(col(groupCol), col("__mean"), col("__sd"))
+    df.filter(v.isNotNull && !isnan(v))
+      .join(broadcast(stats), groupCol)
+      .withColumn("zscore", (v - col("__mean")) / col("__sd"))
+      .filter(abs(col("zscore")) > lit(z))
+      .select(col(groupCol), col(idCol), v.as("value"), col("zscore"))
+      .orderBy(col(groupCol), col(idCol))
+  }
 }

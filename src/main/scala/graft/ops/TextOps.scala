@@ -970,4 +970,51 @@ object TextOps {
           (windows - distinct).cast("double") / windows).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Top-`k` TF-IDF terms per document — the classic keyword/feature
+    * extractor (sklearn's smooth-idf convention:
+    * `idf = ln((N+1)/(df+1)) + 1`, `score = tf · idf`). Output:
+    * (doc_id, term, tf, df, score, rank), rank 1..k per doc.
+    *
+    * Scale shape: ONE explode of the token stream (the same compiled
+    * [[graft.functions.native.wordNgrams]] kernel as [[vocab]]) feeds
+    * both frequency tables — tf is a (doc, term) hash aggregate, df a
+    * (term) hash aggregate OVER THE TF TABLE (already one row per
+    * (doc, term), so no second corpus pass), N a one-row broadcast. The
+    * per-doc top-k is a window over each doc's DISTINCT terms (bounded
+    * by doc length), partitioned by doc — never a global sort.
+    *
+    * Determinism: tf/df/N are integers; `ln` is the one
+    * non-correctly-rounded step, so `score` is emitted ROUNDED to 6
+    * decimals and the rank orders by (rounded score desc, term asc) —
+    * the same engine-portable convention on both sides, immune to the
+    * last-ulp libm-vs-JDK divergences that full-precision ordering
+    * would amplify into row mismatches. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val score = round(
+      col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

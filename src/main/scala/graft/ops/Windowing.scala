@@ -237,4 +237,63 @@ object Windowing {
       .groupBy(col("window_start_sec") +: dims: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Time-series gap fill with last-observation-carried-forward (the
+    * Timescale `locf`/`time_bucket_gapfill` shape): regularize each
+    * key's event stream onto a fixed `stepNs` grid from its first to
+    * its last observation, emitting EVERY slot — observed slots carry
+    * their latest value (ties broken by `seqCol`, the changelog
+    * convention), empty slots repeat the previous value with
+    * `filled=true`. Output: (key, slot_start_us, value, filled).
+    *
+    * Shape: slot assignment is an exact integer floor-division
+    * projection; the per-(key, slot) "latest" is one aggregate
+    * ([[graft.functions.LatestRow]]-style max-by via struct max); the
+    * spine is `sequence(min_slot, max_slot)` EXPLODED FROM the per-key
+    * one-row aggregate (rows ∝ keys × span/step, never a cross join);
+    * the carry-forward is one per-key ordered window over SLOTS (≤
+    * span/step rows per key, not events). All joins are key-partitioned
+    * and AQE-planned; per-key state never exceeds its slot count.
+    *
+    * Determinism: slots and the filled flag are integer arithmetic; the
+    * carried value is picked by (ts, seq) order — no floats involved
+    * anywhere but the payload itself. */
+  def gapFill(
+      df: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      seqCol: String,
+      valueCol: String,
+      stepNs: Long): DataFrame = {
+    require(stepNs > 0, s"stepNs must be positive: $stepNs")
+    require(stepNs % 1000L == 0, s"stepNs must be whole micros: $stepNs")
+    import org.apache.spark.sql.expressions.Window
+    val slot = floorDiv(col(tsNsCol).cast("long"), stepNs)
+    // latest observation per (key, slot): max over the (ts, seq, value)
+    // struct orders by ts then seq — one hash aggregate, no window sort
+    val obs = df
+      .filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .select(
+        col(keyCol), slot.as("__slot"),
+        struct(col(tsNsCol).cast("long"), col(seqCol), col(valueCol).as("v"))
+          .as("__o"))
+      .groupBy(col(keyCol), col("__slot"))
+      .agg(max(col("__o")).as("__o"))
+      .select(col(keyCol), col("__slot"), col("__o.v").as("__obs"))
+    val spine = obs
+      .groupBy(col(keyCol))
+      .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__slot"))
+    val w = Window.partitionBy(keyCol).orderBy("__slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(obs, Seq(keyCol, "__slot"), "left")
+      .select(
+        col(keyCol),
+        (col("__slot") * lit(stepNs / 1000L)).as("slot_start_us"),
+        last(col("__obs"), ignoreNulls = true).over(w).as(valueCol),
+        col("__obs").isNull.as("filled"))
+      .orderBy(col(keyCol), col("slot_start_us"))
+  }
 }

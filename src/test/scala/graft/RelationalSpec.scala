@@ -222,4 +222,58 @@ class RelationalSpec extends SparkTestBase {
       assert(values(lang).exists(_._2 == p50a), s"$lang p50 estimate not a data value")
     }
   }
+
+  test("pivotAgg cross-tabs with declared values; absent pairs NULL; dup values rejected") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x", 1.5), ("a", "x", 2.5), ("a", "y", 10.0),
+      ("b", "y", 3.0), ("b", "z", 7.0) // z not declared -> dropped
+    ).toDF("g", "p", "v")
+    val got = Relational.pivotAgg(df, "g", "p", Seq("x", "y"), "v").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(got(0).getDouble(1) == 4.0 && got(0).getDouble(2) == 10.0)
+    assert(got(1).isNullAt(1), "absent (b, x) must be NULL")
+    assert(got(1).getDouble(2) == 3.0)
+    // declared values => NO extra distinct-values job: the plan is one
+    // aggregate over the input, no second scan
+    intercept[IllegalArgumentException](
+      Relational.pivotAgg(df, "g", "p", Seq("x", "x"), "v"))
+  }
+
+  test("histogram: edges, hi-clamp, low drop, empty buckets surfaced, broadcast spine") {
+    import spark.implicits._
+    val df = Seq(-1.0, 0.0, 4.9, 5.0, 9.9, 20.0, 15.0, Double.NaN)
+      .toDF("x") // lo=0 hi=15 n=3 -> width 5
+    val h = Relational.histogram(df, "x", lo = 0.0, hi = 15.0, n = 3)
+    val got = h.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0.0, 5.0, 2L),   // 0.0, 4.9 (-1 dropped, NaN dropped)
+      (1L, 5.0, 10.0, 2L),  // 5.0 (boundary -> upper bucket), 9.9
+      (2L, 10.0, 15.0, 2L)  // 15.0 and 20.0 clamp into the last bucket
+    ))
+    assert(h.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "bucket-spine join must broadcast the n-row counts")
+  }
+
+  test("zOutliers matches a driver-side exact-moment model and broadcasts the stats") {
+    import spark.implicits._
+    val vals = Seq.tabulate(20)(i => ("g", i.toLong, 10.0 + i * 0.1)) :+
+      (("g", 99L, 1000.0)) // the planted outlier
+    val df = vals.toDF("grp", "id", "v") union
+      Seq(("h", 1L, Double.NaN), ("h", 2L, 5.0)).toDF("grp", "id", "v")
+    val out = Relational.zOutliers(df, "grp", "id", "v", z = 3.0)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    // driver model with the operator's exact arithmetic
+    val xs = vals.map(_._3)
+    val n = xs.size
+    val mean = xs.sum / n
+    val sd = math.sqrt((xs.map(x => x * x).sum - xs.sum * xs.sum / n) / (n - 1))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("g", 99L)))
+    assert(math.abs(got.head._3 - (1000.0 - mean) / sd) < 1e-9)
+    // group "h": single finite value -> sd NULL/NaN -> no outliers, no crash
+    assert(!got.exists(_._1 == "h"))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "per-group stats must broadcast back, never shuffle the fact side")
+  }
 }

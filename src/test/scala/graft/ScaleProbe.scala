@@ -135,6 +135,20 @@ object ScaleProbe {
     copies * base.count()
   }
 
+  /** Plain row tiling for orders (q_pivot's input): same shape as
+    * [[tileLineitem]] — groups/pivot values stay constant, row volume
+    * grows ×copies, so the cross-tab's map-side-combine claim is what
+    * the ratio measures. */
+  def tileOrders(spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val base = Tables.orders(spark, sfDir)
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .drop("copy")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    copies * base.count()
+  }
+
   /** Boilerplate-heavy corpus: the SAME ~250-char boilerplate block is
     * appended to every even-id doc (~50% of the corpus), so its winnow
     * fingerprints appear in half of all documents — the exact regime the
@@ -208,7 +222,11 @@ object ScaleProbe {
       // invariant: the O(sources) rebalance aggregate and the per-row
       // header-parse projection (both trivially-safe shapes, measured
       // anyway so the claim is a number, not an argument)
-      "q_mix_rebalance", "q_media_dims")
+      "q_mix_rebalance", "q_media_dims",
+      // round-11 operators: declared-value cross-tab, bucket histogram,
+      // broadcast-stats z-outliers, per-key slot-spine gap fill, and the
+      // explode+window TF-IDF keyword extractor
+      "q_pivot", "q_histogram", "q_outliers", "q_gap_fill", "q_tfidf")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
@@ -218,10 +236,12 @@ object ScaleProbe {
       tileEmbeddings(spark, sfDir, oneDir, 1)
       tileEvents(spark, sfDir, oneDir, 1)
       tileLineitem(spark, sfDir, oneDir, 1)
+      tileOrders(spark, sfDir, oneDir, 1)
       val nBig = tileDocuments(spark, sfDir, bigDir, copies)
       tileEmbeddings(spark, sfDir, bigDir, copies)
       tileEvents(spark, sfDir, bigDir, copies)
       tileLineitem(spark, sfDir, bigDir, copies)
+      tileOrders(spark, sfDir, bigDir, copies)
       println(s"SCALEPROBE docs x1=$n1 x$copies=$nBig")
 
       // q_media_dims' declared query reads a fixed 8-row generated

@@ -713,4 +713,31 @@ class TextOpsSpec extends SparkTestBase {
     // range partitioning; no hash exchange touches the corpus
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("tfidfTopTerms matches a driver-side smooth-idf model with deterministic ranks") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry"),
+      (3L, "durian"),
+      (4L, "   ") // empty -> contributes to N, emits no terms
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // driver model: N=4 docs, df over distinct (doc, term)
+    val nDocs = 4.0
+    val dfOf = Map("apple" -> 1L, "banana" -> 2L, "cherry" -> 2L, "durian" -> 1L)
+    def score(tf: Long, df: Long): Double = {
+      val raw = tf * (math.log((nDocs + 1.0) / (df + 1.0)) + 1.0)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.toSeq == Seq(
+      (1L, "apple", 2L, 1L, score(2, 1), 1),   // rare + doubled beats the rest
+      (1L, "banana", 1L, 2L, score(1, 2), 2),  // tie with cherry -> term asc
+      (2L, "cherry", 2L, 2L, score(2, 2), 1),
+      (2L, "banana", 1L, 2L, score(1, 2), 2),
+      (3L, "durian", 1L, 1L, score(1, 1), 1)))
+    assert(!got.exists(_._1 == 4L), "token-less docs emit no keyword rows")
+  }
 }

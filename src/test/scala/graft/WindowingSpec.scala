@@ -123,4 +123,31 @@ class WindowingSpec extends SparkTestBase {
       assert(eq(p50, model(w)._1) && eq(p95, model(w)._2), s"window $w")
     }
   }
+
+  test("gapFill: carry-forward over empty slots, latest-in-slot by (ts, seq), spans per key") {
+    import spark.implicits._
+    val step = 1000000000L * 60 // one minute
+    def ns(min: Long, sec: Long = 0) = min * 60000000000L + sec * 1000000000L
+    val df = Seq(
+      // key 1: slots 10, 13 observed -> 11, 12 filled with 1.0
+      (1L, ns(10), 1L, 1.0), (1L, ns(13), 2L, 4.0),
+      // slot 13 has TWO events; later (ts, seq) must win
+      (1L, ns(13, 30), 3L, 5.0),
+      // key 2: a single slot -> one row, nothing filled
+      (2L, ns(20), 4L, 9.0)
+    ).toDF("user_id", "ts_ns", "event_id", "v")
+    val got = graft.ops.Windowing
+      .gapFill(df, "user_id", "ts_ns", "event_id", "v", step)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val stepUs = step / 1000
+    assert(got.toSeq == Seq(
+      (1L, 10 * stepUs, 1.0, false),
+      (1L, 11 * stepUs, 1.0, true),
+      (1L, 12 * stepUs, 1.0, true),
+      (1L, 13 * stepUs, 5.0, false), // the slot's LATEST event, not the first
+      (2L, 20 * stepUs, 9.0, false)))
+    intercept[IllegalArgumentException](
+      graft.ops.Windowing.gapFill(df, "user_id", "ts_ns", "event_id", "v", 500L))
+  }
 }
