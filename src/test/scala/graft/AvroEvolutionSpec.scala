@@ -124,4 +124,52 @@ class AvroEvolutionSpec extends SparkTestBase {
     assert(merge.batches.map(_.take(2)).sortBy(_.head.toString) ==
       Seq(Seq(1, "alpha v2"), Seq(3, "gamma")))
   }
+
+  test("InMemorySchemaRegistry: monotonic ids, idempotent register, per-subject history") {
+    val reg = new graft.sources.InMemorySchemaRegistry
+    val id1 = reg.register("movies-value", envV1)
+    val id2 = reg.register("movies-value", envV2)
+    assert(id1 < id2, "ids must be monotonically increasing")
+    // producer restart re-registers the same schema -> SAME id, no mint
+    assert(reg.register("movies-value", envV1) == id1)
+    assert(reg.register("movies-value", envV2) == id2)
+    // a different subject gets its own id space entry, never a reuse
+    val other = reg.register("clicks-value", envV1)
+    assert(other != id1 && other != id2)
+    assert(reg.schemaById(id1).contains(envV1))
+    assert(reg.schemaById(9999).isEmpty)
+    assert(reg.subjectSnapshot("movies-value") == Map(id1 -> envV1, id2 -> envV2))
+    assert(reg.subjectSnapshot("clicks-value") == Map(other -> envV1))
+    assert(reg.subjectSnapshot("nope").isEmpty)
+  }
+
+  test("the registry seam resolves a subject and decodes an evolving stream") {
+    // same end-to-end as the map-based test, but ids come FROM the
+    // registry (the producer registers, frames with the returned id) and
+    // the consumer resolves the subject through the seam — the exact
+    // calls an HTTP-backed implementation would serve.
+    val reg = new graft.sources.InMemorySchemaRegistry
+    val id1 = reg.register("movies-value", envV1)
+    val id2 = reg.register("movies-value", envV2)
+    val keyAvro = AvroSerde.avroSchema(keySt)
+    def frame(id: Int, env: Row, schema: StructType, schemaId: Int, offset: Long) =
+      (AvroSerde.toBytes(Row(id), keySt, keyAvro),
+        AvroSerde.toBytesWithId(env, schema, AvroSerde.avroSchema(schema), schemaId),
+        offset)
+    val frames = Seq(
+      frame(1, Row(null, Row("alpha"), "c", 0L), envV1, id1, 0L),
+      frame(2, Row(null, Row("beta", "noir"), "c", 1L), envV2, id2, 1L))
+      .toDF("key", "value", "offset")
+    val decoded = graft.sources.SchemaRegistry
+      .decodeEnvelope(frames, reg, keySt, "movies-value")
+    assert(decoded.schema("kafka_value").dataType == envV2)
+    val got = decoded
+      .select(col("kafka_key.id"), col("kafka_value.after.TITLE"),
+        col("kafka_value.after.GENRE"))
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "alpha", None), (2, "beta", Some("noir"))))
+    intercept[IllegalArgumentException](
+      graft.sources.SchemaRegistry.decodeEnvelope(frames, reg, keySt, "absent-value"))
+  }
 }
