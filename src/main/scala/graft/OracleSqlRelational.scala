@@ -580,6 +580,14 @@ private[graft] object OracleSqlRelational {
         |       obs IS NULL AS filled
         |FROM j ORDER BY user_id, slot_start_us""".stripMargin,
 
+    // the bucketed layout changes the PLAN, never the answer — the
+    // oracle is the plain join+aggregate
+    "q_colocated_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // same whitespace tokenization as q_lm_score; smooth idf
     // (ln((N+1)/(df+1))+1) with the score ROUNDED to 6 decimals on both
     // sides and the rank ordered by the rounded score — engine-portable

@@ -61,6 +61,38 @@ object SparkEntry {
     * the same directory within a run and concurrent JVMs never race. */
   private val MediaFixturePath = Tables.mediaFixturePath
 
+  /** One pair of bucketed tables per (JVM, sf) — the q_colocated_join
+    * amortization model, same as the BM25 index: the bucket-layout
+    * write (the pre-paid shuffle) happens once on first use; every
+    * probe after it joins exchange-free. Table names carry an sf tag so
+    * multi-sf runs don't collide in the session catalog; the data dirs
+    * are temp and removed at JVM exit. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+    bucketedTables.computeIfAbsent(dir, { d =>
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val li = s"graft_lineitem_b$tag"
+      val ord = s"graft_orders_b$tag"
+      val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+      ops.Bucketed.writeBucketedTable(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        li, s"$root/lineitem", "l_orderkey", buckets = 8)
+      ops.Bucketed.writeBucketedTable(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        ord, s"$root/orders", "o_orderkey", buckets = 8)
+      (li, ord)
+    })
+
   private val mediaFixtureWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -888,7 +920,21 @@ object SparkEntry {
       // Top-3 TF-IDF keywords per document (smooth idf, rounded score,
       // deterministic rank) — the log-weighted counterpart of
       // q_rare_terms' integer-exact idf ordering.
-      TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3))
+      TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    "q_colocated_join" -> ((s, dir) => {
+      // Revenue by priority over PRE-BUCKETED fact tables: the join's
+      // shuffle was paid once at table-build time (first use per JVM,
+      // the bm25-index amortization model); the probe's plan carries no
+      // exchange on either join side (BucketedJoinSpec pins it).
+      val (li, ord) = bucketedFor(s, dir)
+      ops.Bucketed.colocatedJoin(s, li, ord, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Relational.exactSumDouble(col("l_extendedprice")).as("sum_base"))
+        .orderBy(col("o_orderpriority"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

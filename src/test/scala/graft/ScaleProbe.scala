@@ -226,7 +226,10 @@ object ScaleProbe {
       // round-11 operators: declared-value cross-tab, bucket histogram,
       // broadcast-stats z-outliers, per-key slot-spine gap fill, and the
       // explode+window TF-IDF keyword extractor
-      "q_pivot", "q_histogram", "q_outliers", "q_gap_fill", "q_tfidf")
+      "q_pivot", "q_histogram", "q_outliers", "q_gap_fill", "q_tfidf",
+      // pre-bucketed co-located join (first run pays the layout write,
+      // min-of-2 is the exchange-free steady state — bm25_indexed model)
+      "q_colocated_join")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
