@@ -580,6 +580,20 @@ private[graft] object OracleSqlRelational {
         |       obs IS NULL AS filled
         |FROM j ORDER BY user_id, slot_start_us""".stripMargin,
 
+    // consecutive-gap lag window, integer nanos end to end; ties carry
+    // gap 0 so lag-order ambiguity can never cross the threshold
+    "q_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) AS prev, tsn
+        |  FROM e)
+        |SELECT user_id, prev // 1000 AS gap_start_us, tsn // 1000 AS gap_end_us,
+        |       (tsn - prev) // 1000 AS gap_us
+        |FROM g WHERE tsn - prev > 172800000000000
+        |ORDER BY user_id, gap_start_us""".stripMargin,
+
     // the bucketed layout changes the PLAN, never the answer — the
     // oracle is the plain join+aggregate
     "q_colocated_join" ->

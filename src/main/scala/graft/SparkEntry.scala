@@ -74,8 +74,12 @@ object SparkEntry {
     bucketedTables.computeIfAbsent(dir, { d =>
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val li = s"graft_lineitem_b$tag"
-      val ord = s"graft_orders_b$tag"
+      // NOT under the `graft_` prefix: that is the PUBLIC namespace
+      // Meta.listTables (q_show_tables) reports — an internal layout
+      // table leaking into SHOW TABLES turned the meta query
+      // catalog-order-dependent (caught by the driver-mimic compare)
+      val li = s"bucketed_lineitem_$tag"
+      val ord = s"bucketed_orders_$tag"
       val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -921,6 +925,13 @@ object SparkEntry {
       // deterministic rank) — the log-weighted counterpart of
       // q_rare_terms' integer-exact idf ordering.
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    "q_gaps" -> ((s, dir) =>
+      // Silence detection over history: every >2-day hole in a user's
+      // event stream (stalled connector / dead device / churn signal);
+      // GapAlertStream is the live dead-man's-switch flavor.
+      EventAnalytics.gaps(
+        Tables.events(s, dir), "user_id", "ts_ns", gapNs = 172800000000000L)),
 
     "q_colocated_join" -> ((s, dir) => {
       // Revenue by priority over PRE-BUCKETED fact tables: the join's

@@ -147,4 +147,35 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Silence detection (batch half; [[graft.streaming.GapAlertStream]]
+    * is the live dead-man's-switch): every consecutive-event gap per
+    * key that exceeds `gapNs` — a stalled CDC connector, a dead device,
+    * a churned user — as (key, gap_start_us, gap_end_us, gap_us),
+    * ordered for the oracle.
+    *
+    * Shape: ONE per-key time-ordered window (lag) — the sessionization
+    * sort, shared cost model with q_window_session; output ∝ gaps, not
+    * events. Integer nanos arithmetic end to end, so the oracle match
+    * is exact by construction. */
+  def gaps(
+      events: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      gapNs: Long): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive: $gapNs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"))
+    events
+      .filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .select(col(keyCol), col(tsNsCol).cast("long").as("__ts"))
+      .withColumn("__prev", lag(col("__ts"), 1).over(w))
+      .filter(col("__ts") - col("__prev") > gapNs)
+      .select(
+        col(keyCol),
+        Windowing.floorDiv(col("__prev"), 1000L).as("gap_start_us"),
+        Windowing.floorDiv(col("__ts"), 1000L).as("gap_end_us"),
+        Windowing.floorDiv(col("__ts") - col("__prev"), 1000L).as("gap_us"))
+      .orderBy(col(keyCol), col("gap_start_us"))
+  }
 }

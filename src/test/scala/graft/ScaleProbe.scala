@@ -229,7 +229,9 @@ object ScaleProbe {
       "q_pivot", "q_histogram", "q_outliers", "q_gap_fill", "q_tfidf",
       // pre-bucketed co-located join (first run pays the layout write,
       // min-of-2 is the exchange-free steady state — bm25_indexed model)
-      "q_colocated_join")
+      "q_colocated_join",
+      // consecutive-gap lag window (the q_window_session sort axis)
+      "q_gaps")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
