@@ -256,6 +256,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == mem, s"streamed-index probe diverged: $got vs $mem")
   }
 
+  test("compactIndex folds streamed appends into base: same answers, streamed gone, healed") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-compact-ck").toString
+    val (baseVecs, lateVecs) = vecs.sortBy(_._1).splitAt(vecs.length / 2)
+    Similarity.writeIvfIndex(
+      baseVecs.toSeq.toDF("vec_id", "embedding"), "embedding", centroids, path)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt)
+    try {
+      // several small batches -> several small files per touched bucket
+      lateVecs.grouped(math.max(1, lateVecs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qVec = vecs.find(_._1 == queryId).get._2
+    def probe() = Similarity.probeIvfIndex(
+      spark, path, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe()
+    assert(new java.io.File(s"$path/streamed").exists())
+    assert(Similarity.compactIndex(spark, path, Seq("bucket")))
+    assert(!new java.io.File(s"$path/streamed").exists(), "streamed must fold away")
+    assert(!new java.io.File(s"$path/_COMPACTING").exists(), "marker must clear")
+    assert(probe() == before, "compaction must never change answers")
+    // idempotent: nothing left to compact
+    assert(!Similarity.compactIndex(spark, path, Seq("bucket")))
+    // healing: a leftover marker + stale partial union from a crashed
+    // run must be discarded, then compaction proceeds fresh
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // one more arrival — the ANTI-query vector (cosine −1), so top-k
+    // answers stay comparable to `before` after it folds in. The
+    // post-compaction ingest is a NEW GENERATION: fresh checkpoint
+    // (the old one's sink log died with the folded streamed/ — see
+    // compactIndex's contract)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ivf-compact-ck2").toString
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark) // new source position too
+    input2.addData(Seq((999999L, qVec.map(-_))))
+    val q2 = Similarity.ingestIvfIndexStream(
+      input2.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/base_compact/bucket=0"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_COMPACTING"), true).close()
+    assert(Similarity.compactIndex(spark, path, Seq("bucket")))
+    assert(!new java.io.File(s"$path/streamed").exists())
+    assert(probe() == before, "healed compaction must still be duplicate-free")
+  }
+
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
     val emb = Tables.embeddings(spark, sf001)
     val (bands, bits) = (24, 3) // the fixture-tuned q_sim_topk_lsh regime
