@@ -580,6 +580,35 @@ private[graft] object OracleSqlRelational {
         |       obs IS NULL AS filled
         |FROM j ORDER BY user_id, slot_start_us""".stripMargin,
 
+    // the q_bigrams sliding-window machinery for pairs, q_lm_score's
+    // tokenization for unigrams; the pmi expression SHAPE matches the
+    // engine exactly (divisions/multiplications are correctly-rounded
+    // IEEE; ln's last ulp is absorbed by round-6 on both sides)
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT term, count(*) AS c_term
+        |  FROM (SELECT unnest(w) AS term FROM toks) WHERE term <> '' GROUP BY 1),
+        |bi AS (
+        |  SELECT g, count(*) AS c_ab FROM (
+        |    SELECT array_to_string(w[i : i + 1], ' ') AS g
+        |    FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT (SELECT sum(c_term) FROM uni) AS n_uni,
+        |         (SELECT count(*) FROM (
+        |            SELECT 1 FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))) AS n_bi)
+        |SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+        |       c_ab, a.c_term AS c_a, b.c_term AS c_b,
+        |       round(ln((c_ab / n_bi) / ((a.c_term / n_uni) * (b.c_term / n_uni))), 6) AS pmi
+        |FROM bi, tot
+        |JOIN uni a ON a.term = split_part(g, ' ', 1)
+        |JOIN uni b ON b.term = split_part(g, ' ', 2)
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+
     // consecutive-gap lag window, integer nanos end to end; ties carry
     // gap 0 so lag-order ambiguity can never cross the threshold
     "q_gaps" ->

@@ -926,6 +926,11 @@ object SparkEntry {
       // q_rare_terms' integer-exact idf ordering.
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    "q_collocations" -> ((s, dir) =>
+      // Top-50 PMI collocations (pair count >= 5) — the phrase-vocab /
+      // corpus-analysis step; integer counts, rounded-ln score.
+      TextOps.collocations(Tables.documents(s, dir), "text")),
+
     "q_gaps" -> ((s, dir) =>
       // Silence detection over history: every >2-day hole in a user's
       // event stream (stalled connector / dead device / churn signal);

@@ -990,6 +990,57 @@ object TextOps {
     * the same engine-portable convention on both sides, immune to the
     * last-ulp libm-vs-JDK divergences that full-precision ordering
     * would amplify into row mismatches. */
+  /** Top-`k` collocations by pointwise mutual information — word pairs
+    * that co-occur far more than their unigram frequencies predict
+    * ("new york", "machine learning"): the classic collocation
+    * extractor (Church & Hanks), and the phrase-vocabulary step of a
+    * tokenizer/embedding build.
+    * `pmi = ln(p(ab) / (p(a)·p(b)))` with `p(ab) = c_ab/N_bigrams`,
+    * `p(x) = c_x/N_tokens`; `minCount` floors the pair count (PMI is
+    * notoriously noisy on rare pairs — a hapax pair maxes the score).
+    *
+    * Scale shape: both count tables come from single kernel-explode
+    * passes (the [[vocab]]/[[ngramCounts]] posture — exchanges carry
+    * distinct grams, not corpus tokens); totals are a one-row
+    * broadcast; the unigram table broadcasts into the pair join twice
+    * (vocab-sized, the [[tfidfTopTerms]] posture); top-k is
+    * TakeOrderedAndProject. Determinism: counts are integers, the
+    * score is ROUNDED to 6 decimals (ln convention, see
+    * [[tfidfTopTerms]]) and ordered (score, w1, w2) on both engines. */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"minCount=$minCount topK=$topK must be >= 1")
+    val uni = df
+      .select(explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
+    val bi = df
+      .select(explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+    val totals = uni.agg(sum(col("c_term")).as("n_uni"))
+      .crossJoin(df.select(
+        explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("g"))
+        .agg(count(lit(1)).as("n_bi")))
+    val pmi = round(
+      log((col("c_ab") / col("n_bi"))
+        / ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
+    bi
+      .join(broadcast(uni.withColumnRenamed("term", "w1")
+        .withColumnRenamed("c_term", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("term", "w2")
+        .withColumnRenamed("c_term", "c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

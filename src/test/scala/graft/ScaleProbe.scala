@@ -231,7 +231,9 @@ object ScaleProbe {
       // min-of-2 is the exchange-free steady state — bm25_indexed model)
       "q_colocated_join",
       // consecutive-gap lag window (the q_window_session sort axis)
-      "q_gaps")
+      "q_gaps",
+      // two kernel-explode count tables + broadcast joins + TakeOrdered
+      "q_collocations")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {

@@ -714,6 +714,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("collocations ranks high-PMI pairs first, floors rare pairs, matches the model") {
+    // "aa bb" co-occurs always (high PMI); "cc dd" co-occur but cc/dd
+    // also appear apart (lower PMI); "ee ff" occurs once (< minCount)
+    val doc = ("aa bb " * 6) + ("cc dd " * 5) + ("cc xx dd yy " * 5) + "ee ff"
+    val docs = Seq((1L, doc.trim)).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.collocations(docs, "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val tokens = doc.trim.split("\\s+")
+    val nUni = tokens.length.toDouble
+    val nBi = (tokens.length - 1).toDouble
+    def model(cab: Long, ca: Long, cb: Long): Double = {
+      val raw = math.log((cab / nBi) / ((ca / nUni) * (cb / nUni)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    // aa->bb: cab=6, ca=cb=6
+    assert(byPair(("aa", "bb"))._6 == model(6, 6, 6))
+    // cc->dd: adjacent only in the "cc dd" block
+    assert(byPair(("cc", "dd"))._6 == model(5, 10, 10))
+    assert(!byPair.contains(("ee", "ff")), "hapax pair must be floored out")
+    // the always-together pair must outrank the sometimes-apart pair
+    assert(got.head._1 == "aa" && byPair(("aa", "bb"))._6 > byPair(("cc", "dd"))._6)
+  }
+
   test("tfidfTopTerms matches a driver-side smooth-idf model with deterministic ranks") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),
