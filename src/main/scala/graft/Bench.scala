@@ -300,7 +300,10 @@ object Bench {
     // figure, the full spread stays published.
     val replayRerunSpread =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_SPREAD", "3.0").toDouble
-    val priorReplaySec: Option[Double] = priorArtifactText(sfDir).flatMap { txt =>
+    // read + unescape the prior artifact ONCE; both the replay rerun
+    // check (here) and the cross-round query guard (below) share it
+    val priorText: Option[String] = priorArtifactText(sfDir)
+    val priorReplaySec: Option[Double] = priorText.flatMap { txt =>
       "\"replay_sec\":(-?[0-9][0-9.eE+-]*)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble).filter(_ > 0)
     }
@@ -417,7 +420,7 @@ object Bench {
     // driver's BENCH_r*.json artifacts keep only a 2000-char output tail),
     // else the newest driver artifact's surviving iteration lists.
     val priorQueries: Map[String, Double] = {
-      priorArtifactText(sfDir).flatMap { txt =>
+      priorText.flatMap { txt =>
         try {
           {
             // accept both shapes: `"q_x":0.12` (queries map) and

@@ -537,17 +537,21 @@ private[graft] object OracleSqlRelational {
     // sums is correctly-rounded IEEE, so the z classification matches
     // the engine bit-for-bit
     "q_outliers" ->
+      // finite-only and positive-variance guards mirror the engine: a
+      // NaN/Inf row is excluded from n and sums alike, and singleton /
+      // zero-variance groups classify nothing
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
         |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
         |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
         |  FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  WHERE value IS NOT NULL AND isfinite(value)
         |  GROUP BY event_type)
         |SELECT e.event_type, e.event_id, e.value AS value,
         |       (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
         |FROM events e JOIN s USING (event_type)
-        |WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+        |WHERE e.value IS NOT NULL AND isfinite(e.value)
+        |  AND n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
         |ORDER BY e.event_type, e.event_id""".stripMargin,
 

@@ -37,20 +37,24 @@ object SparkEntry {
   private val bm25Indexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Temp directory deleted recursively at JVM exit — the shared
+    * hygiene of every per-(JVM, sf) cache below (bm25 postings,
+    * bucketed-layout tables): nothing accumulates in /tmp across runs. */
+  private def tempDirCleanedAtExit(prefix: String): String = {
+    val path = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }))
+    path
+  }
+
   private def bm25IndexFor(s: SparkSession, dir: String): String =
     bm25Indexes.computeIfAbsent(dir, { d =>
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-bm25-index").toString
-      // the index is (JVM, sf)-scoped — without cleanup every bench run
-      // leaves a posting-index directory in /tmp, so delete the tree at
-      // JVM exit (same hygiene as ScaleProbe's work dir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(path))
-      }))
+      val path = tempDirCleanedAtExit("graft-bm25-index")
       Search.writeBm25Index(
         Tables.documents(s, d), "doc_id", "text", path, buckets = Bm25IndexBuckets)
       path
@@ -80,14 +84,7 @@ object SparkEntry {
       // catalog-order-dependent (caught by the driver-mimic compare)
       val li = s"bucketed_lineitem_$tag"
       val ord = s"bucketed_orders_$tag"
-      val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }))
+      val root = tempDirCleanedAtExit("graft-bucketed")
       ops.Bucketed.writeBucketedTable(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
         li, s"$root/lineitem", "l_orderkey", buckets = 8)

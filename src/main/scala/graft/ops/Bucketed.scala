@@ -61,8 +61,11 @@ object Bucketed {
       rightTable: String,
       leftKey: String,
       rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    // dataset-qualified keys: with `col(...)` a SAME-NAMED key on both
+    // sides (the natural co-located layout) resolves ambiguously and
+    // the join fails analysis
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -473,23 +473,29 @@ object Relational {
       valueCol: String,
       z: Double = 3.0): DataFrame = {
     val v = col(valueCol).cast("double")
+    // finite values only, in COUNT and sums alike: a NaN/±Inf row must
+    // not be half-counted (in n but nulled out of exactSum's guarded
+    // accumulation), which would skew the mean every finite row is
+    // classified against
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(Double.PositiveInfinity)
+    val variance = (col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
+      (col("__n") - 1)
     val stats = df
-      .filter(v.isNotNull && !isnan(v))
+      .filter(finite)
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("__n"),
         exactSum(v).cast("double").as("__sum"),
         exactSum(v * v).cast("double").as("__sumsq"))
       .withColumn("__mean", col("__sum") / col("__n"))
-      // singleton groups have no sample variance: NULL sd (ANSI-safe —
-      // the n−1 division would throw), so their rows never classify
-      .withColumn(
-        "__sd",
-        when(col("__n") > 1,
-          sqrt((col("__sumsq") - col("__sum") * col("__sum") / col("__n"))
-            / (col("__n") - 1))))
+      // no-sample-variance groups get NULL sd and never classify:
+      // singletons (the n−1 division would throw under ANSI) AND
+      // zero-variance groups — without the `> 0` guard an all-equal
+      // group divides by sd=0, and Spark orders NaN/±Inf ABOVE any
+      // threshold, flagging every row of a constant group as an outlier
+      .withColumn("__sd", when(col("__n") > 1 && variance > 0, sqrt(variance)))
       .select(col(groupCol), col("__mean"), col("__sd"))
-    df.filter(v.isNotNull && !isnan(v))
+    df.filter(finite)
       .join(broadcast(stats), groupCol)
       .withColumn("zscore", (v - col("__mean")) / col("__sd"))
       .filter(abs(col("zscore")) > lit(z))

@@ -971,25 +971,6 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Top-`k` TF-IDF terms per document — the classic keyword/feature
-    * extractor (sklearn's smooth-idf convention:
-    * `idf = ln((N+1)/(df+1)) + 1`, `score = tf · idf`). Output:
-    * (doc_id, term, tf, df, score, rank), rank 1..k per doc.
-    *
-    * Scale shape: ONE explode of the token stream (the same compiled
-    * [[graft.functions.native.wordNgrams]] kernel as [[vocab]]) feeds
-    * both frequency tables — tf is a (doc, term) hash aggregate, df a
-    * (term) hash aggregate OVER THE TF TABLE (already one row per
-    * (doc, term), so no second corpus pass), N a one-row broadcast. The
-    * per-doc top-k is a window over each doc's DISTINCT terms (bounded
-    * by doc length), partitioned by doc — never a global sort.
-    *
-    * Determinism: tf/df/N are integers; `ln` is the one
-    * non-correctly-rounded step, so `score` is emitted ROUNDED to 6
-    * decimals and the rank orders by (rounded score desc, term asc) —
-    * the same engine-portable convention on both sides, immune to the
-    * last-ulp libm-vs-JDK divergences that full-precision ordering
-    * would amplify into row mismatches. */
   /** Top-`k` collocations by pointwise mutual information — word pairs
     * that co-occur far more than their unigram frequencies predict
     * ("new york", "machine learning"): the classic collocation
@@ -1016,16 +997,18 @@ object TextOps {
     val uni = df
       .select(explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
-    val bi = df
+    val biAll = df
       .select(explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val bi = biAll
       .filter(col("c_ab") >= minCount)
       .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
       .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+    // totals re-aggregate the COUNT TABLES (n_bi = Σ pre-floor pair
+    // counts), never the corpus — a third kernel-explode pass for one
+    // scalar would be a full extra scan at 100 TB
     val totals = uni.agg(sum(col("c_term")).as("n_uni"))
-      .crossJoin(df.select(
-        explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("g"))
-        .agg(count(lit(1)).as("n_bi")))
+      .crossJoin(biAll.agg(sum(col("c_ab")).as("n_bi")))
     val pmi = round(
       log((col("c_ab") / col("n_bi"))
         / ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
@@ -1041,6 +1024,25 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword/feature
+    * extractor (sklearn's smooth-idf convention:
+    * `idf = ln((N+1)/(df+1)) + 1`, `score = tf · idf`). Output:
+    * (doc_id, term, tf, df, score, rank), rank 1..k per doc.
+    *
+    * Scale shape: ONE explode of the token stream (the same compiled
+    * [[graft.functions.native.wordNgrams]] kernel as [[vocab]]) feeds
+    * both frequency tables — tf is a (doc, term) hash aggregate, df a
+    * (term) hash aggregate OVER THE TF TABLE (already one row per
+    * (doc, term), so no second corpus pass), N a one-row broadcast. The
+    * per-doc top-k is a window over each doc's DISTINCT terms (bounded
+    * by doc length), partitioned by doc — never a global sort.
+    *
+    * Determinism: tf/df/N are integers; `ln` is the one
+    * non-correctly-rounded step, so `score` is emitted ROUNDED to 6
+    * decimals and the rank orders by (rounded score desc, term asc) —
+    * the same engine-portable convention on both sides, immune to the
+    * last-ulp libm-vs-JDK divergences that full-precision ordering
+    * would amplify into row mismatches. */
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

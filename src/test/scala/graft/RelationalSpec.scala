@@ -261,7 +261,14 @@ class RelationalSpec extends SparkTestBase {
     val vals = Seq.tabulate(20)(i => ("g", i.toLong, 10.0 + i * 0.1)) :+
       (("g", 99L, 1000.0)) // the planted outlier
     val df = vals.toDF("grp", "id", "v") union
-      Seq(("h", 1L, Double.NaN), ("h", 2L, 5.0)).toDF("grp", "id", "v")
+      Seq(("h", 1L, Double.NaN), ("h", 2L, 5.0)).toDF("grp", "id", "v") union
+      // constant group: sd = 0 -> div-by-zero z would be NaN/Inf, which
+      // Spark orders ABOVE any threshold — must classify NOTHING
+      Seq(("k", 1L, 7.0), ("k", 2L, 7.0), ("k", 3L, 7.0)).toDF("grp", "id", "v") union
+      // an Infinity row must leave n AND the moments together, not skew
+      // the mean the finite rows are judged against
+      Seq(("m", 1L, Double.PositiveInfinity), ("m", 2L, 1.0), ("m", 3L, 1.2),
+        ("m", 4L, 0.8)).toDF("grp", "id", "v")
     val out = Relational.zOutliers(df, "grp", "id", "v", z = 3.0)
     val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
     // driver model with the operator's exact arithmetic
@@ -273,6 +280,11 @@ class RelationalSpec extends SparkTestBase {
     assert(math.abs(got.head._3 - (1000.0 - mean) / sd) < 1e-9)
     // group "h": single finite value -> sd NULL/NaN -> no outliers, no crash
     assert(!got.exists(_._1 == "h"))
+    // group "k": zero variance -> NULL sd -> nothing classified
+    assert(!got.exists(_._1 == "k"))
+    // group "m": the Inf row neither appears nor skews the finite rows'
+    // stats (mean 1.0 over the three finite values, none of them 3 sd out)
+    assert(!got.exists(_._1 == "m"))
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "per-group stats must broadcast back, never shuffle the fact side")
   }
