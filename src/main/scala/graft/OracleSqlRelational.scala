@@ -584,6 +584,34 @@ private[graft] object OracleSqlRelational {
         |       obs IS NULL AS filled
         |FROM j ORDER BY user_id, slot_start_us""".stripMargin,
 
+    // ECDF merge over DISTINCT values (cardinality-, not corpus-sized),
+    // integer counts, single long divisions — the max-|F_A−F_B| is
+    // exact IEEE on identical inputs on both engines
+    "q_drift" ->
+      """WITH a AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+        |ka AS (SELECT v, count(*) AS ca FROM a GROUP BY 1),
+        |kb AS (SELECT v, count(*) AS cb FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ka.v, kb.v) AS v,
+        |         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ka FULL OUTER JOIN kb ON ka.v = kb.v),
+        |c AS (
+        |  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS cum_a,
+        |         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS cum_b
+        |  FROM m),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |             CAST(count(*) AS BIGINT) AS n_values FROM m)
+        |SELECT n_a, n_b, n_values,
+        |       max(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)) AS ks_stat
+        |FROM c, t GROUP BY n_a, n_b, n_values""".stripMargin,
+
     // the q_bigrams sliding-window machinery for pairs, q_lm_score's
     // tokenization for unigrams; the pmi expression SHAPE matches the
     // engine exactly (divisions/multiplications are correctly-rounded

@@ -923,6 +923,16 @@ object SparkEntry {
       // q_rare_terms' integer-exact idf ordering.
       TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    "q_drift" -> ((s, dir) => {
+      // Exact two-sample KS between deterministic corpus halves'
+      // n_chars distributions — the drift gate between generations.
+      val docs = Tables.documents(s, dir)
+      Relational.ksDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        "n_chars")
+    }),
+
     "q_collocations" -> ((s, dir) =>
       // Top-50 PMI collocations (pair count >= 5) — the phrase-vocab /
       // corpus-analysis step; integer counts, rounded-ln score.

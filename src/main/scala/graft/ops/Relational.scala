@@ -466,6 +466,55 @@ object Relational {
     * aggregate, broadcast back, then a stateless filter projection; no
     * per-group sort, no window. Skewed groups cost nothing beyond their
     * row count. */
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * distributions of `valueCol` in `dfA` and `dfB` — the
+    * distribution-drift gate a pipeline runs between corpus
+    * generations / sources / time slices before trusting a mixture.
+    * One row: (n_a, n_b, n_values, ks_stat) where
+    * `ks = max_x |F_A(x) − F_B(x)|` over every observed value.
+    *
+    * Scale shape: each side collapses to (value, count) — exchanges ∝
+    * DISTINCT values, never rows — then one full-outer merge of the two
+    * count tables and a running-sum window over the distinct-value axis.
+    * That window is deliberately single-partition: the ECDF prefix is a
+    * global order, and |distinct| is the metric's cardinality (n_chars,
+    * token counts: thousands), not the corpus. A truly-continuous
+    * metric at 100 TB would first quantize to a fixed grid (the
+    * standard ECDF-on-bins KS) to keep that axis bounded.
+    *
+    * Determinism: counts are integers; F_A, F_B are single divisions of
+    * longs and the max-of-abs-differences is exact IEEE on identical
+    * inputs — engine and oracle agree bit-for-bit. */
+  def ksDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def counts(df: DataFrame, side: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as(side))
+    val merged = counts(dfA, "ca").join(counts(dfB, "cb"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = merged.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    merged
+      .select(
+        sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        abs(col("cum_a").cast("double") / col("n_a")
+          - col("cum_b").cast("double") / col("n_b")).as("d"))
+      .groupBy(col("n_a"), col("n_b"), col("n_values"))
+      .agg(max(col("d")).as("ks_stat"))
+  }
+
   def zOutliers(
       df: DataFrame,
       groupCol: String,

@@ -223,6 +223,22 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("ksDrift computes the exact two-sample KS statistic (identical, shifted, ties)") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double]): (Long, Long, Long, Double) = {
+      val r = Relational.ksDrift(a.toDF("x"), b.toDF("x"), "x").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // identical samples -> zero drift
+    assert(ks(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)) == ((3L, 3L, 3L, 0.0)))
+    // disjoint shifted samples -> maximal drift 1.0
+    assert(ks(Seq(1.0, 2.0), Seq(10.0, 11.0))._4 == 1.0)
+    // hand-computed mixed case with ties: A={1,1,2,3}, B={2,3,3,4}
+    // ECDF diffs at v=1,2,3,4: |.5-0|=.5, |.75-.25|=.5, |1-.75|=.25, 0
+    val (na, nb, nv, stat) = ks(Seq(1.0, 1.0, 2.0, 3.0), Seq(2.0, 3.0, 3.0, 4.0))
+    assert((na, nb, nv) == ((4L, 4L, 4L)) && stat == 0.5)
+  }
+
   test("pivotAgg cross-tabs with declared values; absent pairs NULL; dup values rejected") {
     import spark.implicits._
     val df = Seq(

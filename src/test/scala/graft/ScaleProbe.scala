@@ -233,7 +233,9 @@ object ScaleProbe {
       // consecutive-gap lag window (the q_window_session sort axis)
       "q_gaps",
       // two kernel-explode count tables + broadcast joins + TakeOrdered
-      "q_collocations")
+      "q_collocations",
+      // distinct-value ECDF merge: exchanges ∝ metric cardinality
+      "q_drift")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
