@@ -739,6 +739,16 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.head._1 == "aa" && byPair(("aa", "bb"))._6 > byPair(("cc", "dd"))._6)
   }
 
+  test("collocations plan: broadcast pair joins + TakeOrdered, no corpus re-shuffle") {
+    val docs = Tables.documents(spark, sf001)
+    val plan = graft.ops.TextOps.collocations(docs, "text")
+      .queryExecution.executedPlan.toString
+    // both unigram joins broadcast (vocab-sized build sides) and the
+    // top-k is per-partition heads + k-row merge, not a global sort
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("tfidfTopTerms matches a driver-side smooth-idf model with deterministic ranks") {
     val docs = Seq(
       (1L, "apple banana apple cherry"),

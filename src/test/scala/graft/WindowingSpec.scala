@@ -149,5 +149,13 @@ class WindowingSpec extends SparkTestBase {
       (2L, 20 * stepUs, 9.0, false)))
     intercept[IllegalArgumentException](
       graft.ops.Windowing.gapFill(df, "user_id", "ts_ns", "event_id", "v", 500L))
+    // the slot spine comes from the per-key min/max aggregate's
+    // sequence-explode, never a cross join of keys x slots
+    val plan = graft.ops.Windowing
+      .gapFill(df, "user_id", "ts_ns", "event_id", "v", step)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
   }
 }
