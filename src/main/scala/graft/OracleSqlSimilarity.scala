@@ -374,6 +374,44 @@ private[graft] object OracleSqlSimilarity {
         |       LEAST(32, len(w) - s)::INT AS n_tokens
         |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
 
+    // Paragraph dedup: same 10-token tiling as the kernel (q_chunk pins
+    // the contract), canonical occurrence = first (doc_id, tile_ix) per
+    // tile CONTENT (the engine ranks md5 fingerprints — same equality),
+    // docs with no cut tiles pass through with original text, docs whose
+    // every tile is cut come back empty (string_agg over zero kept rows
+    // is NULL → coalesce '').
+    "q_paradup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 10)) AS s
+        |  FROM toks WHERE len(w) > 0),
+        |tiles AS (
+        |  SELECT doc_id, (s // 10)::INT AS tile_ix,
+        |         array_to_string(w[s + 1 : s + 10], ' ') AS tile_text
+        |  FROM c),
+        |ranked AS (
+        |  SELECT doc_id, tile_ix, tile_text,
+        |         row_number() OVER (PARTITION BY tile_text
+        |                            ORDER BY doc_id, tile_ix) AS rn
+        |  FROM tiles),
+        |agg AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(tile_text, ' ' ORDER BY tile_ix)
+        |                    FILTER (WHERE rn = 1), '') AS new_text,
+        |         COUNT(*) FILTER (WHERE rn > 1) AS removed_tiles,
+        |         COUNT(*) AS total_tiles
+        |  FROM ranked GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN a.doc_id IS NULL OR a.removed_tiles = 0 THEN d.text
+        |            ELSE a.new_text END AS text,
+        |       coalesce(a.removed_tiles, 0)::BIGINT AS removed_tiles,
+        |       coalesce(a.total_tiles, 0)::BIGINT AS total_tiles
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_vocab" ->
       """SELECT tok AS token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -711,6 +711,15 @@ object SparkEntry {
         .chunk(Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24)
         .orderBy(col("doc_id"), col("chunk_ix"))),
 
+    "q_paradup" -> ((s, dir) =>
+      // Paragraph-level exact-substring dedup (Lee et al. 2021): 10-token
+      // tiles, repeats survive only at the first (doc_id, tile_ix)
+      // occurrence, doc text rebuilt from surviving tiles. Only 16-byte
+      // tile fingerprints exchange; hot boilerplate tiles partially
+      // aggregate map-side (min/count), never window-rank.
+      TextOps.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
+        tileWords = 10)),
+
     "q_vocab" -> ((s, dir) =>
       // Vocabulary head: top-100 tokens by frequency, tie-broken by token
       // — map-side-combined hash agg + TakeOrderedAndProject.

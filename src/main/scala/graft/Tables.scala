@@ -92,9 +92,29 @@ object Tables {
     val user = System.getProperty("user.name", "unknown")
       .replaceAll("[^A-Za-z0-9_-]", "_")
     val pid = ProcessHandle.current().pid()
-    new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_media_fixture_${user}_$pid").getAbsolutePath
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // prune THIS user's fixtures from earlier pids — each run leaves its
+    // own directory behind (the driver's DuckDB pass reads it after this
+    // JVM exits), so without pruning they accumulate without bound. A
+    // live concurrent JVM's fixture is skipped via the pid-liveness
+    // check; a pid recycled onto an unrelated process just defers that
+    // directory's cleanup to a later run.
+    val mine = raw"graft_media_fixture_${java.util.regex.Pattern.quote(user)}_(\d+)".r
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case mine(p) if p.toLong != pid && {
+              val h = ProcessHandle.of(p.toLong)
+              !(h.isPresent && h.get.isAlive)
+            } =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        case _ =>
+      }
+    }
+    new java.io.File(tmp, s"graft_media_fixture_${user}_$pid").getAbsolutePath
   }
 
   def mediaFixture(spark: SparkSession): DataFrame = {

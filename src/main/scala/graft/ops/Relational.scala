@@ -525,8 +525,15 @@ object Relational {
     // finite values only, in COUNT and sums alike: a NaN/±Inf row must
     // not be half-counted (in n but nulled out of exactSum's guarded
     // accumulation), which would skew the mean every finite row is
-    // classified against
-    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(Double.PositiveInfinity)
+    // classified against. The bound is on v AND v*v: a finite v with
+    // |v| > ~1.3e154 squares to +Inf, and past ~1e16 the square leaves
+    // DECIMAL(38,6) — either way exactSum would null the square out of
+    // __sumsq while the row stayed in __n. |v| < 1e15 keeps v*v < 1e30,
+    // two orders inside DECIMAL(38,6)'s 1e32 integer range (≥1e17 rows
+    // of headroom before the accumulated sum itself could overflow);
+    // rows beyond the bound are excluded from stats and classification
+    // alike, mirrored in the oracle
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e15)
     val variance = (col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
       (col("__n") - 1)
     val stats = df

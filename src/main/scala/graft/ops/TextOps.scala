@@ -279,6 +279,71 @@ object TextOps {
           carryCols.map(col): _*)
   }
 
+  /** Paragraph-level (exact-substring) deduplication, Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") at
+    * tile granularity: doc-level near-dup keeps a unique document whose
+    * passages are 90% boilerplate — this removes the REPEATED PASSAGES
+    * themselves. Each document is tiled into non-overlapping
+    * `tileWords`-token windows (the [[graft.functions.WordChunks]]
+    * kernel with stride = window — same tiling contract q_chunk pins);
+    * a tile whose content recurs anywhere in the corpus survives only
+    * at its canonical first occurrence (minimal `(id, tile_ix)`), every
+    * later occurrence is cut from its document, and the doc text is
+    * rebuilt from the surviving tiles in order. Docs whose every tile
+    * is a repeat come back with empty text (`removed == total`) —
+    * downstream gates drop them; docs with no tiles (empty text) pass
+    * through unchanged.
+    *
+    * Scale shape: tiles are computed per-row (no shuffle); only
+    * `(id, tile_ix, 16-byte md5)` enters the exchange — NEVER tile
+    * text. The canonical occurrence is `min(struct(id, tile_ix))` per
+    * fingerprint via hash aggregate, NOT a window rank: a boilerplate
+    * tile shared by half the corpus partially aggregates map-side, so
+    * the exchange carries ∝ distinct fingerprints where a
+    * `row_number()` window would funnel every occurrence of the hot
+    * fingerprint through one task. The occurrences⋈canon join is the
+    * one residually skewable step (all occurrences of a hot fingerprint
+    * hash to one partition) — AQE skew-join splits it; the cut-list per
+    * doc (∝ duplicated occurrences, ≪ corpus) then joins back to the
+    * corpus broadcast-when-small, so document text never exchanges at
+    * all. */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tileWords: Int = 10): DataFrame = {
+    require(tileWords >= 1, s"tileWords=$tileWords must be >= 1")
+    val tileArr = graft.functions.native.wordChunks(col(textCol), tileWords, tileWords)
+    val occ = df.select(
+        col(idCol),
+        posexplode(tileArr).as(Seq("tile_ix", "tile_text")))
+      // tile text was built by the kernel joining tokens with single
+      // spaces, so it is already whitespace-normalized: plain md5 IS
+      // the [[fingerprint]] convention here
+      .select(col(idCol), col("tile_ix"), md5(col("tile_text")).as("__fp"))
+    val canon = occ
+      .groupBy(col("__fp"))
+      .agg(
+        min(struct(col(idCol), col("tile_ix"))).as("__keep"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") > 1)
+    val cuts = occ
+      .join(canon, "__fp")
+      .filter(struct(col(idCol), col("tile_ix")) =!= col("__keep"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tile_ix")).as("__cut"))
+    df.join(cuts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("__cut").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(tileArr, (t, i) => !array_contains(col("__cut"), i)),
+            " ")).as(textCol),
+        coalesce(size(col("__cut")), lit(0)).cast("long").as("removed_tiles"),
+        size(tileArr).cast("long").as("total_tiles"))
+      .orderBy(col(idCol))
+  }
+
   /** Vocabulary head: the `topK` most frequent whitespace tokens with
     * deterministic tie-break (count desc, token asc) — the first step of
     * any tokenizer/vocab build. Explode → hash aggregate (map-side

@@ -321,6 +321,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("paragraphDedup: repeats survive only at first occurrence, docs rebuilt") {
+    val docs = Seq(
+      (0L, "a b c d e f"),          // both tiles canonical
+      (1L, "a b c x y z"),          // tile 0 repeats doc 0's → cut
+      (2L, "d e f d e f"),          // every tile a repeat → empty text
+      (3L, "p q r p q r p q r"),    // intra-doc repeats: first kept
+      (4L, "   "),                  // no tiles: passes through verbatim
+      (5L, "u  v   w"),             // unique, irregular whitespace: verbatim
+      (6L, "a b c tail")            // cut tile + short tail tile
+    ).toDF("doc_id", "text")
+    val got = TextOps.paragraphDedup(docs, "doc_id", "text", tileWords = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, "a b c d e f", 0L, 2L),
+      (1L, "x y z", 1L, 2L),
+      (2L, "", 2L, 2L),
+      (3L, "p q r", 2L, 3L),
+      (4L, "   ", 0L, 0L),
+      (5L, "u  v   w", 0L, 1L),
+      (6L, "tail", 1L, 2L)))
+    // skew posture: canonical occurrence via partially-aggregable
+    // min/count, NOT a window rank — a boilerplate tile shared by half
+    // the corpus must combine map-side, not funnel one task
+    val plan = TextOps.paragraphDedup(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+  }
+
   test("vocab: frequency order with deterministic token tie-break") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c d")).toDF("doc_id", "text")
     val got = TextOps.vocab(docs, "text", topK = 3)
