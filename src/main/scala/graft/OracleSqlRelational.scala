@@ -383,6 +383,79 @@ private[graft] object OracleSqlRelational {
     // Same tokenization, space-strip mean-length, and required-stopword
     // set as TextOps.gopherQuality; every float is one IEEE division of
     // exact integer counts, the verdict the same band arithmetic.
+    // Naive-Bayes quality classifier: the q_gopher feature/label
+    // expressions (pairing proven there), integer/one-division bucket
+    // quantization (bit-identical across engines), Laplace-smoothed
+    // count parameters from the first-500-by-id sample, and the same
+    // left-associated prior + per-feature ln-ratio sum the engine bakes
+    // into its CASE chain. Score rounded to 6 decimals on BOTH sides
+    // (ln is not correctly rounded); the pass verdict reads the ROUNDED
+    // score. A doc whose bucket never occurred in the sample misses the
+    // weight join → coalesce(c, 0) reproduces the engine's unseen-bucket
+    // smoothing.
+    "q_quality_clf" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |         CASE WHEN n_tokens = 0 THEN 0.0
+        |              ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / n_tokens
+        |         END AS mean_token_len,
+        |         len(list_distinct(list_filter(w,
+        |           x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stopword_hits,
+        |         CASE WHEN n_tokens = 0 THEN 0.0
+        |              ELSE len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / n_tokens
+        |         END AS alpha_fraction
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         least(n_tokens // 32, 7) AS f_len,
+        |         least(CAST(floor(mean_token_len) AS BIGINT), 12) AS f_mtl,
+        |         CAST(n_stopword_hits AS BIGINT) AS f_stop,
+        |         least(CAST(floor(alpha_fraction * 10) AS BIGINT), 9) AS f_alpha,
+        |         (n_tokens BETWEEN 50 AND 100000
+        |          AND mean_token_len BETWEEN 3.0 AND 10.0
+        |          AND n_stopword_hits >= 1
+        |          AND alpha_fraction >= 0.8) AS y
+        |  FROM s),
+        |samp AS (
+        |  SELECT * FROM f
+        |  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)),
+        |pri AS (
+        |  SELECT count(*) FILTER (WHERE y) AS n1,
+        |         count(*) FILTER (WHERE NOT y) AS n0 FROM samp),
+        |wlen AS (SELECT f_len AS v, count(*) FILTER (WHERE y) AS c1,
+        |                count(*) FILTER (WHERE NOT y) AS c0 FROM samp GROUP BY 1),
+        |wmtl AS (SELECT f_mtl AS v, count(*) FILTER (WHERE y) AS c1,
+        |                count(*) FILTER (WHERE NOT y) AS c0 FROM samp GROUP BY 1),
+        |wstop AS (SELECT f_stop AS v, count(*) FILTER (WHERE y) AS c1,
+        |                 count(*) FILTER (WHERE NOT y) AS c0 FROM samp GROUP BY 1),
+        |walpha AS (SELECT f_alpha AS v, count(*) FILTER (WHERE y) AS c1,
+        |                  count(*) FILTER (WHERE NOT y) AS c0 FROM samp GROUP BY 1),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |         round(
+        |           ln((n1 + 1.0) / (n0 + 1.0))
+        |           + (ln((coalesce(wlen.c1, 0) + 1.0) / (n1 + 8.0))
+        |              - ln((coalesce(wlen.c0, 0) + 1.0) / (n0 + 8.0)))
+        |           + (ln((coalesce(wmtl.c1, 0) + 1.0) / (n1 + 13.0))
+        |              - ln((coalesce(wmtl.c0, 0) + 1.0) / (n0 + 13.0)))
+        |           + (ln((coalesce(wstop.c1, 0) + 1.0) / (n1 + 9.0))
+        |              - ln((coalesce(wstop.c0, 0) + 1.0) / (n0 + 9.0)))
+        |           + (ln((coalesce(walpha.c1, 0) + 1.0) / (n1 + 10.0))
+        |              - ln((coalesce(walpha.c0, 0) + 1.0) / (n0 + 10.0))),
+        |           6) AS quality_score
+        |  FROM f CROSS JOIN pri
+        |  LEFT JOIN wlen ON f.f_len = wlen.v
+        |  LEFT JOIN wmtl ON f.f_mtl = wmtl.v
+        |  LEFT JOIN wstop ON f.f_stop = wstop.v
+        |  LEFT JOIN walpha ON f.f_alpha = walpha.v)
+        |SELECT doc_id, quality_score, quality_score >= 0 AS quality_pass
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "q_gopher" ->
       """WITH t AS (
         |  SELECT doc_id, text,

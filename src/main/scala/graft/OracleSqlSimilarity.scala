@@ -278,6 +278,30 @@ private[graft] object OracleSqlSimilarity {
 
     // Exact all-pairs ground truth for the banded vector near-dup
     // (threshold 0.5 — the fixture-meaningful regime; see the query).
+    // SemDeDup ground truth: ALL-pairs cosine ≥ 0.5 (no clustering — the
+    // engine's bucketed pairs are grid-probed to full recall on this
+    // fixture, so bucketing must lose nothing), then the same
+    // transitive-closure + keep-min-reachable collapse as
+    // q_neardup_dedup, over vec_ids.
+    "q_semdedup" ->
+      """WITH RECURSIVE scored AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |                            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id1, id2 FROM scored WHERE cos_sim >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |r(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM r JOIN edges e ON r.m = e.a)
+        |SELECT vec_id FROM embeddings v
+        |WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.n = v.vec_id AND r.m < v.vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     "q_neardup_embedding" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

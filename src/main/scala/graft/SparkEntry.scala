@@ -490,6 +490,20 @@ object SparkEntry {
           threshold = 0.5, bands = 32, bitsPerBand = 6)
         .repartition(1).sortWithinPartitions(col("id1"), col("id2"))),
 
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+      // within-cluster exact-cosine pairs, component collapse keeping
+      // min id. k=8 with nAssign=4 multi-assignment is grid-probed for
+      // EXACT equality with the unbucketed collapse on the fixture's
+      // near-random geometry (0/1/14 dup pairs at sf0.001/0.01/0.1;
+      // nAssign=3 is the measured minimum at sf0.1, 4 adds margin —
+      // clustered data needs 1, NearDupSpec). The oracle is the
+      // all-pairs transitive-closure ground truth: full recall on the
+      // fixture is part of the verified contract.
+      NearDup.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.5, nClusters = 8, nAssign = 4)),
+
     "q_doc_bytes" -> ((s, dir) =>
       // Multimodal plumbing over the only payloads the fixture offers:
       // text as opaque UTF-8 blobs → size + content digest metadata.
@@ -534,6 +548,16 @@ object SparkEntry {
       TextOps.gopherQuality(
           Tables.documents(s, dir), "doc_id", "text", minStopwordHits = 1)
         .orderBy(col("doc_id"))),
+
+    "q_quality_clf" -> ((s, dir) =>
+      // Trained quality gate: Naive Bayes over quantized token-count
+      // features, labels bootstrapped from the Gopher verdict on the
+      // first-500-by-id sample, weights broadcast as a literal CASE
+      // chain — training is a bounded driver-side count, scoring one
+      // zero-shuffle codegen projection. Closed-form training is what
+      // makes the learned scorer oracle-reproducible.
+      TextOps.qualityClassifier(
+        Tables.documents(s, dir), "doc_id", "text", sampleSize = 500)),
 
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)

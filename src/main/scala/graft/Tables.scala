@@ -94,15 +94,19 @@ object Tables {
     val pid = ProcessHandle.current().pid()
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     // prune THIS user's fixtures from earlier pids — each run leaves its
-    // own directory behind (the driver's DuckDB pass reads it after this
+    // own directory behind (the DOWNSTREAM ORACLE reads it after this
     // JVM exits), so without pruning they accumulate without bound. A
-    // live concurrent JVM's fixture is skipped via the pid-liveness
-    // check; a pid recycled onto an unrelated process just defers that
-    // directory's cleanup to a later run.
+    // fixture is deleted only when its writer pid is dead AND the
+    // directory is over a day old: pid-death alone is not enough — a
+    // fixture's oracle read happens minutes-to-hours after its writer
+    // exits, so a fresh JVM starting in that window (a bench run between
+    // a verify and its compare) must not reap it. A pid recycled onto an
+    // unrelated live process just defers cleanup to a later run.
     val mine = raw"graft_media_fixture_${java.util.regex.Pattern.quote(user)}_(\d+)".r
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
-        case mine(p) if p.toLong != pid && {
+        case mine(p) if p.toLong != pid && f.lastModified() < cutoff && {
               val h = ProcessHandle.of(p.toLong)
               !(h.isPresent && h.get.isAlive)
             } =>

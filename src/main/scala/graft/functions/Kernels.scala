@@ -497,6 +497,65 @@ object VectorKernels {
     if (best < 0) null else java.lang.Integer.valueOf(best)
   }
 
+  /** Indices of the `n` centroids most cosine-similar to `vec`, ordered
+    * by descending similarity (ties and NaN rank exactly as
+    * [[nearestCentroid]]: `Double.compare`, earlier index first) — the
+    * multi-assignment kernel for SemDeDup-style clustering, where a
+    * vector near a cluster boundary must land in ALL its nearby buckets
+    * so a boundary-straddling duplicate pair still shares one. Same
+    * contract as [[nearestCentroid]]: ragged/zero-norm centroids are
+    * skipped, null when the vector is ragged vs `dim` or no centroid
+    * produced a similarity; element 0 always equals
+    * `nearestCentroid(vec)`. O(k·dim + k·n) per row. */
+  def nearestCentroids(
+      vec: ArrayData,
+      centroids: Array[Array[Float]],
+      dim: Int,
+      n: Int): ArrayData = {
+    if (vec.numElements() != dim) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
+    val cap = math.min(n, centroids.length)
+    val topIdx = new Array[Int](cap)
+    val topSim = new Array[Double](cap)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length == dim) {
+        var dot = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = vec.getFloat(j).toDouble
+          val y = ct(j).toDouble
+          dot += x * y
+          nb += y * y
+          j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom != 0.0) {
+          val sim = dot / denom
+          // descending insertion; equal sims stop left-shift, so the
+          // earlier centroid index stays ahead (first-index-wins ties)
+          var pos = filled
+          while (pos > 0 && java.lang.Double.compare(sim, topSim(pos - 1)) > 0) pos -= 1
+          if (pos < cap) {
+            var m = if (filled < cap) filled else cap - 1
+            while (m > pos) { topSim(m) = topSim(m - 1); topIdx(m) = topIdx(m - 1); m -= 1 }
+            topSim(pos) = sim
+            topIdx(pos) = c
+            if (filled < cap) filled += 1
+          }
+        }
+      }
+      c += 1
+    }
+    if (filled == 0) null
+    else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
   /** All band signatures of one float vector in a single pass:
     * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
     * the vector length differs from the plane dimensionality — the same

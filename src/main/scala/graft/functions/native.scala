@@ -236,6 +236,39 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Multi-assignment: indices of the `n` nearest centroids by cosine, in
+  * descending-similarity order — see [[VectorKernels.nearestCentroids]].
+  * Same reference-object shipping and structural-equality posture as
+  * [[NearestCentroid]]; element 0 always equals the single-assignment
+  * result. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]], n: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(n >= 1, s"n=$n must be >= 1")
+  private val dim: Int = centroids.head.length
+  @transient private lazy val table: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroids(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table, dim, n)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", table, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("buckets")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.nearestCentroids($c, $ref, $dim, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float vectors — the exact re-rank/verify kernel
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
@@ -359,6 +392,10 @@ object native {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(vec), centroids.toSeq.map(_.toSeq)))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids.toSeq.map(_.toSeq), n))
 
   def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
     ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))

@@ -765,6 +765,70 @@ object NearDup {
     * multi-band duplicates. The flag stays for corpora where verify
     * dominates (much higher dim, or band settings that make candidate
     * multiplicity high). */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with bounded-sample
+    * spherical k-means, form exact-cosine duplicate pairs ONLY within a
+    * cluster, collapse components keeping the minimum id. The clustering
+    * is what makes semantic dedup tractable — pairs form inside buckets
+    * of ~N/k vectors instead of across the corpus, so the pair stage is
+    * O(Σ bucket²) with k scaled ∝ corpus to hold bucket size constant
+    * (the same lever as IVF's nCentroids).
+    *
+    * Cluster-boundary duplicates are the known failure mode (a pair
+    * straddling two clusters never meets): `nAssign` multi-assignment
+    * closes it — every vector lands in its `nAssign` nearest buckets
+    * ([[graft.functions.VectorKernels.nearestCentroids]]), so a
+    * boundary pair meets unless ALL `nAssign` assignments disagree.
+    * SimilaritySpec pins equality with the unbucketed collapse on both
+    * a clustered fixture (nAssign = 1 suffices) and the near-random
+    * driver fixture at the declared (k, nAssign).
+    *
+    * Scale shape: centroid training is driver-side over a bounded
+    * sample (corpus-size-independent); assignment is one map-side
+    * codegen pass (centroid table ships as a reference object);
+    * candidates travel as bare (id1, id2) pairs — the bucket self-join
+    * shuffles ids, never vectors ([[embeddingNearDupPairs]]'s posture);
+    * vectors join back only for the exact-cosine verify; multi-bucket
+    * candidate multiplicity (≤ nAssign) is deduped AFTER the threshold
+    * kills most candidates, and the corpus is touched once by the final
+    * collapse anti-join. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      nClusters: Int = 64,
+      nAssign: Int = 4,
+      sampleSize: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    require(nAssign >= 1 && nAssign <= nClusters,
+      s"nAssign=$nAssign must be in [1, nClusters=$nClusters]")
+    val centroids =
+      Similarity.trainCentroids(emb, idCol, vecCol, nClusters, sampleSize, iters)
+    if (centroids.isEmpty) // no non-null vectors: nothing can pair, keep all
+      return emb.select(col(idCol)).orderBy(col(idCol))
+    val assigned = emb.select(
+      col(idCol).as("id"),
+      explode(
+        graft.functions.native.nearestCentroids(col(vecCol), centroids, nAssign))
+        .as("bucket"))
+    val rawCands = assigned.select(col("bucket"), col("id").as("id1"))
+      .join(assigned.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+    val pairs = rawCands
+      .join(vecs.select(col("__id").as("id1"), col("__vec").as("v1")), "id1")
+      .join(vecs.select(col("__id").as("id2"), col("__vec").as("v2")), "id2")
+      .select(
+        col("id1"), col("id2"),
+        graft.functions.native.cosineSim(col("v1"), col("v2")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id1"), col("id2"))
+      .distinct()
+    collapseNearDups(emb, idCol, pairs).select(col(idCol)).orderBy(col(idCol))
+  }
+
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -205,6 +205,86 @@ object TextOps {
           col("alpha_fraction") >= minAlphaFraction)
   }
 
+  /** Trained quality-classifier gate — the standard step after rule
+    * gates (Gopher) in a pretraining pipeline: a classifier scores every
+    * document and the score, not a hand rule, decides. This one is a
+    * Naive Bayes over quantized token-count features, DELIBERATELY
+    * closed-form: training is counting, so the learned scorer is exactly
+    * reproducible by any engine from the same sample (a gradient-descent
+    * logistic fit would make the oracle unverifiable), while keeping the
+    * operational shape of the real thing — train on a bounded labeled
+    * sample, broadcast the weights, score the corpus in one pass.
+    *
+    * Training (driver-side, bounded — the trainCentroids posture): the
+    * sample is the first `sampleSize` docs by id; labels are the
+    * [[gopherQuality]] verdict (the rule gate bootstraps the classifier
+    * — the classic weak-supervision setup); parameters are per-class /
+    * per-(feature, bucket) counts with Laplace smoothing over each
+    * bucket domain. Driver cost O(sampleSize), corpus-size-independent.
+    *
+    * Scoring: one zero-shuffle whole-stage-codegen projection — the
+    * per-bucket log-likelihood-ratio weights are baked into a literal
+    * CASE chain (≤ 10 buckets/feature), so the corpus is touched once
+    * and nothing exchanges. `quality_score` is the class-log-odds
+    * rounded to 6 decimals (`ln` is not correctly rounded — same
+    * cross-engine precedent as the lm_score ppl), `quality_pass` is
+    * score ≥ 0 ON THE ROUNDED VALUE so both engines adjudicate the same
+    * number.
+    *
+    * Features (all exact-integer or one-IEEE-division arithmetic, so
+    * buckets agree bit-for-bit across engines): token-count band
+    * (`n_tokens div 32`, capped 7), mean-token-length integer floor
+    * (capped 12), distinct-required-stopword hits, alpha-fraction
+    * decile (capped 9). */
+  def qualityClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sampleSize: Int = 500,
+      minStopwordHits: Int = 1): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize=$sampleSize must be >= 1")
+    // (feature column, smoothing domain size) — domain = bucket count
+    val feats = Seq(("f_len", 8.0), ("f_mtl", 13.0), ("f_stop", 9.0), ("f_alpha", 10.0))
+    def bucketed(d: DataFrame): DataFrame =
+      gopherQuality(d, idCol, textCol, minStopwordHits = minStopwordHits)
+        .select(
+          col("doc_id"),
+          least(floor(col("n_tokens") / 32).cast("long"), lit(7L)).as("f_len"),
+          least(floor(col("mean_token_len")).cast("long"), lit(12L)).as("f_mtl"),
+          col("n_stopword_hits").as("f_stop"),
+          least(floor(col("alpha_fraction") * 10).cast("long"), lit(9L)).as("f_alpha"),
+          col("gopher_pass"))
+    val samp = bucketed(df.orderBy(col(idCol)).limit(sampleSize))
+      .select(col("f_len"), col("f_mtl"), col("f_stop"), col("f_alpha"), col("gopher_pass"))
+      .collect() // bounded: sampleSize rows x 4 longs + 1 bool
+    val pos = samp.filter(_.getBoolean(4))
+    val neg = samp.filterNot(_.getBoolean(4))
+    val n1 = pos.length.toDouble
+    val n0 = neg.length.toDouble
+    val prior = math.log((n1 + 1.0) / (n0 + 1.0))
+    // per-feature bucket -> log-likelihood ratio; unseen buckets get the
+    // zero-count smoothed ratio (the CASE chain's otherwise)
+    val scoreCols = feats.zipWithIndex.map { case ((f, b), i) =>
+      val c1 = pos.groupBy(_.getLong(i)).map { case (k, v) => k -> v.length }
+      val c0 = neg.groupBy(_.getLong(i)).map { case (k, v) => k -> v.length }
+      def llr(v: Long): Double =
+        math.log((c1.getOrElse(v, 0) + 1.0) / (n1 + b)) -
+          math.log((c0.getOrElse(v, 0) + 1.0) / (n0 + b))
+      val unseen = math.log(1.0 / (n1 + b)) - math.log(1.0 / (n0 + b))
+      (c1.keySet ++ c0.keySet).toSeq.sorted
+        .foldLeft(when(lit(false), 0.0)) { case (acc, v) =>
+          acc.when(col(f) === v, lit(llr(v)))
+        }
+        .otherwise(lit(unseen))
+    }
+    bucketed(df)
+      .select(
+        col("doc_id"),
+        round(scoreCols.foldLeft(lit(prior): Column)(_ + _), 6).as("quality_score"))
+      .withColumn("quality_pass", col("quality_score") >= 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
     * share first, then scored stopword hits. Deterministic, no model file —
     * a placeholder with the exact plumbing (column in, label column out)

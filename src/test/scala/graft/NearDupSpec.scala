@@ -382,6 +382,60 @@ class NearDupSpec extends SparkTestBase {
     assert(graft.ops.Similarity.detectDim(allNull, "embedding") == 0)
   }
 
+  test("semanticDedup equals unbucketed collapse (clustered: nAssign=1; fixture: declared params)") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // driver-side connected-components keep-min ground truth
+    def survivors(ids: Seq[Long], edges: Set[(Long, Long)]): Set[Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.filter(i => find(i) == i).toSet
+    }
+
+    // 1) SemDeDup's home regime: tight clusters, where nAssign=1 suffices
+    //    because a duplicate pair is never split across k-means cells
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val data = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5L + m, center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val truth = (for { (i, vi) <- data; (j, vj) <- data if i < j && cos(vi, vj) >= 0.9 }
+      yield (i, j)).toSet
+    assert(truth.nonEmpty) // the fixture really is a dup regime
+    val expect = survivors(data.map(_._1), truth)
+    val got = NearDup
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 4, nAssign = 1, sampleSize = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+
+    // 2) the declared q_semdedup contract on the driver fixture:
+    //    bucketed result == unbucketed brute-force collapse
+    val emb = Tables.embeddings(spark, sf001)
+    val vec = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val bruteP = vec.as("a").join(vec.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        graft.functions.native.cosineSim(col("a.v"), col("b.v")).as("cs"))
+      .filter(col("cs") >= 0.5).select("id1", "id2")
+    val brute = NearDup.collapseNearDups(emb, "vec_id", bruteP)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sem = NearDup
+      .semanticDedup(emb, "vec_id", "embedding", threshold = 0.5,
+        nClusters = 8, nAssign = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(sem == brute)
+  }
+
   test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
     val rnd = new scala.util.Random(13)
     val dim = 32

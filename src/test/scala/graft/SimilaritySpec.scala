@@ -485,6 +485,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
   }
 
+  test("nearestCentroids: descending order, element 0 = single assignment, edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = Array.fill(12)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val got = corpus.select(
+        col("vec_id"),
+        graft.functions.native.nearestCentroids(col("embedding"), centroids, 4).as("b"),
+        graft.functions.native.nearestCentroid(col("embedding"), centroids).as("b0"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val raw = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { case (id, buckets, b0) =>
+      assert(buckets.length == 4)
+      assert(buckets.head == b0) // element 0 IS the single assignment
+      // exact top-4 by cosine, descending, ties by index
+      val expect = centroids.indices
+        .map(c => (c, cos(raw(id), centroids(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(4).map(_._1)
+      assert(buckets == expect, s"id=$id")
+    }
+    // n > k clamps; ragged vector → null; zero-norm centroid skipped
+    val shorty = Seq((1L, Array.fill(8)(1f))).toDF("vec_id", "embedding")
+    assert(shorty.select(
+      graft.functions.native.nearestCentroids(col("embedding"), centroids, 4))
+      .collect().head.isNullAt(0))
+    val two = Seq((1L, Array.fill(dim)(1f))).toDF("vec_id", "embedding")
+    val clamped = two.select(
+      graft.functions.native.nearestCentroids(col("embedding"),
+        Array(Array.fill(dim)(0f), Array.fill(dim)(2f)), 5)).collect().head.getSeq[Int](0)
+    assert(clamped == Seq(1)) // zero-norm skipped, clamp to the 1 valid centroid
+  }
+
   test("hyperplane signatures are deterministic across evaluations") {
     val emb = Tables.embeddings(spark, sf001)
     val sig = Similarity.hyperplaneSignature(col("embedding"), bits = 12, dim = 64)

@@ -350,6 +350,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
   }
 
+  test("qualityClassifier: NB gate separates classes, handles unseen buckets, zero-shuffle scoring") {
+    // sample docs: ids 0-5 train the model (first-6-by-id), id 10 scores
+    // with an out-of-sample bucket (longer text than any training doc)
+    val good = ("the " + "sensible words and that have with " * 12).trim // passes gopher bands
+    val bad = "zz!! ##" // fails everything
+    val docs = (0L to 5L).map(i => (i, if (i % 2 == 0) good else bad)) :+
+      (10L, ("the " + "plausible tokens that have with and " * 40).trim)
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.qualityClassifier(df, "doc_id", "text", sampleSize = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val byId = got.map(g => g._1 -> g).toMap
+    // gopher-passing docs score positive, failing docs negative
+    assert(byId(0L)._3 && byId(2L)._3 && byId(4L)._3)
+    assert(!byId(1L)._3 && !byId(3L)._3 && !byId(5L)._3)
+    assert(byId(0L)._2 > byId(1L)._2)
+    // out-of-sample doc with an unseen f_len bucket still scores (the
+    // smoothed unseen weight, not a crash or NULL)
+    assert(!byId(10L)._2.isNaN)
+    // pass verdict reads the ROUNDED score
+    got.foreach { case (_, s, p) => assert(p == (s >= 0)) }
+    // deterministic: retrain on the same data → identical scores
+    val again = TextOps.qualityClassifier(df, "doc_id", "text", sampleSize = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq == again.toSeq)
+    // scoring is one projection: no Exchange before the output sort
+    val plan = TextOps.qualityClassifier(df, "doc_id", "text", sampleSize = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("vocab: frequency order with deterministic token tie-break") {
     val docs = Seq((1L, "b a a c b a"), (2L, "c d")).toDF("doc_id", "text")
     val got = TextOps.vocab(docs, "text", topK = 3)
