@@ -235,7 +235,13 @@ object ScaleProbe {
       // two kernel-explode count tables + broadcast joins + TakeOrdered
       "q_collocations",
       // distinct-value ECDF merge: exchanges ∝ metric cardinality
-      "q_drift")
+      "q_drift",
+      // round-12 operators: tile-fingerprint paragraph dedup (min/count
+      // canonical agg, never window-rank), k-means-bucketed semantic
+      // dedup (pairs ∝ Σ bucket², k the scale lever), and the
+      // bounded-sample NB quality gate (train ∝ sample, score one
+      // zero-shuffle projection)
+      "q_paradup", "q_semdedup", "q_quality_clf")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {
@@ -264,7 +270,20 @@ object ScaleProbe {
         "q_media_dims" -> ((s, dir) =>
           graft.ops.MultiModal.withDimensions(
             graft.ops.MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
-            .select(col("doc_id"), col("width"), col("height"))))
+            .select(col("doc_id"), col("width"), col("height"))),
+        // q_semdedup's declared k=8 suits the 500-vector fixture; at a
+        // growing corpus the operator's own scale lever is nClusters ∝
+        // rows (bucket size constant → candidate pairs ∝ rows, the same
+        // posture as the scaled-bucket colocated adjudication). Probing
+        // the FIXED k at ×8 data would measure the N²/k candidate
+        // quadratic the operator documents you must not run.
+        "q_semdedup" -> ((s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          val k = math.max(8, (emb.count() / 250L).toInt)
+          graft.ops.NearDup.semanticDedup(
+            emb, "vec_id", "embedding",
+            threshold = 0.5, nClusters = k, nAssign = 4)
+        }))
 
       def run(dir: String, name: String): Double = {
         val t0 = System.nanoTime()
@@ -393,7 +412,11 @@ object ScaleProbe {
       // constant instead of candidate-explosion quadratic.
       val boilDir = s"$work/boiler"
       tileDocumentsBoilerplate(spark, sfDir, boilDir, 1)
-      Seq("q_containment", "q_subsume").foreach { name =>
+      // q_paradup joins the list: a block shared by 50% of docs is
+      // paragraph dedup's OWN skew regime (hot tile fingerprints across
+      // its 10 alignments) — the min/count canonical aggregate must
+      // map-side-combine it, and AQE must split the occurrence join.
+      Seq("q_containment", "q_subsume", "q_paradup").foreach { name =>
         run(boilDir, name) // warm
         val tClean = (1 to 2).map(_ => run(oneDir, name)).min
         val tBoil = (1 to 2).map(_ => run(boilDir, name)).min
@@ -403,6 +426,48 @@ object ScaleProbe {
         if (bRatio > 10.0)
           failures ::= f"$name boilerplate ratio $bRatio%.1f > 10 (stop-filter not capping?)"
       }
+
+      // ---- adjudication 2d: bucket count scaling with data. The
+      // declared q_colocated_join pins a FIXED 8-bucket layout, which is
+      // honestly super-linear at ×8 (per-bucket sort is O(n log n) at
+      // constant bucket count — measured 11× in r11); the production
+      // lever is buckets ∝ table size (Bucketed.writeBucketedTable's
+      // parameter). Build x1 at 8 buckets and x8 at 8×copies: per-bucket
+      // volume constant, so the steady-state join (layout write NOT
+      // timed — it is the amortized one-off) should grow ~linearly,
+      // turning PLANS.md's flat-regime argument into a measurement.
+      def colocated(dir: String, buckets: Int, tag: String): Double = {
+        val li = s"probe_li_$tag"
+        val ord = s"probe_ord_$tag"
+        val root = s"$work/buck_$tag"
+        graft.ops.Bucketed.writeBucketedTable(
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_extendedprice"),
+          li, s"$root/lineitem", "l_orderkey", buckets)
+        graft.ops.Bucketed.writeBucketedTable(
+          spark.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_orderpriority"),
+          ord, s"$root/orders", "o_orderkey", buckets)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.ops.Bucketed
+            .colocatedJoin(spark, li, ord, "l_orderkey", "o_orderkey")
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(col("l_extendedprice")).as("revenue"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        (1 to 2).map(_ => once()).min
+      }
+      val cj1 = colocated(oneDir, 8, "x1")
+      val cjBig = colocated(bigDir, 8 * copies, "xbig")
+      val cjRatio = cjBig / cj1
+      println(f"SCALEPROBE colocated-scaledbuckets x1(8)=$cj1%6.2f s " +
+        f"x$copies(${8 * copies})=$cjBig%6.2f s ratio=$cjRatio%5.2f (linear=$copies.0)")
+      if (cjRatio > copies * 2.0)
+        failures ::= f"colocated scaled-bucket ratio $cjRatio%.1f > ${copies * 2.0} " +
+          "(bucket scaling did not flatten the per-bucket sort)"
 
       // At probe scale no partition crosses AQE's skew thresholds (256 MiB
       // default) and small sides broadcast — so the split decision never
