@@ -762,5 +762,80 @@ private[graft] object OracleSqlRelational {
         |      FROM scored)
         |SELECT doc_id, term, tf, df, score, "rank"
         |FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
+    // Discrete-rank medians (the q_quantiles rank arithmetic at p=0.5)
+    // for value and deviation alike; dev/gate are single IEEE
+    // subtract/multiply/compare on identical doubles, so both engines
+    // classify the same rows. Zero-MAD groups classify nothing (the
+    // zOutliers zero-variance posture).
+    "q_outliers_mad" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value::DOUBLE AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)),
+        |m AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN v END) AS med
+        |  FROM (SELECT event_type, v,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+        |               count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM r)
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT r.event_type, r.event_id, r.v, abs(r.v - m.med) AS dev
+        |  FROM r JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN dev END) AS mad
+        |  FROM (SELECT event_type, dev,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+        |               count(*) OVER (PARTITION BY event_type) AS n
+        |        FROM d)
+        |  GROUP BY event_type)
+        |SELECT d.event_type, d.event_id, d.v AS value, d.dev AS abs_dev, md.mad AS mad
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad > 0 AND d.dev > 3.0 * md.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
+
+    // Shares divide exact BIGINT counts (cum_share divides the exact
+    // CUMULATIVE count, not a float running sum) — identical doubles.
+    // Full (count desc, key asc NULLS LAST) ordering makes the top-k
+    // cut deterministic under ties on both engines.
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_rows) AS total FROM c),
+        |top AS (
+        |  SELECT user_id, n_rows FROM c
+        |  ORDER BY n_rows DESC, user_id ASC NULLS LAST LIMIT 20)
+        |SELECT user_id, n_rows,
+        |       n_rows::DOUBLE / total AS share,
+        |       (sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ASC NULLS LAST
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       )::DOUBLE / total AS cum_share
+        |FROM top CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id ASC NULLS LAST""".stripMargin,
+
+    // Trailing RANGE frame on the epoch-nanos axis: SQL RANGE includes
+    // all same-instant peers on both engines; finite-only count+sum in
+    // DECIMAL(38,6) (order-independent), avg one guarded IEEE division
+    // (0/0 would be +Inf on Spark, NULL here — both sides emit NULL).
+    "q_rolling" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value::DOUBLE AS value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |win AS (
+        |  SELECT user_id, ts_ns, event_id, value,
+        |         count(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |                    THEN 1 END) OVER w AS n_win,
+        |         CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |                       THEN CAST(value AS DECIMAL(38,6)) END) OVER w
+        |              AS DOUBLE) AS sum_win
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+        |               RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts_ns, event_id, value, n_win, sum_win,
+        |       CASE WHEN n_win > 0 THEN sum_win / n_win END AS avg_win
+        |FROM win ORDER BY user_id, ts_ns, event_id""".stripMargin,
   )
 }

@@ -87,6 +87,20 @@ private[graft] object OracleSqlSimilarity {
         |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
+    // The Bloom pre-gate never changes the answer (no false negatives;
+    // false positives only re-route rows to the exact anti-join), so the
+    // oracle is the SAME plain NOT EXISTS as q_dedup_incr on the mod-7
+    // batch split.
+    "q_dedup_bloom" ->
+      """SELECT doc_id FROM documents n
+        |WHERE doc_id % 7 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 7 <> 0
+        |      AND trim(regexp_replace(h.text, '\s+', ' ', 'g'))
+        |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+
     // Same derived old snapshot (7-drop → added, 5-vowel-case → changed,
     // ghost row → removed) and the same normalized-text md5 fingerprint
     // as TextOps.corpusDiff; statuses are strings, ids integers —

@@ -990,7 +990,47 @@ object SparkEntry {
           count(lit(1)).as("n_items"),
           Relational.exactSumDouble(col("l_extendedprice")).as("sum_base"))
         .orderBy(col("o_orderpriority"))
-    })
+    }),
+
+    // --- round 12: bloom-gated dedup / robust stats / trailing windows --
+
+    "q_dedup_bloom" -> ((s, dir) => {
+      // Against-history dedup behind a Bloom pre-gate: history (doc_id %
+      // 7 != 0) compresses to one ~76 KiB filter; batch rows the filter
+      // rejects are definitely-new and skip the anti-join exchange
+      // entirely. Output EQUALS the exact dedupAgainst at any filter
+      // sizing — the oracle is the plain NOT EXISTS.
+      val docs = Tables.documents(s, dir)
+      TextOps
+        .dedupAgainstBloom(
+          docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "text", expectedItems = 1L << 16, fpp = 0.01)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_outliers_mad" -> ((s, dir) =>
+      // Robust per-type anomalies: |value - median| > 3 x the median
+      // absolute deviation — the outlier gate a heavy tail can't hide
+      // from (the same rows' z-scores are dragged by the extremes that
+      // are the outliers). Discrete-rank medians, IEEE-identical gate.
+      Relational.madOutliers(
+        Tables.events(s, dir), "event_type", "event_id", "value", k = 3.0)),
+
+    "q_heavy_hitters" -> ((s, dir) =>
+      // Key-skew audit: top-20 users by event count with share and
+      // cumulative share of all events — the measurement behind every
+      // salting / bucket-count decision in this repo.
+      Relational.heavyHitters(Tables.events(s, dir), "user_id", topK = 20)),
+
+    "q_rolling" -> ((s, dir) =>
+      // Per-event trailing 7-day count/sum/avg of the user's values —
+      // the value-RANGE window frame class (each event anchors its own
+      // trail; tumbling buckets would split it).
+      Windowing.rollingStats(
+        Tables.events(s, dir), "user_id", "ts_ns", "event_id", "value",
+        windowNs = 604800000000000L))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

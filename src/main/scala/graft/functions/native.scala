@@ -350,6 +350,38 @@ case class MediaDims(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a string column — the pre-gate of
+  * [[graft.ops.TextOps.dedupAgainstBloom]]. The serialized filter rides
+  * the expression as `Seq[Byte]` so Catalyst's case-class plan
+  * canonicalization stays structural (the [[NearestCentroid]]
+  * convention); the deserialized `BloomFilter` ships to executors as a
+  * codegen reference object (`BloomFilterImpl` is `java.io.Serializable`)
+  * and each probe is one `mightContainBinary` over the value's UTF-8
+  * bytes — the SAME put/probe byte convention the builder
+  * ([[graft.ops.TextOps.buildBloomBytes]]) uses, pinned on both sides of
+  * this module so a false NEGATIVE (the one failure that would corrupt
+  * dedup) is impossible by construction. False positives only route
+  * extra rows to the exact verify. */
+case class BloomMightContain(child: Expression, bloomBytes: Seq[Byte])
+    extends UnaryExpression {
+  require(bloomBytes.nonEmpty, "empty bloom filter payload")
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes.toArray))
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bloom_might_contain"
+  protected override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj(
+      "bloom", filter, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+  protected override def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object native {
   def cosineSim(a: Column, b: Column): Column =
@@ -402,4 +434,9 @@ object native {
 
   def mediaDims(bytes: Column): Column =
     ColumnBridge.column(MediaDims(ColumnBridge.expression(bytes)))
+
+  def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(c),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
 }

@@ -558,4 +558,75 @@ object Relational {
       .select(col(groupCol), col(idCol), v.as("value"), col("zscore"))
       .orderBy(col(groupCol), col(idCol))
   }
+
+  /** Robust per-group anomalies: rows whose `|value − median|` exceeds
+    * `k` × the group's median absolute deviation — the outlier gate that
+    * survives what breaks [[zOutliers]] (one extreme row inflates a
+    * mean/sd enough to hide itself; medians don't move). Both medians
+    * are the DISCRETE rank statistic ([[groupQuantilesDisc]]'s value at
+    * rank `⌊(n−1)/2⌋+1` — engines agree exactly; an interpolated median
+    * blends two doubles and diverges by ulps), the deviation is one
+    * double subtraction and the gate one multiply + compare — all
+    * correctly-rounded IEEE on identical operands, so engine and oracle
+    * CLASSIFY identically. Zero-MAD groups (majority-constant values)
+    * classify nothing — same posture as zOutliers' zero-variance guard;
+    * without it every non-modal row of a near-constant group would flag.
+    *
+    * Shape: two per-group window sorts (values, then deviations — the
+    * q_quantiles skew axis, bounded per group) + two ≤|groups|-row
+    * broadcast joins back; no corpus-sized exchange beyond the group
+    * partitioning. */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val v = col(valueCol).cast("double")
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(Double.PositiveInfinity)
+    val rows = df.filter(finite).select(col(groupCol), col(idCol), v.as("__v"))
+    val med = groupQuantilesDisc(rows, groupCol, "__v", Seq(0.5))
+      .withColumnRenamed("p50", "__med")
+    val dev = rows
+      .join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = groupQuantilesDisc(dev, groupCol, "__dev", Seq(0.5))
+      .withColumnRenamed("p50", "__mad")
+    dev
+      .join(broadcast(mad), groupCol)
+      .filter(col("__mad") > 0 && col("__dev") > lit(k) * col("__mad"))
+      .select(col(groupCol), col(idCol), col("__v").as("value"),
+        col("__dev").as("abs_dev"), col("__mad").as("mad"))
+      .orderBy(col(groupCol), col(idCol))
+  }
+
+  /** Heavy-hitter audit: the `topK` keys by row count, each with its
+    * share of ALL rows and the running cumulative share — the
+    * operational query run BEFORE choosing a partitioning (is this key
+    * set skewed enough to salt? how much of the table do the top 20
+    * keys own?). One map-side-combined count aggregate (exchange ∝
+    * distinct keys), a one-row total broadcast, TakeOrderedAndProject
+    * top-k; the cumulative window runs over the K RESULT rows only
+    * (single partition of K, not a corpus sort). Shares divide exact
+    * BIGINT counts — cum_share divides the exact CUMULATIVE count, not
+    * a float running sum, so both engines emit identical doubles.
+    * Ties at the cut break by key (NULLS LAST) — deterministic. */
+  def heavyHitters(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    val order = Seq(col("n_rows").desc, col(keyCol).asc_nulls_last)
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .orderBy(order: _*)
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows").cast("double") / col("__total")).as("share"),
+        (sum(col("n_rows")).over(w).cast("double") / col("__total")).as("cum_share"))
+      .orderBy(order: _*)
+  }
 }

@@ -68,6 +68,81 @@ object TextOps {
       .drop("__fp")
   }
 
+  /** Distributed Bloom-filter build over a string column: per-partition
+    * filters merged tree-wise to ONE driver-side sketch, serialized to
+    * bytes. Driver memory is the FILTER size (∝ `expectedItems`·ln fpp,
+    * e.g. ~78 KiB at 64 Ki items / 1%), never the row count — the
+    * trainCentroids posture. Insertion is `putBinary(UTF-8 bytes)`; the
+    * probe kernel ([[graft.functions.BloomMightContain]]) reads the same
+    * bytes, so the no-false-negative guarantee is pinned within this
+    * module, not inherited from an upstream put convention. Merge is
+    * bitwise OR — order-independent, so the build is deterministic under
+    * any partitioning. The one `.rdd` hop in `ops/` is deliberate:
+    * building a mergeable sketch object IS per-partition imperative
+    * logic, and `treeAggregate(depth=2)` is the primitive that keeps a
+    * 1000-executor merge off a single driver hop. */
+  def buildBloomBytes(
+      df: DataFrame,
+      c: Column,
+      expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    require(expectedItems >= 1, s"expectedItems=$expectedItems must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp must be in (0, 1)")
+    import org.apache.spark.util.sketch.BloomFilter
+    val strings = df.select(c.cast("string").as("v")).filter(col("v").isNotNull)
+    val filter = strings
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .rdd
+      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
+        (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+        (a, b) => a.mergeInPlace(b),
+        depth = 2)
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    out.toByteArray
+  }
+
+  /** [[dedupAgainst]] behind a Bloom pre-gate — the 100 TB flavor of the
+    * against-history check. The history's distinct fingerprints compress
+    * to ONE Bloom filter (bytes ∝ `expectedItems`, not corpus), shipped
+    * into a codegen'd per-row probe; rows the filter rejects are
+    * DEFINITELY new (Bloom has no false negatives) and never enter the
+    * anti-join exchange at all, so at a typical few-percent dup rate the
+    * join sees a few percent of the batch instead of all of it — the
+    * rest of the batch is pure map-side scan. Bloom POSITIVES (real dups
+    * + ~fpp false positives) still go through the exact fingerprint
+    * anti-join, so the output EQUALS [[dedupAgainst]] row-for-row at any
+    * (`expectedItems`, `fpp`) — undersizing the filter only raises the
+    * false-positive rate and routes more rows to the exact path, never
+    * changes the answer (spec-pinned, including a deliberately saturated
+    * filter). NULL-text rows probe NULL and are kept, matching the
+    * anti-join's null-key semantics. */
+  def dedupAgainstBloom(
+      history: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val fp = fingerprint(col(textCol))
+    // build over the raw history projection: Bloom insertion is
+    // idempotent, so the distinct's exchange is NOT paid for the build —
+    // only the (much smaller) anti-join side pays it
+    val bloomBytes =
+      buildBloomBytes(history.select(fp.as("__fp")), col("__fp"), expectedItems, fpp)
+    val seen = history.select(fp.as("__fp")).distinct()
+    val probed = incoming
+      .withColumn("__fp", fp)
+      .withColumn("__maybe",
+        graft.functions.native.bloomMightContain(col("__fp"), bloomBytes))
+    // NULL fingerprint (NULL text) probes NULL: coalesce keeps the row on
+    // the map-side branch, where the anti-join would also have kept it
+    val clean = probed.filter(!coalesce(col("__maybe"), lit(false)))
+    val suspects = probed
+      .filter(coalesce(col("__maybe"), lit(false)))
+      .join(seen, Seq("__fp"), "left_anti")
+    clean.unionByName(suspects).drop("__fp", "__maybe")
+  }
+
   /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization pattern
     * family (contractions | space?+letters | space?+digits |
     * space?+punctuation-run), without the trailing-whitespace lookahead

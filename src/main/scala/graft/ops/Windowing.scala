@@ -296,4 +296,60 @@ object Windowing {
         col("__obs").isNull.as("filled"))
       .orderBy(col(keyCol), col("slot_start_us"))
   }
+
+  /** Trailing time-RANGE window statistics: for EVERY event, the count /
+    * exact sum / average of the same key's values over the preceding
+    * `windowNs` (inclusive of now) — the "7-day trailing average"
+    * feature every monitoring dashboard and feature-engineering pass
+    * computes, and the one window-FRAME class (value-ranged, not
+    * row-counted) the tumbling/hopping/session operators can't express:
+    * each event anchors its own window, so bucket edges never split a
+    * trail.
+    *
+    * Semantics: the frame is `RANGE BETWEEN windowNs PRECEDING AND
+    * CURRENT ROW` over the epoch-nanos axis — by SQL RANGE rules the
+    * upper bound includes ALL peers at the same timestamp (two
+    * same-instant events see each other symmetrically; no tie-order
+    * dependence, both engines agree by the standard). Only FINITE
+    * values enter the count and the sum alike (the [[Relational.zOutliers]]
+    * half-counting lesson); the sum accumulates in DECIMAL(38,6)
+    * ([[Relational.exactSum]]'s order-independence, so segment-tree vs
+    * rescan accumulation agree), and the average is one IEEE division
+    * of the exact parts, NULL when the window holds no finite value
+    * (a 0-denominator division would be +Inf on Spark, NULL on the
+    * oracle engine — guarded on both sides).
+    *
+    * Shape: ONE shuffle (hash by key) + one per-key time sort shared by
+    * every output column; Spark evaluates the sliding RANGE frame with
+    * a moving lower bound over the sorted run — per-key cost
+    * O(n log n) sort + O(n·w̄) frame work, the per-key sort axis the
+    * session/quantile windows already carry, AQE-skew-splittable. */
+  def rollingStats(
+      df: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      seqCol: String,
+      valueCol: String,
+      windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive: $windowNs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_ns"))
+      .rangeBetween(-windowNs, 0)
+    // `finite` re-derives from the POST-projection "value" column so the
+    // expression resolves regardless of the input column's name
+    val finite = when(
+      col("value").isNotNull && !isnan(col("value"))
+        && abs(col("value")) < lit(Double.PositiveInfinity),
+      col("value"))
+    df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .select(col(keyCol), col(tsNsCol).cast("long").as("ts_ns"),
+        col(seqCol), col(valueCol).cast("double").as("value"))
+      .withColumn("__n", count(finite).over(w))
+      .withColumn("__sum", sum(finite.cast("decimal(38,6)")).over(w).cast("double"))
+      .select(col(keyCol), col("ts_ns"), col(seqCol), col("value"),
+        col("__n").as("n_win"), col("__sum").as("sum_win"),
+        when(col("__n") > 0, col("__sum") / col("__n")).as("avg_win"))
+      .orderBy(col(keyCol), col("ts_ns"), col(seqCol))
+  }
 }

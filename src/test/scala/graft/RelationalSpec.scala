@@ -304,4 +304,50 @@ class RelationalSpec extends SparkTestBase {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "per-group stats must broadcast back, never shuffle the fact side")
   }
+
+  test("madOutliers matches a driver-side discrete-median model; zero-MAD and non-finite guards") {
+    import spark.implicits._
+    // group g: 1..21 plus two planted outliers big enough to drag a
+    // mean/sd but not the medians
+    val g = Seq.tabulate(21)(i => ("g", i.toLong, (i + 1).toDouble)) ++
+      Seq(("g", 100L, 500.0), ("g", 101L, 600.0))
+    // group k: majority-constant -> MAD 0 -> classifies nothing, even
+    // though 99.0 deviates
+    val k = Seq(("k", 1L, 7.0), ("k", 2L, 7.0), ("k", 3L, 7.0), ("k", 4L, 99.0))
+    // group m: NaN/Inf rows leave ranks and classification alike
+    val m = Seq(("m", 1L, Double.NaN), ("m", 2L, Double.PositiveInfinity),
+      ("m", 3L, 1.0), ("m", 4L, 1.2))
+    val df = (g ++ k ++ m).toDF("grp", "id", "v")
+    val out = Relational.madOutliers(df, "grp", "id", "v", k = 3.0).collect()
+    // driver model with the operator's exact rank arithmetic
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s((math.floor(0.5 * (s.size - 1)) + 1).toInt - 1)
+    }
+    val vals = g.map(_._3)
+    val med = medianOf(vals)
+    val mad = medianOf(vals.map(x => math.abs(x - med)))
+    val expect = g.filter(t => math.abs(t._3 - med) > 3.0 * mad).map(t => (t._1, t._2))
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == expect)
+    assert(!out.exists(_.getString(0) == "k"), "zero-MAD group must classify nothing")
+    assert(!out.exists(_.getString(0) == "m"), "non-finite rows excluded; tiny group has no 3-MAD rows")
+    // the planted outliers ARE caught (the robustness claim: the median
+    // pair ignores the extremes that would inflate a z-score's sd)
+    assert(out.map(_.getLong(1)).toSet.intersect(Set(100L, 101L)) == Set(100L, 101L))
+  }
+
+  test("heavyHitters shares divide exact counts; tie at the cut breaks by key; cum monotone") {
+    import spark.implicits._
+    // counts: a->4, b->3, c->3, d->2, e->1 ; top-3 cut ties b/c on 3 ->
+    // key asc keeps b and c (both fit), d excluded at the cut vs c? No:
+    // top3 = a,b,c. Tie INSIDE the cut (b,c) orders by key.
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)("d") ++ Seq("e")).toDF("k")
+    val out = Relational.heavyHitters(df, "k", topK = 3).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 3L))
+    val total = 13.0
+    assert(out.map(_.getDouble(2)).toSeq == Seq(4 / total, 3 / total, 3 / total))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(4 / total, 7 / total, 10 / total))
+  }
 }

@@ -241,7 +241,16 @@ object ScaleProbe {
       // dedup (pairs ∝ Σ bucket², k the scale lever), and the
       // bounded-sample NB quality gate (train ∝ sample, score one
       // zero-shuffle projection)
-      "q_paradup", "q_semdedup", "q_quality_clf")
+      "q_paradup", "q_semdedup", "q_quality_clf",
+      // round-12 batch 2: bloom pre-gated history dedup (build is one
+      // map pass + tree merge; tiled copies make most batch rows real
+      // dups, so this probes the bloom-saturated WORST case where the
+      // gate routes everything to the exact join), discrete-median MAD
+      // outliers (two per-group window sorts over ~5 fixed groups — the
+      // q_quantiles hot-group axis, measured), the key-share audit
+      // (agg ∝ keys + K-row window), and the trailing RANGE-frame
+      // window (per-key sort + moving frame, keys grow under tiling)
+      "q_dedup_bloom", "q_outliers_mad", "q_heavy_hitters", "q_rolling")
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {

@@ -505,6 +505,56 @@ class TextOpsSpec extends SparkTestBase {
       == Seq("doc_id", "text"))
   }
 
+  test("dedupAgainstBloom equals the exact anti-join at any filter sizing, incl. saturated") {
+    val history = Seq((1L, "seen before"), (2L, "also  seen"), (3L, "third doc"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "seen before"),        // exact dup — dropped
+      (11L, "also seen"),          // normalized dup — dropped
+      (12L, "brand new"),          // survives on the bloom-clean branch
+      (13L, null.asInstanceOf[String]), // NULL text: kept (null join key)
+      (14L, "another fresh one")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val exact = ids(TextOps.dedupAgainst(history, incoming, "text"))
+    // well-sized filter
+    assert(ids(TextOps.dedupAgainstBloom(history, incoming, "text",
+      expectedItems = 1024, fpp = 0.01)) == exact)
+    // deliberately SATURATED filter (1 expected item, 40% fpp): every
+    // probe may come back positive — the exact verify still yields the
+    // same survivors, the answer never depends on the sizing
+    assert(ids(TextOps.dedupAgainstBloom(history, incoming, "text",
+      expectedItems = 1, fpp = 0.4)) == exact)
+    // schema unchanged
+    assert(TextOps.dedupAgainstBloom(history, incoming, "text").columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
+  test("bloom put/probe convention round-trips: every inserted fingerprint probes true") {
+    // the no-false-negative guarantee is only real if build and kernel
+    // agree on bytes — pin it by probing every inserted value
+    val docs = Seq.tabulate(500)(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val fp = md5(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val bytes = TextOps.buildBloomBytes(
+      docs.select(fp.as("f")), col("f"), expectedItems = 1024, fpp = 0.01)
+    val misses = docs
+      .select(graft.functions.native.bloomMightContain(fp, bytes).as("hit"))
+      .filter(!col("hit"))
+      .count()
+    assert(misses == 0L, "a false NEGATIVE would silently resurrect duplicates")
+  }
+
+  test("dedupAgainstBloom: empty history keeps every incoming row") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextOps.dedupAgainstBloom(history, incoming, "text",
+      expectedItems = 8, fpp = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 2L))
+  }
+
   test("rareTerms: rarest-first by document frequency, per-doc dedup, deterministic ties") {
     val docs = Seq(
       (1L, "common rare1 common common"), // df: common=3, rare1=1

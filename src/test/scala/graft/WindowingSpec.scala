@@ -158,4 +158,52 @@ class WindowingSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("rollingStats trailing RANGE frame: inclusive bounds, same-ts peers, finite-only stats") {
+    import spark.implicits._
+    val w = 100L // windowNs
+    val df = Seq(
+      // key a: events at t=0,50,100,101,150(NaN),150,201
+      (1L, 0L, 1, 10.0),
+      (1L, 50L, 2, 20.0),
+      (1L, 100L, 3, 30.0),  // t=100: [0,100] inclusive -> 10+20+30
+      (1L, 101L, 4, 40.0),  // t=101: [1,101] -> 0 drops out -> 20+30+40
+      (1L, 150L, 5, Double.NaN), // NaN row present, excluded from stats
+      (1L, 150L, 6, 60.0),  // same-ts peer: both 150 rows see each other
+      (1L, 201L, 7, 70.0),  // [101,201]: 40+60+70 (NaN excluded)
+      // key b: isolated
+      (2L, 0L, 8, 5.0)
+    ).toDF("user_id", "ts_ns", "event_id", "value")
+    val out = Windowing
+      .rollingStats(df, "user_id", "ts_ns", "event_id", "value", windowNs = w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+    val expect = Seq(
+      (1L, 0L, 1, 1L, 10.0),
+      (1L, 50L, 2, 2L, 30.0),
+      (1L, 100L, 3, 3L, 60.0),
+      (1L, 101L, 4, 3L, 90.0),
+      (1L, 150L, 5, 4L, 150.0), // frame [50,150]: 20+30+40+60; NaN row still emits
+      (1L, 150L, 6, 4L, 150.0), // the same frame — peers symmetric
+      (1L, 201L, 7, 3L, 170.0),
+      (2L, 0L, 8, 1L, 5.0))
+    assert(out.toSeq == expect)
+    // avg = sum/n for every row with n > 0 (one IEEE division)
+    val avgs = Windowing
+      .rollingStats(df, "user_id", "ts_ns", "event_id", "value", windowNs = w)
+      .collect()
+    avgs.foreach { r =>
+      if (r.getLong(4) > 0)
+        assert(r.getDouble(6) == r.getDouble(5) / r.getLong(4))
+      else assert(r.isNullAt(6))
+    }
+  }
+
+  test("rollingStats: all-NaN window emits n=0, NULL sum and avg") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1, Double.NaN)).toDF("user_id", "ts_ns", "event_id", "value")
+    val r = Windowing.rollingStats(df, "user_id", "ts_ns", "event_id", "value", 10L).collect()(0)
+    assert(r.getLong(4) == 0L && r.isNullAt(5) && r.isNullAt(6))
+  }
 }
