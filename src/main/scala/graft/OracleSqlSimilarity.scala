@@ -87,6 +87,29 @@ private[graft] object OracleSqlSimilarity {
         |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
+    // The exact cross-side Jaccard pairs (the neardupOracle machinery
+    // restricted to batch × history) — the persisted-index probe's
+    // banding has total recall on the fixture (the q_neardup_minhash
+    // precedent), so the exact set IS the contract.
+    "q_neardup_incr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM sh0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id, c * 1.0 / (na.n + nb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON new_id = na.doc_id
+        |JOIN sizes nb ON old_id = nb.doc_id
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8
+        |ORDER BY new_id, old_id""".stripMargin,
+
     // The Bloom pre-gate never changes the answer (no false negatives;
     // false positives only re-route rows to the exact anti-join), so the
     // oracle is the SAME plain NOT EXISTS as q_dedup_incr on the mod-7

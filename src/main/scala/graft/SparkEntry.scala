@@ -94,6 +94,23 @@ object SparkEntry {
       (li, ord)
     })
 
+  /** One persisted MinHash signature index per (JVM, sf) over the
+    * q_neardup_incr history slice (doc_id % 10 != 0) — the same
+    * amortization model as the BM25 postings: the history's signature
+    * work is paid once; every probe prunes to its own (band, bucket)
+    * partitions. */
+  private val minhashIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def minhashIndexFor(s: SparkSession, dir: String): String =
+    minhashIndexes.computeIfAbsent(dir, { d =>
+      val path = tempDirCleanedAtExit("graft-minhash-index")
+      NearDup.writeMinhashIndex(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", path)
+      path
+    })
+
   private val mediaFixtureWritten =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1030,7 +1047,20 @@ object SparkEntry {
       // trail; tumbling buckets would split it).
       Windowing.rollingStats(
         Tables.events(s, dir), "user_id", "ts_ns", "event_id", "value",
-        windowNs = 604800000000000L))
+        windowNs = 604800000000000L)),
+
+    "q_neardup_incr" -> ((s, dir) => {
+      // Incremental near-dup against the PERSISTED signature index: the
+      // mod-10 batch probed for cross near-dups with history — the
+      // history's signature work was paid once at index time (first use
+      // per JVM, the bm25 amortization model).
+      val docs = Tables.documents(s, dir)
+      NearDup.probeMinhashIndex(
+        minhashIndexFor(s, dir),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text")
+    })
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -218,15 +218,20 @@ object NearDup {
     * emits exactly `bands` join keys — candidate volume is bounded by
     * bucket occupancy, not document length. Output: distinct (id1, id2),
     * id1 < id2. */
-  def minhashCandidatePairs(
+  /** (id, band, bucket) banded MinHash rows — the shared signature stage
+    * of [[minhashCandidatePairs]] and the persisted signature index
+    * ([[writeMinhashIndex]]/[[probeMinhashIndex]]). The banding
+    * expression is THE contract: index rows written by one release must
+    * bucket identically to probe rows computed by another, so both paths
+    * call this one method (the NearDupStream sharing discipline). */
+  private def bandedRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 3,
-      bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val banded = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col("id"), minhashSignature(col("__sh"), bands * rowsPerBand).as("sig"))
       .select(
@@ -235,6 +240,15 @@ object NearDup {
           xxhash64(lit("band"), lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
         }: _*)))
       .toDF("id", "band", "bucket")
+
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
     banded.select(col("band"), col("bucket"), col("id").as("id1"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id2")), Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
@@ -285,6 +299,119 @@ object NearDup {
     jaccardVerify(
       minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand),
       df, idCol, textCol, k, threshold)
+
+  private def minhashPartExpr(nParts: Int) =
+    pmod(xxhash64(lit("part"), col("band"), col("bucket")), lit(nParts.toLong)).cast("int")
+
+  /** Persist the corpus's banded MinHash signature rows as a
+    * `part`-partitioned parquet table — the incremental-crawl
+    * amortization model (the bm25/LSH index posture): the history's
+    * shingle→signature work and its side of the candidate join are paid
+    * ONCE at index time; each day's batch then probes WITHOUT
+    * recomputing anything over the history. `part` is a hash of
+    * (band, bucket) mod `nParts`, so a probe batch reads only the
+    * partitions its own (band, bucket) keys land in —
+    * `PartitionFilters` pruning, spec-pinned. Layout params (k, bands,
+    * rowsPerBand, nParts) must match between write and probe; both
+    * sides derive from the same [[bandedRows]] expression. */
+  def writeMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      nParts: Int = 64): Unit =
+    bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+      .withColumn("part", minhashPartExpr(nParts))
+      .write.partitionBy("part").mode("overwrite").parquet(path)
+
+  /** Append a new batch's signature rows to an existing index (same
+    * layout params as the write) — the close of the incremental loop:
+    * probe today's batch against the index, then append the batch so
+    * tomorrow's probe sees it as history. Append-only parquet under the
+    * SAME partition dirs; no compaction needed at any cadence coarser
+    * than [[graft.ops.Compact]]'s small-file threshold. */
+  def appendMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      nParts: Int = 64): Unit =
+    bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+      .withColumn("part", minhashPartExpr(nParts))
+      .write.partitionBy("part").mode("append").parquet(path)
+
+  /** Incremental near-dup: `incoming` checked against the PERSISTED
+    * history index — every (new_id, old_id, jaccard ≥ threshold) cross
+    * pair, exact-verified. The batch flavor of
+    * [[graft.streaming.NearDupStream]], and the near-dup counterpart of
+    * [[graft.ops.TextOps.dedupAgainst]] (which only sees exact
+    * fingerprint equality).
+    *
+    * Scale shape: the batch's signatures compute in one kernel pass;
+    * the index read is pruned to the ≤ `nParts` partitions the batch's
+    * (band, bucket) keys hash into (the part list is a bounded driver
+    * collect, ≤ `nParts` ints); candidates travel as bare id pairs; the
+    * exact verify SEMI-JOINS history∪batch down to candidate ids before
+    * any shingle set is built or exchanged — history text is scanned
+    * once, shingled only for candidates (at 100 TB, store the corpus
+    * id-partitioned so even the scan prunes). Within-batch pairs are
+    * deliberately NOT emitted (that is [[minhashNearDupPairs]] on the
+    * batch); ids must be globally unique across history and batch.
+    *
+    * Recall is the banding curve (≈0.9998 at the defaults for j ≥ 0.8);
+    * precision is exact. On the declared fixture recall is total —
+    * equality with the exact cross-pair set is the oracle contract
+    * (the q_neardup_minhash precedent). */
+  def probeMinhashIndex(
+      path: String,
+      history: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      nParts: Int = 64): DataFrame = {
+    val spark = incoming.sparkSession
+    val newB = bandedRows(incoming, idCol, textCol, k, bands, rowsPerBand)
+      .withColumn("part", minhashPartExpr(nParts))
+    // bounded driver collect: ≤ nParts distinct partition ids — turning
+    // the join key into a literal IN list is what makes the parquet
+    // scan's PartitionFilters prune (a join alone prunes nothing)
+    val parts = newB.select(col("part")).distinct().collect().map(_.getInt(0)).toSeq
+    if (parts.isEmpty) {
+      return incoming.sparkSession.emptyDataFrame
+        .withColumn("new_id", lit(null).cast("long"))
+        .withColumn("old_id", lit(null).cast("long"))
+        .withColumn("jaccard", lit(null).cast("double"))
+        .select("new_id", "old_id", "jaccard")
+    }
+    val idx = spark.read.parquet(path)
+      .filter(col("part").isin(parts: _*))
+    val cands = newB
+      .select(col("part"), col("band"), col("bucket"), col("id").as("id1"))
+      .join(idx.select(col("part"), col("band"), col("bucket"), col("id").as("id2")),
+        Seq("part", "band", "bucket"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val needed = cands.select(col("id1").as(idCol))
+      .union(cands.select(col("id2").as(idCol)))
+      .distinct()
+    val all = history.select(col(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+      .join(broadcast(needed), Seq(idCol), "left_semi")
+    jaccardVerify(cands, all, idCol, textCol, k, threshold)
+      .select(col("id1").as("new_id"), col("id2").as("old_id"), col("jaccard"))
+      .orderBy(col("new_id"), col("old_id"))
+  }
 
   /** 64-bit SimHash over word tokens: each token's 64-bit MD5-derived
     * hash ([[graft.functions.Md5Hash64]] — chosen over xxhash64 because

@@ -138,6 +138,63 @@ class NearDupSpec extends SparkTestBase {
     assert(mh == exact)
   }
 
+  test("probeMinhashIndex equals the exact cross pairs; probe prunes partitions; append closes the loop") {
+    val docs = Tables.documents(spark, sf01)
+    val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    try {
+      NearDup.writeMinhashIndex(history, "doc_id", "text", dir)
+      val probe = NearDup.probeMinhashIndex(dir, history, batch, "doc_id", "text")
+      val got = probe.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // exact cross restriction of the full pair set
+      val exact = NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .flatMap { case (a, b, j) =>
+          if (a % 10 == 0 && b % 10 != 0) Some((a, b, j))
+          else if (b % 10 == 0 && a % 10 != 0) Some((b, a, j))
+          else None
+        }.toSet
+      assert(exact.nonEmpty, "fixture should contain cross-side near-dups")
+      assert(got == exact)
+      // the index read is partition-pruned to the batch's own parts
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("part"),
+        s"probe must prune index partitions:\n${plan.take(2000)}")
+      // incremental loop: append day-1's batch, probe day-2 against the
+      // grown index == probe against a full rebuild
+      val day1 = batch.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val day2 = batch.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      NearDup.writeMinhashIndex(history, "doc_id", "text", dir) // reset
+      NearDup.appendMinhashIndex(day1, "doc_id", "text", dir)
+      val grown = NearDup
+        .probeMinhashIndex(dir, history.unionByName(day1), day2, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft-mh-idx2").toString
+      NearDup.writeMinhashIndex(history.unionByName(day1), "doc_id", "text", rebuilt)
+      val fromRebuild = NearDup
+        .probeMinhashIndex(rebuilt, history.unionByName(day1), day2, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(grown == fromRebuild)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("probeMinhashIndex with an empty batch returns an empty frame, no index read") {
+    val docs = Tables.documents(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-empty").toString
+    NearDup.writeMinhashIndex(docs, "doc_id", "text", dir)
+    val out = NearDup.probeMinhashIndex(
+      dir, docs, docs.filter(lit(false)), "doc_id", "text")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("new_id", "old_id", "jaccard"))
+  }
+
   test("minhash candidate volume is banded, not quadratic") {
     // 5 docs → at most C(5,2)=10 pairs; candidates must not exceed that,
     // and unrelated docs should not become candidates.

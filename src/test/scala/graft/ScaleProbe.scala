@@ -193,8 +193,12 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cores = args.drop(1).headOption.map(_.toInt).getOrElse(4)
     val copies = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    // optional 4th arg: comma-separated query filter for a focused
+    // re-probe of just-landed operators (full runs stay the per-round
+    // record — the "every declared operator probed" invariant)
+    val only = args.drop(3).headOption.map(_.split(",").toSet)
     val spark = GraftSession.local("graft-scale-probe", cores = cores)
-    val probes = Seq(
+    val allProbes = Seq(
       "q_neardup_jaccard", "q_neardup_minhash", "q_neardup_simhash", "q_sim_topk_ivf",
       // round-7 operators: keyed time joins scale with keys (tiled
       // user spaces), text/vector pipelines with rows
@@ -250,7 +254,12 @@ object ScaleProbe {
       // q_quantiles hot-group axis, measured), the key-share audit
       // (agg ∝ keys + K-row window), and the trailing RANGE-frame
       // window (per-key sort + moving frame, keys grow under tiling)
-      "q_dedup_bloom", "q_outliers_mad", "q_heavy_hitters", "q_rolling")
+      "q_dedup_bloom", "q_outliers_mad", "q_heavy_hitters", "q_rolling",
+      // persisted-signature incremental near-dup (first run pays the
+      // index write per dir, min-of-2 is the pruned-probe steady state —
+      // the bm25_indexed/colocated model)
+      "q_neardup_incr")
+    val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
     try {

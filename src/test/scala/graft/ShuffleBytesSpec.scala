@@ -39,6 +39,30 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(b < corpusTextBytes / 5, s"shuffled $b bytes vs corpus $corpusTextBytes")
   }
 
+  test("bloom-gated dedup never exchanges more than the exact path, and no text") {
+    // the gate's claim, metered: definite-new incoming rows skip the
+    // anti-join exchange entirely, so the bloom flavor's total shuffle
+    // bytes stay at-or-below the exact flavor's on the same split (the
+    // history-side fingerprint distinct is the irreducible cost of
+    // EXACT incremental dedup and is paid by both)
+    val docs = Tables.documents(spark, sf01)
+    val history = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val exact = shuffleBytes {
+      graft.ops.TextOps.dedupAgainst(history, incoming, "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val bloom = shuffleBytes {
+      graft.ops.TextOps.dedupAgainstBloom(history, incoming, "text",
+        expectedItems = 1L << 16, fpp = 0.01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the bloom build itself is treeAggregate (map + driver merge, no
+    // exchange), so the gate cannot ADD shuffle; 1.05 covers metric jitter
+    assert(bloom <= (exact * 1.05).toLong, s"bloom=$bloom exact=$exact")
+    assert(bloom < corpusTextBytes / 5, s"shuffled $bloom bytes vs corpus $corpusTextBytes")
+  }
+
   test("decontamination never shuffles the training corpus") {
     val b = shuffleBytes {
       SparkEntry.queries("q_decontaminate")(spark, sf01)
