@@ -87,6 +87,26 @@ private[graft] object OracleSqlSimilarity {
         |          = trim(regexp_replace(n.text, '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
 
+    // Character histogram + ln terms summed in ascending-character order
+    // (list ORDER BY c + list_sum) — the same left-to-right IEEE
+    // summation the kernel runs, rounded to 6 (the ln convention).
+    // text[i:i] slicing is codepoint-indexed where the kernel indexes
+    // UTF-16 units — identical on the ASCII fixture (the standing
+    // hash-kernel caveat).
+    "q_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(text)+1), i -> text[i:i])) AS c
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnt GROUP BY 1),
+        |lst AS (SELECT doc_id, list(k ORDER BY c) AS ks FROM cnt GROUP BY 1)
+        |SELECT l.doc_id,
+        |       round(list_sum(list_transform(ks, k -> (k::DOUBLE / n) * ln(n / k::DOUBLE))), 6)
+        |         AS entropy
+        |FROM lst l JOIN tot t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // The exact cross-side Jaccard pairs (the neardupOracle machinery
     // restricted to batch × history) — the persisted-index probe's
     // banding has total recall on the fixture (the q_neardup_minhash

@@ -1060,7 +1060,13 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text")
-    })
+    }),
+
+    "q_entropy" -> ((s, dir) =>
+      // Per-doc character entropy — the diversity gate (padding / spam /
+      // uniform noise) next to the Gopher rules; one kernel pass, zero
+      // shuffle.
+      TextOps.charEntropyScores(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

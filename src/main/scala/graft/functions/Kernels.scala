@@ -239,6 +239,39 @@ object TextKernels {
     new GenericArrayData(Array(punct, upper, space, tokens))
   }
 
+  /** Shannon character entropy in nats: `Σ (k/n)·ln(n/k)` over the
+    * document's character histogram, TERMS SUMMED IN ASCENDING CHARACTER
+    * ORDER — the fixed left-to-right order is what lets the DuckDB
+    * oracle (`list(k ORDER BY c)` + `list_sum`) reproduce the identical
+    * IEEE double; the per-term ops are the oracle's exact shape
+    * (`(k/n) * ln(n/k)`, both divisions in DOUBLE). NULL (represented
+    * as null boxed Double) for empty text — an empty string has no
+    * distribution. Characters are UTF-16 units, matching the ASCII
+    * fixture corpus the other hash/char kernels already assume
+    * (documented caveat: astral codepoints count as two units where
+    * DuckDB counts one). */
+  def charEntropy(s: UTF8String): java.lang.Double = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return null
+    val counts = new java.util.TreeMap[Char, Long]()
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      val prev = counts.get(c)
+      counts.put(c, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val nd = n.toDouble
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val k = it.next().toDouble
+      acc += (k / nd) * math.log(nd / k)
+    }
+    acc
+  }
+
   private def wordSet(words: String*): java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     words.foreach(s.add)

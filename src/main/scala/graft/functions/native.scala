@@ -154,6 +154,27 @@ case class CharClassCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shannon character entropy in nats — see [[TextKernels.charEntropy]]:
+  * histogram + ordered summation in one compiled pass per document, NULL
+  * for empty text. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ent")
+      s"""
+         |java.lang.Double $tmp = graft.functions.TextKernels.charEntropy($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** One-pass language-ID scores `[cjk, en, de, fr, es]` — see
   * [[TextKernels.langScores]]. */
 case class LangScores(child: Expression) extends UnaryExpression {
@@ -413,6 +434,9 @@ object native {
 
   def charClassCounts(text: Column): Column =
     ColumnBridge.column(CharClassCounts(ColumnBridge.expression(text)))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   def langScores(text: Column): Column =
     ColumnBridge.column(LangScores(ColumnBridge.expression(text)))

@@ -90,4 +90,73 @@ object MultiModal {
       col("doc_id"),
       encode(col("text"), "UTF-8").as("bytes"),
       col("lang"))
+
+  /** STUB resize: stands in for decode → scale to `w`×`h` → re-encode.
+    * The deterministic fake keeps the binary→binary per-row projection
+    * shape (and NULL-for-NULL corrupt-media contract) a real resampler
+    * would have; a production build swaps the body for the codec call,
+    * signatures unchanged. */
+  def resizeStub(bytes: Column, w: Int, h: Int): Column = {
+    require(w >= 1 && h >= 1, s"target dims must be positive: ${w}x$h")
+    when(bytes.isNotNull, substring(bytes, 1, w * h))
+  }
+
+  /** STUB batch encoder body — deterministic pseudo-embeddings from
+    * md5(payload ‖ dim-index), mapped into [-1, 1]. Replace with the
+    * real decode+model call (ONNX/JNI/external service); everything
+    * around it — the batch shape, schema, partitioning — stays. */
+  private[ops] def encodeBatchStub(
+      payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    payloads.map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        md.reset()
+        md.update(p)
+        md.update(Array[Byte](
+          (i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte))
+        val d = md.digest()
+        // first 4 digest bytes → u32 → [-1, 1]; deterministic across
+        // runs, partitions, and JVMs
+        val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        ((u.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0).toFloat
+      }
+    }
+
+  /** Batched media encoding — the Scala analog of the `mapInPandas`
+    * pattern the reference brief names for multimodal columns: payloads
+    * are handed to the encoder `batchSize` AT A TIME in ONE call per
+    * batch (a GPU/ONNX encoder amortizes model dispatch per batch, not
+    * per row — per-row calls are the classic 100× trap), via
+    * `mapPartitions` so no shuffle is introduced and each task batches
+    * its own partition. The encoder body is the clearly-marked
+    * [[encodeBatchStub]] (no codec libraries in this environment); the
+    * REAL parts — the batch grouping, the output schema
+    * (id, embedding, batch_ix, batch_n), partition-local batching, and
+    * determinism under any partitioning — are spec-tested
+    * (MultiModalSpec), and the output embeds straight into the
+    * Similarity/NearDup operators. NULL payloads are dropped (corrupt
+    * media is filtered, not crashed on). */
+  def batchedEncode(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      dim: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(dim >= 1 && batchSize >= 1, s"dim=$dim batchSize=$batchSize must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .filter(col(bytesCol).isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bix) =>
+          val embs = encodeBatchStub(batch.map(_._2), dim)
+          batch.lazyZip(embs).map { case ((id, _), e) =>
+            (id, e.toSeq, bix, batch.size)
+          }
+        }
+      }
+      .toDF(idCol, "embedding", "batch_ix", "batch_n")
+  }
 }

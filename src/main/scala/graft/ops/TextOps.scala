@@ -360,6 +360,23 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document Shannon character entropy (nats, rounded to 6
+    * decimals): the cheap diversity gate that catches what length/ratio
+    * rules miss — "aaaa…" padding, single-character spam, base64-ish
+    * uniform noise (suspiciously HIGH entropy) — standard alongside the
+    * Gopher rules. One compiled kernel pass per document
+    * ([[graft.functions.CharEntropy]]: histogram + ascending-character
+    * ordered summation, so the oracle's `list_sum` over the identically
+    * ordered list reproduces the same IEEE double); pure per-row
+    * projection, zero shuffle at any corpus size. Empty/NULL docs emit
+    * no row (no distribution to measure). */
+  def charEntropyScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        round(graft.functions.native.charEntropy(col(textCol)), 6).as("entropy"))
+      .orderBy(col(idCol))
+
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
     * share first, then scored stopword hits. Deterministic, no model file —
     * a placeholder with the exact plumbing (column in, label column out)

@@ -121,4 +121,52 @@ class MultiModalSpec extends SparkTestBase {
       .filter(col("doc_id") === one.getLong(0)).collect()(0).getAs[String]("text")
     assert(new String(one.getAs[Array[Byte]]("bytes"), "UTF-8") == orig)
   }
+
+  test("batchedEncode: real batch shape, deterministic under partitioning, downstream-compatible") {
+    val blobs = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(150)
+    val out = MultiModal.batchedEncode(blobs, "doc_id", "bytes", dim = 8, batchSize = 32)
+    val rows = out.collect()
+    assert(rows.length == 150)
+    // the encoder really sees batches: every batch ≤ batchSize, and at
+    // least one FULL batch per partition with ≥ batchSize rows (the
+    // per-batch dispatch a GPU encoder amortizes against)
+    assert(rows.forall(_.getAs[Int]("batch_n") <= 32))
+    assert(rows.exists(_.getAs[Int]("batch_n") == 32),
+      "no full batch formed — the grouping is per-row, not batched")
+    // fixed dim, finite values in [-1, 1]
+    rows.foreach { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(e.size == 8)
+      assert(e.forall(v => v >= -1.0f && v <= 1.0f))
+    }
+    // deterministic across partitionings (ids keep their embeddings)
+    val repart = MultiModal
+      .batchedEncode(blobs.repartition(7), "doc_id", "bytes", dim = 8, batchSize = 32)
+      .collect()
+    def byId(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+    assert(byId(rows) == byId(repart))
+    // NULL payloads are dropped, not crashed on
+    val withNull = blobs.unionByName(
+      Seq((9999L, null.asInstanceOf[Array[Byte]], "en")).toDF("doc_id", "bytes", "lang"))
+    assert(MultiModal.batchedEncode(withNull, "doc_id", "bytes", 8, 32).count() == 150)
+    // shape-compatible with the similarity stack: brute-force top-k runs
+    val emb = out.select(col("doc_id").as("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", rows.head.getLong(0), 5)
+    assert(topk.count() == 5)
+  }
+
+  test("resizeStub keeps the binary->binary projection contract incl. NULL-for-NULL") {
+    val df = Seq(
+      (1L, "abcdefghij".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "bytes")
+    val out = df.select(col("id"), MultiModal.resizeStub(col("bytes"), 2, 3).as("resized"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("resized"))).toMap
+    assert(out(1L).exists(_.length == 6))
+    assert(out(2L).isEmpty)
+    intercept[IllegalArgumentException](MultiModal.resizeStub(col("bytes"), 0, 3))
+  }
 }

@@ -258,7 +258,10 @@ object ScaleProbe {
       // persisted-signature incremental near-dup (first run pays the
       // index write per dir, min-of-2 is the pruned-probe steady state —
       // the bm25_indexed/colocated model)
-      "q_neardup_incr")
+      "q_neardup_incr",
+      // per-row entropy kernel projection (trivially-safe shape,
+      // measured anyway — the q_media_dims posture)
+      "q_entropy")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")

@@ -546,6 +546,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(misses == 0L, "a false NEGATIVE would silently resurrect duplicates")
   }
 
+  test("charEntropyScores matches hand-computed entropies; empty/NULL docs emit no row") {
+    val df = Seq(
+      (1L, "aab"),                       // 2/3·ln(3/2) + 1/3·ln(3)
+      (2L, "abab"),                      // ln 2
+      (3L, "aaaa"),                      // zero diversity
+      (4L, ""),                          // no distribution -> no row
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.charEntropyScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> r6(2.0 / 3 * math.log(3.0 / 2) + 1.0 / 3 * math.log(3.0)),
+      2L -> r6(math.log(2.0)),
+      3L -> 0.0))
+    // pure projection: no exchange at any corpus size
+    val plan = TextOps.charEntropyScores(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("dedupAgainstBloom: empty history keeps every incoming row") {
     val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
