@@ -336,6 +336,20 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).toSet.intersect(Set(100L, 101L)) == Set(100L, 101L))
   }
 
+  test("madOutliers broadcasts both stats tables back; heavyHitters top-k is TakeOrdered") {
+    val ev = Tables.events(spark, sf001)
+    val madPlan = Relational.madOutliers(ev, "event_type", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    // the ≤|groups|-row median/MAD tables must broadcast back, never
+    // re-shuffle the fact side
+    assert(madPlan.contains("BroadcastHashJoin"), madPlan.take(1500))
+    val hhPlan = Relational.heavyHitters(ev, "user_id", topK = 20)
+      .queryExecution.executedPlan.toString
+    // the cut is per-partition top-k + K-row driver merge, not a global
+    // sort of every distinct key
+    assert(hhPlan.contains("TakeOrderedAndProject"), hhPlan.take(1500))
+  }
+
   test("heavyHitters shares divide exact counts; tie at the cut breaks by key; cum monotone") {
     import spark.implicits._
     // counts: a->4, b->3, c->3, d->2, e->1 ; top-3 cut ties b/c on 3 ->
