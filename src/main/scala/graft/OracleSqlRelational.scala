@@ -294,6 +294,56 @@ private[graft] object OracleSqlRelational {
         |       CASE WHEN n_tokens > 0 THEN round(exp(nll / CAST(n_tokens AS DOUBLE)), 6) END AS ppl
         |FROM score ORDER BY doc_id""".stripMargin,
 
+    // Interpolated-bigram fold: position 1 is the q_lm_score unigram
+    // term; positions ≥ 2 are one branch-free interpolation
+    // `0.75·pb + 0.25·pu` with every denominator left-associated exactly
+    // as the kernel computes it — identical double stream, summed in
+    // token order (list_sum over range is the proven pattern). |V|
+    // figures over the KEPT heads, matching truncation semantics.
+    "q_lm_score2" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |           x -> x <> '') AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, count(*) AS c
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  GROUP BY term ORDER BY c DESC, term LIMIT 65536),
+        |mu AS (
+        |  SELECT map(list(term ORDER BY term), list(c ORDER BY term)) AS lmu,
+        |         CAST(sum(c) AS DOUBLE) AS total_u,
+        |         CAST(count(*) AS DOUBLE) AS vu
+        |  FROM vocab),
+        |big AS (
+        |  SELECT gram, count(*) AS c FROM (
+        |    SELECT t[i] || ' ' || t[i+1] AS gram
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks))
+        |  GROUP BY gram ORDER BY c DESC, gram LIMIT 65536),
+        |mb AS (
+        |  SELECT map(list(gram ORDER BY gram), list(c ORDER BY gram)) AS lmb,
+        |         CAST(count(*) AS DOUBLE) AS vb
+        |  FROM big),
+        |score AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         list_sum(list_transform(range(1, len(t)+1), i ->
+        |           CASE WHEN i = 1 THEN
+        |             -ln((CAST(coalesce(list_extract(map_extract(lmu, t[1]), 1), 0) AS DOUBLE) + 1.0)
+        |                 / (total_u + vu + 1.0))
+        |           ELSE
+        |             -ln(0.75 * ((CAST(coalesce(list_extract(map_extract(lmb, t[i-1] || ' ' || t[i]), 1), 0) AS DOUBLE) + 1.0)
+        |                         / (CAST(coalesce(list_extract(map_extract(lmu, t[i-1]), 1), 0) AS DOUBLE) + vb + 1.0))
+        |                 + 0.25 * ((CAST(coalesce(list_extract(map_extract(lmu, t[i]), 1), 0) AS DOUBLE) + 1.0)
+        |                           / (total_u + vu + 1.0)))
+        |           END)) AS nll
+        |  FROM toks, mu, mb)
+        |SELECT doc_id, n_tokens,
+        |       CASE WHEN n_tokens > 0 THEN nll / CAST(n_tokens AS DOUBLE) END AS avg_nll,
+        |       CASE WHEN n_tokens > 0 THEN round(exp(nll / CAST(n_tokens AS DOUBLE)), 6) END AS ppl
+        |FROM score ORDER BY doc_id""".stripMargin,
+
     // DSIR importance weight = NLL_raw − NLL_target: TWO of the
     // q_lm_score folds (target model over the English slice, raw model
     // over the whole corpus — same Laplace arithmetic, same token-order

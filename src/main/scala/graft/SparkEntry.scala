@@ -1066,7 +1066,13 @@ object SparkEntry {
       // Per-doc character entropy — the diversity gate (padding / spam /
       // uniform noise) next to the Gopher rules; one kernel pass, zero
       // shuffle.
-      TextOps.charEntropyScores(Tables.documents(s, dir), "doc_id", "text"))
+      TextOps.charEntropyScores(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_lm_score2" -> ((s, dir) =>
+      // Interpolated-bigram perplexity — the order-2 LM gate: common
+      // words in scrambled order pass the unigram model but scream
+      // here. Two bounded-head trainings, one zero-shuffle scoring pass.
+      TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -56,6 +56,9 @@ object GraftFunctions {
     "lang_scores" -> { args =>
       arity("lang_scores", args, 1); LangScores(args(0))
     },
+    "char_entropy" -> { args =>
+      arity("char_entropy", args, 1); CharEntropy(args(0))
+    },
     "word_shingles" -> { args =>
       arity("word_shingles", args, 2)
       WordShingles(args(0), intArg(args(1), "word_shingles", "k"))

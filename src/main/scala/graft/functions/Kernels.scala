@@ -432,6 +432,46 @@ object TextKernels {
     }
     acc
   }
+
+  /** Interpolated-bigram negative log-likelihood, left-to-right: the
+    * first token scores under the unigram model alone, every later
+    * position under `λ·p_bigram + (1−λ)·p_unigram` with
+    * `p_bigram = (c(w₋₁w) + 1) / ((c_u(w₋₁) + |V_b|) + 1)`. EVERY
+    * floating-point op keeps the oracle's exact shape and order
+    * (left-associated denominators, interpolate as `λ·pb + (1−λ)·pu`,
+    * one `ln` per position, terms summed in token order) so both
+    * engines produce the identical double stream. `pu` maps hold the
+    * PROBABILITY (not its −ln — it sits inside the interpolation);
+    * missing unigram/bigram counts are the Laplace zero. */
+  def bigramNll(
+      text: UTF8String,
+      pu: java.util.HashMap[String, java.lang.Double],
+      cu: java.util.HashMap[String, java.lang.Double],
+      cb: java.util.HashMap[String, java.lang.Double],
+      puOov: Double,
+      vB: Double,
+      lambda: Double): Double = {
+    val toks = tokenize(text.toString)
+    if (toks.isEmpty) return 0.0
+    def puOf(w: String): Double = {
+      val p = pu.get(w)
+      if (p == null) puOov else p.doubleValue()
+    }
+    val oneMinusLambda = 1.0 - lambda
+    var acc = -math.log(puOf(toks(0)))
+    var i = 1
+    while (i < toks.length) {
+      val prev = toks(i - 1)
+      val cuPrev = { val c = cu.get(prev); if (c == null) 0.0 else c.doubleValue() }
+      val cbPair = {
+        val c = cb.get(prev + " " + toks(i)); if (c == null) 0.0 else c.doubleValue()
+      }
+      val pb = (cbPair + 1.0) / ((cuPrev + vB) + 1.0)
+      acc += -math.log(lambda * pb + oneMinusLambda * puOf(toks(i)))
+      i += 1
+    }
+    acc
+  }
 }
 
 object VectorKernels {

@@ -348,6 +348,61 @@ case class UnigramNll(child: Expression, vocab: Seq[(String, Long)], total: Doub
     copy(child = newChild)
 }
 
+/** Interpolated-bigram negative log-likelihood — see
+  * [[TextKernels.bigramNll]]. Both count tables ship as codegen
+  * reference objects hashed once per task; `Seq` parameters keep plan
+  * canonicalization structural (the [[UnigramNll]] posture). The
+  * unigram probabilities are precomputed with the exact per-token IEEE
+  * shape the oracle writes. */
+case class BigramNll(
+    child: Expression,
+    uni: Seq[(String, Long)],
+    bi: Seq[(String, Long)],
+    totalU: Double,
+    vU: Double,
+    vB: Double,
+    lambda: Double)
+    extends UnaryExpression {
+  require(lambda > 0.0 && lambda < 1.0, s"lambda=$lambda must be in (0, 1)")
+  @transient private lazy val puMap: java.util.HashMap[String, java.lang.Double] = {
+    val denom = (totalU + vU) + 1.0
+    val m = new java.util.HashMap[String, java.lang.Double](uni.size * 2 + 16)
+    uni.foreach { case (t, c) => m.put(t, java.lang.Double.valueOf((c + 1.0) / denom)) }
+    m
+  }
+  @transient private lazy val cuMap: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](uni.size * 2 + 16)
+    uni.foreach { case (t, c) => m.put(t, java.lang.Double.valueOf(c.toDouble)) }
+    m
+  }
+  @transient private lazy val cbMap: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](bi.size * 2 + 16)
+    bi.foreach { case (g, c) => m.put(g, java.lang.Double.valueOf(c.toDouble)) }
+    m
+  }
+  private val puOov: Double = 1.0 / ((totalU + vU) + 1.0)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bigram_nll"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.bigramNll(
+      input.asInstanceOf[UTF8String], puMap, cuMap, cbMap, puOov, vB, lambda)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val puRef = ctx.addReferenceObj("puTable", puMap, "java.util.HashMap")
+    val cuRef = ctx.addReferenceObj("cuTable", cuMap, "java.util.HashMap")
+    val cbRef = ctx.addReferenceObj("cbTable", cbMap, "java.util.HashMap")
+    val puOovBits = java.lang.Double.doubleToLongBits(puOov)
+    val vBBits = java.lang.Double.doubleToLongBits(vB)
+    val lamBits = java.lang.Double.doubleToLongBits(lambda)
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.TextKernels.bigramNll($c, $puRef, $cuRef, $cbRef,
+         |  java.lang.Double.longBitsToDouble(${puOovBits}L),
+         |  java.lang.Double.longBitsToDouble(${vBBits}L),
+         |  java.lang.Double.longBitsToDouble(${lamBits}L))""".stripMargin)
+  }
+  protected override def withNewChildInternal(newChild: Expression): BigramNll =
+    copy(child = newChild)
+}
+
 /** Codec-free media dimensions — see [[MediaKernels.mediaDims]]: parses
   * PNG/GIF/BMP fixed-offset headers and walks JPEG markers to the SOF
   * frame header, returning `[width, height]` or NULL for unrecognized or
@@ -455,6 +510,17 @@ object native {
 
   def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
     ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))
+
+  def bigramNll(
+      text: Column,
+      uni: Seq[(String, Long)],
+      bi: Seq[(String, Long)],
+      totalU: Double,
+      vU: Double,
+      vB: Double,
+      lambda: Double): Column =
+    ColumnBridge.column(
+      BigramNll(ColumnBridge.expression(text), uni, bi, totalU, vU, vB, lambda))
 
   def mediaDims(bytes: Column): Column =
     ColumnBridge.column(MediaDims(ColumnBridge.expression(bytes)))

@@ -1074,6 +1074,82 @@ object TextOps {
     }
   }
 
+  /** A trained interpolated-bigram model — the order-2 step from
+    * [[UnigramLm]] toward the KenLM gate CCNet actually runs: position 1
+    * scores under the unigram model, every later position under
+    * `λ·p_bigram + (1−λ)·p_unigram` with Laplace-smoothed
+    * `p_bigram = (c(w₋₁w)+1)/((c_u(w₋₁)+|V_b|)+1)`. Interpolation (not
+    * backoff) because it is one branch-free expression both engines
+    * write identically; λ stays a parameter. A plain value, so it gates
+    * streams and other frames exactly like [[UnigramLm]]. */
+  final case class BigramLm(
+      uni: Seq[(String, Long)],
+      bi: Seq[(String, Long)],
+      totalU: Double,
+      vU: Double,
+      vB: Double,
+      lambda: Double) {
+    /** Total NLL — the left-to-right fold (0.0 for empty docs). */
+    def nll(text: Column): Column =
+      graft.functions.native.bigramNll(text, uni, bi, totalU, vU, vB, lambda)
+
+    /** Average NLL per token; NULL for empty docs. */
+    def avgNll(text: Column): Column = {
+      val nTok = tokenCount(text)
+      when(nTok > 0, nll(text) / nTok.cast("double"))
+    }
+  }
+
+  /** Two bounded-head count passes (unigrams + adjacent pairs via the
+    * n=2 kernel), both capped by deterministic TakeOrdered and collected
+    * (the trainUnigramLm posture — driver memory ∝ caps, never corpus).
+    * Tail unigrams/bigrams fall into the Laplace zero; |V| figures are
+    * over the KEPT heads so engine and oracle agree under truncation. */
+  def trainBigramLm(
+      df: DataFrame,
+      textCol: String,
+      maxVocab: Int = 65536,
+      maxBigrams: Int = 65536,
+      lambda: Double = 0.75): BigramLm = {
+    require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
+    val u = trainUnigramLm(df, textCol, maxVocab)
+    val bi = df
+      .select(explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("gram"))
+      .limit(maxBigrams)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    BigramLm(u.vocab, bi, u.total, u.vsize, bi.size.toDouble, lambda)
+  }
+
+  /** Per-document interpolated-bigram LM score (avg NLL + round-6 ppl,
+    * the [[unigramLmScore]] output shape): the sharper perplexity gate —
+    * a doc whose WORDS are all common but whose word ORDER is scrambled
+    * (spam keyword-stuffing, shuffled boilerplate) scores near the
+    * unigram model's floor yet screams under the bigram term. Training
+    * is two bounded-head passes; scoring is ONE zero-shuffle projection
+    * through the `bigram_nll` kernel (per-token O(1) lookups, whole
+    * expression inside codegen). */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Int = 65536,
+      maxBigrams: Int = 65536,
+      lambda: Double = 0.75): DataFrame = {
+    val lm = trainBigramLm(df, textCol, maxVocab, maxBigrams, lambda)
+    val nTok = tokenCount(col(textCol))
+    df.select(
+        col(idCol).as("doc_id"),
+        nTok.cast("bigint").as("n_tokens"),
+        lm.avgNll(col(textCol)).as("avg_nll"),
+        round(exp(lm.avgNll(col(textCol))), 6).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One-pass unigram training: map-side-combined term counts, head
     * capped at `maxVocab` by a deterministic TakeOrdered, collected
     * (bounded by the cap — the IVF-centroid posture). */

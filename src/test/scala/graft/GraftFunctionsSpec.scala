@@ -67,6 +67,10 @@ class GraftFunctionsSpec extends SparkTestBase {
     Seq(Tuple1(gif)).toDF("bytes").createOrReplaceTempView("t_media")
     val r3 = spark.sql("SELECT media_dims(bytes) AS d FROM t_media").collect()(0)
     assert(r3.getSeq[Int](0) == Seq(320, 240))
+    // char_entropy: 'abab' = ln 2 through the SQL path
+    val r4 = spark.sql("SELECT char_entropy('abab') AS e, char_entropy('') AS e0")
+      .collect()(0)
+    assert(r4.getDouble(0) == math.log(2.0) && r4.isNullAt(1))
   }
 
   test("non-literal size parameters are rejected with a clear error") {

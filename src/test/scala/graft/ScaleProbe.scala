@@ -261,7 +261,9 @@ object ScaleProbe {
       "q_neardup_incr",
       // per-row entropy kernel projection (trivially-safe shape,
       // measured anyway — the q_media_dims posture)
-      "q_entropy")
+      "q_entropy",
+      // two bounded-head trainings + one kernel-scoring projection
+      "q_lm_score2")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")

@@ -546,6 +546,55 @@ class TextOpsSpec extends SparkTestBase {
     assert(misses == 0L, "a false NEGATIVE would silently resurrect duplicates")
   }
 
+  test("bigramLmScore matches a driver model; scrambled word order screams where unigram is blind") {
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the dog sat on the mat",
+      4L -> "mat the on sat cat the", // same BAG of words as doc 1
+      5L -> "")
+    val docs = texts.toDF("doc_id", "text")
+    val lambda = 0.75
+    val out = TextOps
+      .bigramLmScore(docs, "doc_id", "text", maxVocab = 100, maxBigrams = 100, lambda = lambda)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // driver model with the operator's exact arithmetic
+    val tokenized = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val cu = tokenized.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cb = tokenized.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (totalU, vU, vB) = (cu.values.sum.toDouble, cu.size.toDouble, cb.size.toDouble)
+    def pu(w: String) = (cu.getOrElse(w, 0L) + 1.0) / ((totalU + vU) + 1.0)
+    def nll(ts: Seq[String]): Double =
+      if (ts.isEmpty) 0.0
+      else {
+        var acc = -math.log(pu(ts.head))
+        ts.sliding(2).filter(_.size == 2).foreach { case Seq(p, w) =>
+          val pb = (cb.getOrElse(s"$p $w", 0L) + 1.0) / ((cu.getOrElse(p, 0L).toDouble + vB) + 1.0)
+          acc += -math.log(lambda * pb + (1.0 - lambda) * pu(w))
+        }
+        acc
+      }
+    tokenized.foreach { case (id, ts) =>
+      if (ts.isEmpty) assert(out(id).isEmpty)
+      else assert(out(id).contains(nll(ts) / ts.size),
+        s"doc $id: ${out(id)} vs model ${nll(ts) / ts.size}")
+    }
+    // the selling point: identical word BAG, scrambled ORDER — unigram
+    // NLL is identical by construction, the bigram gate separates them
+    val uniLm = TextOps.trainUnigramLm(docs, "text", 100)
+    val uniNll = docs
+      .select(col("doc_id"), uniLm.avgNll(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(uniNll(1L) == uniNll(4L), "unigram is order-blind by construction")
+    assert(out(4L).get > out(1L).get + 0.3,
+      s"scrambled doc must score clearly worse: ${out(4L)} vs ${out(1L)}")
+  }
+
   test("charEntropyScores matches hand-computed entropies; empty/NULL docs emit no row") {
     val df = Seq(
       (1L, "aab"),                       // 2/3·ln(3/2) + 1/3·ln(3)
