@@ -91,6 +91,22 @@ private[graft] object OracleSqlRelational {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Same integer nanos bucketing as q_window_tumble; finite-only
+    // values rank (NaN/NULL desc orderings differ across engines) with
+    // the deterministic (value DESC, event_id) tie-break.
+    "q_window_topk" ->
+      """WITH r AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
+        |         event_type, event_id, value::DOUBLE AS value,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY (epoch_ns(ts) // 3600000000000), event_type
+        |           ORDER BY value::DOUBLE DESC, event_id ASC) AS "rank"
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value))
+        |SELECT window_start_sec, event_type, "rank", event_id, value
+        |FROM r WHERE "rank" <= 3
+        |ORDER BY window_start_sec, event_type, "rank"""".stripMargin,
+
     // Same integer nanos bucketing as q_window_tumble, same discrete
     // rank arithmetic as q_quantiles, non-null values on both sides.
     "q_window_quantiles" ->

@@ -1072,7 +1072,15 @@ object SparkEntry {
       // Interpolated-bigram perplexity — the order-2 LM gate: common
       // words in scrambled order pass the unigram model but scream
       // here. Two bounded-head trainings, one zero-shuffle scoring pass.
-      TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text"))
+      TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    "q_window_topk" -> ((s, dir) =>
+      // Top-3 events by value per (hour x event type) — the leaderboard
+      // query windowed aggregates can't answer (they keep no row
+      // identity); deterministic (value desc, event_id) rank.
+      Windowing.windowTopN(
+        Tables.events(s, dir), "ts_ns", widthSeconds = 3600,
+        dims = Seq("event_type"), valueCol = "value", seqCol = "event_id", k = 3))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

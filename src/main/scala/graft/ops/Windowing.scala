@@ -297,6 +297,45 @@ object Windowing {
       .orderBy(col(keyCol), col("slot_start_us"))
   }
 
+  /** Per-window grouped top-N: the `k` highest-value rows of every
+    * (tumbling window × dims) cell with a deterministic rank — "top 3
+    * spenders per hour per segment", the leaderboard/alerting query
+    * tumbling AGGREGATES can't answer (they keep no row identity).
+    * Rank orders (value desc, seq asc): the seq tie-break makes the cut
+    * deterministic, and only FINITE values rank (NaN orders
+    * inconsistently across engines' desc sorts; NULL desc defaults
+    * differ — both excluded, the zOutliers posture). One shuffle on
+    * (bucket, dims); the per-cell sort is bounded by the window width —
+    * the same naturally-capped skew axis as [[windowQuantilesDisc]].
+    * Output ∝ windows × dims × k. */
+  def windowTopN(
+      df: DataFrame,
+      tsNsCol: String,
+      widthSeconds: Long,
+      dims: Seq[String],
+      valueCol: String,
+      seqCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && widthSeconds >= 1, s"k=$k widthSeconds=$widthSeconds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val widthNs = widthSeconds * 1000000000L
+    val v = col(valueCol).cast("double")
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(Double.PositiveInfinity)
+    val bucketed = df
+      .filter(col(tsNsCol).isNotNull && finite)
+      .withColumn("window_start_sec",
+        floorDiv(col(tsNsCol).cast("long"), widthNs) * widthSeconds)
+    val w = Window
+      .partitionBy(col("window_start_sec") +: dims.map(col): _*)
+      .orderBy(v.desc, col(seqCol).asc)
+    bucketed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("window_start_sec")) ++ dims.map(col) ++
+        Seq(col("rank"), col(seqCol), v.as(valueCol)): _*)
+      .orderBy(Seq(col("window_start_sec")) ++ dims.map(col) ++ Seq(col("rank")): _*)
+  }
+
   /** Trailing time-RANGE window statistics: for EVERY event, the count /
     * exact sum / average of the same key's values over the preceding
     * `windowNs` (inclusive of now) — the "7-day trailing average"

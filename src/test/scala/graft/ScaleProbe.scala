@@ -263,7 +263,9 @@ object ScaleProbe {
       // measured anyway — the q_media_dims posture)
       "q_entropy",
       // two bounded-head trainings + one kernel-scoring projection
-      "q_lm_score2")
+      "q_lm_score2",
+      // per-(window x dims) rank — width-bounded sort cells
+      "q_window_topk")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")

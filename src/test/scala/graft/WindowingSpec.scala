@@ -159,6 +159,31 @@ class WindowingSpec extends SparkTestBase {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("windowTopN: per-cell deterministic rank, cut at k, NaN/NULL excluded") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    val df = Seq(
+      // window 0, type a: values 5,5,3,1 — tie on 5 breaks by event_id
+      (0L * hourNs + 1, "a", 10L, 5.0),
+      (0L * hourNs + 2, "a", 7L, 5.0),
+      (0L * hourNs + 3, "a", 8L, 3.0),
+      (0L * hourNs + 4, "a", 9L, 1.0),  // rank 4: cut
+      (0L * hourNs + 5, "a", 11L, Double.NaN), // never ranks
+      // window 0, type b: single row
+      (0L * hourNs + 6, "b", 12L, 2.0),
+      // window 1, type a
+      (1L * hourNs + 1, "a", 13L, 4.0)
+    ).toDF("ts_ns", "event_type", "event_id", "value")
+    val got = Windowing
+      .windowTopN(df, "ts_ns", 3600, Seq("event_type"), "value", "event_id", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "a", 1, 7L), (0L, "a", 2, 10L), (0L, "a", 3, 8L),
+      (0L, "b", 1, 12L),
+      (3600L, "a", 1, 13L)))
+  }
+
   test("rollingStats trailing RANGE frame: inclusive bounds, same-ts peers, finite-only stats") {
     import spark.implicits._
     val w = 100L // windowNs
