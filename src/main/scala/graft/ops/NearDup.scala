@@ -213,11 +213,6 @@ object NearDup {
   def minhashSignature(sh: Column, perms: Int = 64): Column =
     graft.functions.native.minhashSignature(sh, perms)
 
-  /** Candidate pairs by banded MinHash: signatures are cut into `bands`
-    * rows-per-band slices, docs join on (band index, band hash). Each doc
-    * emits exactly `bands` join keys — candidate volume is bounded by
-    * bucket occupancy, not document length. Output: distinct (id1, id2),
-    * id1 < id2. */
   /** (id, band, bucket) banded MinHash rows — the shared signature stage
     * of [[minhashCandidatePairs]] and the persisted signature index
     * ([[writeMinhashIndex]]/[[probeMinhashIndex]]). The banding
@@ -241,6 +236,11 @@ object NearDup {
         }: _*)))
       .toDF("id", "band", "bucket")
 
+  /** Candidate pairs by banded MinHash: signatures are cut into `bands`
+    * rows-per-band slices, docs join on (band index, band hash). Each doc
+    * emits exactly `bands` join keys — candidate volume is bounded by
+    * bucket occupancy, not document length. Output: distinct (id1, id2),
+    * id1 < id2. */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
