@@ -426,6 +426,23 @@ private[graft] object OracleSqlSimilarity {
         |      < (CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END) * 4294967296.0
         |ORDER BY doc_id""".stripMargin,
 
+    // Gumbel-top-k weighted sampling: the same md5-u32 machinery as
+    // q_sample, u = (u32 + 0.5)/2^32 exact in both engines, the key
+    // ln(w) - ln(-ln(u)) rounded to 6 with an id tie-break (the tfidf
+    // ordering convention) so the cut is ulp-immune.
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |           round(ln(n_chars::DOUBLE)
+        |                 - ln(-ln((('0x' || substr(md5('ws:' || lang || ':' || doc_id), 1, 8))::BIGINT
+        |                           + 0.5) / 4294967296.0)), 6) DESC,
+        |           doc_id ASC) AS rk
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0)
+        |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+
     // Same md5 digest text and (digest, id) ordering as TextOps.sourceCap
     // — both engines emit lowercase-hex md5 and compare it
     // lexicographically, so the per-source winner set is identical.

@@ -1080,7 +1080,17 @@ object SparkEntry {
       // identity); deterministic (value desc, event_id) rank.
       Windowing.windowTopN(
         Tables.events(s, dir), "ts_ns", widthSeconds = 3600,
-        dims = Seq("event_type"), valueCol = "value", seqCol = "event_id", k = 3))
+        dims = Seq("event_type"), valueCol = "value", seqCol = "event_id", k = 3)),
+
+    "q_sample_weighted" -> ((s, dir) =>
+      // Exactly 30 docs per language, longer docs proportionally more
+      // likely (weight = n_chars) — sized weighted sampling without
+      // replacement, deterministic under the md5 hash machinery.
+      TextOps
+        .weightedSample(Tables.documents(s, dir), "doc_id", "lang",
+          weight = col("n_chars"), n = 30)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -712,6 +712,54 @@ object TextOps {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Weighted SIZED sampling without replacement per stratum
+    * (Efraimidis–Spirakis exponential clocks, the Gumbel-top-k form):
+    * EXACTLY `min(n, |stratum|)` survivors per stratum, drawn ∝ `weight`
+    * without replacement — the mixture-construction step
+    * [[deterministicSample]] (rate-scaled, unsized) and [[sourceCap]]
+    * (uniform, unweighted) can't express: "give me 30 docs per
+    * language, longer docs proportionally more likely". Deterministic:
+    * the uniform is `(md5-u32 + 0.5) / 2³²` of (salt, stratum, id) —
+    * the q_sample hash machinery, so re-runs, repartitions, and engines
+    * draw the SAME sample. The Gumbel key `ln(w) − ln(−ln(u))` is
+    * rounded to 6 decimals with an id tie-break (the tfidf ordering
+    * convention — immune to last-ulp `ln` divergence at the cut);
+    * `u` itself is exact in both engines (u32 exact in a double, +0.5
+    * exact, division by 2³² exact). Non-positive/non-finite weights are
+    * excluded (they have no sampling mass).
+    *
+    * Scale shape: the [[sourceCap]] posture — rank a NARROW
+    * (stratum, id, weight) projection (text never shuffles), survivors
+    * (≤ n×strata) semi-join back under AQE broadcast; the per-stratum
+    * window sort is the quota machinery's shared skew axis. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weight: Column,
+      n: Int,
+      salt: String = "ws"): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    val u32 = conv(
+      substring(md5(concat(
+        lit(salt), lit(":"), col(strataCol).cast("string"),
+        lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double")
+    val u = (u32 + lit(0.5)) / lit(4294967296.0)
+    val winners = df
+      .select(col(strataCol), col(idCol), weight.cast("double").as("__w"))
+      .filter(col(strataCol).isNotNull && col(idCol).isNotNull &&
+        col("__w").isNotNull && !isnan(col("__w")) && col("__w") > 0 &&
+        col("__w") < lit(Double.PositiveInfinity))
+      .withColumn("__k", round(log(col("__w")) - log(-log(u)), 6))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(strataCol).orderBy(col("__k").desc, col(idCol))))
+      .filter(col("__rk") <= n)
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Token-stream packing: lay the corpus out as fixed-`budget`-token
     * training sequences — the step after [[chunk]] in a pretraining
     * pipeline (concatenate documents in order, cut every `budget`

@@ -265,7 +265,9 @@ object ScaleProbe {
       // two bounded-head trainings + one kernel-scoring projection
       "q_lm_score2",
       // per-(window x dims) rank — width-bounded sort cells
-      "q_window_topk")
+      "q_window_topk",
+      // narrow-projection Gumbel rank + semi-join (the sourceCap shape)
+      "q_sample_weighted")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")

@@ -546,6 +546,46 @@ class TextOpsSpec extends SparkTestBase {
     assert(misses == 0L, "a false NEGATIVE would silently resurrect duplicates")
   }
 
+  test("weightedSample: exact size per stratum, driver-model equality, weight mass wins") {
+    val rows = (1L to 40L).map(i => (i, if (i <= 25) "a" else "b",
+      if (i == 3L) 1.0e9 else 1.0 + (i % 5))) ++
+      Seq((41L, "a", 0.0), (42L, "a", -3.0), (43L, "a", Double.NaN),
+        (44L, null.asInstanceOf[String], 5.0))
+    val df = rows.toDF("doc_id", "strata", "w")
+    val out = TextOps.weightedSample(df, "doc_id", "strata", col("w"), n = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // driver model with the operator's exact arithmetic
+    def key(strata: String, id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$strata:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u32 = java.lang.Long.parseLong(hex, 16).toDouble
+      val u = (u32 + 0.5) / 4294967296.0
+      BigDecimal(math.log(w) - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val eligible = rows.filter { case (_, s, w) => s != null && w > 0 && !w.isNaN }
+    val expect = eligible.groupBy(_._2).flatMap { case (s, rs) =>
+      rs.map { case (id, _, w) => (id, key(s, id, w)) }
+        .sortBy { case (id, k) => (-k, id) }.take(5).map(t => (t._1, s))
+    }.toSet
+    assert(out == expect)
+    // exactly n per stratum (both strata have > 5 eligible rows)
+    assert(out.count(_._2 == "a") == 5 && out.count(_._2 == "b") == 5)
+    // the 1e9-weight doc has overwhelming mass — the model (and the
+    // operator) must have kept it
+    assert(out.contains((3L, "a")))
+    // partitioning-independent
+    val repart = TextOps
+      .weightedSample(df.repartition(13), "doc_id", "strata", col("w"), n = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(repart == out)
+    // n >= stratum size keeps every eligible row
+    val all = TextOps.weightedSample(df, "doc_id", "strata", col("w"), n = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == eligible.map(_._1).toSet)
+  }
+
   test("bigramLmScore matches a driver model; scrambled word order screams where unigram is blind") {
     val texts = Seq(
       1L -> "the cat sat on the mat",
