@@ -460,11 +460,13 @@ private[graft] object OracleSqlRelational {
     // weight join → coalesce(c, 0) reproduces the engine's unseen-bucket
     // smoothing.
     "q_quality_clf" ->
+      // NULL text is excluded from training and scoring alike (the
+      // engine's gopherQuality has no verdict for it)
       """WITH t AS (
         |  SELECT doc_id, text,
         |         string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w,
         |         len(regexp_extract_all(text, '\S+')) AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |s AS (
         |  SELECT doc_id, n_tokens,
         |         CASE WHEN n_tokens = 0 THEN 0.0
@@ -886,6 +888,9 @@ private[graft] object OracleSqlRelational {
     // all same-instant peers on both engines; finite-only count+sum in
     // DECIMAL(38,6) (order-independent), avg one guarded IEEE division
     // (0/0 would be +Inf on Spark, NULL here — both sides emit NULL).
+    // abs(value) < 1e32 is the engine's DECIMAL(38,6)-range bound: past
+    // it Spark would null the value out of the sum while counting it,
+    // and this cast would throw — excluded from both, on both engines.
     "q_rolling" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value::DOUBLE AS value
@@ -893,8 +898,10 @@ private[graft] object OracleSqlRelational {
         |win AS (
         |  SELECT user_id, ts_ns, event_id, value,
         |         count(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |                         AND abs(value) < 1e32
         |                    THEN 1 END) OVER w AS n_win,
         |         CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |                            AND abs(value) < 1e32
         |                       THEN CAST(value AS DECIMAL(38,6)) END) OVER w
         |              AS DOUBLE) AS sum_win
         |  FROM e

@@ -380,8 +380,14 @@ object NearDup {
       rowsPerBand: Int = 4,
       nParts: Int = 64): DataFrame = {
     val spark = incoming.sparkSession
+    // localCheckpoint: the parts collect below and the candidate join
+    // each consume newB — without materializing, the batch's whole
+    // shingle→signature kernel pipeline (the operator's dominant per-row
+    // cost) would execute TWICE per probe. Eager checkpoint pays it
+    // once; the batch is the small side by contract.
     val newB = bandedRows(incoming, idCol, textCol, k, bands, rowsPerBand)
       .withColumn("part", minhashPartExpr(nParts))
+      .localCheckpoint()
     // bounded driver collect: ≤ nParts distinct partition ids — turning
     // the join key into a literal IN list is what makes the parquet
     // scan's PartitionFilters prune (a join alone prunes nothing)

@@ -320,8 +320,13 @@ object TextOps {
     require(sampleSize >= 1, s"sampleSize=$sampleSize must be >= 1")
     // (feature column, smoothing domain size) — domain = bucket count
     val feats = Seq(("f_len", 8.0), ("f_mtl", 13.0), ("f_stop", 9.0), ("f_alpha", 10.0))
+    // NULL text has no features and no Gopher verdict (gopherQuality
+    // emits NULL throughout) — excluded from training AND scoring alike,
+    // or the sample collect would NPE on the null verdict and the score
+    // projection would emit all-unseen noise; mirrored in the oracle
     def bucketed(d: DataFrame): DataFrame =
-      gopherQuality(d, idCol, textCol, minStopwordHits = minStopwordHits)
+      gopherQuality(d.filter(col(textCol).isNotNull), idCol, textCol,
+        minStopwordHits = minStopwordHits)
         .select(
           col("doc_id"),
           least(floor(col("n_tokens") / 32).cast("long"), lit(7L)).as("f_len"),
@@ -512,7 +517,10 @@ object TextOps {
             filter(tileArr, (t, i) => !array_contains(col("__cut"), i)),
             " ")).as(textCol),
         coalesce(size(col("__cut")), lit(0)).cast("long").as("removed_tiles"),
-        size(tileArr).cast("long").as("total_tiles"))
+        // NULL text tiles to a NULL array whose size is NULL, not 0 —
+        // coalesce like removed_tiles so the counters agree with the
+        // oracle's COALESCE(..., 0) on a NULL-bearing corpus
+        coalesce(size(tileArr), lit(0)).cast("long").as("total_tiles"))
       .orderBy(col(idCol))
   }
 

@@ -376,10 +376,14 @@ object Windowing {
       .orderBy(col("ts_ns"))
       .rangeBetween(-windowNs, 0)
     // `finite` re-derives from the POST-projection "value" column so the
-    // expression resolves regardless of the input column's name
+    // expression resolves regardless of the input column's name. The
+    // 1e32 bound is DECIMAL(38,6)'s integer range (the zOutliers
+    // half-count lesson): a finite value past it would null out of the
+    // decimal sum while still counting in n_win — excluded from count
+    // and sum ALIKE, mirrored in the oracle and in RollingStream.
     val finite = when(
       col("value").isNotNull && !isnan(col("value"))
-        && abs(col("value")) < lit(Double.PositiveInfinity),
+        && abs(col("value")) < lit(1e32),
       col("value"))
     df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
       .select(col(keyCol), col(tsNsCol).cast("long").as("ts_ns"),

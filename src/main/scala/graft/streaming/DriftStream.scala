@@ -57,9 +57,17 @@ object DriftStream {
     require(reference.nonEmpty, "empty reference distribution")
     require(reference.valuesIterator.forall(_ > 0), "reference counts must be positive")
     import stream.sparkSession.implicits._
+    // -0.0 and 0.0 are DISTINCT keys to a Scala/Java Double map but ONE
+    // group to Spark SQL's groupBy (NormalizeFloatingNumbers) — collapse
+    // them on both the reference and every arriving value, or a window
+    // holding both would split one histogram cell the batch operator
+    // merges and the stream==batch contract would break on signed zero
+    def norm(v: Double): Double = if (v == 0.0) 0.0 else v
     // the reference's cumulative shape is computed ONCE driver-side:
     // ascending values with running counts, shipped in the closure
-    val refSorted: Array[(Double, Long)] = reference.toArray.sortBy(_._1)
+    val refSorted: Array[(Double, Long)] = reference
+      .groupMapReduce { case (v, _) => norm(v) } { case (_, c) => c }(_ + _)
+      .toArray.sortBy(_._1)
     val nRef: Long = refSorted.map(_._2).sum
     val keyed = stream
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull
@@ -85,7 +93,8 @@ object DriftStream {
             st.vals.indices.foreach(i => hist(st.vals(i)) = st.counts(i))
           }
           rows.foreach { case (_, v) =>
-            hist(v) = hist.getOrElse(v, 0L) + 1L
+            val nv = if (v == 0.0) 0.0 else v // signed-zero collapse
+            hist(nv) = hist.getOrElse(nv, 0L) + 1L
           }
           val wmNs = state.getCurrentWatermarkMs() * 1000000L
           val windowEndNs = (bucket + 1) * windowNs

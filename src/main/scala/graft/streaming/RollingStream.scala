@@ -79,8 +79,12 @@ object RollingStream {
       val i = t.toInstant
       (i.getEpochSecond * 1000000L + i.getNano / 1000L) * 1000L
     }
+    // the batch operator's DECIMAL(38,6)-range bound (1e32), not just
+    // non-finiteness — a value past it nulls out of the batch decimal
+    // sum, so the stream's BigDecimal accumulation must exclude it too
+    // or replay would diverge from batch on extreme inputs
     def isFinite(v: Double): Boolean =
-      !v.isNaN && math.abs(v) < Double.PositiveInfinity
+      !v.isNaN && math.abs(v) < 1e32
     keyed
       .groupByKey(_._1)
       .flatMapGroupsWithState[RollingState, RollingRow](

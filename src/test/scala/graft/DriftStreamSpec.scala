@@ -84,6 +84,16 @@ class DriftStreamSpec extends SparkTestBase {
     assert(got(0).ks_stat < 0.4)
   }
 
+  test("signed zero: a window holding -0.0 and 0.0 matches batch (one histogram cell)") {
+    def t(offSec: Long): Long = (1000 * 60 + offSec) * 1_000_000L
+    val evs = Seq(DriftEv(t(0), -0.0), DriftEv(t(1), 0.0), DriftEv(t(2), 1.0))
+    val got = run(Seq(evs), delay = "30 seconds")
+    assert(got.size == 1)
+    // batch ksDrift groups the zeros into one value (Spark SQL
+    // normalizes -0.0); the stream must agree
+    assert(got.head.ks_stat == batchKs(Seq(0.0, 0.0, 1.0)))
+  }
+
   test("windows close on watermark advance alone (timer path) and NaN rows are excluded") {
     def t(offSec: Long): Long = (1000 * 60 + offSec) * 1_000_000L
     val evs = Seq(DriftEv(t(0), 1.0), DriftEv(t(1), Double.NaN), DriftEv(t(2), 2.0))

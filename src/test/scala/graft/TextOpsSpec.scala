@@ -546,6 +546,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(misses == 0L, "a false NEGATIVE would silently resurrect duplicates")
   }
 
+  test("qualityClassifier survives NULL text in the sample window; NULL-text docs emit no row") {
+    // doc 0 is NULL text and sits INSIDE the first-10-by-id sample —
+    // before the guard this NPE'd on the null Gopher verdict
+    val docs = Seq((0L, null.asInstanceOf[String])) ++
+      (1L to 40L).map(i => (i, s"doc number $i with the usual words " * 8))
+    val out = TextOps.qualityClassifier(
+      docs.toDF("doc_id", "text"), "doc_id", "text", sampleSize = 10)
+    val ids = out.collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 40L).toSet, "null-text doc excluded, all others scored")
+  }
+
+  test("paragraphDedup: NULL-text docs carry zero counters, not NULLs") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextOps.paragraphDedup(df, "doc_id", "text", tileWords = 2)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(r.isNullAt(1), "NULL text passes through as NULL")
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+      "removed/total tiles must both be 0, not NULL")
+  }
+
   test("weightedSample: exact size per stratum, driver-model equality, weight mass wins") {
     val rows = (1L to 40L).map(i => (i, if (i <= 25) "a" else "b",
       if (i == 3L) 1.0e9 else 1.0 + (i % 5))) ++

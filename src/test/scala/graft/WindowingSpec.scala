@@ -225,6 +225,24 @@ class WindowingSpec extends SparkTestBase {
     }
   }
 
+  test("rollingStats: a finite value past DECIMAL(38,6)'s range is excluded from n AND sum") {
+    import spark.implicits._
+    // 1e33 is finite but outside the decimal cast — before the bound it
+    // half-counted (in n, nulled out of the sum), skewing every frame
+    // it touched; now it is excluded from both, like the oracle
+    val df = Seq(
+      (1L, 0L, 1, 10.0),
+      (1L, 10L, 2, 1.0e33),
+      (1L, 20L, 3, 20.0)
+    ).toDF("user_id", "ts_ns", "event_id", "value")
+    val out = Windowing.rollingStats(df, "user_id", "ts_ns", "event_id", "value", 100L)
+      .collect().map(r => r.getInt(2) -> ((r.getLong(4), r.getDouble(5))))
+    assert(out.toSeq == Seq(
+      1 -> ((1L, 10.0)),
+      2 -> ((1L, 10.0)),   // the 1e33 row still emits, contributes nothing
+      3 -> ((2L, 30.0))))
+  }
+
   test("rollingStats: all-NaN window emits n=0, NULL sum and avg") {
     import spark.implicits._
     val df = Seq((1L, 0L, 1, Double.NaN)).toDF("user_id", "ts_ns", "event_id", "value")
