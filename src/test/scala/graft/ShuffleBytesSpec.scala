@@ -63,6 +63,34 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(bloom < corpusTextBytes / 5, s"shuffled $bloom bytes vs corpus $corpusTextBytes")
   }
 
+  test("probeMinhashIndex exchanges signatures and id pairs, never document text") {
+    val docs = Tables.documents(spark, sf01)
+    val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-meter").toString
+    graft.ops.NearDup.writeMinhashIndex(history, "doc_id", "text", dir)
+    val b = shuffleBytes {
+      graft.ops.NearDup.probeMinhashIndex(dir, history, batch, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // candidates travel as bare id pairs, verify shingles only for the
+    // semi-joined candidate docs — total exchange ≪ the corpus text
+    assert(b < corpusTextBytes / 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
+  test("paragraphDedup shuffles tile fingerprints plus ONE output sort, never exploded tile text") {
+    val b = shuffleBytes {
+      SparkEntry.queries("q_paradup")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the exchanges are (id, tile_ix, md5) fingerprint rows, the small
+    // cut lists, and the declared query's final ORDER BY — one range
+    // exchange of the REBUILT output text (≤ 1× corpus). What must NOT
+    // appear is the exploded per-tile text (~1× corpus AGAIN on top,
+    // through the canonical-pick aggregate); 2× total pins that.
+    assert(b < corpusTextBytes * 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
   test("decontamination never shuffles the training corpus") {
     val b = shuffleBytes {
       SparkEntry.queries("q_decontaminate")(spark, sf01)
