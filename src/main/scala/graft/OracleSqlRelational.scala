@@ -910,5 +910,126 @@ private[graft] object OracleSqlRelational {
         |SELECT user_id, ts_ns, event_id, value, n_win, sum_win,
         |       CASE WHEN n_win > 0 THEN sum_win / n_win END AS avg_win
         |FROM win ORDER BY user_id, ts_ns, event_id""".stripMargin,
+
+    // SCD2: lead() runs over ALL events of the key (a tombstone closes
+    // the version before it), tombstones filter AFTER with the engine's
+    // NULL-predicate-counts-as-deleted posture.
+    "q_scd2" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS valid_from_seq,
+        |         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS valid_to_seq,
+        |         epoch_us(ts) AS ts_us, event_type, value, props
+        |  FROM events)
+        |SELECT user_id, valid_from_seq, valid_to_seq,
+        |       valid_to_seq IS NULL AS is_current,
+        |       ts_us, event_type, value, props
+        |FROM v
+        |WHERE NOT coalesce(event_type = 'delete', TRUE)
+        |ORDER BY user_id, valid_from_seq""".stripMargin,
+
+    // Ties at the same micros order by event_id — the lag window's total
+    // order matches the engine's (ts_ns = micros×1000, same ordering).
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type,
+        |         event_type AS next_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*) AS n_pairs
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, n_pairs, n_from,
+        |       CAST(n_pairs AS DOUBLE) / n_from AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Full a×b grid (structural zeros included); expected = na·nb/nt as
+    // DOUBLE, each cell's ((o−e)·(o−e))/e rounded to 6 then accumulated
+    // in DECIMAL(38,6) — the engine's exactSum mirror.
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |grid AS (
+        |  SELECT rt.a, ct.b, na, nb, nt,
+        |         CAST(coalesce(n, 0) AS DOUBLE) AS o,
+        |         CAST(na AS DOUBLE) * nb / nt AS e
+        |  FROM rt CROSS JOIN ct CROSS JOIN tt
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+        |SELECT max(nt) AS n_rows,
+        |       CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |       CAST(count(DISTINCT b) AS BIGINT) AS n_b,
+        |       (CAST(count(DISTINCT a) AS BIGINT) - 1)
+        |         * (CAST(count(DISTINCT b) AS BIGINT) - 1) AS dof,
+        |       CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+        |                     AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+        |FROM grid""".stripMargin,
+
+    // q_histogram's bucket edges (floor((x−lo)/width), ≥hi clamps into
+    // the last bucket, <lo drops), Laplace-smoothed shares
+    // p = (c+0.5)/(n+0.5·24), per-bucket term rounded to 6 before the
+    // DECIMAL(38,6) accumulation — absorbs the engines' 1-ulp ln().
+    "q_psi" ->
+      """WITH a AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 <> 0),
+        |ka AS (
+        |  SELECT least(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 23) AS bucket,
+        |         count(*) AS ca
+        |  FROM a WHERE v IS NOT NULL AND NOT isnan(v) AND v >= 0.0 GROUP BY 1),
+        |kb AS (
+        |  SELECT least(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 23) AS bucket,
+        |         count(*) AS cb
+        |  FROM b WHERE v IS NOT NULL AND NOT isnan(v) AND v >= 0.0 GROUP BY 1),
+        |spine AS (SELECT range AS bucket FROM range(24)),
+        |m AS (
+        |  SELECT spine.bucket, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM spine LEFT JOIN ka USING (bucket) LEFT JOIN kb USING (bucket)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM m)
+        |SELECT n_a, n_b, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(SUM(CAST(round(
+        |         ((ca + 0.5) / (n_a + 12.0) - (cb + 0.5) / (n_b + 12.0))
+        |           * ln(((ca + 0.5) / (n_a + 12.0))
+        |                / ((cb + 0.5) / (n_b + 12.0))), 6)
+        |         AS DECIMAL(38,6))) AS DOUBLE) AS psi
+        |FROM m, t GROUP BY n_a, n_b""".stripMargin,
+
+    // ntile is the SQL-standard earlier-buckets-larger split over a
+    // total order (metric DESC, user_id) — identical on both engines;
+    // monetary accumulates in DECIMAL(38,6) so both order the same
+    // doubles. DuckDB's ntile returns BIGINT — cast to match Spark's
+    // IntegerType.
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS frequency,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |tiles AS (
+        |  SELECT user_id, last_us, frequency, monetary,
+        |         CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id)
+        |              AS INTEGER) AS r_tile,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+        |              AS INTEGER) AS f_tile,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+        |              AS INTEGER) AS m_tile
+        |  FROM per)
+        |SELECT user_id, last_us, frequency, monetary, r_tile, f_tile, m_tile,
+        |       CAST(r_tile * 100 + f_tile * 10 + m_tile AS INTEGER) AS segment
+        |FROM tiles ORDER BY user_id""".stripMargin,
   )
 }

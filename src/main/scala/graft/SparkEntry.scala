@@ -1090,7 +1090,45 @@ object SparkEntry {
         .weightedSample(Tables.documents(s, dir), "doc_id", "lang",
           weight = col("n_chars"), n = 30)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q_scd2" -> ((s, dir) =>
+      // SCD Type-2 history from the keyed changelog — every surviving
+      // event versioned with [valid_from_seq, valid_to_seq) on the
+      // offset axis; the is_current slice equals q_changelog_apply.
+      Changelog
+        .scd2(
+          Tables.withTsMicros(Tables.events(s, dir)),
+          Seq("user_id"), col("event_id"), col("event_type") === "delete")
+        .select("user_id", "valid_from_seq", "valid_to_seq", "is_current",
+          "ts_us", "event_type", "value", "props")
+        .orderBy(col("user_id"), col("valid_from_seq"))),
+
+    "q_transitions" -> ((s, dir) =>
+      // First-order Markov matrix over per-user event-type sequences —
+      // counts + conditional probabilities, exchange ∝ |types|².
+      EventAnalytics.transitions(
+        Tables.events(s, dir), "user_id", "ts_ns", "event_id", "event_type")),
+
+    "q_chi2" -> ((s, dir) =>
+      // Chi-squared independence of lang × source over the corpus —
+      // the mixture audit; cardinality-bound after one cell count.
+      Relational.chi2Independence(Tables.documents(s, dir), "lang", "source")),
+
+    "q_psi" -> ((s, dir) => {
+      // Population Stability Index between the q_drift corpus halves on
+      // the q_histogram-style fixed grid — the calibrated drift gauge.
+      val docs = Tables.documents(s, dir)
+      Relational.psiDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0),
+        "n_chars", lo = 0.0, hi = 600.0, n = 24)
+    }),
+
+    "q_rfm" -> ((s, dir) =>
+      // Recency/Frequency/Monetary quintile segmentation per user —
+      // one event-stream collapse, then user-axis ntile labeling.
+      EventAnalytics.rfm(Tables.events(s, dir), "user_id", "ts_ns", "value"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

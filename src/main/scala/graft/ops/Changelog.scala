@@ -66,6 +66,42 @@ object Changelog {
       isDelete: Column): DataFrame =
     latestByKey(df, keyCols, seqCol).filter(!coalesce(isDelete, lit(true)))
 
+  /** SCD Type-2 history from the same keyed changelog [[applyChangelog]]
+    * materializes: every non-tombstone event becomes a VERSION row whose
+    * validity interval on the sequence axis is
+    * `[valid_from_seq, valid_to_seq)` — closed by the key's next event
+    * (update or tombstone alike; a tombstone ends the prior version
+    * without opening one, matching TOMBSTONE_HANDLING_GUIDE.md:25-33's
+    * delete semantics). `is_current` marks the open interval, so the
+    * `is_current` slice equals [[applyChangelog]]'s state by
+    * construction (ChangelogSpec pins the equality) — this is the
+    * warehouse-side history table a CDC replication pipeline feeds.
+    *
+    * Scale shape: ONE per-key sequence-ordered window (`lead`) — the
+    * sessionization sort, shared cost model with q_window_session and
+    * [[EventAnalytics.gaps]]; no self-join of the changelog against
+    * itself (the naive interval build), no event-level exchange beyond
+    * the key partitioning. Output ∝ non-tombstone events.
+    *
+    * Determinism: `lead` over the strictly-monotone `seqCol` is pure
+    * integer plumbing; tombstone exclusion follows
+    * [[applyChangelog]]'s NULL-predicate-counts-as-deleted posture. */
+  def scd2(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seqCol: Column,
+      isDelete: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(seqCol)
+    df
+      // lead over ALL events of the key — a tombstone must close the
+      // version before it even though it is filtered from the output
+      .withColumn("valid_from_seq", seqCol)
+      .withColumn("valid_to_seq", lead(seqCol, 1).over(w))
+      .filter(!coalesce(isDelete, lit(true)))
+      .withColumn("is_current", col("valid_to_seq").isNull)
+  }
+
   /** COUNT(*) over the applied state — the reference's liveness check
     * (`SELECT COUNT(*) FROM movies_transformed`, README.md:150). */
   def liveCount(

@@ -158,6 +158,94 @@ object EventAnalytics {
     * sort, shared cost model with q_window_session; output ∝ gaps, not
     * events. Integer nanos arithmetic end to end, so the oracle match
     * is exact by construction. */
+  /** First-order Markov transition matrix over each key's event-type
+    * sequence: every consecutive (prev_type → next_type) pair, counted,
+    * with the conditional probability `p = n_pairs / n_from` — the
+    * behavioral model behind "what do users do after an error?" and the
+    * sequence-sanity audit a pipeline runs on clickstream corpora.
+    * Output: (prev_type, next_type, n_pairs, n_from, p), fully
+    * enumerated over OBSERVED pairs, ordered.
+    *
+    * Shape: one per-key time-ordered window (lag) — the sessionization
+    * sort — then a map-side-combined pair count whose exchange is
+    * ∝ |types|², never events; the per-prev totals re-aggregate from
+    * the COUNT table (|types|² rows) and broadcast back. Determinism:
+    * counts are integers; `p` is one long/long IEEE division both
+    * engines round identically. Ties at the same timestamp order by
+    * `eventIdCol` — the engine's total-order convention. */
+  def transitions(
+      events: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      eventIdCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsNsCol), col(eventIdCol))
+    val pairs = events
+      .filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull &&
+        col(eventIdCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol), col(tsNsCol), col(eventIdCol), col(typeCol).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val counts = pairs
+      .groupBy(col("__prev").as("prev_type"), col("__t").as("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = counts.groupBy(col("prev_type")).agg(sum(col("n_pairs")).as("n_from"))
+    counts
+      .join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_pairs"), col("n_from"),
+        (col("n_pairs").cast("double") / col("n_from")).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** RFM segmentation: per-user Recency (last-activity micros),
+    * Frequency (event count), Monetary (exact value sum), each labeled
+    * with its `nTiles`-quantile rank (tile 1 = most recent / most
+    * frequent / highest spend) and combined into the classic
+    * `r*100 + f*10 + m` segment code. The marketing-analytics staple
+    * the reference's pull-query surface would serve.
+    *
+    * Shape: the event stream collapses to one row per user in a single
+    * map-side-combined aggregate — everything after is ∝ DISTINCT
+    * USERS, not events. The three ntile windows are deliberately
+    * single-partition over that user axis (same cardinality-bound
+    * posture as [[Relational.ksDrift]]'s distinct-value ECDF): users
+    * are the entity axis, orders of magnitude below event count; a
+    * 100 TB deployment with billions of users would swap the ntile for
+    * a two-pass percentile-threshold join, which this output contract
+    * (tile labels) already accommodates.
+    *
+    * Determinism: ntile is the SQL-standard earlier-buckets-larger
+    * split over a TOTAL order (metric, then user id — ties broken);
+    * monetary accumulates in DECIMAL(38,6) ([[Relational.exactSum]])
+    * so both engines order identical doubles. */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      tsNsCol: String,
+      valueCol: String,
+      nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 1, s"nTiles=$nTiles must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val per = events
+      .filter(col(userCol).isNotNull && col(tsNsCol).isNotNull)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        Windowing.floorDiv(max(col(tsNsCol)), 1000L).as("last_us"),
+        count(lit(1)).as("frequency"),
+        Relational.exactSumDouble(col(valueCol)).as("monetary"))
+    def tile(metric: Column) = ntile(nTiles).over(
+      Window.orderBy(metric.desc, col("user_id").asc))
+    per
+      .select(col("user_id"), col("last_us"), col("frequency"), col("monetary"),
+        tile(col("last_us")).as("r_tile"),
+        tile(col("frequency")).as("f_tile"),
+        tile(col("monetary")).as("m_tile"))
+      .withColumn("segment",
+        (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile")).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
   def gaps(
       events: DataFrame,
       keyCol: String,

@@ -612,6 +612,112 @@ object Relational {
     * BIGINT counts — cum_share divides the exact CUMULATIVE count, not
     * a float running sum, so both engines emit identical doubles.
     * Ties at the cut break by key (NULLS LAST) — deterministic. */
+  /** Pearson chi-squared test of independence between two categorical
+    * columns — the corpus audit behind "is language independent of
+    * source?" (a skewed lang×source association is how one bad crawl
+    * poisons a mixture). One row:
+    * (n_rows, n_a, n_b, dof, chi2) with
+    * `chi2 = Σ_cells (observed − expected)² / expected` over the FULL
+    * a×b grid (structural zeros included — the textbook statistic, not
+    * the observed-cells shortcut that understates association).
+    *
+    * Scale shape: one map-side-combined cell count (exchange ∝
+    * |a|×|b| distinct pairs, never rows), two marginal re-aggregates of
+    * that cell table, and a broadcast-broadcast cross of the marginals
+    * to enumerate the grid — every post-scan frame is
+    * cardinality-bound. No corpus self-join, no window.
+    *
+    * Determinism: counts are integers; `expected` is two IEEE ops on
+    * exact longs; each cell's contribution rounds to 6 decimals before
+    * accumulating in DECIMAL(38,6) ([[exactSum]]'s order-independent
+    * posture), so engine and oracle agree bit-for-bit. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rowT = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val colT = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val tot = cells.agg(sum(col("__n")).as("__nt"))
+    val expected = col("__na").cast("double") * col("__nb") / col("__nt")
+    val observed = coalesce(col("__n"), lit(0L)).cast("double")
+    val contrib = round(
+      (observed - expected) * (observed - expected) / expected, 6)
+    broadcast(rowT)
+      .crossJoin(broadcast(colT))
+      .crossJoin(broadcast(tot))
+      .join(cells, Seq("__a", "__b"), "left")
+      .agg(
+        max(col("__nt")).as("n_rows"),
+        count_distinct(col("__a")).as("n_a"),
+        count_distinct(col("__b")).as("n_b"),
+        exactSum(contrib).cast("double").as("__chi2"))
+      .select(col("n_rows"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("__chi2").as("chi2"))
+  }
+
+  /** Population Stability Index between two samples of a numeric
+    * metric over a declared fixed-bin grid — the monitoring companion
+    * to [[ksDrift]]: KS answers "did the distribution move?", PSI
+    * answers "by how much, industry-calibrated" (< 0.1 stable, > 0.25
+    * act). One row: (n_a, n_b, n_buckets, psi) with
+    * `psi = Σ_buckets (p_a − p_b) · ln(p_a / p_b)` on
+    * Laplace-smoothed shares `p = (c + 0.5) / (n + 0.5·buckets)` —
+    * smoothing makes empty buckets finite on both sides, the standard
+    * fix.
+    *
+    * Bucketing follows [[histogram]]'s edge semantics exactly
+    * (floor((x−lo)/width), ≥hi clamps into the last bucket, <lo
+    * drops) so the two operators audit the same grid.
+    *
+    * Scale shape: each side collapses to ≤ n bucket counts map-side
+    * (exchange ∝ buckets, never rows), merged on the broadcast n-row
+    * spine. The declared fixed grid is what keeps a truly-continuous
+    * metric cardinality-bound at 100 TB — the quantize-first posture
+    * [[ksDrift]]'s scaladoc prescribes, built in here.
+    *
+    * Determinism: counts are integers, shares are single IEEE
+    * divisions, and each bucket's term rounds to 6 decimals before the
+    * DECIMAL(38,6) accumulation — the established `round(ln(·),6)`
+    * posture that absorbs the engines' 1-ulp `ln` divergence. */
+  def psiDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      n: Int): DataFrame = {
+    require(n > 0 && hi > lo, s"need n>0 and hi>lo, got n=$n [$lo,$hi)")
+    val width = (hi - lo) / n
+    val x = col(valueCol).cast("double")
+    val bucket = least(
+      floor((x - lit(lo)) / lit(width)).cast("long"), lit(n.toLong - 1L))
+    def counts(df: DataFrame, side: String) = df
+      .filter(x.isNotNull && !isnan(x) && x >= lit(lo))
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(side))
+    val spine = dfA.sparkSession.range(n.toLong).withColumnRenamed("id", "bucket")
+    val merged = spine
+      .join(broadcast(counts(dfA, "ca")), Seq("bucket"), "left")
+      .join(broadcast(counts(dfB, "cb")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = merged.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val pa = (col("ca") + lit(0.5)) / (col("n_a") + lit(0.5 * n))
+    val pb = (col("cb") + lit(0.5)) / (col("n_b") + lit(0.5 * n))
+    merged
+      .crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        round((pa - pb) * log(pa / pb), 6).as("__term"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        exactSum(col("__term")).cast("double").as("psi"))
+      .select(col("n_a"), col("n_b"), col("n_buckets"), col("psi"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

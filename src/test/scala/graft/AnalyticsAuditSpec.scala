@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{EventAnalytics, Relational}
+
+/** Behavioral-model + distribution-audit operators added in round 12:
+  * Markov transitions, RFM segmentation, chi-squared independence, and
+  * PSI drift — hand-computed fixtures pin the arithmetic the DuckDB
+  * oracles then re-verify at sf0.01. */
+class AnalyticsAuditSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // (user_id, ts_ns, event_id, event_type)
+  private def eventsDF(rows: Seq[(Long, Long, Long, String)]) =
+    rows.toDF("user_id", "ts_ns", "event_id", "event_type")
+
+  test("transitions: pair counts and conditional probabilities") {
+    // user 1: A,B,A,C → A→B, B→A, A→C ; user 2: A,B → A→B
+    val df = eventsDF(Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"), (1L, 40L, 4L, "C"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "B")))
+    val got = EventAnalytics
+      .transitions(df, "user_id", "ts_ns", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 3L, 2.0 / 3),
+      ("A", "C", 1L, 3L, 1.0 / 3),
+      ("B", "A", 1L, 1L, 1.0)))
+  }
+
+  test("transitions: same-timestamp ties order by event id") {
+    // both events at ts=10; event_id decides A-before-B, so the pair is
+    // A→B, never B→A
+    val df = eventsDF(Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B")))
+    val got = EventAnalytics
+      .transitions(df, "user_id", "ts_ns", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("A", "B")))
+  }
+
+  test("transitions: rows with a NULL key/ts/id/type do not participate") {
+    val df = Seq(
+      (Some(1L), Some(10L), Some(1L), Some("A")),
+      (Some(1L), Some(20L), Some(2L), None: Option[String]), // dropped
+      (Some(1L), Some(30L), Some(3L), Some("B")),
+      (None: Option[Long], Some(40L), Some(4L), Some("C")) // dropped
+    ).toDF("user_id", "ts_ns", "event_id", "event_type")
+    val got = EventAnalytics
+      .transitions(df, "user_id", "ts_ns", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // the dropped NULL-type row must not split A..B into two sequences
+    assert(got.toSeq == Seq(("A", "B")))
+  }
+
+  test("rfm: tiles rank metric-descending with user-id tie-break") {
+    // 5 users: recency/frequency/monetary each strictly ordered so every
+    // user lands in their own quintile; user 1 is best on all three axes
+    val rows = (1L to 5L).flatMap { u =>
+      // user u: f = 6-u events (u=1 most frequent), last ts = 1000-u
+      // (u=1 most recent), each value 10/u (u=1 highest spend)
+      (0L until (6L - u)).map(i => (u, (1000L - u) * 1000L - i, u * 100L + i, 10.0 / u))
+    }.toDF("user_id", "ts_ns", "event_id", "value")
+    val got = EventAnalytics.rfm(rows, "user_id", "ts_ns", "value", nTiles = 5)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("segment")).toMap
+    assert(got == Map(1L -> 111, 2L -> 222, 3L -> 333, 4L -> 444, 5L -> 555))
+  }
+
+  test("rfm: nTiles=1 collapses every user to segment 111") {
+    val rows = Seq((1L, 10L, 1L, 5.0), (2L, 20L, 2L, 1.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val got = EventAnalytics.rfm(rows, "user_id", "ts_ns", "value", nTiles = 1)
+      .collect().map(_.getAs[Int]("segment"))
+    assert(got.toSeq == Seq(111, 111))
+  }
+
+  test("rfm: monetary accumulates exactly and frequency counts all events") {
+    val rows = Seq((1L, 10L, 1L, 0.1), (1L, 20L, 2L, 0.2), (1L, 30L, 3L, 0.3))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val r = EventAnalytics.rfm(rows, "user_id", "ts_ns", "value").collect()(0)
+    assert(r.getAs[Long]("frequency") == 3L)
+    // DECIMAL(38,6) accumulation: exactly 0.600000, not 0.6000000000000001
+    assert(r.getAs[Double]("monetary") == 0.6)
+    assert(r.getAs[Long]("last_us") == 0L) // 30 ns floor-divides to 0 us
+  }
+
+  test("chi2: uniform independence gives chi2 = 0") {
+    val df = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    val r = Relational.chi2Independence(df, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("chi2: perfect 2x2 association gives chi2 = n") {
+    // x only with p, y only with q, 4 rows each: chi2 == n == 8
+    val df = (Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val r = Relational.chi2Independence(df, "a", "b").collect()(0)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    assert(r.getAs[Long]("dof") == 1L)
+  }
+
+  test("chi2: structural zero cells contribute their expected count") {
+    // observed: (x,p)=2, (x,q)=2, (y,p)=4, (y,q) EMPTY — the zero cell
+    // still contributes (0-e)²/e; hand-computed chi2 = 8/3
+    val df = (Seq.fill(2)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++ Seq.fill(4)(("y", "p")))
+      .toDF("a", "b")
+    val r = Relational.chi2Independence(df, "a", "b").collect()(0)
+    assert(math.abs(r.getAs[Double]("chi2") - 8.0 / 3) < 1e-5)
+  }
+
+  test("psi: identical sides measure exactly zero") {
+    val side = Seq(10.0, 20.0, 30.0, 120.0).toDF("v")
+    val r = Relational.psiDrift(side, side, "v", lo = 0.0, hi = 100.0, n = 4).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_buckets") == 4L)
+    assert(r.getAs[Double]("psi") == 0.0) // every (pa-pb)·ln(pa/pb) term is exactly 0
+  }
+
+  test("psi: disjoint buckets measure large, symmetric drift") {
+    val a = Seq.fill(10)(10.0).toDF("v") // all in bucket 0
+    val b = Seq.fill(10)(90.0).toDF("v") // all in bucket 3
+    val ab = Relational.psiDrift(a, b, "v", 0.0, 100.0, 4).collect()(0).getAs[Double]("psi")
+    val ba = Relational.psiDrift(b, a, "v", 0.0, 100.0, 4).collect()(0).getAs[Double]("psi")
+    assert(ab > 1.0, s"disjoint distributions must alarm, got $ab")
+    assert(ab == ba, "PSI is symmetric by construction")
+  }
+
+  test("psi: histogram edge semantics — >= hi clamps into last bucket, < lo drops") {
+    val a = Seq(150.0, -5.0).toDF("v") // 150 clamps to bucket 3; -5 drops
+    val b = Seq(99.0).toDF("v") // bucket 3
+    val r = Relational.psiDrift(a, b, "v", 0.0, 100.0, 4).collect()(0)
+    assert(r.getAs[Long]("n_a") == 1L, "the below-lo row must not count")
+    // both surviving rows share bucket 3 → identical smoothed shares → 0
+    assert(r.getAs[Double]("psi") == 0.0)
+  }
+}

@@ -87,6 +87,43 @@ class ChangelogSpec extends SparkTestBase {
     assert(rows(0).schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
   }
 
+  test("scd2: versions close at the next event, tombstones close without opening") {
+    // lifecycle: insert(1) → update(2) → delete(3) → insert(4).
+    // Expected history: v1=[1,2) closed by the update, v2=[2,3) closed
+    // by the TOMBSTONE (which itself emits no version), v4=[4,∞) open.
+    val rows = Changelog
+      .scd2(lifecycle.toDF(), Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .orderBy(col("valid_from_seq"))
+      .collect()
+      .map(r => (r.getAs[Long]("valid_from_seq"),
+        Option(r.getAs[java.lang.Long]("valid_to_seq")).map(_.longValue),
+        r.getAs[Boolean]("is_current")))
+    assert(rows.toSeq == Seq(
+      (1L, Some(2L), false),
+      (2L, Some(3L), false),
+      (4L, None, true)))
+  }
+
+  test("scd2 is_current slice equals applyChangelog state") {
+    val events = (lifecycle ++ Seq(Ev(2L, 5L, "insert", 1.0), Ev(3L, 6L, "delete", 0.0))).toDF()
+    val current = Changelog
+      .scd2(events, Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .filter(col("is_current"))
+      .select("user_id", "event_id", "event_type", "value")
+    val applied = Changelog
+      .applyChangelog(events, Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .select("user_id", "event_id", "event_type", "value")
+    assert(current.exceptAll(applied).isEmpty && applied.exceptAll(current).isEmpty)
+  }
+
+  test("scd2: a key whose history ends in a tombstone has no current version") {
+    val rows = Changelog
+      .scd2(lifecycle.take(3).toDF(), Seq("user_id"), col("event_id"), col("event_type") === "delete")
+      .collect()
+    assert(rows.forall(!_.getAs[Boolean]("is_current")))
+    assert(rows.length == 2) // the delete row itself is not a version
+  }
+
   test("composite sequence: struct(ts, offset) breaks ts ties by offset") {
     val df = Seq(
       (1L, 100L, 1L, "a"),

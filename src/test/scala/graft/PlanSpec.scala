@@ -191,4 +191,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("bucket")), p)
   }
+
+  test("q_scd2 versions with one per-key window — no changelog self-join") {
+    val p = plan("q_scd2")
+    // the naive interval build joins the changelog against itself; the
+    // lead-window build must not contain any join at all
+    assert(!p.contains("Join"), p)
+    assert(p.contains("WindowExec") || p.contains("Window"), p)
+  }
+
+  test("q_chi2 and q_psi stay cardinality-bound: every join is broadcast") {
+    for (q <- Seq("q_chi2", "q_psi")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q grew a shuffled join: $p")
+      assert(p.contains("BroadcastExchange"), s"$q: $p")
+    }
+  }
+
+  test("q_transitions broadcasts the per-prev totals back onto the count table") {
+    val p = plan("q_transitions")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_rfm collapses events before any window touches the user axis") {
+    val p = plan("q_rfm")
+    // the event stream reduces in a hash aggregate (map-side combined);
+    // the ntile windows then run over per-user rows only — no event-level
+    // sort anywhere but those user-axis windows and the final ORDER BY
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -267,7 +267,14 @@ object ScaleProbe {
       // per-(window x dims) rank — width-bounded sort cells
       "q_window_topk",
       // narrow-projection Gumbel rank + semi-join (the sourceCap shape)
-      "q_sample_weighted")
+      "q_sample_weighted",
+      // round-12 batch 3: offset-axis SCD2 versioning (one per-key lead
+      // window — the q_gaps sort axis), the |types|²-bound Markov
+      // matrix, the cardinality-bound lang×source chi² grid, fixed-grid
+      // smoothed PSI (exchange ∝ buckets), and the user-axis RFM ntile
+      // labeling (single-partition over DISTINCT USERS, the ksDrift
+      // cardinality posture — tiled user spaces grow that axis ×8)
+      "q_scd2", "q_transitions", "q_chi2", "q_psi", "q_rfm")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
