@@ -1031,5 +1031,45 @@ private[graft] object OracleSqlRelational {
         |SELECT user_id, last_us, frequency, monetary, r_tile, f_tile, m_tile,
         |       CAST(r_tile * 100 + f_tile * 10 + m_tile AS INTEGER) AS segment
         |FROM tiles ORDER BY user_id""".stripMargin,
+
+    // The q_scd2 history filtered to the interval covering seq 5000 —
+    // disjoint per-key intervals mean at most one row per key.
+    "q_state_at" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS valid_from_seq,
+        |         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+        |           AS valid_to_seq,
+        |         epoch_us(ts) AS ts_us, event_type, value, props
+        |  FROM events)
+        |SELECT user_id, valid_from_seq, valid_to_seq,
+        |       ts_us, event_type, value, props
+        |FROM v
+        |WHERE NOT coalesce(event_type = 'delete', TRUE)
+        |  AND valid_from_seq <= 5000
+        |  AND (valid_to_seq IS NULL OR valid_to_seq > 5000)
+        |ORDER BY user_id, valid_from_seq""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT lang, source, count(*) AS n_rows
+        |FROM documents
+        |GROUP BY 1, 2 HAVING count(*) < 10
+        |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
+
+    // Running event-time max over the preceding (seq-ordered) frame;
+    // micros arithmetic mirrors the engine's exact ns/1000 floor.
+    "q_disorder" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(coalesce(sum(CASE WHEN pm IS NOT NULL AND ts_us < pm
+        |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_regressions,
+        |       max(CASE WHEN pm IS NOT NULL AND ts_us < pm
+        |                THEN pm - ts_us END) AS max_late_us
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1128,7 +1128,34 @@ object SparkEntry {
     "q_rfm" -> ((s, dir) =>
       // Recency/Frequency/Monetary quintile segmentation per user —
       // one event-stream collapse, then user-axis ntile labeling.
-      EventAnalytics.rfm(Tables.events(s, dir), "user_id", "ts_ns", "value"))
+      EventAnalytics.rfm(Tables.events(s, dir), "user_id", "ts_ns", "value")),
+
+    "q_state_at" -> ((s, dir) =>
+      // Point-in-time read over the SCD2 history: each key's version
+      // valid when offset 5000 committed — the time-travel query the
+      // history table exists to answer (== applyChangelog over the
+      // seq<=5000 prefix, ChangelogSpec-pinned).
+      Changelog
+        .stateAt(
+          Tables.withTsMicros(Tables.events(s, dir)),
+          Seq("user_id"), col("event_id"), col("event_type") === "delete",
+          atSeq = 5000L)
+        .select("user_id", "valid_from_seq", "valid_to_seq",
+          "ts_us", "event_type", "value", "props")
+        .orderBy(col("user_id"), col("valid_from_seq"))),
+
+    "q_kanon" -> ((s, dir) =>
+      // k-anonymity audit at k=10 over the (lang, source) quasi-pair —
+      // the pre-release privacy check; output ∝ risky combinations.
+      Relational.kAnonymityAudit(
+        Tables.documents(s, dir), Seq("lang", "source"), k = 10)),
+
+    "q_disorder" -> ((s, dir) =>
+      // Event-time disorder audit per user — the watermark-delay
+      // measurement; the fixture's zero regressions is the finding
+      // that lets event_id stand in for time order everywhere else.
+      EventAnalytics.disorderAudit(
+        Tables.events(s, dir), "user_id", "ts_ns", "event_id"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -102,6 +102,29 @@ object Changelog {
       .withColumn("is_current", col("valid_to_seq").isNull)
   }
 
+  /** Point-in-time (time-travel) read over the [[scd2]] history: the
+    * version of each key that was valid at sequence `atSeq` — the query
+    * a CDC history table exists to answer ("what did the row look like
+    * when offset N committed?"). A key whose valid interval does not
+    * cover `atSeq` (created later, or deleted at/before it) is absent,
+    * exactly as [[applyChangelog]] over the `seqCol <= atSeq` prefix
+    * would leave it — ChangelogSpec pins that equality, which is the
+    * operator's correctness argument in one line.
+    *
+    * Shape: the scd2 window plus one stateless interval filter — no
+    * extra exchange; at 100 TB the history table would be persisted
+    * once and every time-travel read is a filter on it. */
+  def stateAt(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seqCol: Column,
+      isDelete: Column,
+      atSeq: Long): DataFrame =
+    scd2(df, keyCols, seqCol, isDelete)
+      .filter(col("valid_from_seq") <= atSeq &&
+        (col("valid_to_seq").isNull || col("valid_to_seq") > atSeq))
+      .drop("is_current")
+
   /** COUNT(*) over the applied state — the reference's liveness check
     * (`SELECT COUNT(*) FROM movies_transformed`, README.md:150). */
   def liveCount(

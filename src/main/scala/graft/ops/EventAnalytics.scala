@@ -246,6 +246,42 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Event-time disorder audit: per key, how many events arrive (in
+    * `seqCol` order — the offset/arrival axis) with an event time
+    * BEHIND the key's running maximum, and by how much at worst — THE
+    * measurement behind choosing a `withWatermark` delay (the delay
+    * must cover max_late or the streaming operators drop data; zero
+    * disorder everywhere means offset order can stand in for time
+    * order, which is exactly what this engine's fixture audit shows).
+    * Output per key: (key, n_events, n_regressions, max_late_us —
+    * NULL when the key is perfectly ordered).
+    *
+    * Shape: ONE per-key seq-ordered window (running max over the
+    * preceding frame — the q_gaps sort axis) collapsing straight into
+    * a per-key aggregate; output ∝ keys. Integer nanos arithmetic end
+    * to end — the oracle match is structural. */
+  def disorderAudit(
+      events: DataFrame,
+      keyCol: String,
+      tsNsCol: String,
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = col("__prevmax").isNotNull && col("__ts") < col("__prevmax")
+    events
+      .filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull && col(seqCol).isNotNull)
+      .select(col(keyCol), col(tsNsCol).cast("long").as("__ts"), col(seqCol))
+      .withColumn("__prevmax", max(col("__ts")).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(late, 1L).otherwise(0L)).as("n_regressions"),
+        max(when(late,
+          Windowing.floorDiv(col("__prevmax") - col("__ts"), 1000L))).as("max_late_us"))
+      .orderBy(col(keyCol))
+  }
+
   def gaps(
       events: DataFrame,
       keyCol: String,

@@ -718,6 +718,27 @@ object Relational {
       .select(col("n_a"), col("n_b"), col("n_buckets"), col("psi"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns: every
+    * combination whose group is smaller than `k` — the privacy check a
+    * corpus publisher runs BEFORE release (a (lang, source) cell with 3
+    * documents re-identifies its authors in a way a 5 000-document cell
+    * does not; k-anonymity, Sweeney 2002). Output: the risky
+    * combinations with their sizes, ordered — empty means the corpus
+    * passes at this `k`.
+    *
+    * Shape: one map-side-combined count aggregate (exchange ∝ distinct
+    * quasi-combinations, never rows) then a stateless size filter —
+    * output ∝ risky combos. Integer counts end to end: the oracle
+    * match is structural. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit needs at least one quasi-identifier")
+    require(k >= 2, s"k=$k must be >= 2 (k=1 flags nothing)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
+      .orderBy(quasiCols.map(c => col(c).asc_nulls_last): _*)
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

@@ -137,4 +137,37 @@ class AnalyticsAuditSpec extends SparkTestBase {
     // both surviving rows share bucket 3 → identical smoothed shares → 0
     assert(r.getAs[Double]("psi") == 0.0)
   }
+
+  test("kanon: only under-k combinations surface, ordered") {
+    // (en, a)=3 risky, (en, b)=5 safe at k=4, (fr, a)=1 risky
+    val df = (Seq.fill(3)(("en", "a")) ++ Seq.fill(5)(("en", "b")) ++ Seq(("fr", "a")))
+      .toDF("lang", "source")
+    val got = Relational.kAnonymityAudit(df, Seq("lang", "source"), k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("en", "a", 3L), ("fr", "a", 1L)))
+  }
+
+  test("kanon: a passing corpus yields an empty audit") {
+    val df = Seq.fill(10)(("en", "a")).toDF("lang", "source")
+    assert(Relational.kAnonymityAudit(df, Seq("lang", "source"), k = 5).collect().isEmpty)
+  }
+
+  test("disorder: regressions count against the running max, not the previous row") {
+    // key 1 in seq order: ts = 100, 300, 200, 250, 400
+    //   200 is 100 behind the running max 300; 250 is 50 behind; 400 ok
+    // → 2 regressions, max_late = 100 ns → 0 us (floor)… use us-scale ns
+    val rows = Seq(
+      (1L, 100000L, 1L), (1L, 300000L, 2L), (1L, 200000L, 3L),
+      (1L, 250000L, 4L), (1L, 400000L, 5L),
+      (2L, 10000L, 6L), (2L, 20000L, 7L)) // perfectly ordered key
+      .toDF("user_id", "ts_ns", "event_id")
+    val got = EventAnalytics.disorderAudit(rows, "user_id", "ts_ns", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_regressions"),
+        Option(r.getAs[java.lang.Long]("max_late_us")).map(_.longValue)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, Some(100L)), // max late: 300000−200000 ns = 100 us
+      (2L, 2L, 0L, None))) // ordered key: no regressions, NULL worst case
+  }
 }

@@ -124,6 +124,24 @@ class ChangelogSpec extends SparkTestBase {
     assert(rows.length == 2) // the delete row itself is not a version
   }
 
+  test("stateAt equals applyChangelog over the sequence prefix") {
+    // the time-travel read's one-line correctness argument, checked at
+    // every interesting cut point of the lifecycle (before/at/after the
+    // delete and the re-insert)
+    val events = (lifecycle ++ Seq(Ev(2L, 5L, "insert", 1.0), Ev(3L, 6L, "delete", 0.0))).toDF()
+    for (at <- 1L to 6L) {
+      val travel = Changelog
+        .stateAt(events, Seq("user_id"), col("event_id"), col("event_type") === "delete", at)
+        .select("user_id", "event_id", "event_type", "value")
+      val prefix = Changelog
+        .applyChangelog(events.filter(col("event_id") <= at),
+          Seq("user_id"), col("event_id"), col("event_type") === "delete")
+        .select("user_id", "event_id", "event_type", "value")
+      assert(travel.exceptAll(prefix).isEmpty && prefix.exceptAll(travel).isEmpty,
+        s"stateAt($at) diverged from the prefix replay")
+    }
+  }
+
   test("composite sequence: struct(ts, offset) breaks ts ties by offset") {
     val df = Seq(
       (1L, 100L, 1L, "a"),

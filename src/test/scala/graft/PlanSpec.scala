@@ -214,6 +214,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_state_at and q_disorder stay join-free one-window plans") {
+    for (q <- Seq("q_state_at", "q_disorder")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("q_kanon is one hash aggregate — no join, no window, no extra sort") {
+    val p = plan("q_kanon")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the ORDER BY for oracle determinism is the only sort
+    assert("Sort \\[".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q_rfm collapses events before any window touches the user axis") {
     val p = plan("q_rfm")
     // the event stream reduces in a hash aggregate (map-side combined);

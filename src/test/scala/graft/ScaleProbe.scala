@@ -274,7 +274,11 @@ object ScaleProbe {
       // smoothed PSI (exchange ∝ buckets), and the user-axis RFM ntile
       // labeling (single-partition over DISTINCT USERS, the ksDrift
       // cardinality posture — tiled user spaces grow that axis ×8)
-      "q_scd2", "q_transitions", "q_chi2", "q_psi", "q_rfm")
+      "q_scd2", "q_transitions", "q_chi2", "q_psi", "q_rfm",
+      // round-12 batch 4: the scd2 interval filter (time travel), the
+      // ∝-groups k-anonymity audit, and the per-key running-max
+      // disorder window (the q_gaps sort axis)
+      "q_state_at", "q_kanon", "q_disorder")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
