@@ -1071,5 +1071,18 @@ private[graft] object OracleSqlRelational {
         |       max(CASE WHEN pm IS NOT NULL AND ts_us < pm
         |                THEN pm - ts_us END) AS max_late_us
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // All-pairs Levenshtein over the 32-char prefixes — the blocking in
+    // the engine is lossless (PassJoin pigeonhole), so the brute-force
+    // SQL is the exact oracle; integer distance on both engines.
+    "q_neardup_edit" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS s
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id1, id2""".stripMargin,
   )
 }

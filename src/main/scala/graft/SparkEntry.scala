@@ -1155,7 +1155,14 @@ object SparkEntry {
       // measurement; the fixture's zero regressions is the finding
       // that lets event_id stand in for time order everywhere else.
       EventAnalytics.disorderAudit(
-        Tables.events(s, dir), "user_id", "ts_ns", "event_id"))
+        Tables.events(s, dir), "user_id", "ts_ns", "event_id")),
+
+    "q_neardup_edit" -> ((s, dir) =>
+      // Edit-distance near-dup over 32-char prefixes (Levenshtein ≤ 2)
+      // — PassJoin segment blocking, never all-pairs; the typo/near-
+      // title modality shingle Jaccard misses.
+      NearDup.editDistancePairs(
+        Tables.documents(s, dir), "doc_id", "text", prefixLen = 32, maxDist = 2))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

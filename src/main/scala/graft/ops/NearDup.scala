@@ -644,6 +644,95 @@ object NearDup {
       .distinct()
   }
 
+  /** Deterministic segment layout for [[editDistancePairs]]:
+    * `maxDist + 1` near-equal segments of a `prefixLen`-char string as
+    * 1-based (start, length) — earlier segments take the remainder. */
+  private[graft] def segmentBounds(prefixLen: Int, maxDist: Int): Seq[(Int, Int)] = {
+    val k = maxDist + 1
+    val base = prefixLen / k
+    val rem = prefixLen % k
+    val lens = Seq.tabulate(k)(i => base + (if (i < rem) 1 else 0))
+    lens.scanLeft(1)(_ + _).zip(lens)
+  }
+
+  /** Edit-distance near-dup pairs over each document's `prefixLen`-char
+    * prefix: every (id1, id2, dist) with Levenshtein distance ≤
+    * `maxDist` — the short-string/near-title modality the shingle
+    * family is weakest at (a 1-char typo in a 30-char title moves k=3
+    * shingle Jaccard far below any sane threshold; edit distance calls
+    * it 1). Candidate generation is PassJoin-style segment blocking
+    * (Li, Deng & Feng, PVLDB 2011): split each full-length prefix into
+    * `maxDist+1` segments — at distance ≤ maxDist at least one segment
+    * of A appears ERROR-FREE in B, shifted at most `maxDist` positions
+    * (pigeonhole over the alignment) — so candidates come from an
+    * equi-join of exact segment keys against ±maxDist-shifted window
+    * substrings, never an all-pairs product. Prefixes shorter than
+    * `prefixLen` (doc shorter than the prefix) route through
+    * length-band buckets instead (band width maxDist+1; distance ≤
+    * maxDist bounds the length difference, so bands differ by ≤ 1 —
+    * the probe side fans to band±1): short↔short and short↔full pairs
+    * stay lossless without per-length segment indexes, and the band
+    * buckets are EMPTY on a corpus whose docs all reach `prefixLen`
+    * (zero cost on the fixture, a bounded tail at 100 TB).
+    *
+    * Scale shape: constant fan-out per doc ((maxDist+1)(2·maxDist+2)+3
+    * ≈ 27 keys at maxDist=2), exchanges carry (segment-key, id) rows;
+    * the Levenshtein verify runs on candidates only. Identical
+    * prefixes shared by m docs yield m² TRUE pairs — quadratic output
+    * is quadratic truth (the exactJaccardPairs posture); collapse with
+    * [[collapseNearDups]] downstream. Exact integer distance on both
+    * engines — the all-pairs SQL oracle is structural. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int = 32,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    require(prefixLen >= 2 * (maxDist + 1),
+      s"prefixLen=$prefixLen too short to split into ${maxDist + 1} useful segments")
+    val segs = segmentBounds(prefixLen, maxDist)
+    val base = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), substring(col(textCol), 1, prefixLen).as("__s"))
+    val full = length(col("__s")) === prefixLen
+    val lenBand = floor(length(col("__s")) / (maxDist + 1)).cast("long")
+    def bandKey(b: Column) = struct(lit(-1).as("seg"), concat(lit("L"), b.cast("string")).as("k"))
+    val segKeys = segs.zipWithIndex.map { case ((st, ln), i) =>
+      struct(lit(i).as("seg"), substring(col("__s"), st, ln).as("k"))
+    }
+    val indexed = base
+      .select(col("__id"),
+        explode(when(full, array(segKeys: _*))
+          .otherwise(array(bandKey(lenBand)))).as("e"))
+      .select(col("__id"), col("e.seg").as("seg"), col("e.k").as("k"))
+    val windowKeys = for {
+      ((st, ln), i) <- segs.zipWithIndex
+      off <- -maxDist to maxDist
+      p = st + off
+      if p >= 1
+    } yield struct(lit(i).as("seg"), substring(col("__s"), p, ln).as("k"))
+    val bandKeys = (-1 to 1).map(o => bandKey(lenBand + o))
+    val probes = base
+      .select(col("__id").as("__id2"),
+        explode(array(windowKeys ++ bandKeys: _*)).as("e"))
+      .select(col("__id2"), col("e.seg").as("seg"), col("e.k").as("k"))
+    val cands = indexed.join(probes, Seq("seg", "k"))
+      .filter(col("__id") =!= col("__id2"))
+      .select(
+        least(col("__id"), col("__id2")).as("id1"),
+        greatest(col("__id"), col("__id2")).as("id2"))
+      .distinct()
+    val s1 = base.select(col("__id").as("id1"), col("__s").as("__s1"))
+    val s2 = base.select(col("__id").as("id2"), col("__s").as("__s2"))
+    cands
+      .join(s1, "id1").join(s2, "id2")
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Collapse near-dup PAIRS into surviving documents — the last stage a
     * dedup pipeline actually needs (pairs alone don't dedupe, and
     * dropping `id2` of every pair is wrong under transitivity: a–b, b–c

@@ -230,6 +230,11 @@ class PlanSpec extends SparkTestBase {
     assert("Sort \\[".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q_neardup_edit candidates come from equi-joins, never a cross product") {
+    val p = plan("q_neardup_edit")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
   test("q_rfm collapses events before any window touches the user axis") {
     val p = plan("q_rfm")
     // the event stream reduces in a hash aggregate (map-side combined);

@@ -278,7 +278,12 @@ object ScaleProbe {
       // round-12 batch 4: the scd2 interval filter (time travel), the
       // ∝-groups k-anonymity audit, and the per-key running-max
       // disorder window (the q_gaps sort axis)
-      "q_state_at", "q_kanon", "q_disorder")
+      "q_state_at", "q_kanon", "q_disorder",
+      // PassJoin segment blocking: constant ~27-key fan-out per doc,
+      // Levenshtein verify on candidates only — the vowel-mutated tiled
+      // copies are NOT edit-near their originals (32 chars ≫ 2 edits),
+      // so true pairs grow ~linearly like the other near-dup probes
+      "q_neardup_edit")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
