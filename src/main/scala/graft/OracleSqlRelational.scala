@@ -1084,5 +1084,44 @@ private[graft] object OracleSqlRelational {
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, (user_id % 10))
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+
+    // Raw moments accumulate in DECIMAL(38,6); every derived quantity
+    // repeats the engine's exact +,−,×,÷,√ sequence — bit-identical, no
+    // rounding step needed (no transcendentals anywhere).
+    "q_moments" ->
+      """WITH src AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL
+        |    AND NOT isnan(CAST(n_chars AS DOUBLE))
+        |    AND abs(CAST(n_chars AS DOUBLE)) < 1e7),
+        |g AS (
+        |  SELECT lang, count(*) AS n_rows,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(v*v AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(v*v*v AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+        |         CAST(SUM(CAST(v*v*v*v AS DECIMAL(38,6))) AS DOUBLE) AS s4
+        |  FROM src GROUP BY 1),
+        |m AS (
+        |  SELECT lang, n_rows, s1 / n_rows AS mean, s2 / n_rows AS r2,
+        |         s3 / n_rows AS r3, s4 / n_rows AS r4
+        |  FROM g),
+        |c AS (
+        |  SELECT lang, n_rows, mean,
+        |         r2 - mean * mean AS m2,
+        |         r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+        |         r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+        |           - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM m)
+        |SELECT lang, n_rows, mean, m2 AS variance,
+        |       CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+        |       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
+        |FROM c ORDER BY lang""".stripMargin,
   )
 }

@@ -1162,7 +1162,23 @@ object SparkEntry {
       // — PassJoin segment blocking, never all-pairs; the typo/near-
       // title modality shingle Jaccard misses.
       NearDup.editDistancePairs(
-        Tables.documents(s, dir), "doc_id", "text", prefixLen = 32, maxDist = 2))
+        Tables.documents(s, dir), "doc_id", "text", prefixLen = 32, maxDist = 2)),
+
+    "q_cube" -> ((s, dir) =>
+      // CUBE counts/sums over (event_type, user bucket) — every
+      // dimension subset in one grouping-set aggregate (q_rollup keeps
+      // only prefixes).
+      Relational
+        .cubeCounts(
+          Tables.events(s, dir).withColumn("bucket", col("user_id") % 10),
+          Seq("event_type", "bucket"),
+          "value")
+        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)),
+
+    "q_moments" -> ((s, dir) =>
+      // Per-language distribution shape of n_chars — exact-moment
+      // skew/kurtosis; one aggregate, exchange ∝ groups.
+      Relational.groupMoments(Tables.documents(s, dir), "lang", "n_chars"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -65,6 +65,60 @@ object Relational {
     df.rollup(dims.map(col): _*)
       .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"))
 
+  /** Full cross-dimensional subtotals via CUBE — [[rollupCounts]] with
+    * every dimension SUBSET (rollup keeps only prefixes): per-(a,b),
+    * per-a, per-b, and the grand total in one aggregate over the
+    * grouping-set union, so map-side partial combine still applies per
+    * set and output is ∝ Σ set cardinalities, never rows. */
+  def cubeCounts(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"))
+
+  /** Exact per-group distribution shape: mean, population variance,
+    * skewness, and excess kurtosis — the audit behind "is this metric's
+    * distribution even roughly what the sampler assumes?" (a long tail
+    * shows as skew, heavy outlier mass as kurtosis, long before a
+    * histogram is read). Raw moments Σv..Σv⁴ accumulate EXACTLY in
+    * DECIMAL(38,6) ([[exactSum]] — order-independent), and every
+    * derived quantity is the same fixed sequence of +,−,×,÷,√ on
+    * identical doubles in engine and oracle — all correctly-rounded
+    * IEEE, no transcendentals, so the match is bit-for-bit with no
+    * rounding step. |v| < 1e7 bounds v⁴ inside DECIMAL(38,6) (1e28 ≪
+    * 1e32), the zOutliers posture: out-of-bound rows leave count and
+    * sums TOGETHER. Zero-variance groups emit NULL shape (the division
+    * guard), mirroring zOutliers/madOutliers.
+    *
+    * Scale shape: ONE map-side-combined aggregate (exchange ∝ groups ×
+    * 4 decimals); everything after is a ≤|groups|-row projection. */
+  def groupMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e7)
+    val mean = col("__s1") / col("__n")
+    val r2 = col("__s2") / col("__n")
+    val r3 = col("__s3") / col("__n")
+    val r4 = col("__s4") / col("__n")
+    val m2 = r2 - mean * mean
+    val m3 = r3 - lit(3.0) * mean * r2 + lit(2.0) * mean * mean * mean
+    val m4 = r4 - lit(4.0) * mean * r3 + lit(6.0) * mean * mean * r2 -
+      lit(3.0) * mean * mean * mean * mean
+    df.filter(finite)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        exactSum(v).cast("double").as("__s1"),
+        exactSum(v * v).cast("double").as("__s2"),
+        exactSum(v * v * v).cast("double").as("__s3"),
+        exactSum(v * v * v * v).cast("double").as("__s4"))
+      .select(
+        col(groupCol),
+        col("__n").as("n_rows"),
+        mean.as("mean"),
+        m2.as("variance"),
+        when(m2 > 0, m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy(col(groupCol))
+  }
+
   /** Deterministic top-N rows per group: rank by the given order within
     * each partition key and keep ranks ≤ n. A window sort per group —
     * unlike global [[topN]] there is no TakeOrdered shortcut, but the

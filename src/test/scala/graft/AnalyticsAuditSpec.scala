@@ -152,6 +152,37 @@ class AnalyticsAuditSpec extends SparkTestBase {
     assert(Relational.kAnonymityAudit(df, Seq("lang", "source"), k = 5).collect().isEmpty)
   }
 
+  test("cube emits every dimension subset — rollup only the prefixes") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 3.0))
+      .toDF("t", "b", "value")
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.isNullAt(0), r.isNullAt(1))).toSet
+    val cube = Relational.cubeCounts(df, Seq("t", "b"), "value").collect()
+    val rollup = Relational.rollupCounts(df, Seq("t", "b"), "value").collect()
+    assert(sets(cube) == Set((false, false), (false, true), (true, false), (true, true)))
+    assert(sets(rollup) == Set((false, false), (false, true), (true, true)))
+    // the per-b subtotal only cube has: b=1 spans both t groups
+    val b1 = cube.find(r => r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) == 1L).get
+    assert(b1.getLong(2) == 2L && b1.getDouble(3) == 4.0)
+  }
+
+  test("moments: Bernoulli groups give the textbook shape, constants give NULL") {
+    val df = (Seq.fill(4)(("half", 0.0)) ++ Seq.fill(4)(("half", 1.0)) ++
+      Seq.fill(2)(("third", 0.0)) ++ Seq(("third", 1.0)) ++
+      Seq.fill(3)(("const", 7.0)))
+      .toDF("g", "v")
+    val rows = Relational.groupMoments(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val half = rows("half")
+    assert(half.getDouble(2) == 0.5 && half.getDouble(3) == 0.25)
+    assert(half.getDouble(4) == 0.0) // symmetric → zero skew
+    assert(half.getDouble(5) == -2.0) // Bernoulli(1/2) excess kurtosis
+    val third = rows("third") // Bernoulli(1/3): skew = (1-2p)/sqrt(p(1-p))
+    assert(math.abs(third.getDouble(4) - (1 - 2.0 / 3) / math.sqrt(2.0 / 9)) < 1e-9)
+    val const = rows("const") // zero variance → NULL shape
+    assert(const.getDouble(3) == 0.0 && const.isNullAt(4) && const.isNullAt(5))
+  }
+
   test("disorder: regressions count against the running max, not the previous row") {
     // key 1 in seq order: ts = 100, 300, 200, 250, 400
     //   200 is 100 behind the running max 300; 250 is 50 behind; 400 ok

@@ -283,7 +283,10 @@ object ScaleProbe {
       // Levenshtein verify on candidates only — the vowel-mutated tiled
       // copies are NOT edit-near their originals (32 chars ≫ 2 edits),
       // so true pairs grow ~linearly like the other near-dup probes
-      "q_neardup_edit")
+      "q_neardup_edit",
+      // grouping-set union aggregate (output ∝ Σ set cardinalities) and
+      // the four-decimal moment aggregate (exchange ∝ groups)
+      "q_cube", "q_moments")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
