@@ -1123,5 +1123,40 @@ private[graft] object OracleSqlRelational {
         |       CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
         |       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
         |FROM c ORDER BY lang""".stripMargin,
+
+    // Shared-term JSD fold with the closed-form absent-mass correction;
+    // ln 2 is a shared literal (0.6931471805599453) so no libm call can
+    // diverge; round-6 terms + DECIMAL accumulation as everywhere.
+    "q_jsd" ->
+      """WITH tok AS (
+        |  SELECT lang AS c, tok AS t
+        |  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents WHERE lang IS NOT NULL) x
+        |  WHERE tok <> ''),
+        |cnt AS (SELECT c, t, count(*) AS n FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT c, CAST(sum(n) AS BIGINT) AS ntot FROM cnt GROUP BY 1),
+        |p AS (SELECT c, t, CAST(n AS DOUBLE) / ntot AS p
+        |      FROM cnt JOIN tot USING (c)),
+        |j AS (
+        |  SELECT a.c AS class_a, b.c AS class_b,
+        |         count(*) AS shared,
+        |         CAST(SUM(CAST(round(
+        |           a.p * ln(2.0 * a.p / (a.p + b.p))
+        |             + b.p * ln(2.0 * b.p / (a.p + b.p)), 6)
+        |           AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(a.p AS DECIMAL(38,6))) AS DOUBLE) AS pab,
+        |         CAST(SUM(CAST(b.p AS DECIMAL(38,6))) AS DOUBLE) AS qab
+        |  FROM p a JOIN p b ON a.t = b.t AND a.c < b.c
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT x.c AS class_a, y.c AS class_b
+        |  FROM tot x CROSS JOIN tot y WHERE x.c < y.c)
+        |SELECT class_a, class_b,
+        |       CAST(coalesce(shared, 0) AS BIGINT) AS n_shared_terms,
+        |       round(0.5 * (coalesce(s, 0.0)
+        |             + (1.0 - coalesce(pab, 0.0)) * 0.6931471805599453
+        |             + (1.0 - coalesce(qab, 0.0)) * 0.6931471805599453), 6) AS jsd
+        |FROM spine LEFT JOIN j USING (class_a, class_b)
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

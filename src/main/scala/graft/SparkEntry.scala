@@ -1178,7 +1178,13 @@ object SparkEntry {
     "q_moments" -> ((s, dir) =>
       // Per-language distribution shape of n_chars — exact-moment
       // skew/kurtosis; one aggregate, exchange ∝ groups.
-      Relational.groupMoments(Tables.documents(s, dir), "lang", "n_chars"))
+      Relational.groupMoments(Tables.documents(s, dir), "lang", "n_chars")),
+
+    "q_jsd" -> ((s, dir) =>
+      // Pairwise Jensen–Shannon divergence between per-language
+      // unigram distributions — the vocabulary-level corpus-similarity
+      // matrix; exchange ∝ langs × vocab, output ∝ pairs.
+      TextOps.jsdMatrix(Tables.documents(s, dir), "lang", "text"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -1439,4 +1439,78 @@ object TextOps {
         col("score"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** `ln 2` as a shared DOUBLE literal: computing `log(2.0)` on each
+    * engine risks the 1-ulp libm divergence the round-6 convention
+    * exists for — a literal is the same bits everywhere. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of each class slice (languages, sources, corpus
+    * generations) — the bounded, symmetric "how different are these
+    * corpora?" matrix (0 = identical, ln 2 = disjoint) that
+    * complements [[graft.ops.Relational.ksDrift]] (one numeric metric)
+    * and `q_corpus_diff` (documents) at the VOCABULARY level.
+    * Output: (class_a, class_b, n_shared_terms, jsd) for every
+    * unordered class pair, ordered.
+    *
+    * Algebra: with M = (P+Q)/2, terms absent from one side contribute
+    * `p·ln 2` — so JSD folds to the SHARED-term sum plus a closed-form
+    * correction on the shared masses:
+    * `0.5·(Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *        + (1−ΣP_shared)·ln2 + (1−ΣQ_shared)·ln2)` —
+    * no per-pair full-outer join, only the inner join on terms.
+    *
+    * Scale shape: one kernel-explode count (exchange ∝ classes ×
+    * vocab — the vocab/tfidf posture, corpus tokens never re-shuffle),
+    * a ≤|classes|-row broadcast of totals, then a term-keyed self-join
+    * of the (class, term, p) table whose output is ∝ pairs × shared
+    * vocab. |classes|² stays the bounded axis; a hot shared term costs
+    * |classes|² rows, not corpus rows.
+    *
+    * Determinism: probabilities are long/long IEEE divisions; per-term
+    * contributions round to 6 then accumulate in DECIMAL(38,6); the
+    * shared masses accumulate the same way, and the final fold uses
+    * the shared `ln 2` literal — engine and oracle agree bit-for-bit.
+    * (Identical slices can read 1e-6 instead of exactly 0: the
+    * decimal-rounded shared mass of k equal terms is k·round(p) — the
+    * documented cost of the exact-accumulation convention.) */
+  def jsdMatrix(df: DataFrame, classCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .filter(col(classCol).isNotNull)
+      .select(col(classCol).as("__c"),
+        explode(graft.functions.native.wordNgrams(col(textCol), 1)).as("__t"))
+      .groupBy(col("__c"), col("__t")).agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy(col("__c")).agg(sum(col("__n")).as("__tot"))
+    val p = counts.join(broadcast(totals), "__c")
+      .select(col("__c"), col("__t"),
+        (col("__n").cast("double") / col("__tot")).as("__p"))
+    val a = p.select(col("__c").as("class_a"), col("__t"), col("__p").as("pa"))
+    val b = p.select(col("__c").as("class_b"), col("__t"), col("__p").as("pb"))
+    val contrib = round(
+      col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+        col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))), 6)
+    val shared = a.join(b, Seq("__t"))
+      .filter(col("class_a") < col("class_b"))
+      .groupBy(col("class_a"), col("class_b"))
+      .agg(
+        count(lit(1)).as("__shared"),
+        Relational.exactSum(contrib).cast("double").as("__s"),
+        Relational.exactSum(col("pa")).cast("double").as("__pab"),
+        Relational.exactSum(col("pb")).cast("double").as("__qab"))
+    // pair spine from the ≤|classes|-row totals: a pair with NO shared
+    // vocabulary must still report (as the disjoint maximum ln 2), not
+    // vanish with the inner join
+    val classes = totals.select(col("__c"))
+    broadcast(classes.select(col("__c").as("class_a")))
+      .crossJoin(broadcast(classes.select(col("__c").as("class_b"))))
+      .filter(col("class_a") < col("class_b"))
+      .join(shared, Seq("class_a", "class_b"), "left")
+      .select(col("class_a"), col("class_b"),
+        coalesce(col("__shared"), lit(0L)).as("n_shared_terms"),
+        round(lit(0.5) * (coalesce(col("__s"), lit(0.0))
+          + (lit(1.0) - coalesce(col("__pab"), lit(0.0))) * lit(Ln2)
+          + (lit(1.0) - coalesce(col("__qab"), lit(0.0))) * lit(Ln2)), 6).as("jsd"))
+      .orderBy(col("class_a"), col("class_b"))
+  }
 }

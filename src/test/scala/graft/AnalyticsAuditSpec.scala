@@ -183,6 +183,36 @@ class AnalyticsAuditSpec extends SparkTestBase {
     assert(const.getDouble(3) == 0.0 && const.isNullAt(4) && const.isNullAt(5))
   }
 
+  test("jsd: identical slices ~0, disjoint slices report ln 2, hand case matches") {
+    import graft.ops.TextOps
+    def jsd(rows: Seq[(String, String)]): Map[(String, String), (Long, Double)] =
+      TextOps.jsdMatrix(rows.toDF("lang", "text"), "lang", "text")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    // identical distributions: per-term contributions are exactly 0;
+    // only the decimal-rounded shared-mass residue remains (≤ ~1e-6
+    // per side — the documented exact-accumulation cost)
+    val same = jsd(Seq("A" -> "x y z", "B" -> "x y z"))(("A", "B"))
+    assert(same._1 == 3L && math.abs(same._2) <= 2e-6, same)
+    // fully disjoint vocabularies: the pair must still appear, at the
+    // JSD maximum ln 2 (the spine route, not the inner join)
+    val disj = jsd(Seq("A" -> "x x y", "B" -> "p q"))(("A", "B"))
+    assert(disj._1 == 0L)
+    assert(math.abs(disj._2 - 0.693147) < 1e-6, disj)
+    // hand case: A = {x:2/3, y:1/3}, B = {x:1/2, z:1/2}, shared = {x}
+    val got = jsd(Seq("A" -> "x x y", "B" -> "x z"))(("A", "B"))
+    val pa = 2.0 / 3; val pb = 0.5
+    val contrib = BigDecimal(pa * math.log(2.0 * pa / (pa + pb))
+      + pb * math.log(2.0 * pb / (pa + pb))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pab = BigDecimal(pa).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val qab = BigDecimal(pb).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ln2 = 0.6931471805599453
+    val want = BigDecimal(0.5 * (contrib.toDouble + (1.0 - pab.toDouble) * ln2
+      + (1.0 - qab.toDouble) * ln2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got._1 == 1L && got._2 == want.toDouble, s"got $got want $want")
+  }
+
   test("disorder: regressions count against the running max, not the previous row") {
     // key 1 in seq order: ts = 100, 300, 200, 250, 400
     //   200 is 100 behind the running max 300; 250 is 50 behind; 400 ok

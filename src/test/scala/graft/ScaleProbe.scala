@@ -286,7 +286,11 @@ object ScaleProbe {
       "q_neardup_edit",
       // grouping-set union aggregate (output ∝ Σ set cardinalities) and
       // the four-decimal moment aggregate (exchange ∝ groups)
-      "q_cube", "q_moments")
+      "q_cube", "q_moments",
+      // kernel-explode count + term-keyed self-join of the (class,
+      // term, p) table — exchanges ∝ classes × vocab, never corpus
+      // tokens (the vocab/tfidf posture)
+      "q_jsd")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
