@@ -137,4 +137,32 @@ class ShuffleBytesSpec extends SparkTestBase {
     }
     assert(b == 0L, s"sampling shuffled $b bytes")
   }
+
+  test("jsdMatrix exchanges the vocabulary, never corpus tokens") {
+    // exchanges carry (class, term, count/p) rows ∝ classes × DISTINCT
+    // terms — the tiny fixture vocabulary — plus the ≤|pairs| result;
+    // the exploded corpus token stream (≥ corpus text) must map-side
+    // combine away before every shuffle
+    val b = shuffleBytes {
+      SparkEntry.queries("q_jsd")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(b < corpusTextBytes / 5, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
+  test("transitions exchange is bounded by the type alphabet, not events") {
+    val eventBytes: Long = {
+      val e = Tables.withTsMicros(Tables.events(spark, sf01))
+      e.agg(sum(octet_length(to_json(struct(e.columns.map(col): _*)))))
+        .collect()(0).getLong(0)
+    }
+    val b = shuffleBytes {
+      SparkEntry.queries("q_transitions")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // one (key, ts, id, type) window exchange — a narrow slice of the
+    // event row — then everything is |types|²-bounded; the full event
+    // payload (props etc.) must never move
+    assert(b < eventBytes / 2, s"shuffled $b bytes vs events $eventBytes")
+  }
 }
