@@ -1158,5 +1158,56 @@ private[graft] object OracleSqlRelational {
         |             + (1.0 - coalesce(qab, 0.0)) * 0.6931471805599453), 6) AS jsd
         |FROM spine LEFT JOIN j USING (class_a, class_b)
         |ORDER BY 1, 2""".stripMargin,
+
+    // The q_lang_id scorer feeding a per-class report: class spine is
+    // the union of true and predicted labels; degenerate denominators
+    // stay NULL; divisions and the f1 fold are single IEEE sequences.
+    "q_eval_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|une)\b')) AS fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|en|una|que)\b')) AS es
+        |  FROM documents WHERE text IS NOT NULL),
+        |pred AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars > 0 AND cjk * 1.0 / n_chars > 0.2 THEN 'zh'
+        |              WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+        |              WHEN en = greatest(en, de, fr, es) THEN 'en'
+        |              WHEN de = greatest(en, de, fr, es) THEN 'de'
+        |              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+        |              ELSE 'es' END AS lang_pred
+        |  FROM scored),
+        |cells AS (
+        |  SELECT lang AS l, lang_pred AS p, count(*) AS n
+        |  FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sup AS (SELECT l AS class, CAST(sum(n) AS BIGINT) AS support
+        |        FROM cells GROUP BY 1),
+        |prd AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS predicted
+        |        FROM cells GROUP BY 1),
+        |tp AS (SELECT l AS class, n AS tp FROM cells WHERE l = p),
+        |m AS (
+        |  SELECT class,
+        |         coalesce(support, 0) AS support,
+        |         coalesce(predicted, 0) AS predicted,
+        |         CAST(coalesce(tp, 0) AS BIGINT) AS tp
+        |  FROM sup FULL OUTER JOIN prd USING (class)
+        |       LEFT JOIN tp USING (class)),
+        |r AS (
+        |  SELECT class, support, predicted, tp,
+        |         CASE WHEN predicted > 0
+        |              THEN CAST(tp AS DOUBLE) / predicted END AS precision,
+        |         CASE WHEN support > 0
+        |              THEN CAST(tp AS DOUBLE) / support END AS recall
+        |  FROM m)
+        |SELECT class, support, predicted, tp, precision, recall,
+        |       CASE WHEN precision + recall > 0
+        |            THEN 2.0 * precision * recall / (precision + recall)
+        |            END AS f1
+        |FROM r ORDER BY class""".stripMargin,
   )
 }

@@ -1184,7 +1184,16 @@ object SparkEntry {
       // Pairwise Jensen–Shannon divergence between per-language
       // unigram distributions — the vocabulary-level corpus-similarity
       // matrix; exchange ∝ langs × vocab, output ∝ pairs.
-      TextOps.jsdMatrix(Tables.documents(s, dir), "lang", "text"))
+      TextOps.jsdMatrix(Tables.documents(s, dir), "lang", "text")),
+
+    "q_eval_langid" -> ((s, dir) =>
+      // Per-class precision/recall/F1 of the language-ID gate against
+      // the labeled lang — the model-eval report for a classifier the
+      // pipeline trusts; everything after one cell count is ∝ classes.
+      Relational.classificationReport(
+        Tables.documents(s, dir)
+          .select(col("lang"), TextOps.languageId(col("text")).as("lang_pred")),
+        "lang", "lang_pred"))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -119,6 +119,53 @@ object Relational {
       .orderBy(col(groupCol))
   }
 
+  /** Per-class evaluation of a prediction column against ground truth:
+    * (class, support, predicted, tp, precision, recall, f1) — the
+    * model-eval report a pipeline runs on every classifier gate it
+    * trusts (language-ID vs labeled lang, quality verdict vs curated
+    * labels). The class spine is the UNION of true and predicted
+    * labels, so a class that is only ever predicted (e.g. 'unknown')
+    * or only ever true still reports; degenerate denominators emit
+    * NULL (never-predicted → NULL precision, never-true → NULL recall,
+    * p+r = 0 → NULL f1) rather than a fake 0.
+    *
+    * Scale shape: one map-side-combined (label, pred) cell count —
+    * exchange ∝ distinct pairs, never rows — then marginal re-aggs of
+    * the CELL table and ≤|classes|-row joins (the chi2 posture).
+    * Counts are exact longs; precision/recall are single IEEE
+    * divisions and f1 one fixed sequence — bit-identical to the
+    * oracle, no rounding step. */
+  def classificationReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val support = cells.groupBy(col("__l").as("class")).agg(sum(col("__n")).as("__support"))
+    val predicted = cells.groupBy(col("__p").as("class")).agg(sum(col("__n")).as("__predicted"))
+    val tp = cells.filter(col("__l") === col("__p"))
+      .select(col("__l").as("class"), col("__n").as("__tp"))
+    val sup = col("__support_c")
+    val pred = col("__predicted_c")
+    val precision = when(pred > 0, col("__tp_c").cast("double") / pred)
+    val recall = when(sup > 0, col("__tp_c").cast("double") / sup)
+    support
+      .join(predicted, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("__support"), lit(0L)).as("__support_c"),
+        coalesce(col("__predicted"), lit(0L)).as("__predicted_c"),
+        coalesce(col("__tp"), lit(0L)).as("__tp_c"))
+      .select(col("class"),
+        col("__support_c").as("support"),
+        col("__predicted_c").as("predicted"),
+        col("__tp_c").as("tp"),
+        precision.as("precision"),
+        recall.as("recall"),
+        when(precision + recall > 0,
+          lit(2.0) * precision * recall / (precision + recall)).as("f1"))
+      .orderBy(col("class"))
+  }
+
   /** Deterministic top-N rows per group: rank by the given order within
     * each partition key and keep ranks ≤ n. A window sort per group —
     * unlike global [[topN]] there is no TakeOrdered shortcut, but the

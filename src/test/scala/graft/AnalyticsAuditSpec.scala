@@ -213,6 +213,30 @@ class AnalyticsAuditSpec extends SparkTestBase {
     assert(got._1 == 1L && got._2 == want.toDouble, s"got $got want $want")
   }
 
+  test("classificationReport: hand-computed per-class metrics and NULL degeneracies") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: support 3, tp 2
+      ("b", "b"), ("b", "c"), // b: support 2, tp 1
+      ("c", "c"), // c: support 1, tp 1
+      ("e", "d") // e never predicted, d never true
+    ).toDF("label", "pred")
+    val got = Relational.classificationReport(df, "label", "pred")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getAs[java.lang.Double]("precision")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("recall")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("f1")).map(_.doubleValue))))
+      .toMap
+    assert(got("a") == ((3L, 2L, 2L, Some(1.0), Some(2.0 / 3),
+      Some(2.0 * 1.0 * (2.0 / 3) / (1.0 + 2.0 / 3)))))
+    assert(got("b") == ((2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.5))))
+    assert(got("c") == ((1L, 2L, 1L, Some(0.5), Some(1.0),
+      Some(2.0 * 0.5 * 1.0 / 1.5))))
+    // degenerate denominators are NULL, not fake zeros
+    assert(got("d") == ((0L, 1L, 0L, Some(0.0), None, None))) // never true
+    assert(got("e") == ((1L, 0L, 0L, None, Some(0.0), None))) // never predicted
+  }
+
   test("disorder: regressions count against the running max, not the previous row") {
     // key 1 in seq order: ts = 100, 300, 200, 250, 400
     //   200 is 100 behind the running max 300; 250 is 50 behind; 400 ok

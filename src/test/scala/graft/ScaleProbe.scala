@@ -290,7 +290,10 @@ object ScaleProbe {
       // kernel-explode count + term-keyed self-join of the (class,
       // term, p) table — exchanges ∝ classes × vocab, never corpus
       // tokens (the vocab/tfidf posture)
-      "q_jsd")
+      "q_jsd",
+      // per-row regex scoring projection → (label, pred) cell count —
+      // everything after the scan is ∝ classes (the chi2 posture)
+      "q_eval_langid")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
