@@ -1209,5 +1209,21 @@ private[graft] object OracleSqlRelational {
         |            THEN 2.0 * precision * recall / (precision + recall)
         |            END AS f1
         |FROM r ORDER BY class""".stripMargin,
+
+    // Per-row list_distinct mirrors the engine's map-side array_distinct
+    // — df counts DOCUMENTS, never occurrences.
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []
+        |              ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |           generate_series(1, len(w) - 2),
+        |           i -> array_to_string(w[i : i + 2], ' ')))) AS ngram
+        |  FROM toks)
+        |SELECT ngram, COUNT(*) AS df
+        |FROM g GROUP BY 1 HAVING COUNT(*) >= 5
+        |ORDER BY df DESC, ngram ASC LIMIT 50""".stripMargin,
   )
 }

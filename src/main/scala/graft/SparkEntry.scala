@@ -1193,7 +1193,14 @@ object SparkEntry {
       Relational.classificationReport(
         Tables.documents(s, dir)
           .select(col("lang"), TextOps.languageId(col("text")).as("lang_pred")),
-        "lang", "lang_pred"))
+        "lang", "lang_pred")),
+
+    "q_boilerplate" -> ((s, dir) =>
+      // Top shared word-3-grams by DOCUMENT frequency (df ≥ 5) — the
+      // boilerplate-discovery audit that sizes every df stop-filter;
+      // per-doc array_distinct dedups map-side, exchange ∝ grams.
+      TextOps.boilerplateNgrams(
+        Tables.documents(s, dir), "text", n = 3, minDf = 5, topK = 50))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -1440,6 +1440,37 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Boilerplate n-gram audit: the word-`n`-grams appearing in at
+    * least `minDf` DISTINCT documents, top-`topK` by document
+    * frequency — the discovery query behind every boilerplate
+    * stop-filter threshold in this engine (the winnow df cap, the
+    * paradup tile cut): run this FIRST to see what the shared blocks
+    * actually are ("subscribe to our newsletter…") and size the caps
+    * from data. The inverse audit of `q_rare_terms` (low-df tail) at
+    * n-gram granularity.
+    *
+    * Scale shape: per-doc `array_distinct` dedups each document's
+    * grams MAP-SIDE — the exchange carries distinct grams with
+    * partial-combined doc counts (the vocab posture), never a
+    * (doc, gram) pair table and never corpus tokens; top-k is
+    * TakeOrderedAndProject. Integer df + (df desc, gram asc) total
+    * order — structural oracle match. */
+  def boilerplateNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      minDf: Int,
+      topK: Int): DataFrame = {
+    require(n >= 1 && minDf >= 1 && topK >= 1, s"bad args n=$n minDf=$minDf topK=$topK")
+    df.select(explode(array_distinct(
+        graft.functions.native.wordNgrams(col(textCol), n))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
   /** `ln 2` as a shared DOUBLE literal: computing `log(2.0)` on each
     * engine risks the 1-ulp libm divergence the round-6 convention
     * exists for — a literal is the same bits everywhere. */

@@ -237,6 +237,17 @@ class AnalyticsAuditSpec extends SparkTestBase {
     assert(got("e") == ((1L, 0L, 0L, None, Some(0.0), None))) // never predicted
   }
 
+  test("boilerplateNgrams counts documents, never within-doc repeats") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      "spam spam spam spam", // the 3-gram repeats WITHIN the doc → df 1
+      "spam spam spam x",
+      "a b c").toDF("text")
+    val got = TextOps.boilerplateNgrams(docs, "text", n = 3, minDf = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("spam spam spam", 2L)))
+  }
+
   test("disorder: regressions count against the running max, not the previous row") {
     // key 1 in seq order: ts = 100, 300, 200, 250, 400
     //   200 is 100 behind the running max 300; 250 is 50 behind; 400 ok

@@ -293,7 +293,9 @@ object ScaleProbe {
       "q_jsd",
       // per-row regex scoring projection → (label, pred) cell count —
       // everything after the scan is ∝ classes (the chi2 posture)
-      "q_eval_langid")
+      "q_eval_langid",
+      // map-side array_distinct per doc → gram df agg (vocab posture)
+      "q_boilerplate")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
