@@ -62,10 +62,11 @@ private[graft] object OracleSqlRelational {
 
     "q_rollup" ->
       """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |       CAST(GROUPING(event_type, (user_id % 10)) AS BIGINT) AS gset
         |FROM events
         |GROUP BY ROLLUP (event_type, (user_id % 10))
-        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST, gset""".stripMargin,
 
     "q_topn_per_group" ->
       """SELECT event_type, event_id, epoch_us(ts) AS ts_us, value, rank
@@ -1055,21 +1056,24 @@ private[graft] object OracleSqlRelational {
         |GROUP BY 1, 2 HAVING count(*) < 10
         |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
 
-    // Running event-time max over the preceding (seq-ordered) frame;
-    // micros arithmetic mirrors the engine's exact ns/1000 floor.
+    // Running event-time max over the preceding (seq-ordered) frame.
+    // Regression detection runs in FULL NANOS (the engine's axis — the
+    // q_gaps epoch_ns posture) and only the reported worst lateness
+    // floors to micros; comparing in epoch_us would miss sub-micro
+    // regressions on a nanos-precision events layout.
     "q_disorder" ->
       """WITH w AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
-        |         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+        |  SELECT user_id, epoch_ns(ts) AS tsn,
+        |         max(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
         |SELECT user_id, count(*) AS n_events,
-        |       CAST(coalesce(sum(CASE WHEN pm IS NOT NULL AND ts_us < pm
+        |       CAST(coalesce(sum(CASE WHEN pm IS NOT NULL AND tsn < pm
         |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
         |         AS n_regressions,
-        |       max(CASE WHEN pm IS NOT NULL AND ts_us < pm
-        |                THEN pm - ts_us END) AS max_late_us
+        |       max(CASE WHEN pm IS NOT NULL AND tsn < pm
+        |                THEN (pm - tsn) // 1000 END) AS max_late_us
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // All-pairs Levenshtein over the 32-char prefixes — the blocking in
@@ -1087,10 +1091,11 @@ private[graft] object OracleSqlRelational {
 
     "q_cube" ->
       """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |       CAST(GROUPING(event_type, (user_id % 10)) AS BIGINT) AS gset
         |FROM events
         |GROUP BY CUBE (event_type, (user_id % 10))
-        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST, gset""".stripMargin,
 
     // Raw moments accumulate in DECIMAL(38,6); every derived quantity
     // repeats the engine's exact +,−,×,÷,√ sequence — bit-identical, no
@@ -1122,7 +1127,7 @@ private[graft] object OracleSqlRelational {
         |SELECT lang, n_rows, mean, m2 AS variance,
         |       CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
         |       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
-        |FROM c ORDER BY lang""".stripMargin,
+        |FROM c ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     // Shared-term JSD fold with the closed-form absent-mass correction;
     // ln 2 is a shared literal (0.6931471805599453) so no libm call can

@@ -190,7 +190,8 @@ object SparkEntry {
           Tables.events(s, dir).withColumn("bucket", col("user_id") % 10),
           Seq("event_type", "bucket"),
           "value")
-        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)),
+        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first,
+          col("gset"))),
 
     "q_topn_per_group" -> ((s, dir) =>
       Relational
@@ -1173,7 +1174,8 @@ object SparkEntry {
           Tables.events(s, dir).withColumn("bucket", col("user_id") % 10),
           Seq("event_type", "bucket"),
           "value")
-        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)),
+        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first,
+          col("gset"))),
 
     "q_moments" -> ((s, dir) =>
       // Per-language distribution shape of n_chars — exact-moment

@@ -225,7 +225,9 @@ object EventAnalytics {
       tsNsCol: String,
       valueCol: String,
       nTiles: Int = 5): DataFrame = {
-    require(nTiles >= 1, s"nTiles=$nTiles must be >= 1")
+    // ≤ 9: the r·100+f·10+m segment code is positional decimal — a
+    // two-digit tile would collide (r=1,f=12,m=1 ≡ r=2,f=2,m=1)
+    require(nTiles >= 1 && nTiles <= 9, s"nTiles=$nTiles must be in [1, 9]")
     import org.apache.spark.sql.expressions.Window
     val per = events
       .filter(col(userCol).isNotNull && col(tsNsCol).isNotNull)

@@ -60,19 +60,27 @@ object Relational {
 
   /** Hierarchical subtotals via ROLLUP: per-(a,b), per-a, and grand
     * total in one pass — Catalyst expands to a single aggregate over the
-    * grouping-set union, so partial combine still applies per set. */
+    * grouping-set union, so partial combine still applies per set.
+    * `gset` is the standard grouping id (bit per dim, leftmost most
+    * significant): it tells a SUBTOTAL's NULL apart from a genuine NULL
+    * dimension value, without which two rows could share every sort key
+    * yet carry different counts — an engine-dependent row order. */
   def rollupCounts(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
     df.rollup(dims.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"),
+        grouping_id().as("gset"))
 
   /** Full cross-dimensional subtotals via CUBE — [[rollupCounts]] with
     * every dimension SUBSET (rollup keeps only prefixes): per-(a,b),
     * per-a, per-b, and the grand total in one aggregate over the
     * grouping-set union, so map-side partial combine still applies per
-    * set and output is ∝ Σ set cardinalities, never rows. */
+    * set and output is ∝ Σ set cardinalities, never rows. `gset` as in
+    * [[rollupCounts]] — CUBE's extra (NULL, b) set doubles the
+    * subtotal-vs-NULL-value ambiguity surface it resolves. */
   def cubeCounts(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame =
     df.cube(dims.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), exactSumDouble(col(valueCol)).as("sum_value"),
+        grouping_id().as("gset"))
 
   /** Exact per-group distribution shape: mean, population variance,
     * skewness, and excess kurtosis — the audit behind "is this metric's
@@ -116,7 +124,10 @@ object Relational {
         m2.as("variance"),
         when(m2 > 0, m3 / (m2 * sqrt(m2))).as("skewness"),
         when(m2 > 0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
-      .orderBy(col(groupCol))
+      // explicit NULLS LAST: a NULL group is a real group here (no
+      // NULL filter above), and Spark asc defaults NULLS FIRST while
+      // DuckDB defaults NULLS LAST — the FIXTURES.md ordering rule
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** Per-class evaluation of a prediction column against ground truth:

@@ -32,7 +32,18 @@ object Scd2Stream {
   /** Closed version facts for a keyed changelog stream. The stored state
     * row is always the key's last ACCEPTED event (tombstones included —
     * kept with `open = false` so the sequence frontier survives a
-    * delete; no nullable state fields exist). */
+    * delete; no nullable state fields exist).
+    *
+    * `isDelete` contract: the batch [[graft.ops.Changelog.scd2]] treats
+    * a NULL predicate result as DELETED (`!coalesce(pred, true)` — the
+    * raw-tombstone posture shared by applyChangelog / PullQuery /
+    * ReplicationPipeline). A typed `T => Boolean` cannot return NULL,
+    * so the caller MUST fold that posture into the function: any field
+    * a raw tombstone nulls out maps to `true`, e.g.
+    * `e => e.eventType == null || e.eventType == "delete"` — otherwise
+    * a null-typed tombstone would OPEN a version here that the batch
+    * replay closes, breaking the documented stream==batch history
+    * equality (Scd2StreamSpec pins the null-tombstone case). */
   def closedVersions[K: Encoder, T: Encoder](
       ds: Dataset[T],
       key: T => K,

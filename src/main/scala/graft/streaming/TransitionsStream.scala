@@ -43,7 +43,11 @@ object TransitionsStream {
         (_: K, rows: Iterator[T], state: GroupState[(Long, String)]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           var st = state.getOption
-          rows.toSeq.sortBy(seq).foreach { ev =>
+          // a NULL-typed event does not participate AT ALL — the batch
+          // operator filters it before the lag window, so it must
+          // neither emit a pair nor advance the frontier here (or a
+          // later A..B run would lose its A→B pair vs the replay)
+          rows.toSeq.filter(typ(_) != null).sortBy(seq).foreach { ev =>
             val s = seq(ev)
             val t = typ(ev)
             st match {

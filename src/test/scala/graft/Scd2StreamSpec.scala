@@ -19,8 +19,11 @@ class Scd2StreamSpec extends SparkTestBase {
   private def runStream(chunks: Seq[Seq[Ev]]): Seq[(Long, Long, Long, Long)] = {
     graft.streaming.ChangelogStream.configure(spark)
     val input = MemoryStream[Ev](spark)
+    // NULL event_type counts as deleted — the batch NULL-predicate
+    // posture folded into the typed function (Scd2Stream scaladoc)
     val out = Scd2Stream.closedVersions[Long, Ev](
-      input.toDS(), _.user_id, _.event_id, _.event_type == "delete")
+      input.toDS(), _.user_id, _.event_id,
+      e => e.event_type == null || e.event_type == "delete")
     val emitted = ArrayBuffer[(Long, Long, Long, Long)]()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString
     val q = out.writeStream
@@ -91,6 +94,21 @@ class Scd2StreamSpec extends SparkTestBase {
       Seq(Ev(1L, 7L, "update", 7.0))))
     assert(emitted == Seq((1L, 5L, 5L, 7L)),
       "the stale event must neither emit nor shift valid_to")
+  }
+
+  test("a NULL-typed raw tombstone closes without opening (batch posture)") {
+    // batch scd2's !coalesce(pred, true) treats a NULL predicate as
+    // deleted; the typed stream must agree via the caller-folded
+    // predicate — a null-typed event closes v1 and opens NOTHING
+    val emitted = runStream(Seq(
+      Seq(Ev(1L, 1L, "insert", 1.0)),
+      Seq(Ev(1L, 2L, null, 0.0)),
+      Seq(Ev(1L, 3L, "insert", 3.0))))
+    assert(emitted == Seq((1L, 1L, 1L, 2L)))
+    // and the batch replay of the same feed agrees
+    assert(batchClosed(Seq(
+      Ev(1L, 1L, "insert", 1.0), Ev(1L, 2L, null, 0.0), Ev(1L, 3L, "insert", 3.0)))
+      == Set((1L, 1L, 1L, 2L)))
   }
 
   test("within one micro-batch, events fold in sequence order") {

@@ -75,6 +75,16 @@ class TransitionsStreamSpec extends SparkTestBase {
     }
   }
 
+  test("a NULL-typed event neither pairs nor splits the surrounding run (batch posture)") {
+    // batch transitions filters NULL types before the lag window, so
+    // A, null, B still pairs A→B; the stream must skip the null row
+    // entirely — no (A, null)/(null, B) pairs, frontier unmoved by it
+    val events = Seq(
+      Ev(1L, 1L, "view", 0.0), Ev(1L, 2L, null, 0.0), Ev(1L, 3L, "click", 0.0))
+    assert(runStream(Seq(events)) == Map(("view", "click") -> 1L))
+    assert(runStream(Seq(events)) == batchCounts(events))
+  }
+
   test("a below-frontier event contributes no pair") {
     val got = runStream(Seq(
       Seq(Ev(1L, 5L, "view", 0.0)),
