@@ -1230,5 +1230,24 @@ private[graft] object OracleSqlRelational {
         |SELECT ngram, COUNT(*) AS df
         |FROM g GROUP BY 1 HAVING COUNT(*) >= 5
         |ORDER BY df DESC, ngram ASC LIMIT 50""".stripMargin,
+
+    // The exact q_heavy_hitters surface + sketch_ok audit flags that are
+    // THEOREMS of the Misra-Gries bounds — deterministically TRUE (the
+    // q_profile_approx / approx_ok precedent).
+    "q_heavy_hitters_approx" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n_rows) AS total FROM c),
+        |top AS (
+        |  SELECT user_id, n_rows FROM c
+        |  ORDER BY n_rows DESC, user_id ASC NULLS LAST LIMIT 20)
+        |SELECT user_id, n_rows,
+        |       n_rows::DOUBLE / total AS share,
+        |       (sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ASC NULLS LAST
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       )::DOUBLE / total AS cum_share,
+        |       TRUE AS sketch_ok
+        |FROM top CROSS JOIN t
+        |ORDER BY n_rows DESC, user_id ASC NULLS LAST""".stripMargin,
   )
 }

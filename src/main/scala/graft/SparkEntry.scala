@@ -1202,7 +1202,15 @@ object SparkEntry {
       // boilerplate-discovery audit that sizes every df stop-filter;
       // per-doc array_distinct dedups map-side, exchange ∝ grams.
       TextOps.boilerplateNgrams(
-        Tables.documents(s, dir), "text", n = 3, minDf = 5, topK = 50))
+        Tables.documents(s, dir), "text", n = 3, minDf = 5, topK = 50)),
+
+    "q_heavy_hitters_approx" -> ((s, dir) =>
+      // q_heavy_hitters with the Misra–Gries swap-in audited live:
+      // exact top-20 plus sketch_ok booleans the MG theorems make
+      // deterministically true (raw merge-order-dependent estimates
+      // never reach the output — the profileApproxChecked posture).
+      Relational.heavyHittersChecked(
+        Tables.events(s, dir), "user_id", topK = 20, capacity = 64))
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables, same column

@@ -851,6 +851,47 @@ object Relational {
       .orderBy(quasiCols.map(c => col(c).asc_nulls_last): _*)
   }
 
+  /** [[heavyHitters]] plus a live audit of its 100 TB swap-in: one
+    * Misra–Gries sketch ([[graft.functions.MisraGries]], capacity
+    * counters per partial — exchange ∝ capacity instead of distinct
+    * keys) runs beside the exact aggregate, and each exact top-k row
+    * carries `sketch_ok`: the estimate is within the ⌊n/(capacity+1)⌋
+    * undercount bound AND every key heavy enough that the theory
+    * guarantees capture is present. Both are THEOREMS of the sketch
+    * (Misra–Gries 1982; mergeability Agarwal et al. 2012), so the
+    * booleans are deterministically TRUE and the raw merge-order-
+    * dependent estimates never reach the output — the
+    * profileApproxChecked posture exactly: the declared row verifies
+    * the swap-in, production uses the sketch alone. */
+  def heavyHittersChecked(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int,
+      capacity: Int): DataFrame = {
+    val exact = heavyHitters(df, keyCol, topK)
+    val sketch = df
+      .filter(col(keyCol).isNotNull)
+      .agg(
+        graft.functions.MisraGries.mgSketch(col(keyCol), capacity).as("__sk"),
+        count(lit(1)).as("__n"))
+    val bound = expr(s"__n div ${capacity + 1}")
+    val matches = filter(col("__sk"),
+      e => e.getField("key") === col(keyCol).cast("string"))
+    // a key evicted from the sketch has no match — ANSI element_at
+    // throws on the empty array, so the absence must be NULL explicitly
+    val est = when(size(matches) > 0,
+      element_at(matches, 1).getField("est"))
+    val under = col("n_rows") - est
+    val withinBound = when(est.isNotNull, under >= 0 && under <= bound)
+      .otherwise(col("n_rows") <= bound)
+    val capturedWhenGuaranteed = !(col("n_rows") > bound) || est.isNotNull
+    exact
+      .crossJoin(broadcast(sketch))
+      .select(col(keyCol), col("n_rows"), col("share"), col("cum_share"),
+        (withinBound && capturedWhenGuaranteed).as("sketch_ok"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc_nulls_last)
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

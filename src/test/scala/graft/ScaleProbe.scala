@@ -295,7 +295,11 @@ object ScaleProbe {
       // everything after the scan is ∝ classes (the chi2 posture)
       "q_eval_langid",
       // map-side array_distinct per doc → gram df agg (vocab posture)
-      "q_boilerplate")
+      "q_boilerplate",
+      // exact count agg (∝ keys) + ONE capacity-bounded MG sketch
+      // partial per partition — the checked pairing, q_profile_approx's
+      // exact+sketch verification posture
+      "q_heavy_hitters_approx")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
