@@ -665,7 +665,7 @@ private[graft] object OracleSqlRelational {
         |  SELECT LEAST(CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT), 21) AS bucket,
         |         count(*) AS n
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        |  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
         |    AND l_extendedprice >= 0.0
         |  GROUP BY 1),
         |s AS (SELECT unnest(generate_series(0, 21)) AS bucket)
@@ -927,7 +927,7 @@ private[graft] object OracleSqlRelational {
         |       ts_us, event_type, value, props
         |FROM v
         |WHERE NOT coalesce(event_type = 'delete', TRUE)
-        |ORDER BY user_id, valid_from_seq""".stripMargin,
+        |ORDER BY user_id ASC NULLS LAST, valid_from_seq""".stripMargin,
 
     // Ties at the same micros order by event_id — the lag window's total
     // order matches the engine's (ts_ns = micros×1000, same ordering).
@@ -989,11 +989,11 @@ private[graft] object OracleSqlRelational {
         |ka AS (
         |  SELECT least(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 23) AS bucket,
         |         count(*) AS ca
-        |  FROM a WHERE v IS NOT NULL AND NOT isnan(v) AND v >= 0.0 GROUP BY 1),
+        |  FROM a WHERE v IS NOT NULL AND isfinite(v) AND v >= 0.0 GROUP BY 1),
         |kb AS (
         |  SELECT least(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 23) AS bucket,
         |         count(*) AS cb
-        |  FROM b WHERE v IS NOT NULL AND NOT isnan(v) AND v >= 0.0 GROUP BY 1),
+        |  FROM b WHERE v IS NOT NULL AND isfinite(v) AND v >= 0.0 GROUP BY 1),
         |spine AS (SELECT range AS bucket FROM range(24)),
         |m AS (
         |  SELECT spine.bucket, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
@@ -1048,7 +1048,7 @@ private[graft] object OracleSqlRelational {
         |WHERE NOT coalesce(event_type = 'delete', TRUE)
         |  AND valid_from_seq <= 5000
         |  AND (valid_to_seq IS NULL OR valid_to_seq > 5000)
-        |ORDER BY user_id, valid_from_seq""".stripMargin,
+        |ORDER BY user_id ASC NULLS LAST, valid_from_seq""".stripMargin,
 
     "q_kanon" ->
       """SELECT lang, source, count(*) AS n_rows
@@ -1105,7 +1105,7 @@ private[graft] object OracleSqlRelational {
         |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
         |  WHERE n_chars IS NOT NULL
         |    AND NOT isnan(CAST(n_chars AS DOUBLE))
-        |    AND abs(CAST(n_chars AS DOUBLE)) < 1e7),
+        |    AND abs(CAST(n_chars AS DOUBLE)) < 1e5),
         |g AS (
         |  SELECT lang, count(*) AS n_rows,
         |         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
@@ -1233,10 +1233,13 @@ private[graft] object OracleSqlRelational {
 
     // The exact q_heavy_hitters surface + sketch_ok audit flags that are
     // THEOREMS of the Misra-Gries bounds — deterministically TRUE (the
-    // q_profile_approx / approx_ok precedent).
+    // q_profile_approx / approx_ok precedent). NULL keys are excluded
+    // from BOTH engine sides (the sketch's domain), so the exact CTE
+    // here filters them too — shares divide the non-NULL total.
     "q_heavy_hitters_approx" ->
       """WITH c AS (
-        |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+        |  SELECT user_id, count(*) AS n_rows FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY user_id),
         |t AS (SELECT sum(n_rows) AS total FROM c),
         |top AS (
         |  SELECT user_id, n_rows FROM c

@@ -1103,7 +1103,7 @@ object SparkEntry {
           Seq("user_id"), col("event_id"), col("event_type") === "delete")
         .select("user_id", "valid_from_seq", "valid_to_seq", "is_current",
           "ts_us", "event_type", "value", "props")
-        .orderBy(col("user_id"), col("valid_from_seq"))),
+        .orderBy(col("user_id").asc_nulls_last, col("valid_from_seq"))),
 
     "q_transitions" -> ((s, dir) =>
       // First-order Markov matrix over per-user event-type sequences —
@@ -1143,7 +1143,7 @@ object SparkEntry {
           atSeq = 5000L)
         .select("user_id", "valid_from_seq", "valid_to_seq",
           "ts_us", "event_type", "value", "props")
-        .orderBy(col("user_id"), col("valid_from_seq"))),
+        .orderBy(col("user_id").asc_nulls_last, col("valid_from_seq"))),
 
     "q_kanon" -> ((s, dir) =>
       // k-anonymity audit at k=10 over the (lang, source) quasi-pair —

@@ -104,11 +104,20 @@ case class MisraGries(
     new GenericArrayData(rows)
   }
 
+  // length-prefixed UTF-8 byte arrays, NOT writeUTF: writeUTF throws
+  // UTFDataFormatException past 65 535 encoded bytes, and a sketch over
+  // an unbounded string column (URLs, text prefixes) must not fail at
+  // shuffle serialization time
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.counters.size)
-    buf.counters.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buf.counters.foreach { case (k, v) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -117,7 +126,12 @@ case class MisraGries(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val c = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach { _ => val k = in.readUTF(); c.update(k, in.readLong()) }
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      c.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     new MgBuffer(c)
   }
 

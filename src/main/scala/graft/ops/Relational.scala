@@ -91,16 +91,19 @@ object Relational {
     * derived quantity is the same fixed sequence of +,−,×,÷,√ on
     * identical doubles in engine and oracle — all correctly-rounded
     * IEEE, no transcendentals, so the match is bit-for-bit with no
-    * rounding step. |v| < 1e7 bounds v⁴ inside DECIMAL(38,6) (1e28 ≪
-    * 1e32), the zOutliers posture: out-of-bound rows leave count and
-    * sums TOGETHER. Zero-variance groups emit NULL shape (the division
+    * rounding step. |v| < 1e5 bounds each v⁴ term at 1e20, leaving
+    * DECIMAL(38,6)'s ~1e32 capacity ≥1e12 rows of per-group headroom
+    * (the earlier 1e7 bound left only 1e4 rows before the Σv⁴ decimal
+    * itself overflowed — Spark non-ANSI sums NULL, DuckDB errors);
+    * out-of-bound rows leave count and sums TOGETHER, the zOutliers
+    * posture. Zero-variance groups emit NULL shape (the division
     * guard), mirroring zOutliers/madOutliers.
     *
     * Scale shape: ONE map-side-combined aggregate (exchange ∝ groups ×
     * 4 decimals); everything after is a ≤|groups|-row projection. */
   def groupMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e7)
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e5)
     val mean = col("__s1") / col("__n")
     val r2 = col("__s2") / col("__n")
     val r3 = col("__s3") / col("__n")
@@ -547,8 +550,12 @@ object Relational {
     val x = col(valueCol).cast("double")
     val bucket = least(
       floor((x - lit(lo)) / lit(width)).cast("long"), lit(n.toLong - 1L))
+    // finite-only: +inf would clamp into the last bucket via Spark's
+    // non-ANSI cast while DuckDB's CAST(floor('inf')) errors — the
+    // exactSum finite-guard posture, mirrored in the oracle
     val counts = df
-      .filter(x.isNotNull && !isnan(x) && x >= lit(lo))
+      .filter(x.isNotNull && !isnan(x) &&
+        x >= lit(lo) && x < lit(Double.PositiveInfinity))
       .select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
     val spine = df.sparkSession.range(n.toLong).withColumnRenamed("id", "bucket")
@@ -805,8 +812,11 @@ object Relational {
     val x = col(valueCol).cast("double")
     val bucket = least(
       floor((x - lit(lo)) / lit(width)).cast("long"), lit(n.toLong - 1L))
+    // finite-only, the histogram posture: +inf would clamp into the
+    // last bucket on Spark but error DuckDB's CAST — excluded both sides
     def counts(df: DataFrame, side: String) = df
-      .filter(x.isNotNull && !isnan(x) && x >= lit(lo))
+      .filter(x.isNotNull && !isnan(x) &&
+        x >= lit(lo) && x < lit(Double.PositiveInfinity))
       .select(bucket.as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as(side))
     val spine = dfA.sparkSession.range(n.toLong).withColumnRenamed("id", "bucket")
@@ -862,15 +872,21 @@ object Relational {
     * booleans are deterministically TRUE and the raw merge-order-
     * dependent estimates never reach the output — the
     * profileApproxChecked posture exactly: the declared row verifies
-    * the swap-in, production uses the sketch alone. */
+    * the swap-in, production uses the sketch alone.
+    *
+    * Domain: NULL keys are excluded from BOTH sides (the sketch cannot
+    * count them, and an exact NULL-key group heavier than the MG bound
+    * would otherwise flip sketch_ok to false through no fault of the
+    * sketch) — unlike [[heavyHitters]], whose NULL group is a real
+    * group. Shares here therefore divide the non-NULL total. */
   def heavyHittersChecked(
       df: DataFrame,
       keyCol: String,
       topK: Int,
       capacity: Int): DataFrame = {
-    val exact = heavyHitters(df, keyCol, topK)
-    val sketch = df
-      .filter(col(keyCol).isNotNull)
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val exact = heavyHitters(nonNull, keyCol, topK)
+    val sketch = nonNull
       .agg(
         graft.functions.MisraGries.mgSketch(col(keyCol), capacity).as("__sk"),
         count(lit(1)).as("__n"))

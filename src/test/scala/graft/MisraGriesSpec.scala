@@ -81,4 +81,27 @@ class MisraGriesSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L))
   }
+
+  test("keys past writeUTF's 64 KiB ceiling survive buffer serialization") {
+    // multi-partition agg forces partial-buffer serialize/deserialize;
+    // writeUTF would throw UTFDataFormatException at 65 536 encoded
+    // bytes — the length-prefixed codec must not
+    val big = "x" * 70000
+    val keys = Seq.fill(5)(big) ++ Seq.fill(3)("small")
+    assert(sketch(keys, capacity = 4, partitions = 4) ==
+      Map(big -> 5L, "small" -> 3L))
+  }
+
+  test("checked harness excludes NULL keys from BOTH sides (domains match)") {
+    // a NULL key heavier than the MG bound would flip sketch_ok=false
+    // if the exact side kept it — the declared domain is non-NULL keys
+    val df = (Seq.fill[Option[String]](50)(None) ++
+      Seq.fill(10)(Some("a")) ++ Seq.fill(4)(Some("b"))).toDF("k")
+    val rows = Relational.heavyHittersChecked(df, "k", topK = 5, capacity = 8)
+      .collect()
+    assert(rows.length == 2, "NULL group must not appear in the exact surface")
+    assert(rows.forall(_.getAs[Boolean]("sketch_ok")))
+    // shares divide the non-NULL total (14), not the raw row count (64)
+    assert(rows.map(_.getAs[Double]("share")).sum == 1.0)
+  }
 }

@@ -272,6 +272,21 @@ class RelationalSpec extends SparkTestBase {
       "bucket-spine join must broadcast the n-row counts")
   }
 
+  test("histogram and psiDrift drop infinite values (oracle CAST would error)") {
+    import spark.implicits._
+    // +inf would clamp into the last bucket via Spark's non-ANSI
+    // cast(floor(inf) as long) while DuckDB errors — excluded both sides
+    val df = Seq(1.0, 6.0, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x")
+    val h = Relational.histogram(df, "x", lo = 0.0, hi = 10.0, n = 2)
+    assert(h.collect().map(_.getLong(3)).toSeq == Seq(1L, 1L),
+      "infinite values must not be counted in any bucket")
+    val psi = Relational.psiDrift(df, df, "x", lo = 0.0, hi = 10.0, n = 2)
+      .collect().head
+    assert(psi.getAs[Long]("n_a") == 2L && psi.getAs[Long]("n_b") == 2L,
+      "psi bucket totals must exclude infinite values")
+  }
+
   test("zOutliers matches a driver-side exact-moment model and broadcasts the stats") {
     import spark.implicits._
     val vals = Seq.tabulate(20)(i => ("g", i.toLong, 10.0 + i * 0.1)) :+
