@@ -510,6 +510,57 @@ private[graft] object OracleSqlSimilarity {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Span-level exact-substring dedup: stride-1 full 10-token windows
+    // (generate_series 0..len-10 == the kernel's full-window starts, no
+    // tails), canonical occurrence = first (doc_id, p) per window
+    // CONTENT (the engine groups 16-byte md5 — same equality), and a
+    // token is cut iff some non-canonical duplicated window start lies
+    // in [i-9, i]. Docs with no cuts pass through with ORIGINAL text
+    // (both engines only whitespace-normalize rebuilt docs); all-cut
+    // docs come back empty (string_agg over zero kept rows is NULL →
+    // coalesce '').
+    "q_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 10)) AS p
+        |  FROM toks WHERE len(w) >= 10),
+        |occ AS (
+        |  SELECT doc_id, p, array_to_string(w[p + 1 : p + 10], ' ') AS wt
+        |  FROM win),
+        |ranked AS (
+        |  SELECT doc_id, p,
+        |         row_number() OVER (PARTITION BY wt ORDER BY doc_id, p) AS rn,
+        |         count(*) OVER (PARTITION BY wt) AS n_occ
+        |  FROM occ),
+        |cuts AS (SELECT doc_id, p FROM ranked WHERE n_occ > 1 AND rn > 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(w) AS t,
+        |         CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS i
+        |  FROM toks WHERE len(w) > 0),
+        |cut_tok AS (
+        |  SELECT DISTINCT tok.doc_id, tok.i
+        |  FROM tok JOIN cuts ON cuts.doc_id = tok.doc_id
+        |                    AND cuts.p BETWEEN tok.i - 9 AND tok.i),
+        |agg AS (
+        |  SELECT tok.doc_id,
+        |         coalesce(string_agg(tok.t, ' ' ORDER BY tok.i)
+        |                  FILTER (WHERE cut_tok.i IS NULL), '') AS new_text,
+        |         count(cut_tok.i) AS removed,
+        |         count(*) AS total
+        |  FROM tok LEFT JOIN cut_tok
+        |    ON cut_tok.doc_id = tok.doc_id AND cut_tok.i = tok.i
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN a.doc_id IS NULL OR a.removed = 0 THEN d.text
+        |            ELSE a.new_text END AS text,
+        |       coalesce(a.removed, 0)::BIGINT AS removed_tokens,
+        |       coalesce(a.total, 0)::BIGINT AS total_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_vocab" ->
       """SELECT tok AS token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -762,6 +762,15 @@ object SparkEntry {
       TextOps.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
         tileWords = 10)),
 
+    "q_substring_dedup" -> ((s, dir) =>
+      // Span-level exact-substring dedup — Lee et al. 2021's actual
+      // contract: ANY repeated >=10-token run is removed after its first
+      // occurrence, including spans straddling q_paradup's tile grid.
+      // Stride-1 window fingerprints (16-byte md5, rows ∝ tokens),
+      // min-struct canonicals, one O(tokens+cuts) compiled rebuild.
+      TextOps.substringDedup(Tables.documents(s, dir), "doc_id", "text",
+        spanWords = 10)),
+
     "q_vocab" -> ((s, dir) =>
       // Vocabulary head: top-100 tokens by frequency, tie-broken by token
       // — map-side-combined hash agg + TakeOrderedAndProject.

@@ -79,6 +79,45 @@ case class WordChunks(child: Expression, window: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** 16-byte MD5 fingerprints of every full `window`-token stride-1
+  * window — span-level exact-substring dedup's per-row stage (see
+  * [[TextKernels.windowFingerprints]]): only digests enter the plan,
+  * never window text, so the downstream explode carries 16 bytes per
+  * corpus token position instead of `window`× the corpus. */
+case class WindowFingerprints(child: Expression, window: Int) extends UnaryExpression {
+  require(window >= 1, s"window=$window must be >= 1")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "window_fingerprints"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.windowFingerprints(input.asInstanceOf[UTF8String], window)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.windowFingerprints($c, $window)")
+  protected override def withNewChildInternal(newChild: Expression): WindowFingerprints =
+    copy(child = newChild)
+}
+
+/** Rebuild a document dropping every token covered by a cut window
+  * (ascending starts, each covering [s, s+window)) — one O(tokens +
+  * cuts) compiled pass (see [[TextKernels.removeSpans]]). NULL if
+  * either the text or the cut list is NULL (callers guard the no-cuts
+  * case with a passthrough). */
+case class RemoveSpans(left: Expression, right: Expression, window: Int)
+    extends BinaryExpression {
+  require(window >= 1, s"window=$window must be >= 1")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_spans"
+  protected override def nullSafeEval(text: Any, starts: Any): Any =
+    TextKernels.removeSpans(
+      text.asInstanceOf[UTF8String],
+      starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], window)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.TextKernels.removeSpans($t, $s, $window)")
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveSpans =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-hash MinHash signature over a (non-empty) shingle array. */
 case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
   require(perms >= 1, "need at least one permutation")
@@ -474,6 +513,13 @@ object native {
 
   def shingleHashes(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), k))
+
+  def windowFingerprints(text: Column, window: Int): Column =
+    ColumnBridge.column(WindowFingerprints(ColumnBridge.expression(text), window))
+
+  def removeSpans(text: Column, starts: Column, window: Int): Column =
+    ColumnBridge.column(RemoveSpans(
+      ColumnBridge.expression(text), ColumnBridge.expression(starts), window))
 
   def minhashSignature(shingles: Column, perms: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), perms))

@@ -299,7 +299,17 @@ object ScaleProbe {
       // exact count agg (∝ keys) + ONE capacity-bounded MG sketch
       // partial per partition — the checked pairing, q_profile_approx's
       // exact+sketch verification posture
-      "q_heavy_hitters_approx")
+      "q_heavy_hitters_approx",
+      // round-13: span-level exact-substring dedup — occurrence table
+      // rows ∝ corpus TOKENS (the honest O(n) of ExactSubstr), min/count
+      // canonical agg ∝ distinct window fingerprints, O(tokens+cuts)
+      // kernel rebuild; tiled copies make every window a corpus-wide
+      // repeat, the worst case for the dup table
+      "q_substring_dedup",
+      // round-13: trained char-n-gram NB language ID — bounded-sample
+      // closed-form training + zero-shuffle literal-CASE scoring (the
+      // q_quality_clf posture), eval report cells ∝ classes²
+      "q_langid_clf")
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
@@ -475,7 +485,11 @@ object ScaleProbe {
       // paragraph dedup's OWN skew regime (hot tile fingerprints across
       // its 10 alignments) — the min/count canonical aggregate must
       // map-side-combine it, and AQE must split the occurrence join.
-      Seq("q_containment", "q_subsume", "q_paradup").foreach { name =>
+      // q_substring_dedup joins too: stride-1 windows make the shared
+      // block ~40 hot fingerprints EACH present in 50% of docs — the
+      // min/count canonical agg must map-side-combine them and AQE must
+      // split the occurrence⋈dups join, same as the tile-grid flavor.
+      Seq("q_containment", "q_subsume", "q_paradup", "q_substring_dedup").foreach { name =>
         run(boilDir, name) // warm
         val tClean = (1 to 2).map(_ => run(oneDir, name)).min
         val tBoil = (1 to 2).map(_ => run(boilDir, name)).min
