@@ -1215,6 +1215,103 @@ private[graft] object OracleSqlRelational {
         |            END AS f1
         |FROM r ORDER BY class""".stripMargin,
 
+    // Retrains the IDENTICAL NB model (same sample cut, same top-512
+    // vocab head with count-desc/gram-asc ties, same Laplace algebra on
+    // exact counts) and rescores with the engine's exact fold: per
+    // class, in-vocab trigram terms sum in STREAM ORDER (list_sum over
+    // the filtered stream — the q_lm_score proven pattern) and the
+    // prior adds once — bit-identical score doubles, so the argmax
+    // (score DESC, class ASC) and therefore the whole report agree
+    // with no rounding step. substr counts CHARACTERS, matching the
+    // kernel's codepoint indexing.
+    "q_langid_clf" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |  FROM documents),
+        |samp AS (
+        |  SELECT lang, s FROM norm
+        |  WHERE lang IS NOT NULL AND s IS NOT NULL
+        |  ORDER BY doc_id LIMIT 500),
+        |sgrams AS (
+        |  SELECT lang,
+        |         unnest(list_transform(range(1, length(s) - 1),
+        |                               i -> substr(s, i, 3))) AS g
+        |  FROM samp WHERE length(s) >= 3),
+        |vocab AS (
+        |  SELECT g, count(*) AS gc FROM sgrams GROUP BY g
+        |  ORDER BY gc DESC, g LIMIT 512),
+        |vtot AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |classes AS (SELECT lang, count(*) AS n_c FROM samp GROUP BY lang),
+        |ctot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_tot,
+        |                CAST(count(*) AS BIGINT) AS n_cls FROM classes),
+        |cc AS (
+        |  SELECT sg.lang, sg.g, count(*) AS c
+        |  FROM sgrams sg JOIN vocab vo ON vo.g = sg.g
+        |  GROUP BY 1, 2),
+        |totc AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total_c
+        |         FROM cc GROUP BY lang),
+        |grid AS (
+        |  SELECT cl.lang, vo.g,
+        |         ln((coalesce(cc.c, 0) + 1.0)
+        |            / CAST(coalesce(tc.total_c, 0) + vt.v AS DOUBLE)) AS term
+        |  FROM classes cl CROSS JOIN vocab vo CROSS JOIN vtot vt
+        |  LEFT JOIN totc tc ON tc.lang = cl.lang
+        |  LEFT JOIN cc ON cc.lang = cl.lang AND cc.g = vo.g),
+        |model AS (
+        |  SELECT lang, map(list(g ORDER BY g), list(term ORDER BY g)) AS m
+        |  FROM grid GROUP BY lang),
+        |priors AS (
+        |  SELECT cl.lang,
+        |         ln((cl.n_c + 1.0) / CAST(ct.n_tot + ct.n_cls AS DOUBLE)) AS prior
+        |  FROM classes cl CROSS JOIN ctot ct),
+        |docg AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |         CASE WHEN length(s) >= 3
+        |              THEN list_transform(range(1, length(s) - 1),
+        |                                  i -> substr(s, i, 3))
+        |              ELSE [] END AS gs
+        |  FROM norm WHERE s IS NOT NULL),
+        |scores AS (
+        |  SELECT d.doc_id, d.true_lang, mo.lang AS cls,
+        |         p.prior + coalesce(list_sum(list_transform(
+        |           list_filter(d.gs, g -> len(map_extract(mo.m, g)) > 0),
+        |           g -> list_extract(map_extract(mo.m, g), 1))), 0.0) AS score
+        |  FROM docg d CROSS JOIN model mo JOIN priors p ON p.lang = mo.lang),
+        |pred AS (
+        |  SELECT doc_id, true_lang, cls AS lang_pred
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, cls ASC) AS rk FROM scores)
+        |  WHERE rk = 1),
+        |cells AS (
+        |  SELECT true_lang AS l, lang_pred AS p, count(*) AS n
+        |  FROM pred WHERE true_lang IS NOT NULL AND lang_pred IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sup AS (SELECT l AS class, CAST(sum(n) AS BIGINT) AS support
+        |        FROM cells GROUP BY 1),
+        |prd AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS predicted
+        |        FROM cells GROUP BY 1),
+        |tp AS (SELECT l AS class, n AS tp FROM cells WHERE l = p),
+        |m2 AS (
+        |  SELECT class,
+        |         coalesce(support, 0) AS support,
+        |         coalesce(predicted, 0) AS predicted,
+        |         CAST(coalesce(tp, 0) AS BIGINT) AS tp
+        |  FROM sup FULL OUTER JOIN prd USING (class)
+        |       LEFT JOIN tp USING (class)),
+        |r AS (
+        |  SELECT class, support, predicted, tp,
+        |         CASE WHEN predicted > 0
+        |              THEN CAST(tp AS DOUBLE) / predicted END AS precision,
+        |         CASE WHEN support > 0
+        |              THEN CAST(tp AS DOUBLE) / support END AS recall
+        |  FROM m2)
+        |SELECT class, support, predicted, tp, precision, recall,
+        |       CASE WHEN precision + recall > 0
+        |            THEN 2.0 * precision * recall / (precision + recall)
+        |            END AS f1
+        |FROM r ORDER BY class""".stripMargin,
+
     // Per-row list_distinct mirrors the engine's map-side array_distinct
     // — df counts DOCUMENTS, never occurrences.
     "q_boilerplate" ->

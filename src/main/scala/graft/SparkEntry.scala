@@ -1206,6 +1206,13 @@ object SparkEntry {
           .select(col("lang"), TextOps.languageId(col("text")).as("lang_pred")),
         "lang", "lang_pred")),
 
+    "q_langid_clf" -> ((s, dir) =>
+      // Trained char-trigram NB language ID on the q_eval_langid
+      // surface: counting-only training over a bounded sample,
+      // zero-shuffle reference-object scoring, report cells ∝ classes².
+      TextOps.langIdClassifier(Tables.documents(s, dir), "doc_id", "text",
+        "lang", sampleSize = 500, topK = 512, n = 3)),
+
     "q_boilerplate" -> ((s, dir) =>
       // Top shared word-3-grams by DOCUMENT frequency (df ≥ 5) — the
       // boilerplate-discovery audit that sizes every df stop-filter;

@@ -222,6 +222,76 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** All codepoint n-grams of the (caller-normalized) text in stream
+    * order WITH multiplicity — the char-level companion of [[ngrams]]:
+    * the feature extractor of the trained NB language ID
+    * ([[graft.ops.TextOps.langIdClassifier]]). CODEPOINT-indexed, not
+    * UTF-16-unit-indexed, so the DuckDB oracle's `substr` (which counts
+    * characters) extracts the identical grams on any BMP or astral
+    * text. Empty array for texts under n codepoints. */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - n + 1)
+    val sb = new java.lang.StringBuilder(n * 2)
+    var i = 0
+    while (i + n <= cps.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { sb.appendCodePoint(cps(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Multinomial-NB class prediction over codepoint n-grams — the
+    * scoring half of [[graft.ops.TextOps.langIdClassifier]], one
+    * compiled pass per doc with the trained model shipped as reference
+    * objects. Per class: accumulate the precomputed log-likelihood of
+    * every IN-VOCAB gram left-to-right from 0.0, add the prior once at
+    * the end — exactly `prior + list_sum(terms)` in the oracle's
+    * stream-order fold, so the score doubles are bit-identical and the
+    * argmax (strict >, first wins over asc-sorted labels == score DESC,
+    * class ASC) matches. NULL for an empty label set. */
+  def nbLangPredict(
+      text: UTF8String,
+      vocab: java.util.HashMap[String, Integer],
+      terms: Array[Array[Double]],
+      priors: Array[Double],
+      labels: Array[UTF8String],
+      n: Int): UTF8String = {
+    val c = labels.length
+    if (c == 0) return null
+    val acc = new Array[Double](c)
+    val cps = text.toString.codePoints().toArray
+    if (cps.length >= n) {
+      val sb = new java.lang.StringBuilder(n * 2)
+      var i = 0
+      while (i + n <= cps.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { sb.appendCodePoint(cps(i + j)); j += 1 }
+        val idx = vocab.get(sb.toString)
+        if (idx != null) {
+          val gi = idx.intValue()
+          var k = 0
+          while (k < c) { acc(k) += terms(k)(gi); k += 1 }
+        }
+        i += 1
+      }
+    }
+    var best = 0
+    var bestScore = priors(0) + acc(0)
+    var k = 1
+    while (k < c) {
+      val sc = priors(k) + acc(k)
+      if (sc > bestScore) { best = k; bestScore = sc }
+      k += 1
+    }
+    labels(best)
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al.): rolling
     * polynomial hashes over character k-grams of the whitespace-normalized
     * lowercased text, rightmost-minimum per window of `w` consecutive

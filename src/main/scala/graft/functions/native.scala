@@ -354,6 +354,74 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** All codepoint n-grams of the (caller-normalized) text in stream
+  * order — the char-level feature extractor of the trained NB language
+  * ID (see [[TextKernels.charNgrams]]). */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n=$n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgrams(input.asInstanceOf[UTF8String], n)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charNgrams($c, $n)")
+  protected override def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** Multinomial-NB class prediction over codepoint n-grams — the
+  * trained language-ID scorer (see [[TextKernels.nbLangPredict]]).
+  * The model (gram→index map, class-major term matrix, priors, labels)
+  * ships as codegen reference objects hashed/built once per task; the
+  * `Seq` constructor parameters keep Catalyst's case-class plan
+  * canonicalization structural (the [[UnigramNll]] posture). Scoring
+  * is ONE compiled pass per document — no model-table join, no
+  * shuffle. */
+case class NbLangPredict(
+    child: Expression,
+    labels: Seq[String],
+    priors: Seq[Double],
+    vocab: Seq[String],
+    terms: Seq[Seq[Double]],
+    n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n=$n must be >= 1")
+  // non-empty: defineCodeGen's null contract is input-null ⇒ output-null
+  // ONLY — a zero-class model would need a kernel-side null the codegen
+  // path cannot represent (callers guard the empty-corpus case)
+  require(labels.nonEmpty, "nb_lang_predict needs at least one class")
+  require(labels.size == priors.size && labels.size == terms.size,
+    s"labels/priors/terms disagree: ${labels.size}/${priors.size}/${terms.size}")
+  require(terms.forall(_.size == vocab.size),
+    "every class needs one term per vocab gram")
+  @transient private lazy val vocabMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2 + 16)
+    vocab.zipWithIndex.foreach { case (g, i) => m.put(g, Integer.valueOf(i)) }
+    m
+  }
+  @transient private lazy val termArr: Array[Array[Double]] = terms.map(_.toArray).toArray
+  @transient private lazy val priorArr: Array[Double] = priors.toArray
+  @transient private lazy val labelArr: Array[UTF8String] =
+    labels.map(UTF8String.fromString).toArray
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nb_lang_predict"
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.nbLangPredict(
+      input.asInstanceOf[UTF8String], vocabMap, termArr, priorArr, labelArr, n)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("nbVocab", vocabMap, "java.util.HashMap")
+    val tRef = ctx.addReferenceObj("nbTerms", termArr, "double[][]")
+    val pRef = ctx.addReferenceObj("nbPriors", priorArr, "double[]")
+    val lRef = ctx.addReferenceObj("nbLabels", labelArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.nbLangPredict($c, $vRef, $tRef, $pRef, $lRef, $n)")
+  }
+  protected override def withNewChildInternal(newChild: Expression): NbLangPredict =
+    copy(child = newChild)
+}
+
 /** Unigram-LM negative log-likelihood — see [[TextKernels.unigramNll]].
   * The (term, count) vocab ships as a codegen reference object hashed
   * once per task (`Seq` so Catalyst's case-class canonicalization stays
@@ -570,6 +638,19 @@ object native {
 
   def mediaDims(bytes: Column): Column =
     ColumnBridge.column(MediaDims(ColumnBridge.expression(bytes)))
+
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  def nbLangPredict(
+      text: Column,
+      labels: Seq[String],
+      priors: Seq[Double],
+      vocab: Seq[String],
+      terms: Seq[Seq[Double]],
+      n: Int): Column =
+    ColumnBridge.column(
+      NbLangPredict(ColumnBridge.expression(text), labels, priors, vocab, terms, n))
 
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContain(

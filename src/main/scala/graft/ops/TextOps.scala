@@ -365,6 +365,92 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Trained char-n-gram multinomial Naive-Bayes language ID, evaluated
+    * as a [[graft.ops.Relational.classificationReport]] against the
+    * labeled `langCol` — the closed-loop companion of the q_eval_langid
+    * row: that report measures the HEURISTIC stopword gate
+    * ([[languageId]]); this one trains the replacement on the labels
+    * and reports on the identical surface (LangIdClfSpec pins the NB's
+    * macro-F1 beats the heuristic's on the fixture).
+    *
+    * Training is CLOSED-FORM COUNTING (the [[qualityClassifier]]
+    * posture — deterministic, retrain-identical, no iterative fit):
+    * over the first `sampleSize` labeled docs by id, count codepoint
+    * n-grams of the lowercased whitespace-normalized text
+    * ([[graft.functions.CharNgrams]]); the vocab is the global top-K
+    * head (count desc, gram asc — the q_lm_score head convention);
+    * per-class Laplace log-likelihoods over that restricted vocab and
+    * smoothed log-priors are computed DRIVER-side on exact counts.
+    * The three training collects are all bounded: ≤ topK vocab rows,
+    * ≤ topK × classes cell rows, ≤ classes prior rows — never corpus.
+    *
+    * Scoring is ONE compiled pass per document
+    * ([[graft.functions.NbLangPredict]] — model as codegen reference
+    * objects, zero shuffle, no model-table join): per class, in-vocab
+    * gram terms accumulate in STREAM ORDER from 0.0 and the prior adds
+    * once at the end — exactly the oracle's `prior + list_sum(...)`
+    * fold, so score doubles are bit-identical across engines and the
+    * argmax (score desc, class asc) agrees without any rounding step.
+    * The report's cells then aggregate ∝ classes², never rows. */
+  def langIdClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      sampleSize: Int = 500,
+      topK: Int = 512,
+      n: Int = 3): DataFrame = {
+    require(sampleSize >= 1 && topK >= 1 && n >= 1,
+      s"sampleSize=$sampleSize topK=$topK n=$n must all be >= 1")
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val samp = df
+      .filter(col(langCol).isNotNull && col(textCol).isNotNull)
+      .orderBy(col(idCol))
+      .limit(sampleSize)
+      .select(col(langCol).as("__lang"), norm.as("__s"))
+    val grams = samp.select(
+      col("__lang"),
+      explode(graft.functions.native.charNgrams(col("__s"), n)).as("__g"))
+    // bounded collect: ≤ topK rows (the declared vocab head)
+    val vocab = grams
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__g").asc)
+      .limit(topK)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // bounded collect: ≤ classes rows
+    val priorRows = samp.groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = priorRows.keySet.toSeq.sorted
+    if (labels.isEmpty || vocab.isEmpty) {
+      // empty corpus/sample: nothing to train or predict — the report
+      // over an all-NULL prediction column is empty
+      return Relational.classificationReport(
+        df.select(col(langCol), lit(null).cast("string").as("__pred")),
+        langCol, "__pred")
+    }
+    // bounded collect: ≤ topK × classes rows
+    val classCounts = grams
+      .filter(col("__g").isInCollection(vocab))
+      .groupBy(col("__lang"), col("__g")).agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val v = vocab.size
+    val nTotal = priorRows.values.sum
+    val priors = labels.map(c =>
+      math.log((priorRows(c) + 1.0) / (nTotal + labels.size).toDouble))
+    val terms = labels.map { c =>
+      val totalC = vocab.iterator.map(g => classCounts.getOrElse((c, g), 0L)).sum
+      val denom = (totalC + v).toDouble
+      vocab.map(g => math.log((classCounts.getOrElse((c, g), 0L) + 1.0) / denom))
+    }
+    Relational.classificationReport(
+      df.select(
+        col(langCol),
+        graft.functions.native.nbLangPredict(norm, labels, priors, vocab, terms, n)
+          .as("__pred")),
+      langCol, "__pred")
+  }
+
   /** Per-document Shannon character entropy (nats, rounded to 6
     * decimals): the cheap diversity gate that catches what length/ratio
     * rules miss — "aaaa…" padding, single-character spam, base64-ish
