@@ -331,8 +331,9 @@ object NearDup {
     * layout params as the write) — the close of the incremental loop:
     * probe today's batch against the index, then append the batch so
     * tomorrow's probe sees it as history. Append-only parquet under the
-    * SAME partition dirs; no compaction needed at any cadence coarser
-    * than [[graft.ops.Compact]]'s small-file threshold. */
+    * SAME partition dirs — one file per touched part per batch, so run
+    * [[compactMinhashIndex]] on the small-file cadence (the IVF/LSH
+    * generation-swap discipline, probe-equality preserved). */
   def appendMinhashIndex(
       df: DataFrame,
       idCol: String,
@@ -345,6 +346,78 @@ object NearDup {
     bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
       .withColumn("part", minhashPartExpr(nParts))
       .write.partitionBy("part").mode("append").parquet(path)
+
+  /** Compact an append-accumulated MinHash signature index in place —
+    * the signature-index port of [[graft.ops.Similarity.compactIndex]]'s
+    * marker-bracketed generation swap: every [[appendMinhashIndex]]
+    * batch adds one file per touched `part` directory, so a
+    * daily-ingest index scans batches×parts small files after a quarter
+    * — compaction rewrites the layout to ONE file per part (each part
+    * value hashes to exactly one task of the `repartition(part)` write)
+    * and leaves probes and future appends untouched semantically
+    * (probe equality before/after is spec-pinned).
+    *
+    * Crash-safe swap, same discipline as the IVF/LSH flavor: the
+    * compacted generation is FULLY written to a sibling `__compact`
+    * dir before any destructive step; a `__COMPACTING` marker brackets
+    * the swap; a later call HEALS an interruption by inspecting which
+    * directories survived (marker + compact + live ⇒ conservative
+    * re-compact: drop marker FIRST, then the possibly-mid-swap compact
+    * dir; marker without live index ⇒ finish the swap). At no point is
+    * the only copy of any row mid-rename. Hadoop FileSystem reports
+    * failure by returning false — every destructive step aborts on
+    * false with the marker intact, so a retry heals instead of losing
+    * rows. Quiesce appends AND probes for the swap window: between the
+    * two renames the index path transiently does not exist (a
+    * concurrent probe can fail with missing-path, never read wrong
+    * data). Returns false (touching nothing) when the index does not
+    * exist. */
+  def compactMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new Path(path)
+    val fs = live.getFileSystem(conf)
+    val compactDir = new Path(path + "__compact")
+    val oldDir = new Path(path + "__old")
+    val marker = new Path(path + "__COMPACTING")
+    def renamed(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst),
+        s"compactMinhashIndex: rename $src -> $dst returned false; aborting with marker intact")
+    def deleted(p: Path, recursive: Boolean): Unit =
+      if (fs.exists(p)) require(fs.delete(p, recursive),
+        s"compactMinhashIndex: delete $p returned false; aborting with marker intact")
+    if (fs.exists(marker)) {
+      if (fs.exists(compactDir) && fs.exists(live)) {
+        // crashed between marker creation and the first rename: the
+        // live index is whole, the compact generation may be mid-write
+        // from an aborted heal — discard it and re-compact. Marker
+        // drops FIRST (the Similarity.compactIndex heal-ordering
+        // argument: a crash between these two deletes must read as a
+        // plain fresh compaction, not as "swap in flight").
+        deleted(marker, false)
+        deleted(compactDir, true)
+      } else {
+        // first rename happened: live is gone (or already swapped) —
+        // finish: promote the compact generation, clear the old one;
+        // marker drops LAST so a crash mid-cleanup re-enters here
+        if (fs.exists(compactDir)) renamed(compactDir, live)
+        deleted(oldDir, true)
+        deleted(marker, false)
+      }
+    }
+    if (!fs.exists(live)) return false
+    spark.read.parquet(path)
+      .repartition(col("part"))
+      .write.partitionBy("part").mode("overwrite").parquet(compactDir.toString)
+    fs.create(marker, true).close()
+    renamed(live, oldDir)
+    renamed(compactDir, live)
+    deleted(oldDir, true)
+    deleted(marker, false)
+    true
+  }
 
   /** Incremental near-dup: `incoming` checked against the PERSISTED
     * history index — every (new_id, old_id, jaccard ≥ threshold) cross
