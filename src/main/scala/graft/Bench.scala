@@ -439,8 +439,12 @@ object Bench {
         } catch { case _: Throwable => None }
       }.getOrElse(Map.empty)
     }
+    // 1.5× (round-13 tightening, judge-prescribed): the r12 q_ingest
+    // contamination was 2.01× prior and survived the old 2.0 gate by a
+    // hair's breadth of rounding; 1.5× still clears codegen jitter with
+    // the >0.1 s floor below
     val crossFactor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_FACTOR", "2.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_FACTOR", "1.5").toDouble
     val results = spreadAdjusted.map {
       // >0.1 s floor: sub-100 ms priors double on codegen-cache jitter alone
       case (name, Right(ts), _)
@@ -480,6 +484,17 @@ object Bench {
       s"${jstr(k)}:${ts.map(fmt).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val reran = results.collect { case (k, _, true) => jstr(k) }.mkString("[", ",", "]")
+    // Queries whose FINAL min (after every re-run) still exceeds the
+    // cross-round threshold: `reran` alone cannot distinguish "re-ran
+    // and recovered" (ambient load, rescued) from "re-ran and still
+    // slow" (a genuine plan regression) — this field names the latter
+    // with [current_min, prior_min] so the round reader never has to
+    // diff artifacts by hand (the r12 q_ingest adjudication).
+    val regressed = results.collect {
+      case (k, Right(ts), _)
+          if priorQueries.get(k).exists(p => p > 0.1 && ts.min > p * crossFactor) =>
+        s"${jstr(k)}:[${fmt(ts.min)},${fmt(priorQueries(k))}]"
+    }.mkString("{", ",", "}")
     // failed queries report -1 individually but must not distort the total
     val total = best.map(_._2).filter(_ >= 0).sum
     // the round-1 query set, for like-for-like comparison against the
@@ -496,7 +511,7 @@ object Bench {
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     val replayIters = replaySecs.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","replay_reran":$replayReran,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"regressed":$regressed,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","replay_reran":$replayReran,"sf":"$sfDir"}"""
     println(line)
     // persist the full line: the driver's BENCH_r*.json keeps only an
     // output tail, and the cross-round guard needs last round's mins.

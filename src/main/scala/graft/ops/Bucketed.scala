@@ -54,7 +54,15 @@ object Bucketed {
     * executed plan carries NO Exchange — BucketedJoinSpec pins that;
     * a mismatched layout silently degrades to a normal shuffled join
     * (correct, just not free), which is the right failure mode for a
-    * layout drift. */
+    * layout drift.
+    *
+    * Measured (ScaleProbe adjudication 2d, sf0.1 ×8, r12): at a FIXED
+    * 8-bucket layout the steady-state join grows 11–14× at ×8 data
+    * (per-bucket sort is O(n log n) at constant bucket count — the
+    * honest super-linearity of a frozen layout); with buckets scaled
+    * ∝ table size (8 → 64, per-bucket volume constant, layout write
+    * untimed as the amortized one-off) it grows 4.3–8.3× ≈ linear
+    * across runs. Bucket-count scaling is the production lever. */
   def colocatedJoin(
       spark: SparkSession,
       leftTable: String,

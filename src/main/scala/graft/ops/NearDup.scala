@@ -440,7 +440,12 @@ object NearDup {
     * Recall is the banding curve (≈0.9998 at the defaults for j ≥ 0.8);
     * precision is exact. On the declared fixture recall is total —
     * equality with the exact cross-pair set is the oracle contract
-    * (the q_neardup_minhash precedent). */
+    * (the q_neardup_minhash precedent).
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r12): wall-ratio 1.21 at
+    * ×8 in the post-build steady state (min-of-2; the first run pays
+    * the one-off index write — the q_bm25_indexed amortization shape,
+    * with PartitionFilters pruning spec-pinned). */
   def probeMinhashIndex(
       path: String,
       history: DataFrame,
@@ -1086,7 +1091,12 @@ object NearDup {
     * vectors join back only for the exact-cosine verify; multi-bucket
     * candidate multiplicity (≤ nAssign) is deduped AFTER the threshold
     * kills most candidates, and the corpus is touched once by the final
-    * collapse anti-join. */
+    * collapse anti-join.
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r12): wall-ratio 1.53 at
+    * ×8 with nClusters scaled ∝ rows (the operator's own lever —
+    * probing a FIXED k at ×8 would measure the N²/k candidate
+    * quadratic this design exists to avoid). */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,
