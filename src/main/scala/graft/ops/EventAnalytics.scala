@@ -41,7 +41,13 @@ object EventAnalytics {
     * conversion window anchored at the user's FIRST step-1 event —
     * first-touch attribution, the standard product-analytics choice: a
     * later step-1 event never re-anchors, so "converted within an hour
-    * of first viewing" means the first view. Default unbounded. */
+    * of first viewing" means the first view. Default unbounded.
+    *
+    * Measured (ScaleProbe skew adjudication, sf0.1 ×8, one user holding
+    * ~50% of events): hot-user corpus costs 1.4–1.6× the uniform one —
+    * the hot user's run serializes into one task's sort+scan TIME
+    * (bounded by ~0.5·cores in theory) and never into buffer memory,
+    * which is the claim the O(1)-per-user fold makes. */
   def funnel(
       events: DataFrame,
       userCol: String,

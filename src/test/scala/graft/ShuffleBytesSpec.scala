@@ -91,6 +91,22 @@ class ShuffleBytesSpec extends SparkTestBase {
     assert(b < corpusTextBytes * 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
   }
 
+  test("substringDedup shuffles 16-byte window digests, never the L-times-amplified window text") {
+    val b = shuffleBytes {
+      SparkEntry.queries("q_substring_dedup")(spark, sf01)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // stride-1 occurrences are (id 8B, pos 4B, digest 16B) per corpus
+    // TOKEN — ~28/6 ≈ 5× the corpus text bytes through the canonical
+    // aggregate, the honest O(n) of ExactSubstr; plus cut lists and the
+    // declared ORDER BY's one output exchange. What must NOT appear is
+    // the materialized 10-token window TEXT (~10× corpus ON TOP —
+    // the kernel digests in place precisely so it never exists as rows);
+    // 8× total pins digests-only with margin while any text
+    // materialization would at least double it.
+    assert(b < corpusTextBytes * 8, s"shuffled $b bytes vs corpus $corpusTextBytes")
+  }
+
   test("decontamination never shuffles the training corpus") {
     val b = shuffleBytes {
       SparkEntry.queries("q_decontaminate")(spark, sf01)
