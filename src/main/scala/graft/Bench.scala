@@ -420,9 +420,16 @@ object Bench {
     // driver's BENCH_r*.json artifacts keep only a 2000-char output tail),
     // else the newest driver artifact's surviving iteration lists.
     val priorQueries: Map[String, Double] = {
-      priorText.flatMap { txt =>
+      priorText.flatMap { txt0 =>
         try {
           {
+            // the prior's own "regressed" map must NOT feed the guard:
+            // its [current, prior] pairs carry the PRE-regression min,
+            // and the min-fold below would re-inject it forever — the
+            // prior could never advance to an accepted slower figure
+            // and a steady query would be re-run and re-flagged every
+            // round (round-13 review finding)
+            val txt = txt0.replaceAll("\"regressed\":\\{[^}]*\\}", "")
             // accept both shapes: `"q_x":0.12` (queries map) and
             // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
             val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r

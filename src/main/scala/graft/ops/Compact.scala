@@ -2,6 +2,32 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 
+/** Abort-on-false Hadoop FileSystem steps shared by the index
+  * compactors ([[Similarity.compactIndex]], [[NearDup.compactMinhashIndex]]):
+  * FileSystem reports failure by RETURNING FALSE, not throwing, and a
+  * destructive step that continues past a failed rename deletes data
+  * whose rows never landed — both swaps must abort with their marker
+  * intact so the next call's heal path finishes or unwinds. Factored so
+  * a fix to the failure discipline cannot silently miss one copy
+  * (round-13 review finding). */
+private[ops] object FsSteps {
+  def renamed(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path,
+      ctx: String): Unit =
+    require(fs.rename(src, dst),
+      s"$ctx: rename $src -> $dst returned false; aborting with marker intact")
+
+  def deleted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      recursive: Boolean,
+      ctx: String): Unit =
+    if (fs.exists(p)) require(fs.delete(p, recursive),
+      s"$ctx: delete $p returned false; aborting with marker intact")
+}
+
 /** Small-file compaction for a parquet corpus — the operational
   * counterpart of the streaming sinks: a micro-batch parquet sink
   * appends at least one file per batch per partition, and a week of

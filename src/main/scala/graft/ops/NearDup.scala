@@ -383,28 +383,30 @@ object NearDup {
     val oldDir = new Path(path + "__old")
     val marker = new Path(path + "__COMPACTING")
     def renamed(src: Path, dst: Path): Unit =
-      require(fs.rename(src, dst),
-        s"compactMinhashIndex: rename $src -> $dst returned false; aborting with marker intact")
+      FsSteps.renamed(fs, src, dst, "compactMinhashIndex")
     def deleted(p: Path, recursive: Boolean): Unit =
-      if (fs.exists(p)) require(fs.delete(p, recursive),
-        s"compactMinhashIndex: delete $p returned false; aborting with marker intact")
+      FsSteps.deleted(fs, p, recursive, "compactMinhashIndex")
     if (fs.exists(marker)) {
       if (fs.exists(compactDir) && fs.exists(live)) {
         // crashed between marker creation and the first rename: the
         // live index is whole, the compact generation may be mid-write
-        // from an aborted heal — discard it and re-compact. Marker
-        // drops FIRST (the Similarity.compactIndex heal-ordering
+        // from an aborted heal — discard it and re-compact below.
+        // Marker drops FIRST (the Similarity.compactIndex heal-ordering
         // argument: a crash between these two deletes must read as a
         // plain fresh compaction, not as "swap in flight").
         deleted(marker, false)
         deleted(compactDir, true)
       } else {
-        // first rename happened: live is gone (or already swapped) —
-        // finish: promote the compact generation, clear the old one;
-        // marker drops LAST so a crash mid-cleanup re-enters here
+        // first rename happened: the compact generation is COMPLETE
+        // (the marker is only ever created after its write finishes) —
+        // finish: promote it, clear the old one; marker drops LAST so
+        // a crash mid-cleanup re-enters here. The promoted index IS
+        // the compacted goal state, so return without paying a second
+        // full rewrite (round-13 review finding).
         if (fs.exists(compactDir)) renamed(compactDir, live)
         deleted(oldDir, true)
         deleted(marker, false)
+        return true
       }
     }
     if (!fs.exists(live)) return false
