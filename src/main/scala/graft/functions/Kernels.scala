@@ -632,6 +632,50 @@ object VectorKernels {
     out
   }
 
+  /** Int8 quantization of one float vector in ONE compiled pass —
+    * struct(scale, codes): scale = max |xᵢ| as double (the fold order
+    * of `aggregate`+`greatest`, with Spark's NaN-ranks-above ordering
+    * via Double.compare and NULL elements skipped), codes =
+    * round(xᵢ/scale·127) with the exact HALF_UP BigDecimal.valueOf
+    * arithmetic Spark's `round` applies to doubles (matching DuckDB's
+    * half-away-from-zero — the declared oracle's contract); NULL codes
+    * when scale is not a positive number (zero/empty vector, or a NaN
+    * element — where the HOF formulation's NaN-propagating division
+    * would throw on the ANSI int cast, the kernel's NULL is the useful
+    * answer). Replaced the aggregate+transform HOF pipeline, which
+    * evaluated interpreted per ELEMENT and dominated q_quantize's wall
+    * time (the wordNgrams lesson); the HOF model remains the spec's
+    * independent cross-check. */
+  def quantizeInt8(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(vec.getFloat(i).toDouble)
+        if (java.lang.Double.compare(a, scale) > 0) scale = a
+      }
+      i += 1
+    }
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    out.setDouble(0, scale)
+    if (scale > 0.0) { // false for NaN: codes stay NULL
+      val codes = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) {
+          codes(i) = java.math.BigDecimal
+            .valueOf(vec.getFloat(i).toDouble / scale * 127)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .intValue()
+        }
+        i += 1
+      }
+      out.update(1, new GenericArrayData(codes))
+    }
+    out
+  }
+
   /** Cosine similarity of two float vectors, double accumulation, one
     * pass; null when either norm is zero OR the lengths differ (same
     * contract as the HOF formulation — zip_with null-pads ragged arrays

@@ -354,6 +354,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 quantization of a float vector — struct(scale, codes) in one
+  * compiled pass (see [[VectorKernels.quantizeInt8]]); replaced the
+  * per-element-interpreted aggregate+transform HOF pipeline. */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = true)))
+  override def prettyName: String = "quantize_int8"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeInt8(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.quantizeInt8($c)")
+  protected override def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
 /** All codepoint n-grams of the (caller-normalized) text in stream
   * order — the char-level feature extractor of the trained NB language
   * ID (see [[TextKernels.charNgrams]]). */
@@ -641,6 +658,9 @@ object native {
 
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  def quantizeInt8(vec: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec)))
 
   def nbLangPredict(
       text: Column,
