@@ -58,6 +58,15 @@ class LangIdClfSpec extends SparkTestBase {
     assert(once() == once())
   }
 
+  test("report is partitioning-independent: the sample cut and vocab head are total orders") {
+    val docs = Tables.documents(spark, sf001)
+    def at(p: Int) = TextOps.langIdClassifier(docs.repartition(p),
+      "doc_id", "text", "lang", sampleSize = 200, topK = 256, n = 3)
+      .collect().toSeq
+    val base = at(1)
+    assert(at(4) == base && at(16) == base)
+  }
+
   test("scoring is a zero-shuffle projection — the corpus never exchanges") {
     val pred = graft.functions.native.nbLangPredict(
       lower(col("text")), Seq("aa", "zz"), Seq(0.0, 0.0),

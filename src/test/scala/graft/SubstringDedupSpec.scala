@@ -95,6 +95,43 @@ class SubstringDedupSpec extends SparkTestBase {
       TextKernels.windowFingerprints(UTF8String.fromString("a b"), 3).numElements() == 0)
   }
 
+  test("token conservation on a random corpus: removed + kept == total, at any partitioning") {
+    // seeded random corpus with planted sharing: docs draw from a small
+    // vocabulary so repeated >=L spans arise naturally
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val shared = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      val own = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 3 == 0) s"$own $shared" else own)
+    }
+    for (p <- Seq(1, 4, 16)) {
+      val got = TextOps.substringDedup(
+        docs.toDF("doc_id", "text").repartition(p), "doc_id", "text", spanWords = 4)
+        .collect()
+      assert(got.length == 40)
+      got.foreach { r =>
+        val kept = r.getString(1).split("\\s+").count(_.nonEmpty)
+        assert(r.getLong(2) + kept == r.getLong(3),
+          s"p=$p doc=${r.getLong(0)}: removed=${r.getLong(2)} kept=$kept total=${r.getLong(3)}")
+      }
+      // partitioning-independence: min-struct canonicals are a total
+      // order, so the output is identical at any layout
+      val one = TextOps.substringDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", spanWords = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == one)
+    }
+  }
+
+  test("mass duplication: N identical docs keep exactly one intact copy") {
+    val docs = (0L until 12L).map(i => (i, "p q r s t u v w"))
+    val got = run(docs, span = 4)
+    assert(got.count(_._2 == "p q r s t u v w") == 1)
+    assert(got.count(_._2 == "") == 11)
+    assert(got.find(_._2.nonEmpty).get._1 == 0L, "the min-id doc is the canonical survivor")
+  }
+
   test("removeSpans kernel: single pointer pass handles nested/overlapping covers") {
     def rm(text: String, starts: Seq[Int], w: Int): String =
       TextKernels.removeSpans(
