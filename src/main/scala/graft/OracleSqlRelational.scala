@@ -24,19 +24,19 @@ private[graft] object OracleSqlRelational {
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1 ORDER BY user_id ASC NULLS LAST""".stripMargin,
 
     "q_changelog_apply" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id ASC NULLS LAST""".stripMargin,
 
     "q_envelope_apply" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, props
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id""".stripMargin,
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY user_id ASC NULLS LAST""".stripMargin,
 
     "q_live_count" ->
       """SELECT COUNT(*) AS live_count
@@ -58,7 +58,7 @@ private[graft] object OracleSqlRelational {
     "q_group_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_rollup" ->
       """SELECT event_type, (user_id % 10) AS bucket, COUNT(*) AS cnt,
@@ -73,24 +73,24 @@ private[graft] object OracleSqlRelational {
         |FROM (SELECT event_type, event_id, ts, value,
         |             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
         |      FROM events) t
-        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+        |WHERE rank <= 3 ORDER BY event_type ASC NULLS LAST, rank""".stripMargin,
 
     "q_struct_key" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_null_guard" ->
       """SELECT event_type, COUNT(*) AS n_valid,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE value IS NOT NULL AND NOT isnan(value)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY event_type ASC NULLS LAST""".stripMargin,
 
     "q_window_tumble" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         |       event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 NULLS LAST""".stripMargin,
 
     // Same integer nanos bucketing as q_window_tumble; finite-only
     // values rank (NaN/NULL desc orderings differ across engines) with
@@ -106,7 +106,7 @@ private[graft] object OracleSqlRelational {
         |  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value))
         |SELECT window_start_sec, event_type, "rank", event_id, value
         |FROM r WHERE "rank" <= 3
-        |ORDER BY window_start_sec, event_type, "rank"""".stripMargin,
+        |ORDER BY window_start_sec, event_type ASC NULLS LAST, "rank"""".stripMargin,
 
     // Same integer nanos bucketing as q_window_tumble, same discrete
     // rank arithmetic as q_quantiles, non-null values on both sides.
@@ -230,7 +230,7 @@ private[graft] object OracleSqlRelational {
         |  FROM events)
         |SELECT window_start_sec, event_type, COUNT(*) AS cnt
         |FROM h WHERE window_start_sec >= 0
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2 NULLS LAST""".stripMargin,
 
     "q_window_session" ->
       """WITH o AS (
@@ -241,7 +241,7 @@ private[graft] object OracleSqlRelational {
         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS sess
         |      FROM o)
         |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us, COUNT(*) AS n_events
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin,
+        |FROM s GROUP BY user_id, sess ORDER BY user_id ASC NULLS LAST, session_start_us""".stripMargin,
 
     "q_enrich_join" ->
       """SELECT n_name, COUNT(*) AS n_orders,
@@ -260,7 +260,7 @@ private[graft] object OracleSqlRelational {
         |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
         |       MAX(n_chars) AS max_chars,
         |       CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     "q_repetition" ->
       // same tokenization + 3-gram construction as the q_neardup_jaccard
@@ -642,7 +642,7 @@ private[graft] object OracleSqlRelational {
       """SELECT lang,
         |       CAST(SUM(len(regexp_extract_all(text,
         |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     // same exactSum convention as q_pricing: decimal accumulation,
     // one final DOUBLE cast per cell
@@ -655,7 +655,7 @@ private[graft] object OracleSqlRelational {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P'
         |    THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE) AS "P"
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
 
     // bucket arithmetic mirrors the engine exactly: floor((x-lo)/width)
     // with binary-exact lo/width literals, >= hi clamped to the last
@@ -698,7 +698,7 @@ private[graft] object OracleSqlRelational {
         |WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1e15
         |  AND n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
-        |ORDER BY e.event_type, e.event_id""".stripMargin,
+        |ORDER BY e.event_type ASC NULLS LAST, e.event_id""".stripMargin,
 
     // slots by integer floor-division of epoch-nanos; latest-in-slot by
     // (ts, event_id); per-key slot spine via generate_series; LOCF via
@@ -864,7 +864,7 @@ private[graft] object OracleSqlRelational {
         |SELECT d.event_type, d.event_id, d.v AS value, d.dev AS abs_dev, md.mad AS mad
         |FROM d JOIN md USING (event_type)
         |WHERE md.mad > 0 AND d.dev > 3.0 * md.mad
-        |ORDER BY d.event_type, d.event_id""".stripMargin,
+        |ORDER BY d.event_type ASC NULLS LAST, d.event_id""".stripMargin,
 
     // Shares divide exact BIGINT counts (cum_share divides the exact
     // CUMULATIVE count, not a float running sum) — identical doubles.

@@ -583,7 +583,7 @@ private[graft] object OracleSqlSimilarity {
         |SELECT label, dim,
         |       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
         |       / COUNT(*) AS value
-        |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+        |FROM e GROUP BY 1, 2 ORDER BY label ASC NULLS LAST, dim""".stripMargin,
 
     // Discrete quantiles at rank floor(p*(n-1))+1 — integer rank
     // arithmetic plus one identically-rounded multiply, so the engines
@@ -598,7 +598,7 @@ private[graft] object OracleSqlSimilarity {
         |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN n_chars END) AS p50,
         |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     // Cross-engine GK-sketch values can't hash-match, so the contract is
     // the exact quantiles plus the engine-side rank-bound check: the
@@ -615,7 +615,7 @@ private[graft] object OracleSqlSimilarity {
         |       MAX(CASE WHEN rk = floor(0.9 * (n - 1)) + 1 THEN n_chars END) AS p90,
         |       MAX(CASE WHEN rk = floor(0.99 * (n - 1)) + 1 THEN n_chars END) AS p99,
         |       TRUE AS approx_ok
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM r GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
 
     // Sliding word windows as space-joined strings; DuckDB list slicing
     // w[i : i+1] is stop-INCLUSIVE (2 tokens), generate_series(1, len-1)

@@ -141,7 +141,7 @@ object SparkEntry {
       Changelog
         .latestByKey(Tables.withTsMicros(Tables.events(s, dir)), Seq("user_id"), col("event_id"))
         .select("user_id", "event_id", "ts_us", "event_type", "value", "props")
-        .orderBy(col("user_id"))),
+        .orderBy(col("user_id").asc_nulls_last)),
 
     "q_changelog_apply" -> ((s, dir) =>
       Changelog
@@ -151,7 +151,7 @@ object SparkEntry {
           col("event_id"),
           col("event_type") === "delete")
         .select("user_id", "event_id", "ts_us", "event_type", "value", "props")
-        .orderBy(col("user_id"))),
+        .orderBy(col("user_id").asc_nulls_last)),
 
     "q_envelope_apply" -> ((s, dir) => {
       // The full A2+A3+B1+B3+C2 path: Debezium-style envelope (with real
@@ -160,7 +160,7 @@ object SparkEntry {
       // events, same semantics, different wire representation.
       val env = graft.sources.Cdc.envelopeFromEvents(
         Tables.withTsMicros(Tables.events(s, dir)))
-      graft.sources.Cdc.applyEnvelope(env, "user_id").orderBy(col("user_id"))
+      graft.sources.Cdc.applyEnvelope(env, "user_id").orderBy(col("user_id").asc_nulls_last)
     }),
 
     "q_live_count" -> ((s, dir) =>
@@ -201,7 +201,7 @@ object SparkEntry {
           partitionCols = Seq("event_type"),
           col("value").desc, col("event_id").asc)
         .select("event_type", "event_id", "ts_us", "value", "rank")
-        .orderBy(col("event_type"), col("rank"))),
+        .orderBy(col("event_type").asc_nulls_last, col("rank"))),
 
     "q_struct_key" -> ((s, dir) => {
       // Debezium-style STRUCT{ID} message key: build, then re-extract
@@ -212,7 +212,7 @@ object SparkEntry {
       keyed
         .groupBy(col("event_type"))
         .agg(countDistinct(col("key.ID")).as("n_keys"))
-        .orderBy(col("event_type"))
+        .orderBy(col("event_type").asc_nulls_last)
     }),
 
     "q_null_guard" -> ((s, dir) =>
@@ -223,7 +223,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_valid"),
           Relational.exactSumDouble(col("value")).as("sum_value"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type").asc_nulls_last)),
 
     // --- north-star extensions -------------------------------------------
     "q_window_tumble" -> ((s, dir) =>
@@ -236,7 +236,7 @@ object SparkEntry {
           aggs = Seq(
             count(lit(1)).as("cnt"),
             Relational.exactSumDouble(col("value")).as("sum_value")))
-        .orderBy(col("window_start_sec"), col("event_type"))),
+        .orderBy(col("window_start_sec"), col("event_type").asc_nulls_last)),
 
     "q_window_hop" -> ((s, dir) =>
       Windowing
@@ -247,7 +247,7 @@ object SparkEntry {
           hopSeconds = 3600,
           dims = Seq(col("event_type")),
           aggs = Seq(count(lit(1)).as("cnt")))
-        .orderBy(col("window_start_sec"), col("event_type"))),
+        .orderBy(col("window_start_sec"), col("event_type").asc_nulls_last)),
 
     "q_window_session" -> ((s, dir) =>
       // Session math runs on the epoch-MICROS view: DuckDB reads the
@@ -264,7 +264,7 @@ object SparkEntry {
           aggs = Seq(count(lit(1)).as("n_events")))
         .withColumnRenamed("session_start_ns", "session_start_us")
         .select(col("user_id"), col("session_start_us"), col("n_events"))
-        .orderBy(col("user_id"), col("session_start_us"))),
+        .orderBy(col("user_id").asc_nulls_last, col("session_start_us"))),
 
     "q_window_quantiles" -> ((s, dir) =>
       // Latency-percentile observability: exact discrete p50/p95 of
@@ -454,7 +454,7 @@ object SparkEntry {
       Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(sum(TextOps.tokenCountBpe(col("text"))).as("bpe_tokens"))
-        .orderBy(col("lang"))),
+        .orderBy(col("lang").asc_nulls_last)),
 
     "q_neardup_winnow" -> ((s, dir) =>
       // Passage-level overlap via winnowing fingerprints. The rolling
@@ -786,7 +786,7 @@ object SparkEntry {
         .labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
         .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")))
         .select(col("label"), col("dim").cast("long").as("dim"), col("value"))
-        .orderBy(col("label"), col("dim"))),
+        .orderBy(col("label").asc_nulls_last, col("dim"))),
 
     "q_quantiles" -> ((s, dir) =>
       // Corpus length-distribution stats: exact discrete p50/p90/p99 of
@@ -795,7 +795,7 @@ object SparkEntry {
       Relational
         .groupQuantilesDisc(
           Tables.documents(s, dir), "lang", "n_chars", Seq(0.5, 0.9, 0.99))
-        .orderBy(col("lang"))),
+        .orderBy(col("lang").asc_nulls_last)),
 
     "q_quantiles_approx" -> ((s, dir) =>
       // The documented 100 TB swap-in for q_quantiles, promoted to its

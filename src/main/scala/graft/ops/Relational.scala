@@ -56,7 +56,9 @@ object Relational {
       .agg(
         count(lit(1)).as("cnt"),
         exactSumDouble(col(valueCol)).as("sum_value"))
-      .orderBy(col(groupCol))
+      // explicit NULLS LAST: a NULL group is a real group (no filter
+      // above) and DuckDB asc defaults NULLS LAST — the FIXTURES.md rule
+      .orderBy(col(groupCol).asc_nulls_last)
 
   /** Hierarchical subtotals via ROLLUP: per-(a,b), per-a, and grand
     * total in one pass — Catalyst expands to a single aggregate over the
@@ -349,7 +351,7 @@ object Relational {
     stats
       .join(approx, groupCol)
       .select(col(groupCol) +: names.map(col) :+ ok.as("approx_ok"): _*)
-      .orderBy(col(groupCol))
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** TPC-H-Q1-shaped pricing summary: the canonical scan-heavy OLAP
@@ -520,7 +522,7 @@ object Relational {
     df.groupBy(col(groupCol))
       .pivot(pivotCol, values)
       .agg(exactSumDouble(col(valueCol)))
-      .orderBy(col(groupCol))
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** Fixed-width histogram of `valueCol` over [lo, hi): `n` equal
@@ -675,7 +677,7 @@ object Relational {
       .withColumn("zscore", (v - col("__mean")) / col("__sd"))
       .filter(abs(col("zscore")) > lit(z))
       .select(col(groupCol), col(idCol), v.as("value"), col("zscore"))
-      .orderBy(col(groupCol), col(idCol))
+      .orderBy(col(groupCol).asc_nulls_last, col(idCol))
   }
 
   /** Robust per-group anomalies: rows whose `|value − median|` exceeds
@@ -717,7 +719,7 @@ object Relational {
       .filter(col("__mad") > 0 && col("__dev") > lit(k) * col("__mad"))
       .select(col(groupCol), col(idCol), col("__v").as("value"),
         col("__dev").as("abs_dev"), col("__mad").as("mad"))
-      .orderBy(col(groupCol), col(idCol))
+      .orderBy(col(groupCol).asc_nulls_last, col(idCol))
   }
 
   /** Heavy-hitter audit: the `topK` keys by row count, each with its

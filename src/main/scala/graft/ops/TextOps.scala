@@ -524,7 +524,7 @@ object TextOps {
         Relational.exactAvgLong(col(nCharsCol)).as("avg_chars"),
         max(col(nCharsCol)).as("max_chars"),
         sum(tokenCount(col(textCol))).as("total_tokens"))
-      .orderBy(col(langCol))
+      .orderBy(col(langCol).asc_nulls_last)
 
   /** Context-window chunking: split each document into overlapping
     * token-window passages — the prep step that turns raw documents into

@@ -333,7 +333,8 @@ object Windowing {
       .filter(col("rank") <= k)
       .select(Seq(col("window_start_sec")) ++ dims.map(col) ++
         Seq(col("rank"), col(seqCol), v.as(valueCol)): _*)
-      .orderBy(Seq(col("window_start_sec")) ++ dims.map(col) ++ Seq(col("rank")): _*)
+      .orderBy(Seq(col("window_start_sec")) ++
+        dims.map(d => col(d).asc_nulls_last) ++ Seq(col("rank")): _*)
   }
 
   /** Trailing time-RANGE window statistics: for EVERY event, the count /

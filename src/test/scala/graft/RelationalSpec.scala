@@ -272,6 +272,23 @@ class RelationalSpec extends SparkTestBase {
       "bucket-spine join must broadcast the n-row counts")
   }
 
+  test("nullable group orderings put NULL groups LAST (the oracle engines' default)") {
+    import spark.implicits._
+    // the round-13 sweep: Spark asc defaults NULLS FIRST while DuckDB
+    // defaults NULLS LAST — every declared ordering over a nullable
+    // group/key column now pins NULLS LAST explicitly, so a NULL-bearing
+    // input cannot diverge row order between engine and oracle
+    val df = Seq((Some("b"), 1.0), (None, 2.0), (Some("a"), 3.0))
+      .toDF("g", "v")
+    val agg = Relational.groupAgg(df, "g", "v").collect()
+    assert(agg.map(r => Option(r.getString(0))) ===
+      Array(Some("a"), Some("b"), None), "NULL group must sort last")
+    val mom = Relational.groupMoments(
+      Seq((Some("b"), 1.0), (None, 2.0), (None, 3.0)).toDF("g", "v"), "g", "v")
+      .collect()
+    assert(mom.map(r => Option(r.getString(0))) === Array(Some("b"), None))
+  }
+
   test("histogram and psiDrift drop infinite values (oracle CAST would error)") {
     import spark.implicits._
     // +inf would clamp into the last bucket via Spark's non-ANSI
