@@ -681,21 +681,22 @@ private[graft] object OracleSqlRelational {
     "q_outliers" ->
       // finite-only and positive-variance guards mirror the engine: a
       // NaN/Inf row is excluded from n and sums alike, and singleton /
-      // zero-variance groups classify nothing. abs(value) < 1e15 is the
-      // engine's magnitude bound (keeps value*value inside DECIMAL(38,6)
-      // instead of diverging: Spark would null the square, DuckDB throws
-      // on the Inf-to-decimal cast)
+      // zero-variance groups classify nothing. abs(value) < 1e10 is the
+      // engine's magnitude bound: value*value <= 1e20 leaves the summed
+      // DECIMAL(38,6) >=1e12 rows of per-group headroom (the
+      // groupMoments arithmetic — a larger bound lets the accumulated
+      // square overflow, where the engines fail differently)
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
         |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
         |         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
         |  FROM events
-        |  WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e15
+        |  WHERE value IS NOT NULL AND isfinite(value) AND abs(value) < 1e10
         |  GROUP BY event_type)
         |SELECT e.event_type, e.event_id, e.value AS value,
         |       (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
         |FROM events e JOIN s USING (event_type)
-        |WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1e15
+        |WHERE e.value IS NOT NULL AND isfinite(e.value) AND abs(e.value) < 1e10
         |  AND n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
         |  AND abs((e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
         |ORDER BY e.event_type ASC NULLS LAST, e.event_id""".stripMargin,

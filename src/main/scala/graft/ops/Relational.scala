@@ -647,14 +647,16 @@ object Relational {
     // not be half-counted (in n but nulled out of exactSum's guarded
     // accumulation), which would skew the mean every finite row is
     // classified against. The bound is on v AND v*v: a finite v with
-    // |v| > ~1.3e154 squares to +Inf, and past ~1e16 the square leaves
+    // |v| > ~1.3e154 squares to +Inf, and a too-large square leaves
     // DECIMAL(38,6) — either way exactSum would null the square out of
-    // __sumsq while the row stayed in __n. |v| < 1e15 keeps v*v < 1e30,
-    // two orders inside DECIMAL(38,6)'s 1e32 integer range (≥1e17 rows
-    // of headroom before the accumulated sum itself could overflow);
+    // __sumsq while the row stayed in __n. |v| < 1e10 keeps v*v ≤ 1e20,
+    // leaving DECIMAL(38,6)'s ~1e32 capacity ≥1e12 rows of per-group
+    // headroom for the ACCUMULATED Σv² (the groupMoments arithmetic —
+    // the earlier 1e15 bound left only ~10² max-magnitude rows before
+    // the summed decimal itself overflowed, despite claiming 1e17);
     // rows beyond the bound are excluded from stats and classification
     // alike, mirrored in the oracle
-    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e15)
+    val finite = v.isNotNull && !isnan(v) && abs(v) < lit(1e10)
     val variance = (col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
       (col("__n") - 1)
     val stats = df
