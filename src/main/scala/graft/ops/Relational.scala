@@ -605,7 +605,11 @@ object Relational {
     *
     * Determinism: counts are integers; F_A, F_B are single divisions of
     * longs and the max-of-abs-differences is exact IEEE on identical
-    * inputs — engine and oracle agree bit-for-bit. */
+    * inputs — engine and oracle agree bit-for-bit.
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r11/r13): wall-ratio
+    * 0.58–1.02 at ×8 — cardinality-bound, corpus-size-insensitive at
+    * this tier. */
   def ksDrift(
       dfA: DataFrame,
       dfB: DataFrame,
@@ -753,7 +757,10 @@ object Relational {
     * Determinism: counts are integers; `expected` is two IEEE ops on
     * exact longs; each cell's contribution rounds to 6 decimals before
     * accumulating in DECIMAL(38,6) ([[exactSum]]'s order-independent
-    * posture), so engine and oracle agree bit-for-bit. */
+    * posture), so engine and oracle agree bit-for-bit.
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r12/r13): wall-ratio
+    * 0.68–1.07 at ×8 — the scan is the only thing that grows. */
   def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
