@@ -90,7 +90,7 @@ private[graft] object OracleSqlRelational {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_sec,
         |       event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 NULLS LAST""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1 NULLS LAST, 2 NULLS LAST""".stripMargin,
 
     // Same integer nanos bucketing as q_window_tumble; finite-only
     // values rank (NaN/NULL desc orderings differ across engines) with
@@ -120,7 +120,7 @@ private[graft] object OracleSqlRelational {
         |SELECT window_start_sec,
         |       MAX(CASE WHEN rk = floor(0.5 * (n - 1)) + 1 THEN value END) AS p50,
         |       MAX(CASE WHEN rk = floor(0.95 * (n - 1)) + 1 THEN value END) AS p95
-        |FROM r GROUP BY window_start_sec ORDER BY window_start_sec""".stripMargin,
+        |FROM r GROUP BY window_start_sec ORDER BY window_start_sec NULLS LAST""".stripMargin,
 
     "q_profile" -> {
       // per-column stats, exact-decimal sums (the exactSum convention)
@@ -890,9 +890,11 @@ private[graft] object OracleSqlRelational {
     // all same-instant peers on both engines; finite-only count+sum in
     // DECIMAL(38,6) (order-independent), avg one guarded IEEE division
     // (0/0 would be +Inf on Spark, NULL here — both sides emit NULL).
-    // abs(value) < 1e32 is the engine's DECIMAL(38,6)-range bound: past
-    // it Spark would null the value out of the sum while counting it,
-    // and this cast would throw — excluded from both, on both engines.
+    // abs(value) < 1e20 is the engine's accumulated-sum headroom bound
+    // (the zOutliers/groupMoments arithmetic: each term leaves the
+    // windowed DECIMAL(38,6) sum >=1e12 frame rows of headroom) —
+    // out-of-bound values are excluded from count and sum alike, on
+    // both engines.
     "q_rolling" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value::DOUBLE AS value
@@ -900,10 +902,10 @@ private[graft] object OracleSqlRelational {
         |win AS (
         |  SELECT user_id, ts_ns, event_id, value,
         |         count(CASE WHEN value IS NOT NULL AND isfinite(value)
-        |                         AND abs(value) < 1e32
+        |                         AND abs(value) < 1e20
         |                    THEN 1 END) OVER w AS n_win,
         |         CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
-        |                            AND abs(value) < 1e32
+        |                            AND abs(value) < 1e20
         |                       THEN CAST(value AS DECIMAL(38,6)) END) OVER w
         |              AS DOUBLE) AS sum_win
         |  FROM e

@@ -696,7 +696,7 @@ private[graft] object OracleSqlSimilarity {
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v,
         |         generate_subscripts(embedding, 1) AS dim
-        |  FROM embeddings),
+        |  FROM embeddings WHERE label IS NOT NULL),
         |cent AS (
         |  SELECT label AS clabel, dim,
         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
@@ -711,7 +711,8 @@ private[graft] object OracleSqlSimilarity {
         |                                 i -> e.embedding[i]::DOUBLE * cl.cvec[i]::DOUBLE))
         |         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
         |            * sqrt(list_sum(list_transform(cl.cvec, x -> x::DOUBLE * x::DOUBLE)))) AS cos
-        |  FROM embeddings e CROSS JOIN cl),
+        |  FROM embeddings e CROSS JOIN cl
+        |  WHERE e.label IS NOT NULL),
         |best AS (
         |  SELECT vec_id, label, clabel,
         |         ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -236,7 +236,7 @@ object SparkEntry {
           aggs = Seq(
             count(lit(1)).as("cnt"),
             Relational.exactSumDouble(col("value")).as("sum_value")))
-        .orderBy(col("window_start_sec"), col("event_type").asc_nulls_last)),
+        .orderBy(col("window_start_sec").asc_nulls_last, col("event_type").asc_nulls_last)),
 
     "q_window_hop" -> ((s, dir) =>
       Windowing
@@ -247,7 +247,7 @@ object SparkEntry {
           hopSeconds = 3600,
           dims = Seq(col("event_type")),
           aggs = Seq(count(lit(1)).as("cnt")))
-        .orderBy(col("window_start_sec"), col("event_type").asc_nulls_last)),
+        .orderBy(col("window_start_sec").asc_nulls_last, col("event_type").asc_nulls_last)),
 
     "q_window_session" -> ((s, dir) =>
       // Session math runs on the epoch-MICROS view: DuckDB reads the
@@ -275,7 +275,9 @@ object SparkEntry {
         .windowQuantilesDisc(
           Tables.events(s, dir), col("ts_ns"), widthSeconds = 3600,
           valueCol = "value", ps = Seq(0.5, 0.95))
-        .orderBy(col("window_start_sec"))),
+        // NULLS LAST: a NULL-ts event forms a real NULL-window group
+        // (no ts filter above) — the nullable-ORDER-BY rule
+        .orderBy(col("window_start_sec").asc_nulls_last)),
 
     "q_profile" -> ((s, dir) =>
       // Data-quality profiling: per-column n/nulls/exact-distinct/min/

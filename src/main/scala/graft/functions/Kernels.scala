@@ -639,10 +639,10 @@ object VectorKernels {
     * round(xᵢ/scale·127) with the exact HALF_UP BigDecimal.valueOf
     * arithmetic Spark's `round` applies to doubles (matching DuckDB's
     * half-away-from-zero — the declared oracle's contract); NULL codes
-    * when scale is not a positive number (zero/empty vector, or a NaN
-    * element — where the HOF formulation's NaN-propagating division
-    * would throw on the ANSI int cast, the kernel's NULL is the useful
-    * answer). Replaced the aggregate+transform HOF pipeline, which
+    * when scale is not a positive FINITE number (zero/empty vector, or
+    * a NaN/Infinity element — where the HOF formulation's
+    * NaN-propagating division would throw on the ANSI int cast, the
+    * kernel's NULL is the useful answer). Replaced the aggregate+transform HOF pipeline, which
     * evaluated interpreted per ELEMENT and dominated q_quantize's wall
     * time (the wordNgrams lesson); the HOF model remains the spec's
     * independent cross-check. */
@@ -659,7 +659,12 @@ object VectorKernels {
     }
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
     out.setDouble(0, scale)
-    if (scale > 0.0) { // false for NaN: codes stay NULL
+    // finite-positive only: NaN fails > and an INFINITE scale would put
+    // Inf/Inf = NaN into BigDecimal.valueOf (a raw NumberFormatException
+    // out of generated code — and the HOF formulation crashed the same
+    // way on the ANSI int cast); both degenerate scales yield NULL
+    // codes, the documented NULL-not-garbage posture
+    if (java.lang.Double.isFinite(scale) && scale > 0.0) {
       val codes = new Array[Any](n)
       i = 0
       while (i < n) {

@@ -333,7 +333,7 @@ object Windowing {
       .filter(col("rank") <= k)
       .select(Seq(col("window_start_sec")) ++ dims.map(col) ++
         Seq(col("rank"), col(seqCol), v.as(valueCol)): _*)
-      .orderBy(Seq(col("window_start_sec")) ++
+      .orderBy(Seq(col("window_start_sec").asc_nulls_last) ++
         dims.map(d => col(d).asc_nulls_last) ++ Seq(col("rank")): _*)
   }
 
@@ -383,13 +383,15 @@ object Windowing {
       .rangeBetween(-windowNs, 0)
     // `finite` re-derives from the POST-projection "value" column so the
     // expression resolves regardless of the input column's name. The
-    // 1e32 bound is DECIMAL(38,6)'s integer range (the zOutliers
-    // half-count lesson): a finite value past it would null out of the
-    // decimal sum while still counting in n_win — excluded from count
-    // and sum ALIKE, mirrored in the oracle and in RollingStream.
+    // |v| < 1e20 bound is the accumulated-sum headroom standard (the
+    // zOutliers/groupMoments arithmetic): each term stays 1e12 frame
+    // rows inside DECIMAL(38,6)'s ~1e32 capacity — the earlier 1e32
+    // bound kept a single CAST safe but let two extreme rows overflow
+    // the windowed sum itself. Out-of-bound values are excluded from
+    // count and sum ALIKE, mirrored in the oracle and in RollingStream.
     val finite = when(
       col("value").isNotNull && !isnan(col("value"))
-        && abs(col("value")) < lit(1e32),
+        && abs(col("value")) < lit(1e20),
       col("value"))
     df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
       .select(col(keyCol), col(tsNsCol).cast("long").as("ts_ns"),

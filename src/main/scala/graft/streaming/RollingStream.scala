@@ -79,12 +79,13 @@ object RollingStream {
       val i = t.toInstant
       (i.getEpochSecond * 1000000L + i.getNano / 1000L) * 1000L
     }
-    // the batch operator's DECIMAL(38,6)-range bound (1e32), not just
-    // non-finiteness — a value past it nulls out of the batch decimal
-    // sum, so the stream's BigDecimal accumulation must exclude it too
-    // or replay would diverge from batch on extreme inputs
+    // the batch operator's accumulated-sum headroom bound (1e20 — the
+    // zOutliers/groupMoments arithmetic), not just non-finiteness: a
+    // value past it is excluded from the batch decimal sum, so the
+    // stream's BigDecimal accumulation must exclude it too or replay
+    // would diverge from batch on extreme inputs
     def isFinite(v: Double): Boolean =
-      !v.isNaN && math.abs(v) < 1e32
+      !v.isNaN && math.abs(v) < 1e20
     keyed
       .groupByKey(_._1)
       .flatMapGroupsWithState[RollingState, RollingRow](

@@ -569,7 +569,9 @@ class SimilaritySpec extends SparkTestBase {
       (0L, Array(0.5f, -0.25f, 0.125f)),
       (1L, Array(-1.0f, 1.0f, 0.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f)), // zero vector: no scale
-      (3L, Array(0.5f, Float.NaN))   // NaN scale: codes NULL, not garbage
+      (3L, Array(0.5f, Float.NaN)),  // NaN scale: codes NULL, not garbage
+      (4L, Array(0.5f, Float.PositiveInfinity)) // Inf scale: NULL too —
+      // Inf/Inf=NaN would otherwise hit BigDecimal.valueOf and throw
     ).toDF("vec_id", "embedding")
     val got = Similarity.quantizeInt8(rows, "vec_id", "embedding")
       .collect()
@@ -579,10 +581,11 @@ class SimilaritySpec extends SparkTestBase {
     assert(got(0)._2 == 0.5 && got(0)._3 == Seq(127, -64, 32))
     assert(got(1)._3 == Seq(-127, 127, 0))
     assert(got(2)._3 == null)
-    // the kernel's documented NaN contract: scale propagates NaN (the
-    // greatest-ordering fold) and codes are NULL — where the old HOF
-    // formulation would have thrown on the ANSI int cast
+    // the kernel's documented NaN/Inf contract: degenerate scales
+    // yield NULL codes — where the old HOF formulation would have
+    // thrown on the ANSI int cast (or, for Inf, inside BigDecimal)
     assert(got(3)._2.isNaN && got(3)._3 == null)
+    assert(got(4)._2.isPosInfinity && got(4)._3 == null)
     // fixture round-trip: |v - code*scale/127| <= scale/254 (+ ulp slack)
     val fx = Similarity.quantizeInt8(Tables.embeddings(spark, sf001), "vec_id", "embedding")
       .join(Tables.embeddings(spark, sf001), "vec_id")
