@@ -78,6 +78,8 @@ object Tables {
     * fixture set (TESTDATA.md), so q_media_dims writes this table at
     * query time and both engines read it back. Covers every parser
     * branch: PNG, GIF, JPEG SOF walk, all three BMP header layouts,
+    * all three WEBP bitstream flavors (VP8/VP8L/VP8X), TIFF in both
+    * byte orders,
     * truncated and non-media payloads (expected NULL dims). */
   /** Per-user, per-process fixture path: concurrent driver JVMs must not
     * race on one world-writable directory (an overwrite deletes part
@@ -138,6 +140,33 @@ object Tables {
       blob(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x02, 0x58, 0x03, 0x20, 0x01, 0x11, 0x00) // 800 x 600
     val truncatedPng = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a)
     val notMedia = "just some text".getBytes("UTF-8")
+    // WEBP, all three bitstream flavors: lossy VP8 (sync 9D 01 2A +
+    // 14-bit LE dims), lossless VP8L (0x2F + packed minus-one dims),
+    // extended VP8X (24-bit LE minus-one canvas dims)
+    val webpLossy = "RIFF".getBytes ++ blob(0x24, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ blob(0x0a, 0, 0, 0) ++
+      blob(0, 0, 0) ++ blob(0x9d, 0x01, 0x2a) ++
+      blob(0xa0, 0x00) ++ blob(0x78, 0x00) // 160 x 120
+    val webpLossless = "RIFF".getBytes ++ blob(0x10, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ blob(0x06, 0, 0, 0) ++
+      blob(0x2f, 0x63, 0xc0, 0x13, 0x00, 0x00) // 100 x 80
+    val webpExtended = "RIFF".getBytes ++ blob(0x12, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ blob(0x0a, 0, 0, 0) ++ blob(0x02, 0, 0, 0) ++
+      blob(0x9f, 0x0f, 0x00) ++ blob(0xb7, 0x0b, 0x00) // 4000 x 3000
+    // TIFF, both byte orders: first IFD with SHORT ImageWidth (tag 256)
+    // and LONG ImageLength (tag 257)
+    val tiffLe = "II".getBytes ++ blob(0x2a, 0x00) ++ blob(0x08, 0, 0, 0) ++
+      blob(0x02, 0x00) ++
+      blob(0x00, 0x01, 0x03, 0x00, 0x01, 0, 0, 0, 0x80, 0x02, 0, 0) ++ // 256 SHORT 640
+      blob(0x01, 0x01, 0x04, 0x00, 0x01, 0, 0, 0, 0xe0, 0x01, 0, 0) ++ // 257 LONG 480
+      blob(0, 0, 0, 0)
+    val tiffBe = "MM".getBytes ++ blob(0x00, 0x2a) ++ blob(0, 0, 0, 0x08) ++
+      blob(0x00, 0x02) ++
+      blob(0x01, 0x00, 0x00, 0x03, 0, 0, 0, 0x01, 0x02, 0x80, 0, 0) ++ // 256 SHORT 640
+      blob(0x01, 0x01, 0x00, 0x04, 0, 0, 0, 0x01, 0, 0, 0x01, 0xe0) ++ // 257 LONG 480
+      blob(0, 0, 0, 0)
+    val truncatedWebp = "RIFF".getBytes ++ blob(0x24, 0, 0, 0) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes // container intact, bitstream missing
     val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int])] = Seq(
       (1L, png, Some(640), Some(480)),
       (2L, gif, Some(320), Some(240)),
@@ -146,7 +175,13 @@ object Tables {
       (5L, bmpTopDown, Some(1024), Some(768)),
       (6L, jpg, Some(800), Some(600)),
       (7L, truncatedPng, None, None),
-      (8L, notMedia, None, None))
+      (8L, notMedia, None, None),
+      (9L, webpLossy, Some(160), Some(120)),
+      (10L, webpLossless, Some(100), Some(80)),
+      (11L, webpExtended, Some(4000), Some(3000)),
+      (12L, tiffLe, Some(640), Some(480)),
+      (13L, tiffBe, Some(640), Some(480)),
+      (14L, truncatedWebp, None, None))
     import spark.implicits._
     rows.toDF("media_id", "bytes", "expected_width", "expected_height")
   }

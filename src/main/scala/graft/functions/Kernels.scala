@@ -903,6 +903,71 @@ object MediaKernels {
       }
       return null
     }
+    // WEBP: RIFF container, dims from the FIRST chunk's bitstream
+    // header — 'VP8 ' lossy (sync 9D 01 2A, 14-bit dims), 'VP8L'
+    // lossless (0x2F signature, packed 14-bit minus-one dims), 'VP8X'
+    // extended (24-bit LE minus-one canvas dims)
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        if (b.length >= 30 && u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a)
+          return dims(le16(26) & 0x3fff, le16(28) & 0x3fff)
+        return null
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+        if (b.length >= 25 && u8(20) == 0x2f) {
+          val b1 = u8(21); val b2 = u8(22); val b3 = u8(23); val b4 = u8(24)
+          return dims(
+            1 + (((b2 & 0x3f) << 8) | b1),
+            1 + (((b4 & 0x0f) << 10) | (b3 << 2) | ((b2 & 0xc0) >> 6)))
+        }
+        return null
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        if (b.length >= 30) {
+          val w = u8(24) | (u8(25) << 8) | (u8(26) << 16)
+          val h = u8(27) | (u8(28) << 8) | (u8(29) << 16)
+          return dims(w + 1, h + 1)
+        }
+        return null
+      }
+      return null
+    }
+    // TIFF: endian marker (II*\0 / MM\0*) + first-IFD walk for tags 256
+    // (ImageWidth) / 257 (ImageLength); inline SHORT(3)/LONG(4) values
+    // only (dims are spec'd inline — an offset-valued dim is malformed
+    // for count=1); anything inconsistent → null, never garbage
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42))) {
+      val le = b(0) == 'I'
+      @inline def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      @inline def r32(i: Int): Int = if (le) le32(i) else be32(i)
+      val ifd = r32(4)
+      if (ifd < 0 || ifd + 2 > b.length) return null
+      val n = r16(ifd)
+      var w = -1
+      var h = -1
+      var e = 0
+      while (e < n) {
+        val off = ifd + 2 + e * 12
+        if (off + 12 > b.length) return null
+        val tag = r16(off)
+        if (tag == 256 || tag == 257) {
+          val typ = r16(off + 2)
+          // BE TIFF left-justifies a SHORT in the 4-byte value slot, so
+          // r16(off+8) reads it correctly under either endianness
+          val v =
+            if (typ == 3) r16(off + 8)
+            else if (typ == 4) r32(off + 8)
+            else -1
+          if (v < 0) return null
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      if (w >= 0 && h >= 0) return dims(w, h)
+      return null
+    }
     null
   }
 }

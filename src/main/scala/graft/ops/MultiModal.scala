@@ -32,9 +32,12 @@ object MultiModal {
       .when(prefix(3) === "FFD8FF", "jpeg")
       .when(prefix(4) === "89504E47", "png")
       .when(prefix(3) === "474946", "gif")
-      // RIFF containers: WAVE/AVI discriminated by bytes 9-12
+      // RIFF containers: WEBP/WAVE/AVI discriminated by bytes 9-12
+      .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "57454250", "webp")
       .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "57415645", "wav")
       .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "41564920", "avi")
+      // TIFF: endian marker + magic 42
+      .when(prefix(4) === "49492A00" || prefix(4) === "4D4D002A", "tiff")
       // ISO-BMFF (mp4 family): "ftyp" at offset 5
       .when(upper(hex(substring(bytes, 5, 4))) === "66747970", "mp4")
       .when(prefix(4) === "25504446", "pdf")
@@ -48,10 +51,12 @@ object MultiModal {
       .withColumn("content_sha", sha2(col(bytesCol), 256))
 
   /** REAL (not stubbed) pixel dimensions from container headers — PNG/
-    * GIF/BMP fixed offsets, JPEG SOF marker walk, via the codegen'd
-    * `media_dims` kernel; no codec involved, so this runs in the same
-    * zero-shuffle projection as the rest of the metadata. NULL columns
-    * for unrecognized/truncated payloads (corrupt media is data). */
+    * GIF/BMP fixed offsets, JPEG SOF marker walk, WEBP bitstream
+    * headers (VP8/VP8L/VP8X), TIFF first-IFD walk in either byte
+    * order — via the codegen'd `media_dims` kernel; no codec involved,
+    * so this runs in the same zero-shuffle projection as the rest of
+    * the metadata. NULL columns for unrecognized/truncated payloads
+    * (corrupt media is data). */
   def withDimensions(df: DataFrame, bytesCol: String): DataFrame = {
     val dims = graft.functions.native.mediaDims(col(bytesCol))
     df.withColumn("width", element_at(dims, 1))

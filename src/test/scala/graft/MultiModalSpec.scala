@@ -115,6 +115,30 @@ class MultiModalSpec extends SparkTestBase {
     assert(got == Map(1L -> Some((320, 240)), 2L -> Some((1024, 768)), 3L -> None))
   }
 
+  test("WEBP dims: all three bitstream flavors, plus truncation; TIFF both byte orders") {
+    // drive through the SHARED fixture (rows 9-14 are the new formats),
+    // asserting the kernel recovers exactly the expected dims the
+    // q_media_dims oracle reads from the fixture columns
+    val got = MultiModal.withDimensions(Tables.mediaFixture(spark), "bytes")
+      .filter(col("media_id") >= 9L)
+      .select(col("media_id"), col("width"), col("height"),
+        col("expected_width"), col("expected_height"))
+      .collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(Option(r.get(1)) == Option(r.get(3)) &&
+        Option(r.get(2)) == Option(r.get(4)),
+        s"media ${r.getLong(0)}: parsed (${r.get(1)},${r.get(2)}) " +
+          s"!= expected (${r.get(3)},${r.get(4)})")
+    }
+    // format sniffing keeps pace with the parser
+    val fmts = MultiModal.mediaMeta(Tables.mediaFixture(spark), "bytes")
+      .filter(col("media_id") >= 9L)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    assert(fmts == Map(9L -> "webp", 10L -> "webp", 11L -> "webp",
+      12L -> "tiff", 13L -> "tiff", 14L -> "webp"))
+  }
+
   test("docBlobs round-trips text bytes (the fixture's opaque payload)") {
     val one = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(1).collect()(0)
     val orig = Tables.documents(spark, sf001)

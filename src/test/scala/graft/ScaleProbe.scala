@@ -328,7 +328,7 @@ object ScaleProbe {
       tileOrders(spark, sfDir, bigDir, copies)
       println(s"SCALEPROBE docs x1=$n1 x$copies=$nBig")
 
-      // q_media_dims' declared query reads a fixed 8-row generated
+      // q_media_dims' declared query reads a fixed generated
       // fixture (no binary media table exists in the driver set), so
       // probing it verbatim would measure nothing — the honest scale
       // measurement is the same header-parse kernel over the tiled
