@@ -143,14 +143,14 @@ object Tables {
     // WEBP, all three bitstream flavors: lossy VP8 (sync 9D 01 2A +
     // 14-bit LE dims), lossless VP8L (0x2F + packed minus-one dims),
     // extended VP8X (24-bit LE minus-one canvas dims)
-    val webpLossy = "RIFF".getBytes ++ blob(0x24, 0, 0, 0) ++ "WEBP".getBytes ++
+    val webpLossy = "RIFF".getBytes ++ blob(0x16, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8 ".getBytes ++ blob(0x0a, 0, 0, 0) ++
       blob(0, 0, 0) ++ blob(0x9d, 0x01, 0x2a) ++
       blob(0xa0, 0x00) ++ blob(0x78, 0x00) // 160 x 120
-    val webpLossless = "RIFF".getBytes ++ blob(0x10, 0, 0, 0) ++ "WEBP".getBytes ++
+    val webpLossless = "RIFF".getBytes ++ blob(0x12, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8L".getBytes ++ blob(0x06, 0, 0, 0) ++
       blob(0x2f, 0x63, 0xc0, 0x13, 0x00, 0x00) // 100 x 80
-    val webpExtended = "RIFF".getBytes ++ blob(0x12, 0, 0, 0) ++ "WEBP".getBytes ++
+    val webpExtended = "RIFF".getBytes ++ blob(0x16, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8X".getBytes ++ blob(0x0a, 0, 0, 0) ++ blob(0x02, 0, 0, 0) ++
       blob(0x9f, 0x0f, 0x00) ++ blob(0xb7, 0x0b, 0x00) // 4000 x 3000
     // TIFF, both byte orders: first IFD with SHORT ImageWidth (tag 256)
@@ -165,7 +165,7 @@ object Tables {
       blob(0x01, 0x00, 0x00, 0x03, 0, 0, 0, 0x01, 0x02, 0x80, 0, 0) ++ // 256 SHORT 640
       blob(0x01, 0x01, 0x00, 0x04, 0, 0, 0, 0x01, 0, 0, 0x01, 0xe0) ++ // 257 LONG 480
       blob(0, 0, 0, 0)
-    val truncatedWebp = "RIFF".getBytes ++ blob(0x24, 0, 0, 0) ++ "WEBP".getBytes ++
+    val truncatedWebp = "RIFF".getBytes ++ blob(0x16, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8 ".getBytes // container intact, bitstream missing
     val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int])] = Seq(
       (1L, png, Some(640), Some(480)),

@@ -853,9 +853,12 @@ object MediaKernels {
   /** Pixel dimensions from media container HEADERS — metadata extraction
     * that needs no codec: PNG (big-endian int32 at 16/20), GIF
     * (little-endian uint16 at 6/8), BMP (little-endian int32 at 18/22),
-    * JPEG (marker walk to the first SOF frame header). Returns
-    * `Array(width, height)` or null for unrecognized/truncated payloads
-    * — a corrupt container is data, not an exception. */
+    * JPEG (marker walk to the first SOF frame header), WEBP (RIFF
+    * container, dims from the VP8 lossy / VP8L lossless / VP8X extended
+    * bitstream header), and TIFF (first-IFD walk for ImageWidth/
+    * ImageLength in either byte order). Returns `Array(width, height)`
+    * or null for unrecognized/truncated payloads — a corrupt container
+    * is data, not an exception. */
   def mediaDims(b: Array[Byte]): ArrayData = {
     if (b == null) return null
     @inline def u8(i: Int): Int = b(i) & 0xff
@@ -943,7 +946,10 @@ object MediaKernels {
       @inline def r16(i: Int): Int = if (le) le16(i) else be16(i)
       @inline def r32(i: Int): Int = if (le) le32(i) else be32(i)
       val ifd = r32(4)
-      if (ifd < 0 || ifd + 2 > b.length) return null
+      // subtraction, not addition: `ifd + 2` overflows for a hostile
+      // 0x7FFFFFFF offset and would pass the guard into an
+      // ArrayIndexOutOfBounds crash — corrupt containers are DATA
+      if (ifd < 0 || ifd > b.length - 2) return null
       val n = r16(ifd)
       var w = -1
       var h = -1
@@ -954,6 +960,9 @@ object MediaKernels {
         val tag = r16(off)
         if (tag == 256 || tag == 257) {
           val typ = r16(off + 2)
+          // count must be 1: for count > 1 the value slot holds a FILE
+          // OFFSET, and reading it as the dimension would emit garbage
+          if (r32(off + 4) != 1) return null
           // BE TIFF left-justifies a SHORT in the 4-byte value slot, so
           // r16(off+8) reads it correctly under either endianness
           val v =

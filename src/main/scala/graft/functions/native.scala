@@ -528,9 +528,11 @@ case class BigramNll(
 }
 
 /** Codec-free media dimensions — see [[MediaKernels.mediaDims]]: parses
-  * PNG/GIF/BMP fixed-offset headers and walks JPEG markers to the SOF
-  * frame header, returning `[width, height]` or NULL for unrecognized or
-  * truncated payloads (corrupt media is data, not an exception). */
+  * PNG/GIF/BMP fixed-offset headers, walks JPEG markers to the SOF
+  * frame header, reads WEBP VP8/VP8L/VP8X bitstream headers, and walks
+  * the TIFF first IFD in either byte order, returning `[width, height]`
+  * or NULL for unrecognized or truncated payloads (corrupt media is
+  * data, not an exception). */
 case class MediaDims(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

@@ -139,6 +139,24 @@ class MultiModalSpec extends SparkTestBase {
       12L -> "tiff", 13L -> "tiff", 14L -> "webp"))
   }
 
+  test("hostile TIFF payloads yield NULL, never a crash or garbage") {
+    // IFD offset 0x7FFFFFFF: the bounds check must not integer-overflow
+    // into an out-of-bounds read (corrupt containers are data)
+    val hugeIfd = blob(0x49, 0x49, 0x2a, 0x00, 0xff, 0xff, 0xff, 0x7f)
+    // count=2 dim entries store a FILE OFFSET in the value slot — the
+    // parser must refuse, not emit the offsets as dimensions
+    val offsetDims = "II".getBytes ++ blob(0x2a, 0x00) ++ blob(0x08, 0, 0, 0) ++
+      blob(0x02, 0x00) ++
+      blob(0x00, 0x01, 0x04, 0x00, 0x02, 0, 0, 0, 0x22, 0, 0, 0) ++ // 256 LONG count=2
+      blob(0x01, 0x01, 0x04, 0x00, 0x02, 0, 0, 0, 0x2a, 0, 0, 0) ++ // 257 LONG count=2
+      blob(0, 0, 0, 0)
+    val got = MultiModal.withDimensions(
+        Seq((1L, hugeIfd), (2L, offsetDims)).toDF("media_id", "bytes"), "bytes")
+      .select(col("media_id"), col("width"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true))
+  }
+
   test("docBlobs round-trips text bytes (the fixture's opaque payload)") {
     val one = MultiModal.docBlobs(Tables.documents(spark, sf001)).limit(1).collect()(0)
     val orig = Tables.documents(spark, sf001)
