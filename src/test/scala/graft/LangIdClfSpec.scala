@@ -99,4 +99,17 @@ class LangIdClfSpec extends SparkTestBase {
     val docs = Seq((0L, "some text", null: String)).toDF("doc_id", "text", "lang")
     assert(TextOps.langIdClassifier(docs, "doc_id", "text", "lang").collect().isEmpty)
   }
+
+  test("charNgrams indexes CODEPOINTS, not UTF-16 units — the DuckDB substr contract") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // astral-plane chars are 2 UTF-16 units but 1 codepoint: the kernel
+    // must produce the same grams DuckDB's character-counting substr
+    // extracts, or the langid oracle diverges on emoji-bearing text
+    val s = "a😀b" // a, 😀, b — 3 codepoints, 4 UTF-16 units
+    val grams = graft.functions.TextKernels
+      .charNgrams(UTF8String.fromString(s), 2)
+    assert(grams.numElements() == 2)
+    assert(grams.getUTF8String(0).toString == "a😀")
+    assert(grams.getUTF8String(1).toString == "😀b")
+  }
 }
