@@ -810,7 +810,11 @@ object Relational {
     * Determinism: counts are integers, shares are single IEEE
     * divisions, and each bucket's term rounds to 6 decimals before the
     * DECIMAL(38,6) accumulation — the established `round(ln(·),6)`
-    * posture that absorbs the engines' 1-ulp `ln` divergence. */
+    * posture that absorbs the engines' 1-ulp `ln` divergence.
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r12/r13): wall-ratio
+    * 0.80–0.94 at ×8 — ≤n-bucket aggregates, corpus-size-insensitive
+    * at this tier. */
   def psiDrift(
       dfA: DataFrame,
       dfB: DataFrame,
