@@ -956,7 +956,7 @@ object MediaKernels {
       var e = 0
       while (e < n) {
         val off = ifd + 2 + e * 12
-        if (off + 12 > b.length) return null
+        if (off > b.length - 12) return null // subtraction: see ifd guard
         val tag = r16(off)
         if (tag == 256 || tag == 257) {
           val typ = r16(off + 2)

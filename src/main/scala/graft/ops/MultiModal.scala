@@ -32,6 +32,7 @@ object MultiModal {
       .when(prefix(3) === "FFD8FF", "jpeg")
       .when(prefix(4) === "89504E47", "png")
       .when(prefix(3) === "474946", "gif")
+      .when(prefix(2) === "424D", "bmp")
       // RIFF containers: WEBP/WAVE/AVI discriminated by bytes 9-12
       .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "57454250", "webp")
       .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "57415645", "wav")

@@ -16,7 +16,8 @@ class MultiModalSpec extends SparkTestBase {
     (4L, "RIFF".getBytes ++ blob(0, 0, 0, 0) ++ "WAVE".getBytes),
     (5L, blob(0, 0, 0, 0x20) ++ "ftypisom".getBytes),
     (6L, "%PDF-1.7".getBytes),
-    (7L, "just some text".getBytes("UTF-8"))
+    (7L, "just some text".getBytes("UTF-8")),
+    (8L, "BM".getBytes ++ blob(0, 0, 0, 0))
   ).toDF("media_id", "bytes")
 
   test("sniffFormat detects containers by magic bytes") {
@@ -28,7 +29,7 @@ class MultiModalSpec extends SparkTestBase {
       .toMap
     assert(got == Map(
       1L -> "jpeg", 2L -> "png", 3L -> "gif", 4L -> "wav",
-      5L -> "mp4", 6L -> "pdf", 7L -> "unknown"))
+      5L -> "mp4", 6L -> "pdf", 7L -> "unknown", 8L -> "bmp"))
   }
 
   test("mediaMeta sizes and digests are exact") {
