@@ -28,6 +28,111 @@ private[ops] object FsSteps {
       s"$ctx: delete $p returned false; aborting with marker intact")
 }
 
+/** Generation-pointer layout for the persisted indexes
+  * ([[Similarity]]'s IVF/LSH roots, [[NearDup]]'s MinHash signature
+  * index): the index root holds numbered generation directories
+  * (`gen-1`, `gen-2`, …) and readers resolve the HIGHEST generation
+  * whose `_GEN_DONE` sentinel exists. A rebuild/compaction writes the
+  * next generation FULLY, then "flips the pointer" by creating the
+  * sentinel — one atomic O_CREAT, chosen over an atomically-renamed
+  * `_CURRENT` file because rename-with-overwrite is NOT atomic on
+  * every Hadoop FileSystem (RawLocalFileSystem deletes the
+  * destination first), while create+close is atomic everywhere and a
+  * listing either sees the sentinel or doesn't.
+  *
+  * Why this removes the old marker-swap's probe-unavailability window:
+  * no destructive step ever touches the live generation during a
+  * rebuild — the old generation is retired lazily, by [[sweep]] at the
+  * START of the NEXT rebuild, so a probe that resolved the pointer
+  * just before a flip still finds every file it resolved. The retained
+  * previous generation is the price (≤ 2× index footprint between
+  * compactions; the index is ≪ the corpus); the bound a deployment
+  * must hold is that no probe outlives an entire compaction CYCLE
+  * (flip → next compaction's sweep), which replaces the old
+  * "quiesce probes for the swap window" runbook rule entirely.
+  *
+  * Crash safety falls out of the write→flip ordering: a crash before
+  * the sentinel leaves a done-less partial generation that readers
+  * never resolve and the next sweep removes; a crash after the
+  * sentinel IS the committed state (cleanup of the predecessor is the
+  * next sweep's job). There is no state from which a retry loses rows. */
+object Generations {
+
+  private val Done = "_GEN_DONE"
+  private val GenPrefix = "gen-"
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def genNumber(name: String): Option[Int] =
+    if (name.startsWith(GenPrefix)) name.drop(GenPrefix.length).toIntOption
+    else None
+
+  private def generations(fs: FileSystem, root: Path): Seq[(Int, Path)] =
+    if (!fs.exists(root)) Nil
+    else
+      fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .flatMap(st => genNumber(st.getPath.getName).map(_ -> st.getPath))
+        .sortBy(_._1)
+
+  /** The live generation: highest `gen-N` whose `_GEN_DONE` exists. */
+  def resolve(fs: FileSystem, root: Path): Option[(Int, Path)] =
+    generations(fs, root).filter { case (_, p) => fs.exists(new Path(p, Done)) }
+      .sortBy(_._1).lastOption
+
+  /** Live generation's directory as a string, for `spark.read` — fails
+    * fast when `root` holds no committed generation (not an index). */
+  def currentDir(fs: FileSystem, root: Path): Path =
+    resolve(fs, root).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root holds no committed index generation (no gen-N/$Done) — " +
+          "not an index root, or the initial build never completed"))
+
+  /** Directory for the NEXT generation (current + 1; 1 on a fresh
+    * root). The caller writes it fully, then [[commit]]s. A leftover
+    * uncommitted directory with this number (a crashed prior attempt)
+    * is removed first — it is unreachable garbage by construction. */
+  def begin(fs: FileSystem, root: Path): Path = {
+    val next = resolve(fs, root).map(_._1 + 1).getOrElse(1)
+    val dir = new Path(root, s"$GenPrefix$next")
+    if (fs.exists(dir)) {
+      require(!fs.exists(new Path(dir, Done)),
+        s"$dir is committed but did not resolve — corrupted generation numbering")
+      FsSteps.deleted(fs, dir, recursive = true, "Generations.begin")
+    }
+    dir
+  }
+
+  /** The atomic flip: readers resolve `genDir` from the moment this
+    * create lands. Call only after every row of the generation is on
+    * disk. */
+  def commit(fs: FileSystem, genDir: Path): Unit =
+    fs.create(new Path(genDir, Done), false).close()
+
+  /** Sweep, open the next generation, run `body` on its directory,
+    * commit — the whole producer protocol in order. `body` must leave
+    * every row of the new generation on disk before returning. */
+  def rebuild(fs: FileSystem, root: Path)(body: String => Unit): Unit = {
+    sweep(fs, root)
+    val gen = begin(fs, root)
+    body(gen.toString)
+    commit(fs, gen)
+  }
+
+  /** Retire everything that is not the live generation: committed
+    * predecessors (the grace generation from the last flip) and
+    * uncommitted partials (crashed rebuilds). Sentinel drops before its
+    * directory so a mid-sweep crash leaves a done-less partial, never a
+    * committed-but-half-deleted generation. Safe whenever no probe has
+    * been running since before the PREVIOUS flip. */
+  def sweep(fs: FileSystem, root: Path): Unit =
+    resolve(fs, root).foreach { case (live, _) =>
+      generations(fs, root).filter(_._1 != live).foreach { case (_, p) =>
+        FsSteps.deleted(fs, new Path(p, Done), recursive = false, "Generations.sweep")
+        FsSteps.deleted(fs, p, recursive = true, "Generations.sweep")
+      }
+    }
+}
+
 /** Small-file compaction for a parquet corpus — the operational
   * counterpart of the streaming sinks: a micro-batch parquet sink
   * appends at least one file per batch per partition, and a week of

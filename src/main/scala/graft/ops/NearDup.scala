@@ -303,6 +303,16 @@ object NearDup {
   private def minhashPartExpr(nParts: Int) =
     pmod(xxhash64(lit("part"), col("band"), col("bucket")), lit(nParts.toLong)).cast("int")
 
+  /** The signature index's live generation directory ([[Generations]]
+    * layout) — appenders and probes resolve through here, pinning each
+    * operation to one committed generation. */
+  private def resolveMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    Generations.currentDir(
+      root.getFileSystem(spark.sessionState.newHadoopConf()), root).toString
+  }
+
   /** Persist the corpus's banded MinHash signature rows as a
     * `part`-partitioned parquet table — the incremental-crawl
     * amortization model (the bm25/LSH index posture): the history's
@@ -322,10 +332,18 @@ object NearDup {
       k: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      nParts: Int = 64): Unit =
-    bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
-      .withColumn("part", minhashPartExpr(nParts))
-      .write.partitionBy("part").mode("overwrite").parquet(path)
+      nParts: Int = 64): Unit = {
+    // Generations layout (graft.ops.Generations): the part dirs live in
+    // a numbered generation; a rebuild writes the next one and flips
+    // atomically, so concurrent probes keep the index they resolved
+    val root = new org.apache.hadoop.fs.Path(path)
+    Generations.rebuild(
+      root.getFileSystem(df.sparkSession.sessionState.newHadoopConf()), root) { gen =>
+      bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+        .withColumn("part", minhashPartExpr(nParts))
+        .write.partitionBy("part").mode("overwrite").parquet(gen)
+    }
+  }
 
   /** Append a new batch's signature rows to an existing index (same
     * layout params as the write) — the close of the incremental loop:
@@ -345,79 +363,44 @@ object NearDup {
       nParts: Int = 64): Unit =
     bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
       .withColumn("part", minhashPartExpr(nParts))
-      .write.partitionBy("part").mode("append").parquet(path)
+      .write.partitionBy("part").mode("append")
+      .parquet(resolveMinhashIndex(df.sparkSession, path))
 
-  /** Compact an append-accumulated MinHash signature index in place —
-    * the signature-index port of [[graft.ops.Similarity.compactIndex]]'s
-    * marker-bracketed generation swap: every [[appendMinhashIndex]]
-    * batch adds one file per touched `part` directory, so a
-    * daily-ingest index scans batches×parts small files after a quarter
-    * — compaction rewrites the layout to ONE file per part (each part
-    * value hashes to exactly one task of the `repartition(part)` write)
-    * and leaves probes and future appends untouched semantically
-    * (probe equality before/after is spec-pinned).
+  /** Compact an append-accumulated MinHash signature index — the
+    * signature-index flavor of [[graft.ops.Similarity.compactIndex]]:
+    * every [[appendMinhashIndex]] batch adds one file per touched
+    * `part` directory, so a daily-ingest index scans batches×parts
+    * small files after a quarter — compaction rewrites the layout to
+    * ONE file per part (each part value hashes to exactly one task of
+    * the `repartition(part)` write) and leaves probes and future
+    * appends untouched semantically (probe equality before/after is
+    * spec-pinned).
     *
-    * Crash-safe swap, same discipline as the IVF/LSH flavor: the
-    * compacted generation is FULLY written to a sibling `__compact`
-    * dir before any destructive step; a `__COMPACTING` marker brackets
-    * the swap; a later call HEALS an interruption by inspecting which
-    * directories survived (marker + compact + live ⇒ conservative
-    * re-compact: drop marker FIRST, then the possibly-mid-swap compact
-    * dir; marker without live index ⇒ finish the swap). At no point is
-    * the only copy of any row mid-rename. Hadoop FileSystem reports
-    * failure by returning false — every destructive step aborts on
-    * false with the marker intact, so a retry heals instead of losing
-    * rows. Quiesce appends AND probes for the swap window: between the
-    * two renames the index path transiently does not exist (a
-    * concurrent probe can fail with missing-path, never read wrong
-    * data). Returns false (touching nothing) when the index does not
-    * exist. */
+    * Crash-safe, probe-transparent swap via the [[Generations]]
+    * layout: sweep retired generations, write the compacted next
+    * generation FULLY, commit with one atomic sentinel create.
+    * Concurrent PROBES keep the generation they resolved (it survives
+    * until the next compaction's sweep) — no unavailability window, no
+    * marker/heal protocol; a crash at any point leaves either the old
+    * committed generation (retry re-compacts) or the new one (retry
+    * re-compacts a no-op). APPENDS must still be quiesced: an append
+    * landing in the old generation after the union read would be
+    * silently dropped by the flip — the same close-the-ingest-
+    * generation rule as the IVF/LSH compactor. Returns false (touching
+    * nothing) when the index does not exist. */
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
     import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new Path(path)
-    val fs = live.getFileSystem(conf)
-    val compactDir = new Path(path + "__compact")
-    val oldDir = new Path(path + "__old")
-    val marker = new Path(path + "__COMPACTING")
-    def renamed(src: Path, dst: Path): Unit =
-      FsSteps.renamed(fs, src, dst, "compactMinhashIndex")
-    def deleted(p: Path, recursive: Boolean): Unit =
-      FsSteps.deleted(fs, p, recursive, "compactMinhashIndex")
-    if (fs.exists(marker)) {
-      if (fs.exists(compactDir) && fs.exists(live)) {
-        // crashed between marker creation and the first rename: the
-        // live index is whole, the compact generation may be mid-write
-        // from an aborted heal — discard it and re-compact below.
-        // Marker drops FIRST (the Similarity.compactIndex heal-ordering
-        // argument: a crash between these two deletes must read as a
-        // plain fresh compaction, not as "swap in flight").
-        deleted(marker, false)
-        deleted(compactDir, true)
-      } else {
-        // first rename happened: the compact generation is COMPLETE
-        // (the marker is only ever created after its write finishes) —
-        // finish: promote it, clear the old one; marker drops LAST so
-        // a crash mid-cleanup re-enters here. The promoted index IS
-        // the compacted goal state, so return without paying a second
-        // full rewrite (round-13 review finding).
-        if (fs.exists(compactDir)) renamed(compactDir, live)
-        deleted(oldDir, true)
-        deleted(marker, false)
-        return true
-      }
-    }
-    if (!fs.exists(live)) return false
-    spark.read.parquet(path)
-      .repartition(col("part"))
-      .write.partitionBy("part").mode("overwrite").parquet(compactDir.toString)
-    fs.create(marker, true).close()
-    renamed(live, oldDir)
-    renamed(compactDir, live)
-    deleted(oldDir, true)
-    deleted(marker, false)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (Generations.resolve(fs, root).isEmpty) return false
+    Generations.sweep(fs, root)
+    val cur = Generations.currentDir(fs, root)
+    val compacted = spark.read.parquet(cur.toString).repartition(col("part"))
+    val next = Generations.begin(fs, root)
+    compacted.write.partitionBy("part").mode("overwrite").parquet(next.toString)
+    Generations.commit(fs, next)
     true
   }
 
@@ -479,7 +462,7 @@ object NearDup {
         .withColumn("jaccard", lit(null).cast("double"))
         .select("new_id", "old_id", "jaccard")
     }
-    val idx = spark.read.parquet(path)
+    val idx = spark.read.parquet(resolveMinhashIndex(spark, path))
       .filter(col("part").isin(parts: _*))
     val cands = newB
       .select(col("part"), col("band"), col("bucket"), col("id").as("id1"))

@@ -3,16 +3,25 @@ package graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-import graft.ops.NearDup
+import graft.ops.{Generations, NearDup}
 
-/** In-place generation-swap compaction of the appended MinHash
-  * signature index (the Similarity.compactIndex discipline ported to
-  * the signature layout): N appends → 1 file per part, probe equality
-  * before/after, interruption heal. */
+/** Generation-pointer compaction of the appended MinHash signature
+  * index (the graft.ops.Generations layout shared with
+  * Similarity.compactIndex): N appends → 1 file per part, probe
+  * equality before/after, crash-point resilience (uncommitted partials
+  * never resolve and are swept), and — the property the layout exists
+  * for — probes running CONCURRENTLY with compactions never fail and
+  * never change answers. */
 class MinhashCompactSpec extends SparkTestBase {
 
+  private def genDir(path: String): String = {
+    val root = new Path(path)
+    Generations.currentDir(
+      root.getFileSystem(spark.sessionState.newHadoopConf()), root).toUri.getPath
+  }
+
   private def parquetFilesPerPart(path: String): Map[String, Int] = {
-    val root = new java.io.File(path)
+    val root = new java.io.File(genDir(path))
     root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("part="))
       .map(d => d.getName ->
         d.listFiles().count(f => f.getName.endsWith(".parquet")))
@@ -40,13 +49,15 @@ class MinhashCompactSpec extends SparkTestBase {
     val before = probe()
     assert(before.nonEmpty, "fixture must contain cross-slice near-dups")
 
+    val gen1 = genDir(path)
     assert(NearDup.compactMinhashIndex(spark, path))
+    assert(genDir(path) != gen1, "compaction must flip to a new generation")
+    // the previous generation survives as the grace copy for in-flight
+    // probes; the NEXT compaction sweeps it — no unavailability window
+    assert(new java.io.File(gen1).exists(), "grace generation must survive the flip")
     val compacted = parquetFilesPerPart(path)
     assert(compacted.keySet == fragmented.keySet, "no part dir may vanish")
     assert(compacted.values.forall(_ == 1), s"one file per part after compaction: $compacted")
-    assert(!new java.io.File(path + "__COMPACTING").exists(), "marker must clear")
-    assert(!new java.io.File(path + "__old").exists())
-    assert(!new java.io.File(path + "__compact").exists())
     assert(probe() == before, "compaction must never change probe answers")
 
     // appends keep working against the compacted generation
@@ -57,7 +68,7 @@ class MinhashCompactSpec extends SparkTestBase {
     assert(!NearDup.compactMinhashIndex(spark, path + "-nonexistent"))
   }
 
-  test("interruption heal: partial pre-swap unions discard, mid-swap states finish") {
+  test("crash resilience: uncommitted partials never resolve, sweeps retire them and the grace copy") {
     val docs = Tables.documents(spark, sf001)
     val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -70,23 +81,73 @@ class MinhashCompactSpec extends SparkTestBase {
     val before = probe()
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-    // crash BEFORE the swap: marker + partial compact dir + intact live
-    // index — heal must discard the partial union and re-compact fresh
-    fs.mkdirs(new Path(path + "__compact/part=0"))
-    fs.create(new Path(path + "__COMPACTING"), true).close()
+    // crash DURING a rebuild: a partial next generation without the
+    // _GEN_DONE sentinel — readers must keep resolving the committed
+    // generation, and the next compaction must sweep the partial
+    val gen1 = genDir(path)
+    fs.mkdirs(new Path(s"$path/gen-7/part=0"))
+    assert(genDir(path) == gen1, "an uncommitted partial must not win resolution")
+    assert(probe() == before, "a partial generation must not disturb probes")
     assert(NearDup.compactMinhashIndex(spark, path))
-    assert(probe() == before, "healed pre-swap state must probe identically")
+    assert(!fs.exists(new Path(s"$path/gen-7")), "the partial must be swept")
+    assert(probe() == before, "compaction after a crash must probe identically")
     assert(parquetFilesPerPart(path).values.forall(_ == 1))
 
-    // crash MID-swap: live renamed away, complete compact generation +
-    // marker left behind — heal must promote the compact generation
-    spark.read.parquet(path).repartition(col("part"))
-      .write.partitionBy("part").mode("overwrite").parquet(path + "__compact")
-    assert(fs.rename(new Path(path), new Path(path + "__old")))
-    fs.create(new Path(path + "__COMPACTING"), true).close()
+    // crash AFTER the flip (cleanup is the next sweep's job): the grace
+    // generation lingers until one more compaction retires it
+    val gen2 = genDir(path)
+    assert(fs.exists(new Path(gen1)), "grace generation expected after one compaction")
     assert(NearDup.compactMinhashIndex(spark, path))
-    assert(probe() == before, "healed mid-swap state must probe identically")
-    assert(!new java.io.File(path + "__old").exists())
-    assert(!new java.io.File(path + "__COMPACTING").exists())
+    assert(!fs.exists(new Path(gen1)), "two compactions later the old generation is gone")
+    assert(fs.exists(new Path(gen2)), "the immediately-previous generation is the new grace copy")
+    assert(probe() == before)
+  }
+
+  test("probes running concurrently with compactions never fail and never change answers") {
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-mh-conc").toString + "/idx"
+    NearDup.writeMinhashIndex(history, "doc_id", "text", path, nParts = 4)
+    def probe() = NearDup.probeMinhashIndex(path, history, incoming,
+      "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe()
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val prober = new Thread(() => {
+      try {
+        while (!stop) {
+          assert(probe() == before, "a concurrent probe changed answers mid-compaction")
+          probes.incrementAndGet()
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    prober.start()
+    try {
+      // three compaction cycles while probes hammer the index — each
+      // flip overlaps whatever probe is mid-flight. Between cycles the
+      // test enforces the layout's documented deployment bound (no probe
+      // outlives a whole compaction cycle) DETERMINISTICALLY: wait for
+      // two more COMPLETED probes after the flip — the first may have
+      // started before it, the second certainly after, so every probe
+      // still holding the pre-flip generation has drained before the
+      // next cycle's sweep retires it.
+      (1 to 3).foreach { _ =>
+        val preFlip = probes.get()
+        assert(NearDup.compactMinhashIndex(spark, path))
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (probes.get() < preFlip + 2 && failures.isEmpty
+            && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(failures.isEmpty && probes.get() >= preFlip + 2,
+          "prober stalled — cannot uphold the probe-lifetime bound")
+      }
+    } finally {
+      stop = true
+      prober.join(120000)
+    }
+    assert(failures.isEmpty, s"concurrent probes failed: ${failures.peek()}")
+    assert(probes.get() > 0, "the prober must actually have overlapped the compactions")
   }
 }

@@ -13,6 +13,15 @@ class SimilaritySpec extends SparkTestBase {
   private val k = 10
   private val queryId = 0L
 
+  /** The index root's live generation directory (Generations layout),
+    * scheme-stripped so java.io.File assertions can walk it. */
+  private def genDir(path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    graft.ops.Generations
+      .currentDir(root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+      .toUri.getPath
+  }
+
   /** (id, vector) pairs of the fixture, driver-side. */
   private lazy val vecs: Array[(Long, Array[Float])] =
     Tables
@@ -171,7 +180,8 @@ class SimilaritySpec extends SparkTestBase {
     // bucket-partitioned directories on disk (≤ k; a trained centroid may
     // legitimately attract no fixture vectors)
     val bucketDirs =
-      new java.io.File(s"$path/base").listFiles().filter(_.getName.startsWith("bucket="))
+      new java.io.File(s"${genDir(path)}/base").listFiles()
+        .filter(_.getName.startsWith("bucket="))
     assert(bucketDirs.nonEmpty && bucketDirs.length <= 8)
     val qVec = vecs.find(_._1 == queryId).get._2
     val probed = Similarity.probeIvfIndex(
@@ -256,7 +266,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == mem, s"streamed-index probe diverged: $got vs $mem")
   }
 
-  test("compactIndex folds streamed appends into base: same answers, streamed gone, healed") {
+  test("compactIndex folds streamed appends into the next generation: same answers, grace kept, partials swept") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf001)
     val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
@@ -280,15 +290,18 @@ class SimilaritySpec extends SparkTestBase {
       spark, path, "vec_id", "embedding", qVec, centroids, k, nProbe = 6,
       excludeId = Some(queryId)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val before = probe()
-    assert(new java.io.File(s"$path/streamed").exists())
+    val gen1 = genDir(path)
+    assert(new java.io.File(s"$gen1/streamed").exists())
     assert(Similarity.compactIndex(spark, path, Seq("bucket")))
-    assert(!new java.io.File(s"$path/streamed").exists(), "streamed must fold away")
-    assert(!new java.io.File(s"$path/_COMPACTING").exists(), "marker must clear")
+    val gen2 = genDir(path)
+    assert(gen2 != gen1, "compaction must flip to a new generation")
+    assert(!new java.io.File(s"$gen2/streamed").exists(), "streamed must fold away")
+    // the previous generation is KEPT as the grace copy for in-flight
+    // probes (swept at the NEXT compaction) — no unavailability window
+    assert(new java.io.File(gen1).exists(), "grace generation must survive the flip")
     assert(probe() == before, "compaction must never change answers")
     // idempotent: nothing left to compact
     assert(!Similarity.compactIndex(spark, path, Seq("bucket")))
-    // healing: a leftover marker + stale partial union from a crashed
-    // run must be discarded, then compaction proceeds fresh
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // one more arrival — the ANTI-query vector (cosine −1), so top-k
@@ -303,11 +316,15 @@ class SimilaritySpec extends SparkTestBase {
     val q2 = Similarity.ingestIvfIndexStream(
       input2.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt2)
     try q2.processAllAvailable() finally q2.stop()
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/base_compact/bucket=0"))
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_COMPACTING"), true).close()
+    // a crashed rebuild's partial generation (no _GEN_DONE): probes never
+    // resolve it, and the next compaction sweeps it before proceeding
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/gen-9/base/bucket=0"))
+    assert(genDir(path) == gen2, "an uncommitted partial must not win resolution")
+    assert(probe() == before, "a partial generation must not disturb probes")
     assert(Similarity.compactIndex(spark, path, Seq("bucket")))
-    assert(!new java.io.File(s"$path/streamed").exists())
-    assert(probe() == before, "healed compaction must still be duplicate-free")
+    assert(!new java.io.File(s"$path/gen-9").exists(), "partials must be swept")
+    assert(!new java.io.File(gen1).exists(), "the old grace generation must be swept")
+    assert(probe() == before, "compaction after a crash must still be duplicate-free")
   }
 
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
@@ -317,7 +334,8 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.writeLshIndex(emb, "embedding", path, bands, bits)
     // band-partitioned directories on disk, one sig sub-dir per bucket hit
     val bandDirs =
-      new java.io.File(s"$path/base").listFiles().filter(_.getName.startsWith("band="))
+      new java.io.File(s"${genDir(path)}/base").listFiles()
+        .filter(_.getName.startsWith("band="))
     assert(bandDirs.length == bands)
     val qVec = vecs.find(_._1 == queryId).get._2
     val probed = Similarity.probeLshIndex(
