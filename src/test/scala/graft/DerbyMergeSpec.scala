@@ -150,6 +150,91 @@ class DerbyMergeSpec extends SparkTestBase {
     }
   }
 
+  test("at-least-once replay converges: crash after a partial commit, replay with evolve widening equals single-shot") {
+    // The sink's delivery contract (JdbcMerge scaladoc): a failure
+    // mid-batch leaves a partially-applied table; replaying the SAME
+    // micro-batch converges to the single-shot result because MERGE and
+    // DELETE are idempotent by key. Injected here against the real
+    // engine: the crash lands at the SECOND commit of a partition — the
+    // first flush (a MERGE) is durably committed, the tombstone-DELETE
+    // flush dies — and the replay additionally carries a WIDER schema
+    // (auto.evolve fires mid-replay), mirroring the reference sink's
+    // retry posture (start-sink-connector.sh:79-80) plus a schema change
+    // racing the retry.
+    val base = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("TITLE", StringType)))
+    val widened = StructType(base.fields :+ StructField("EXTRA", IntegerType))
+    val c = cfg("d_replay")
+    def isTomb(r: Row): Boolean = r.isNullAt(1)
+    // key-disjoint partitions — the keyed-changelog shape the real
+    // pipeline feeds the sink, so parallel replay tasks cannot interleave
+    // on a key
+    val p1 = Seq(Row(1L, "v1"), Row(2L, "two"), Row(1L, "v2"), Row(2L, null))
+    val p2 = Seq(Row(3L, "three"), Row(3L, null), Row(3L, "reborn"), Row(4L, "four"))
+    def widen(r: Row): Row =
+      if (isTomb(r)) Row(r.get(0), null, null) else Row(r.get(0), r.get(1), 7)
+
+    // partition 1 applies fully
+    withConn("d_replay") { conn =>
+      JdbcMerge.ensureTable(c, base, conn)
+      JdbcMerge.applyPartition(p1.iterator, base, c, isTomb, conn)
+    }
+    // partition 2 crashes at its second commit: flush #1 (MERGE of key 3)
+    // is durable, flush #2 (the DELETE of key 3) never lands
+    val real = DerbyDb.connect("d_replay")
+    real.setAutoCommit(false)
+    var commits = 0
+    val failing = java.lang.reflect.Proxy.newProxyInstance(
+      classOf[Connection].getClassLoader, Array[Class[_]](classOf[Connection]),
+      (_, method, args) => {
+        if (method.getName == "commit") {
+          commits += 1
+          if (commits == 2) {
+            // a crashed process never commits its open transaction — the
+            // server rolls it back; emulate, then die
+            real.rollback()
+            throw new java.sql.SQLException("injected crash")
+          }
+        }
+        method.invoke(real, (if (args == null) Array.empty[Object] else args): _*)
+      }).asInstanceOf[Connection]
+    try {
+      intercept[java.sql.SQLException] {
+        JdbcMerge.applyPartition(p2.iterator, base, c, isTomb, failing)
+      }
+    } finally { try real.rollback() catch { case _: Exception => () }; real.close() }
+    // the table is genuinely partial — not empty, not final
+    withConn("d_replay") { conn =>
+      assert(selectAll(conn, "d_replay") == Seq(Seq(1L, "v2"), Seq(3L, "three")),
+        "injection must leave the documented partial state")
+    }
+
+    // replay the WHOLE micro-batch through the sink() entry as Spark
+    // would, now with the widened schema (auto.evolve ALTERs mid-replay)
+    val wideRows = (p1.map(widen), p2.map(widen))
+    val rdd = spark.sparkContext.parallelize(0 until 2, 2).flatMap { i =>
+      if (i == 0) wideRows._1 else wideRows._2
+    }
+    val df = spark.createDataFrame(rdd, widened)
+    JdbcMerge.sink(c, isTomb, () => DerbyDb.connect("d_replay"))(df, 0L)
+
+    // the single-shot reference: same widened batch on a clean table
+    withConn("d_replay_ref") { conn =>
+      JdbcMerge.ensureTable(c.copy(table = "d_replay_ref"), widened, conn)
+      JdbcMerge.applyPartition((p1 ++ p2).map(widen).iterator, widened,
+        c.copy(table = "d_replay_ref"), isTomb, conn)
+    }
+    withConn("d_replay") { conn =>
+      val got = selectAll(conn, "d_replay")
+      val ref = withConn("d_replay_ref")(selectAll(_, "d_replay_ref"))
+      assert(got == ref, s"replayed table diverged from single-shot: $got vs $ref")
+      assert(got == Seq(Seq(1L, "v2", 7), Seq(3L, "reborn", 7), Seq(4L, "four", 7)))
+      assert(JdbcMerge.tableColumns(conn, "d_replay").map(_._1) ==
+        Seq("ID", "TITLE", "EXTRA"), "the mid-replay widening must have ALTERed")
+    }
+  }
+
   test("full replication pipeline lands rows in a real database") {
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
