@@ -220,6 +220,58 @@ object Bench {
     }
   }
 
+  /** Per-query prior-round minimums out of a BENCH artifact line, for
+    * the cross-round guard. Two defenses against poisoned priors
+    * (BenchGuardSpec pins both):
+    *  - the prior's own "regressed" map must NOT feed the guard: its
+    *    [current, prior] pairs carry the PRE-regression min, and the
+    *    min-fold below would re-inject it forever — the prior could
+    *    never advance to an accepted slower figure and a steady query
+    *    would be re-run and re-flagged every round (round-13 review
+    *    finding);
+    *  - a FRONT-TRUNCATED artifact tail (the driver's BENCH_r*.json
+    *    keeps only the last 2000 output chars) can cut the
+    *    `"regressed":{` anchor itself away, leaving orphan
+    *    `"q_x":[cur,prior]` residue the strip regex cannot see — when
+    *    the text neither starts intact nor contains the anchor, only
+    *    text from the next top-level key on is trustworthy (which
+    *    holds no q_ entries, so the guard disarms rather than feed on
+    *    residue). A cut landing EARLIER (mid-queries/iterations)
+    *    leaves the anchor present and those maps' surviving complete
+    *    entries are genuine minimums — partial first entries lose
+    *    their `"q_` prefix to the cut and cannot match. */
+  private[graft] def parsePriorQueries(txt0: String): Map[String, Double] = {
+    try {
+      val safe =
+        if (txt0.trim.startsWith("{") || txt0.contains("\"regressed\":{")) txt0
+        else {
+          val i = txt0.indexOf("\"baseline_subset_total\"")
+          if (i >= 0) txt0.substring(i) else ""
+        }
+      val txt = safe.replaceAll("\"regressed\":\\{[^}]*\\}", "")
+      // accept both shapes: `"q_x":0.12` (queries map) and
+      // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
+      val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+      val listRe = "\"(q_[A-Za-z0-9_]+)\":\\[([0-9.,eE+-]+)\\]".r
+      val scalars = scalarRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+      val lists = listRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).min)
+      (scalars ++ lists).toSeq.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).filter(_ >= 0).foldLeft(
+          Double.MaxValue)(math.min) }
+        .filter(_._2 != Double.MaxValue)
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** The cross-round guard's trip condition, shared by the re-run
+    * trigger and the final `regressed` field: a prior exists, clears
+    * the 0.1 s floor (sub-100 ms priors double on codegen-cache jitter
+    * alone), and the current min exceeds it by the factor. */
+  private[graft] def crossRoundRegressed(
+      prior: Option[Double], currentMin: Double, factor: Double): Boolean =
+    prior.exists(p => p > 0.1 && currentMin > p * factor)
+
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
   private def forkedReplay(): Option[(Long, Seq[Double])] =
@@ -419,33 +471,8 @@ object Bench {
     // BENCH_LAST.json (the full line this main persists each run — the
     // driver's BENCH_r*.json artifacts keep only a 2000-char output tail),
     // else the newest driver artifact's surviving iteration lists.
-    val priorQueries: Map[String, Double] = {
-      priorText.flatMap { txt0 =>
-        try {
-          {
-            // the prior's own "regressed" map must NOT feed the guard:
-            // its [current, prior] pairs carry the PRE-regression min,
-            // and the min-fold below would re-inject it forever — the
-            // prior could never advance to an accepted slower figure
-            // and a steady query would be re-run and re-flagged every
-            // round (round-13 review finding)
-            val txt = txt0.replaceAll("\"regressed\":\\{[^}]*\\}", "")
-            // accept both shapes: `"q_x":0.12` (queries map) and
-            // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
-            val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            val listRe = "\"(q_[A-Za-z0-9_]+)\":\\[([0-9.,eE+-]+)\\]".r
-            val scalars = scalarRe.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).toDouble)
-            val lists = listRe.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2).split(',').map(_.toDouble).min)
-            Some((scalars ++ lists).toSeq.groupBy(_._1)
-              .map { case (k, vs) => k -> vs.map(_._2).filter(_ >= 0).foldLeft(
-                Double.MaxValue)(math.min) }
-              .filter(_._2 != Double.MaxValue))
-          }
-        } catch { case _: Throwable => None }
-      }.getOrElse(Map.empty)
-    }
+    val priorQueries: Map[String, Double] =
+      priorText.map(parsePriorQueries).getOrElse(Map.empty)
     // 1.5× (round-13 tightening, judge-prescribed): the r12 q_ingest
     // contamination was 2.01× prior and survived the old 2.0 gate by a
     // hair's breadth of rounding; 1.5× still clears codegen jitter with
@@ -453,9 +480,8 @@ object Bench {
     val crossFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_FACTOR", "1.5").toDouble
     val results = spreadAdjusted.map {
-      // >0.1 s floor: sub-100 ms priors double on codegen-cache jitter alone
       case (name, Right(ts), _)
-          if priorQueries.get(name).exists(p => p > 0.1 && ts.min > p * crossFactor) =>
+          if crossRoundRegressed(priorQueries.get(name), ts.min, crossFactor) =>
         val p = priorQueries(name)
         System.err.println(
           f"bench: $name min ${ts.min}%.2fs is ${ts.min / p}%.1fx its prior-round $p%.2fs — re-running once")
@@ -499,7 +525,7 @@ object Bench {
     // diff artifacts by hand (the r12 q_ingest adjudication).
     val regressed = results.collect {
       case (k, Right(ts), _)
-          if priorQueries.get(k).exists(p => p > 0.1 && ts.min > p * crossFactor) =>
+          if crossRoundRegressed(priorQueries.get(k), ts.min, crossFactor) =>
         s"${jstr(k)}:[${fmt(ts.min)},${fmt(priorQueries(k))}]"
     }.mkString("{", ",", "}")
     // failed queries report -1 individually but must not distort the total

@@ -168,7 +168,12 @@ private[graft] object OracleSqlSimilarity {
         |ORDER BY doc_id""".stripMargin,
 
     // Per-vector max-abs scale in DOUBLE; divide-then-multiply order
-    // fixed; both engines round ties away from zero.
+    // fixed; both engines round ties away from zero. The isfinite guard
+    // mirrors the kernel's NULL-codes contract for NaN/Inf scales
+    // (Kernels.quantizeInt8): DuckDB ranks NaN above every value, so
+    // list_max propagates a NaN/Inf element into scale, `NaN > 0` is
+    // TRUE, and the unguarded round(NaN)::INT would ERROR where the
+    // engine returns NULL codes.
     "q_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -176,7 +181,7 @@ private[graft] object OracleSqlSimilarity {
         |  FROM embeddings),
         |q AS (
         |  SELECT vec_id, scale,
-        |         CASE WHEN scale > 0
+        |         CASE WHEN isfinite(scale) AND scale > 0
         |              THEN list_transform(embedding,
         |                                  x -> round(x::DOUBLE / scale * 127)::INT)
         |              END AS codes

@@ -107,7 +107,17 @@ case class MisraGries(
   // length-prefixed UTF-8 byte arrays, NOT writeUTF: writeUTF throws
   // UTFDataFormatException past 65 535 encoded bytes, and a sketch over
   // an unbounded string column (URLs, text prefixes) must not fail at
-  // shuffle serialization time
+  // shuffle serialization time.
+  //
+  // CODEC COMPATIBILITY: this replaced a writeUTF codec (round 13); a
+  // streaming query resuming from a checkpoint whose state holds
+  // old-codec MG buffers would misread counts (both layouts begin with
+  // a count int, so no format guard can tell them apart without a
+  // version byte neither wrote). This library has shipped no release
+  // with the old codec, so no such checkpoint can exist outside this
+  // repo's history — if one ever did, discard the checkpoint and
+  // replay (the documented changelog-recovery path). Any FUTURE layout
+  // change must prepend a version byte and read both.
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)

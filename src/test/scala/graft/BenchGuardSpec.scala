@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-round bench regression guard, unit-level (no 70 s sweep):
+  * prior-artifact parsing including the poisoned-prior defenses, and
+  * the trip condition shared by the re-run trigger and the `regressed`
+  * output field. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val fullLine =
+    """{"metric":"total","value":3.1000,"unit":"sec",""" +
+      """"queries":{"q_a":0.5000,"q_b":2.0000,"q_tiny":0.0500},""" +
+      """"errors":{},""" +
+      """"iterations":{"q_a":[0.6000,0.5000,0.7000],"q_b":[2.1000,2.0000]},""" +
+      """"reran":[],""" +
+      """"regressed":{"q_b":[2.0000,0.9000]},""" +
+      """"baseline_subset_total":2.5000,"replay_events":0,"replay_sec":-1,""" +
+      """"replay_iterations":[],"replay_msgs_per_sec":-1,"replay_mode":"fork",""" +
+      """"replay_reran":false,"sf":"/root/testdata/sf0.1"}"""
+
+  test("full artifact line: min per query across queries+iterations, regressed map stripped") {
+    val got = Bench.parsePriorQueries(fullLine)
+    assert(got("q_a") == 0.5)
+    // q_b's accepted figure is 2.0; the regressed pair's 0.9 PRE-regression
+    // min must NOT re-inject (the prior could never advance otherwise)
+    assert(got("q_b") == 2.0)
+    assert(got("q_tiny") == 0.05)
+  }
+
+  test("tail truncated mid-iterations keeps the regressed strip working") {
+    // the driver's artifact keeps only an output tail; a cut inside the
+    // iterations map leaves the regressed anchor intact downstream
+    val tail = fullLine.substring(fullLine.indexOf("""0.5000,0.7000]"""))
+    val got = Bench.parsePriorQueries(tail)
+    assert(got("q_b") == 2.0, s"regressed residue leaked into $got")
+    // the cut beheaded q_a's entry — its residue must not half-parse
+    assert(!got.contains("q_a"))
+  }
+
+  test("tail truncated mid-regressed cannot feed orphan pre-regression pairs to the guard") {
+    // the cut removes the "regressed":{ anchor itself: the leftover
+    // "q_b":[2.0000,0.9000]} residue escapes the strip regex — the
+    // parser must discard everything before the next top-level key
+    // instead of folding 0.9 back in (advisor finding, round 13)
+    val tail = fullLine.substring(fullLine.indexOf(""""q_b":[2.0000,0.9000]"""))
+    val got = Bench.parsePriorQueries(tail)
+    assert(!got.contains("q_b"), s"orphan regressed residue re-injected: $got")
+    assert(got.isEmpty, s"nothing after baseline_subset_total names a query: $got")
+  }
+
+  test("unparseable or empty priors disarm the guard instead of throwing") {
+    assert(Bench.parsePriorQueries("").isEmpty)
+    assert(Bench.parsePriorQueries("not json at all").isEmpty)
+  }
+
+  test("trip condition: factor breach above the floor re-runs and records; floor and no-prior disarm") {
+    // the synthetic-prior scenario: last round 0.5 s, this round 0.9 s
+    // at the 1.5x default → the guard must trip (re-run + regressed)
+    val prior = Bench.parsePriorQueries(fullLine).get("q_a")
+    assert(Bench.crossRoundRegressed(prior, 0.9, 1.5))
+    // recovered after the re-run: min back under the threshold → clear
+    assert(!Bench.crossRoundRegressed(prior, 0.7, 1.5))
+    // sub-100 ms priors double on codegen jitter alone: floored out
+    assert(!Bench.crossRoundRegressed(Some(0.05), 10.0, 1.5))
+    // no prior (new query / disabled guard): never trips
+    assert(!Bench.crossRoundRegressed(None, 99.0, 1.5))
+  }
+}
