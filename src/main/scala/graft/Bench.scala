@@ -242,8 +242,12 @@ object Bench {
     *    their `"q_` prefix to the cut and cannot match. */
   private[graft] def parsePriorQueries(txt0: String): Map[String, Double] = {
     try {
+      // the intact-line check must anchor on the REAL line prefix, not
+      // any '{': a cut landing exactly before the regressed map's own
+      // opening brace would otherwise masquerade as an intact line with
+      // the anchor gone and the orphan pairs exposed
       val safe =
-        if (txt0.trim.startsWith("{") || txt0.contains("\"regressed\":{")) txt0
+        if (txt0.trim.startsWith("{\"metric\"") || txt0.contains("\"regressed\":{")) txt0
         else {
           val i = txt0.indexOf("\"baseline_subset_total\"")
           if (i >= 0) txt0.substring(i) else ""

@@ -395,12 +395,13 @@ object NearDup {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (Generations.resolve(fs, root).isEmpty) return false
-    Generations.sweep(fs, root)
+    // resolved BEFORE rebuild opens the next generation; begin() never
+    // touches the live generation, so the read below stays valid
     val cur = Generations.currentDir(fs, root)
     val compacted = spark.read.parquet(cur.toString).repartition(col("part"))
-    val next = Generations.begin(fs, root)
-    compacted.write.partitionBy("part").mode("overwrite").parquet(next.toString)
-    Generations.commit(fs, next)
+    Generations.rebuild(fs, root) { gen =>
+      compacted.write.partitionBy("part").mode("overwrite").parquet(gen)
+    }
     true
   }
 

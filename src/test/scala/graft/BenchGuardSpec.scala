@@ -49,6 +49,14 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(got.isEmpty, s"nothing after baseline_subset_total names a query: $got")
   }
 
+  test("a cut landing exactly on the regressed map's opening brace cannot masquerade as an intact line") {
+    // tail = {"q_b":[2.0000,0.9000]},... — starts with '{' but is NOT
+    // the line head; only the real {"metric" prefix counts as intact
+    val tail = fullLine.substring(fullLine.indexOf("""{"q_b":[2.0000,0.9000]"""))
+    val got = Bench.parsePriorQueries(tail)
+    assert(!got.contains("q_b"), s"brace-cut residue re-injected: $got")
+  }
+
   test("unparseable or empty priors disarm the guard instead of throwing") {
     assert(Bench.parsePriorQueries("").isEmpty)
     assert(Bench.parsePriorQueries("not json at all").isEmpty)
