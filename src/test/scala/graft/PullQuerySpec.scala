@@ -62,6 +62,68 @@ class PullQuerySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("pull queries stay correct across a changelog-stream restart, before and after the first post-restart commit") {
+    // the read-path composition of the restart contract
+    // (StreamRestartSpec): stop the changelog query, restart on the
+    // same checkpoint, and pull-query the RESUMED state — first before
+    // any post-restart commit (the state must be last generation's, not
+    // empty), then after one (resumed state + new events, never a
+    // restarted-from-scratch table)
+    import spark.implicits._
+    ChangelogStream.configure(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pull-restart").toString
+    val isDel = col("event_type") === "delete"
+    def start(input: MemoryStream[ReplayEv]) = ChangelogStream
+      .latestByKey[Long, ReplayEv](input.toDS(), _.user_id, _.event_id)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .start()
+    def batchLive(evs: Seq[ReplayEv]): Long =
+      graft.ops.Changelog
+        .applyChangelog(evs.toDF(), Seq("user_id"), col("event_id"), isDel)
+        .count()
+    val batch1 = Seq(
+      ReplayEv(1L, 10L, "insert", 1.0),
+      ReplayEv(2L, 11L, "insert", 2.0),
+      ReplayEv(3L, 12L, "insert", 3.0),
+      ReplayEv(2L, 13L, "delete", 0.0))
+    val batch2 = Seq(
+      ReplayEv(2L, 15L, "insert", 9.0),  // re-insert after a pre-restart delete
+      ReplayEv(1L, 16L, "update", 7.0),  // update of a pre-restart row
+      ReplayEv(3L, 17L, "delete", 0.0))
+    val input1 = MemoryStream[ReplayEv](spark)
+    val q1 = start(input1)
+    try { input1.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart: fresh source pre-loaded with the committed slice (offset
+    // alignment — the StreamRestartSpec discipline)
+    val input2 = MemoryStream[ReplayEv](spark)
+    input2.addData(batch1)
+    val q2 = start(input2)
+    try {
+      // BEFORE the first post-restart commit: the pull surface serves
+      // the resumed generation's state
+      assert(q2.isActive)
+      assert(PullQuery.liveCount(spark, ckpt, isDel) == batchLive(batch1),
+        "pre-commit pull count must serve the resumed state, not a fresh store")
+      val r1 = PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 1L).collect()
+      assert(r1.length == 1 && r1(0).getAs[Long]("event_id") == 10L)
+      assert(PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 2L).isEmpty,
+        "the pre-restart tombstone must still delete after the restart")
+      // AFTER the first post-restart commit: resumed state + new events
+      input2.addData(batch2)
+      q2.processAllAvailable()
+      assert(PullQuery.liveCount(spark, ckpt, isDel) == batchLive(batch1 ++ batch2))
+      val r2 = PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 2L).collect()
+      assert(r2.length == 1 && r2(0).getAs[Double]("value") == 9.0,
+        "re-insert over a pre-restart tombstone must surface")
+      val r1b = PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 1L).collect()
+      assert(r1b.length == 1 && r1b(0).getAs[Double]("value") == 7.0)
+      assert(PullQuery.pointLookup(spark, ckpt, isDel, "user_id", 3L).isEmpty)
+    } finally q2.stop()
+  }
+
   test("pruned point lookup reads exactly one state partition and equals the full scan") {
     import spark.implicits._
     ChangelogStream.configure(spark)
