@@ -294,6 +294,11 @@ object EventAnalytics {
       .orderBy(col(keyCol))
   }
 
+  /** Silence detection: per-key lag window over event time, emitting
+    * one row per inter-event gap above the threshold — output ∝ gaps,
+    * one per-key sort (the q_window_session axis).
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.82 at ×8. */
   def gaps(
       events: DataFrame,
       keyCol: String,

@@ -284,7 +284,10 @@ object Relational {
     * guarantee is a RANK error ≤ n/accuracy, which is what
     * [[groupQuantilesApproxChecked]] verifies against the exact values.
     * Deterministic for a given dataset (GK compression is
-    * content-driven, not sampled). */
+    * content-driven, not sampled).
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 0.82 at ×8 — the KLL
+    * sketch aggregate is corpus-size-insensitive at this tier. */
   def groupQuantilesApprox(
       df: DataFrame,
       groupCol: String,
@@ -429,7 +432,12 @@ object Relational {
     * honest cost of exact distinct counts; swap to approx_count_distinct
     * when profiling at 100 TB if ±2% is acceptable), then the one-row
     * result unpivots driver-side to (col_name, stats) rows — output is
-    * ∝ columns, never data. */
+    * ∝ columns, never data.
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling): the exact multi-distinct
+    * Expand cost is the documented super-linear exception — 2.82 at ×8 on
+    * the r10 run, 7.30 on the r13 full-surface quiet run;
+    * [[profileApprox]] is the declared, oracle-gated 100 TB swap-in. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
@@ -510,7 +518,10 @@ object Relational {
     * With declared values the plan is ONE scan and one ≤|groups|-row
     * exchange (map-side partials per group, |values| cells each), and
     * the output schema is static — the same reasons the reference's
-    * cross-tabs declare their columns. */
+    * cross-tabs declare their columns.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.40 at ×8 — declared-
+    * value cross-tab, exchange ∝ groups. */
   def pivotAgg(
       df: DataFrame,
       groupCol: String,
@@ -540,7 +551,10 @@ object Relational {
     * Scale shape: one scan, map-side combine to ≤ n cells per task, an
     * n-row exchange, then a broadcast join against the n-row bucket
     * spine (`spark.range`) to surface empty buckets — output ∝ n,
-    * never data. */
+    * never data.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.19 at ×8 — ≤n-cell
+    * aggregate plus broadcast spine. */
   def histogram(
       df: DataFrame,
       valueCol: String,
@@ -640,6 +654,11 @@ object Relational {
       .agg(max(col("d")).as("ks_stat"))
   }
 
+  /** Per-group z-score outliers: one map-side-combined stats aggregate
+    * broadcast back onto the scan — a filter, not a window, so the
+    * corpus is read twice but never re-shuffled.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.44 at ×8. */
   def zOutliers(
       df: DataFrame,
       groupCol: String,

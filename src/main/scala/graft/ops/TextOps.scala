@@ -248,7 +248,10 @@ object TextOps {
     * float is one IEEE division of exact integer counts, so engine and
     * oracle agree bit-for-bit. No output sort (callers order if they
     * need determinism), so the same code gates a STREAM unchanged —
-    * StatelessTextStreamSpec pins that parity. */
+    * StatelessTextStreamSpec pins that parity.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 3.10 at ×8 — per-row
+    * token-array projection, scan-bound. */
   def gopherQuality(
       df: DataFrame,
       idCol: String,
@@ -801,7 +804,10 @@ object TextOps {
     * Same scale shape as [[sourceMix]] (one map-side-combined agg ∝
     * sources + an O(sources) unpartitioned window); the rate is IEEE
     * arithmetic on exact BIGINT sums in a fixed expression shape, so
-    * the oracle agrees bit-for-bit. */
+    * the oracle agrees bit-for-bit.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.20 at ×8 — an
+    * O(sources) aggregate. */
   def mixRebalance(
       df: DataFrame,
       srcCol: String,
@@ -900,7 +906,10 @@ object TextOps {
     * `cap × |strata|` rows and broadcasts under AQE in the common
     * regime. The per-stratum window sort is the same skew axis as
     * [[Relational.topNPerGroup]] (a hot stratum sorts in one task —
-    * n·log n of 50 B rows, not of documents). */
+    * n·log n of 50 B rows, not of documents).
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 0.92 at ×8 — narrow rank
+    * columns plus a semi-join; text never shuffles. */
   def sourceCap(
       df: DataFrame,
       idCol: String,
@@ -1245,7 +1254,10 @@ object TextOps {
     * projections BEFORE the full-outer join — text never shuffles, the
     * join exchanges ~50 B rows keyed by id (AQE handles a small side by
     * broadcast). Statuses are string constants, ids integers: the whole
-    * contract is hash-exact across engines. */
+    * contract is hash-exact across engines.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 1.28 at ×8 — a
+    * fingerprint full-outer join; bodies stay in place. */
   def corpusDiff(
       oldDf: DataFrame,
       newDf: DataFrame,
@@ -1293,7 +1305,12 @@ object TextOps {
     * posture) and scoring is ONE zero-shuffle projection through the
     * `unigram_nll` kernel: per-term contributions precomputed once,
     * O(1) hashed lookups — a broadcast-map `element_at` formulation
-    * would linear-scan the map per token, hopeless at a 65K vocab. */
+    * would linear-scan the map per token, hopeless at a 65K vocab.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 2.93 at ×8 (q_lm_score) —
+    * bounded-head training plus a broadcast-model kernel scoring scan; the
+    * r13 quiet re-probe of the bigram flavor (q_lm_score2) lands
+    * 1.52–1.67. */
   def unigramLmScore(
       df: DataFrame,
       idCol: String,
@@ -1451,7 +1468,10 @@ object TextOps {
     * bigram buckets (the paper's feature space) are the same fold over
     * `word_ngrams(text, 2)` tokens — the unigram form is the
     * oracle-checkable core. Empty docs weigh exactly 0.0 (the empty
-    * fold) and pass iff `tau ≤ 0`. */
+    * fold) and pass iff `tau ≤ 0`.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 2.50 at ×8 — two vocab
+    * builds plus the kernel scoring pass. */
   def dsirWeights(
       df: DataFrame,
       idCol: String,
@@ -1618,7 +1638,10 @@ object TextOps {
     * decimals and the rank orders by (rounded score desc, term asc) —
     * the same engine-portable convention on both sides, immune to the
     * last-ulp libm-vs-JDK divergences that full-precision ordering
-    * would amplify into row mismatches. */
+    * would amplify into row mismatches.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 1.93 at ×8 — explode, two
+    * hash aggregates, per-doc top-k window. */
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

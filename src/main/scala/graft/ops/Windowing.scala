@@ -123,7 +123,10 @@ object Windowing {
     * Scale shape: one shuffle by window bucket + per-window sort — the
     * honest exact cost; windows bound the sort size by construction
     * (a window holds width-worth of events, the natural skew cap), and
-    * [[quantilesStream]] is the sketch-state streaming flavor. */
+    * [[quantilesStream]] is the sketch-state streaming flavor.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling): 2.06 at ×8 — per-window
+    * sort, width-bounded frames. */
   def windowQuantilesDisc(
       df: DataFrame,
       tsNsCol: Column,
@@ -257,7 +260,11 @@ object Windowing {
     *
     * Determinism: slots and the filled flag are integer arithmetic; the
     * carried value is picked by (ts, seq) order — no floats involved
-    * anywhere but the payload itself. */
+    * anywhere but the payload itself.
+    *
+    * Measured (r11 ScaleProbe, sf0.1 ×8 tiling): 2.08 at ×8 — slot-grid
+    * spine plus the per-key LOCF window; the tiling grows keys ×8 with
+    * slots/key constant, the operator's scale axis. */
   def gapFill(
       df: DataFrame,
       keyCol: String,

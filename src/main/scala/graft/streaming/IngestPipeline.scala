@@ -25,6 +25,10 @@ import graft.ops.TextOps
   *    ([[graft.ops.TextOps.chunk]]);
   *  - sink: streaming parquet append — exactly-once via the sink's
   *    commit log, the corpus directory is readable mid-stream.
+  *
+  * Measured (ScaleProbe, sf0.1 ×8 tiling): 1.86 at ×8 on the r10 run
+  * (q_ingest, the batch-replay flavor); the r13 bench pins its steady
+  * wall at ~1.1 s after the r12 ambient-load artifact was re-measured.
   */
 object IngestPipeline {
 
