@@ -62,7 +62,14 @@ object Bucketed {
     * honest super-linearity of a frozen layout); with buckets scaled
     * ∝ table size (8 → 64, per-bucket volume constant, layout write
     * untimed as the amortized one-off) it grows 4.3–8.3× ≈ linear
-    * across runs. Bucket-count scaling is the production lever. */
+    * across runs. Bucket-count scaling is the production lever.
+    *
+    * Second octave (graft.Scale64, ×8 → ×64, r14): the frozen layout's
+    * penalty COMPOUNDS — 25.35 where linear is 8.0 (3.2× over linear
+    * vs 1.4× on the first octave; per-bucket sorts hit 4.8M rows and
+    * spill) — while the scaled layout (64 → 512 buckets) measures
+    * 4.98, sub-linear on the same data. Two octaves of measurement
+    * behind the lever, not one. */
   def colocatedJoin(
       spark: SparkSession,
       leftTable: String,

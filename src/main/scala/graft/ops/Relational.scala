@@ -437,7 +437,12 @@ object Relational {
     * Measured (ScaleProbe, sf0.1 ×8 tiling): the exact multi-distinct
     * Expand cost is the documented super-linear exception — 2.82 at ×8 on
     * the r10 run, 7.30 on the r13 full-surface quiet run;
-    * [[profileApprox]] is the declared, oracle-gated 100 TB swap-in. */
+    * [[profileApprox]] is the declared, oracle-gated 100 TB swap-in.
+    * Second octave (graft.Scale64, ×8 → ×64, r14): 4.53 where linear
+    * is 8.0 — SUB-linear, so the ×1 → ×8 figure was per-job overhead
+    * amortizing, not a growth power; the exact path extrapolates
+    * safely and the swap-in remains a latency choice, not a
+    * feasibility one. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")

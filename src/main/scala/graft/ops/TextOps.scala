@@ -693,7 +693,10 @@ object TextOps {
     * wall-ratio 1.15 at ×8 — and the tiled corpus makes EVERY window a
     * corpus-wide repeat, the dup-table worst case; the 50%-of-docs
     * boilerplate corpus costs 1.18× the clean one (the canonical
-    * combine absorbing ~40 hot stride-1 fingerprints per block). */
+    * combine absorbing ~40 hot stride-1 fingerprints per block).
+    * Second octave (graft.Scale64, ×8 → ×64 UNMUTATED duplication —
+    * the maximal dup table, every window repeated 64×, r14): 5.27
+    * where linear is 8.0 — sub-linear one octave further. */
   def substringDedup(
       df: DataFrame,
       idCol: String,

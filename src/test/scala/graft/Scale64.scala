@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One more octave for the documented super-linear exceptions
+  * (round-14, verdict ask #5): the ×8-tier ScaleProbe leaves two rows
+  * above linear — q_profile (exact multi-distinct Expand) and the
+  * FIXED-8-bucket q_colocated_join — plus q_substring_dedup's
+  * dup-table worst case. This main measures the ×8 → ×64 octave on
+  * exactly those, so the 100 TB extrapolation rests on two measured
+  * octaves instead of one:
+  *
+  *  - q_profile over lineitem tiled ×8 and ×64 (plain row tiling);
+  *    linear = 8.0 between tiers. The exact path's growth POWER is
+  *    what's being confirmed — the declared swap-in stays
+  *    [[graft.ops.Relational.profileApprox]].
+  *  - q_colocated_join at the declared FIXED 8-bucket layout ×8 vs
+  *    ×64 (per-bucket sort O(n log n) at constant bucket count — the
+  *    honest super-linearity), and beside it the production lever:
+  *    buckets ∝ data (64 → 512, per-bucket volume constant), which
+  *    must stay ≈ linear across this octave too.
+  *  - q_substring_dedup over UNMUTATED tiled documents (every window
+  *    a corpus-wide ×8/×64 repeat — the maximal dup table, harsher
+  *    than the vowel-mutated tiling the ×8 probe uses): occurrence
+  *    rows ∝ tokens, canonical agg ∝ distinct fingerprints (constant
+  *    across tiers here), cuts ∝ docs — so the octave must be ≈
+  *    linear if the shape claims hold.
+  *
+  * Run (quiet machine, tmux — ~15-25 min):
+  *   sbt "Test/runMain graft.Scale64 /root/testdata/sf0.1 32"
+  */
+object Scale64 {
+
+  /** Documents tiled as EXACT duplicates (doc_id offset per copy, text
+    * untouched) — deliberately the opposite of ScaleProbe's mutated
+    * tiling: maximal repetition is substring dedup's worst case. */
+  private def tileDocumentsDup(
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val base = Tables.documents(spark, sfDir)
+    val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .select(
+        (col("doc_id") + col("copy") * span).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cores = args.drop(1).headOption.map(_.toInt).getOrElse(32)
+    val spark = GraftSession.local("graft-scale64", cores = cores)
+    val work = java.nio.file.Files.createTempDirectory("graft-scale64")
+    val tiers = Seq(8, 64)
+    def timeMin2(body: => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (JIT, codegen, file listing)
+      (1 to 2).map(_ => once()).min
+    }
+    var failures = List.empty[String]
+    def octave(name: String, t8: Double, t64: Double, gate: Double): Unit = {
+      val ratio = t64 / t8
+      println(f"SCALE64 $name%-28s x8=$t8%7.2f s  x64=$t64%7.2f s  " +
+        f"octave=$ratio%5.2f (linear=8.0)")
+      if (ratio > gate) failures ::= f"$name octave $ratio%.2f > $gate%.1f"
+    }
+
+    try {
+      tiers.foreach { c =>
+        val d = s"$work/x$c"
+        ScaleProbe.tileLineitem(spark, sfDir, d, c)
+        ScaleProbe.tileOrders(spark, sfDir, d, c)
+        tileDocumentsDup(spark, sfDir, d, c)
+      }
+      println(s"SCALE64 tiled x8 + x64 under $work")
+
+      // ---- q_profile: exact multi-distinct Expand, one octave up.
+      // The ×8 tier measured 2.82 (r10) / 7.30 (r13) vs ×1; a second
+      // super-linear octave is EXPECTED — the gate only refuses a
+      // blow-up past the distinct-driven n·|cols| Expand model (≤ 2×
+      // the ×8-tier's own worst factor).
+      def profile(dir: String): Unit =
+        graft.ops.Relational.profile(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+          .write.format("noop").mode("overwrite").save()
+      val p8 = timeMin2(profile(s"$work/x8"))
+      val p64 = timeMin2(profile(s"$work/x64"))
+      octave("q_profile(exact)", p8, p64, gate = 16.0)
+
+      // ---- colocated join, fixed 8 buckets vs buckets ∝ data.
+      def colocated(dir: String, buckets: Int, tag: String): Double = {
+        val li = s"s64_li_$tag"
+        val ord = s"s64_ord_$tag"
+        graft.ops.Bucketed.writeBucketedTable(
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_extendedprice"),
+          li, s"$work/buck_$tag/lineitem", "l_orderkey", buckets)
+        graft.ops.Bucketed.writeBucketedTable(
+          spark.read.parquet(s"$dir/orders.parquet")
+            .select("o_orderkey", "o_orderpriority"),
+          ord, s"$work/buck_$tag/orders", "o_orderkey", buckets)
+        timeMin2 {
+          graft.ops.Bucketed
+            .colocatedJoin(spark, li, ord, "l_orderkey", "o_orderkey")
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(col("l_extendedprice")).as("revenue"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val cf8 = colocated(s"$work/x8", 8, "f8")
+      val cf64 = colocated(s"$work/x64", 8, "f64")
+      // fixed buckets: super-linear BY DESIGN and the penalty COMPOUNDS
+      // (measured 25.35 on this octave vs ~11/8 = 1.4× over linear on
+      // the first — per-bucket sort growth plus spill at 4.8M rows per
+      // bucket). This row is the documented anti-pattern the scaled
+      // row refutes; the gate only refuses a quadratic (≥ copies²)
+      // blow-up, the number itself is the finding.
+      octave("q_colocated(fixed-8)", cf8, cf64, gate = 64.0)
+      val cs8 = colocated(s"$work/x8", 64, "s8")
+      val cs64 = colocated(s"$work/x64", 512, "s64")
+      // the lever: per-bucket volume constant → ≈ linear, same 2× slack
+      // as ScaleProbe's linearity gate
+      octave("q_colocated(scaled-buckets)", cs8, cs64, gate = 16.0)
+
+      // ---- substring dedup, maximal dup table.
+      def substr(dir: String): Unit =
+        graft.ops.TextOps.substringDedup(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", spanWords = 10)
+          .write.format("noop").mode("overwrite").save()
+      val s8 = timeMin2(substr(s"$work/x8"))
+      val s64 = timeMin2(substr(s"$work/x64"))
+      octave("q_substring_dedup(dup-max)", s8, s64, gate = 16.0)
+
+      if (failures.nonEmpty) {
+        failures.foreach(f => println(s"SCALE64 FAIL $f"))
+        sys.exit(1)
+      }
+      println("SCALE64 OK")
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
+      catch { case _: Exception => () }
+      spark.stop()
+    }
+  }
+}

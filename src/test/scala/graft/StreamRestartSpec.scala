@@ -328,6 +328,80 @@ class StreamRestartSpec extends SparkTestBase {
     assert(combined.find(_._2 == w0.size.toLong).get._3 == batchKs(w0))
   }
 
+  // ---------------------------------------------------------------- funnel
+
+  test("FunnelStream: restart resumes per-user depth; a post-restart event advances it") {
+    val steps = Seq("view", "click", "purchase")
+    val gen1 = Seq(
+      Seq(FunnelEvent(1L, 10L, 1L, "view"), FunnelEvent(2L, 11L, 2L, "view")),
+      Seq(FunnelEvent(2L, 12L, 3L, "click")))
+    val gen2 = Seq(
+      // user 1's click advances 1→2 ONLY against the resumed depth (a
+      // fresh store at depth 0 would not match step "view" and emit
+      // nothing); user 2's purchase completes 2→3 the same way
+      Seq(FunnelEvent(1L, 20L, 4L, "click"), FunnelEvent(2L, 21L, 5L, "purchase")),
+      Seq(FunnelEvent(3L, 22L, 6L, "click"))) // never saw "view": no emission
+    val (g1, g2) = runRestarted[FunnelEvent](
+      df => FunnelStream.funnelDepths(df.as[FunnelEvent], steps).toDF(),
+      gen1, gen2, outputMode = "update")
+    def depths(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getInt(1)))
+    // update mode emits each advancement in its own micro-batch: user 2
+    // advances to 1 (chunk 1) and again to 2 (chunk 2)
+    assert(depths(g1).toSet == Set((1L, 1), (2L, 1), (2L, 2)))
+    assert(depths(g2).toSet == Set((1L, 2), (2L, 3)),
+      s"post-restart advancement diverged — depth state did not resume: ${depths(g2)}")
+  }
+
+  // ------------------------------------------------------------- gap alert
+
+  test("GapAlertStream: restart re-arms the dead-man timer from the resumed last-seen") {
+    def ts(sec: Long) = Seq((1000 + sec) * 1_000_000L)
+    def ev(key: Long, sec: Long): (Long, Long) = (key, (1000 + sec) * 1_000_000L)
+    val gapUs = 60_000_000L // 60 s silence
+    val gen1 = Seq(
+      Seq(ev(1L, 0)),      // key 1 heartbeats once, then goes silent
+      Seq(ev(999L, 400)),  // watermark pusher: wm = 370 s > key 1's 60 s deadline
+      Seq(ev(2L, 405), ev(999L, 410))) // key 1's timer FIRES here; key 2 appears
+    val gen2 = Seq(
+      // watermark pushers only: key 2's alert can come ONLY from the
+      // re-armed timer over the resumed last-seen (no key-2 arrivals)
+      Seq(ev(999L, 1000)),
+      Seq(ev(999L, 1100)))
+    val (g1, g2) = runRestarted[(Long, Long)](
+      df => GapAlertStream.alerts(
+        df.toDF("key", "ts_us").withColumn("ts", timestamp_micros(col("ts_us"))),
+        "key", "ts", gapUs, "30 seconds").toDF(),
+      gen1, gen2)
+    def alerts(rows: Seq[Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).filterNot(_._1 == 999L)
+    assert(alerts(g1) == Seq((1L, ts(0).head)),
+      s"key 1's silence must alert before the restart: ${alerts(g1)}")
+    assert(alerts(g2) == Seq((2L, ts(405).head)),
+      s"key 2's alert must fire from the RESUMED timer after the restart: ${alerts(g2)}")
+  }
+
+  // ------------------------------------------------------------- retention
+
+  test("RetentionStream: restart resumes the cohort anchor and seen-offset set") {
+    val day = RetentionStream.DayNanos
+    val gen1 = Seq(
+      Seq(ActivityEvent(1L, 5 * day + 7), ActivityEvent(2L, 6 * day + 1)),
+      Seq(ActivityEvent(1L, 7 * day + 3))) // offsets seen for user 1: {0, 2}
+    val gen2 = Seq(
+      // user 1 active on day 8: offset 3 AGAINST THE RESUMED ANCHOR day 5
+      // (a fresh store would re-anchor at day 8 and emit offset 0);
+      // day 7 again: offset 2 already in the resumed seen-set → silence
+      Seq(ActivityEvent(1L, 8 * day + 9), ActivityEvent(1L, 7 * day + 500)),
+      Seq(ActivityEvent(2L, 9 * day))) // user 2: offset 3 off anchor day 6
+    val (g1, g2) = runRestarted[ActivityEvent](
+      df => RetentionStream.retentionDeltas(df.as[ActivityEvent]).toDF(),
+      gen1, gen2, outputMode = "update")
+    def deltas(rows: Seq[Row]) = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(deltas(g1).toSet == Set((1L, 5L, 0L), (2L, 6L, 0L), (1L, 5L, 2L)))
+    assert(deltas(g2).toSet == Set((1L, 5L, 3L), (2L, 6L, 3L)),
+      s"post-restart deltas must anchor on the resumed cohort day: ${deltas(g2)}")
+  }
+
   // --------------------------------------------------------- interval join
 
   test("IntervalJoinStream: restart resumes both sides' buffers; cross-restart rows join") {
