@@ -235,6 +235,68 @@ class DerbyMergeSpec extends SparkTestBase {
     }
   }
 
+  test("replication pipeline restart: resumed changelog state converges the real sink table") {
+    // The reference's whole operational story in one composition
+    // (TOMBSTONE_HANDLING_GUIDE.md:77-113): kill the replication query,
+    // restart on the same checkpoint, and the target database must end
+    // exactly where an uninterrupted run would — which requires the
+    // RESUMED per-key offset frontier (a stale pre-frontier event after
+    // the restart must NOT regress the table), tombstone state surviving
+    // the restart (re-insert lands), and untouched keys keeping their
+    // pre-restart rows (update mode never re-emits them).
+    import spark.implicits._
+    graft.streaming.ChangelogStream.configure(spark)
+    def envelope(input: MemoryStream[RWire]) = input.toDF().select(
+      struct(col("user_id")).as("kafka_key"),
+      when(
+        col("rec").isNotNull,
+        struct(
+          when(col("op") === "d", col("rec")).as("before"),
+          when(col("op") =!= "d", col("rec")).as("after"),
+          col("op").as("op"))).as("kafka_value"),
+      col("offset"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-derby-repl-rs").toString
+    def start(input: MemoryStream[RWire]) = ReplicationPipeline.start(
+      envelope(input),
+      ReplicationPipeline.Config(
+        keyField = "user_id",
+        sink = Config("repl_restart", keyCols = Nil, dialect = JdbcMerge.Derby),
+        checkpointDir = ckpt),
+      () => DerbyDb.connect("d_repl_restart"))
+    val batch1 = Seq(
+      RWire(1L, Some(RRec(10L, "v1")), "c", 10L),
+      RWire(2L, Some(RRec(11L, "two")), "c", 11L),
+      RWire(3L, Some(RRec(12L, "three")), "c", 12L),
+      RWire(2L, None, "d", 13L)) // raw tombstone for key 2
+    val input1 = MemoryStream[RWire](spark)
+    val q1 = start(input1)
+    try { input1.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart: fresh source pre-loaded with the committed slice
+    val input2 = MemoryStream[RWire](spark)
+    input2.addData(batch1)
+    val q2 = start(input2)
+    try {
+      input2.addData(Seq(
+        RWire(1L, Some(RRec(5L, "stale")), "u", 5L), // below key 1's resumed frontier
+        RWire(2L, Some(RRec(14L, "reborn")), "c", 14L), // over the pre-restart tombstone
+        RWire(3L, Some(RRec(15L, "v2")), "u", 15L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    withConn("d_repl_restart") { conn =>
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        """SELECT "USER_ID", "EVENT_ID", "TITLE" FROM "repl_restart" ORDER BY "USER_ID"""")
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      while (rs.next()) out += ((rs.getLong(1), rs.getLong(2), rs.getString(3)))
+      st.close()
+      assert(out.toSeq == Seq(
+        (1L, 10L, "v1"),     // stale post-restart event rejected by the resumed frontier
+        (2L, 14L, "reborn"), // re-insert over the pre-restart tombstone
+        (3L, 15L, "v2")),    // pre-restart row updated
+        s"restarted replication diverged: ${out.toSeq}")
+    }
+  }
+
   test("full replication pipeline lands rows in a real database") {
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
