@@ -43,8 +43,9 @@ object EventAnalytics {
     * later step-1 event never re-anchors, so "converted within an hour
     * of first viewing" means the first view. Default unbounded.
     *
-    * Measured (ScaleProbe skew adjudication, sf0.1 ×8, one user holding
-    * ~50% of events): hot-user corpus costs 1.4–1.6× the uniform one —
+    * Measured (ScaleProbe, sf0.1 ×8 tiling, r10): wall-ratio 2.01 at
+    * ×8. Skew adjudication (one user holding ~50% of events): the
+    * hot-user corpus costs 1.4–1.69× the uniform one across rounds —
     * the hot user's run serializes into one task's sort+scan TIME
     * (bounded by ~0.5·cores in theory) and never into buffer memory,
     * which is the claim the O(1)-per-user fold makes. */

@@ -516,22 +516,6 @@ object NearDup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs by winnowing fingerprints
-    * ([[graft.ops.TextOps.winnowFingerprints]]): docs sharing at least
-    * `minShared` selected rolling-hash fingerprints. Same scale shape as
-    * the MinHash path — fingerprints are the equi-join key, each doc
-    * contributes O(len/window) of them. Winnowing guarantees any shared
-    * run of ≥ window+k-1 chars produces a shared fingerprint, so this
-    * catches copied PASSAGES, not just whole-document near-dups.
-    *
-    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling, quiet machine): the
-    * winnow-fingerprint self-join family lands 4.59 (q_containment) /
-    * 5.52 (q_subsume) at ×8 — run-sensitive (a first run on the same
-    * box recorded 1.5–2.0), so treat as a 2–6× band under the 8.0
-    * linear ceiling; boilerplate-heavy corpora (one shared 250-char
-    * block in half the docs) measure 0.87–1.08× vs clean because the
-    * doc-frequency stop-filter drops the shared block's fingerprints
-    * from candidate generation entirely. */
   /** Stop-filtered winnow fingerprints, (id, f) rows — the shared stage
     * of [[winnowPairs]] and [[containmentPairs]].
     *
@@ -559,6 +543,22 @@ object NearDup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
       .filter(col("__df") <= maxDocFreq)
 
+  /** Near-dup pairs by winnowing fingerprints
+    * ([[graft.ops.TextOps.winnowFingerprints]]): docs sharing at least
+    * `minShared` selected rolling-hash fingerprints. Same scale shape as
+    * the MinHash path — fingerprints are the equi-join key, each doc
+    * contributes O(len/window) of them. Winnowing guarantees any shared
+    * run of ≥ window+k-1 chars produces a shared fingerprint, so this
+    * catches copied PASSAGES, not just whole-document near-dups.
+    *
+    * Measured (r10 ScaleProbe, sf0.1 ×8 tiling, quiet machine): the
+    * winnow-fingerprint self-join family lands 4.59 (q_containment) /
+    * 5.52 (q_subsume) at ×8 — run-sensitive (a first run on the same
+    * box recorded 1.5–2.0), so treat as a 2–6× band under the 8.0
+    * linear ceiling; boilerplate-heavy corpora (one shared 250-char
+    * block in half the docs) measure 0.87–1.08× vs clean because the
+    * doc-frequency stop-filter drops the shared block's fingerprints
+    * from candidate generation entirely. */
   def winnowPairs(
       df: DataFrame,
       idCol: String,

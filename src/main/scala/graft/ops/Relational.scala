@@ -435,14 +435,14 @@ object Relational {
     * ∝ columns, never data.
     *
     * Measured (ScaleProbe, sf0.1 ×8 tiling): the exact multi-distinct
-    * Expand cost is the documented super-linear exception — 2.82 at ×8 on
-    * the r10 run, 7.30 on the r13 full-surface quiet run;
-    * [[profileApprox]] is the declared, oracle-gated 100 TB swap-in.
-    * Second octave (graft.Scale64, ×8 → ×64, r14): 4.53 where linear
-    * is 8.0 — SUB-linear, so the ×1 → ×8 figure was per-job overhead
-    * amortizing, not a growth power; the exact path extrapolates
-    * safely and the swap-in remains a latency choice, not a
-    * feasibility one. */
+    * Expand cost is the fleet's heaviest-growth row — 2.82 at ×8 on
+    * the r10 run, 7.30 (just under the 8.0 linear ceiling) on the r13
+    * full-surface quiet run; [[profileApprox]] is the declared,
+    * oracle-gated 100 TB swap-in. Second octave (graft.Scale64,
+    * ×8 → ×64, r14): 4.53 where linear is 8.0 — clearly sub-linear,
+    * so the ×1 → ×8 figure was per-job overhead amortizing, not a
+    * growth power; the exact path extrapolates safely and the swap-in
+    * remains a latency choice, not a feasibility one. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")

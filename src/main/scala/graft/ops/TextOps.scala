@@ -1410,7 +1410,10 @@ object TextOps {
     * unigram model's floor yet screams under the bigram term. Training
     * is two bounded-head passes; scoring is ONE zero-shuffle projection
     * through the `bigram_nll` kernel (per-token O(1) lookups, whole
-    * expression inside codegen). */
+    * expression inside codegen).
+    *
+    * Measured (ScaleProbe, sf0.1 ×8 tiling): 1.52–1.67 at ×8 on the
+    * r13 quiet re-probes (q_lm_score2). */
   def bigramLmScore(
       df: DataFrame,
       idCol: String,

@@ -58,6 +58,23 @@ class DerbyMergeSpec extends SparkTestBase {
     }
   }
 
+  /** The CDC wire shape both replication tests feed: raw tombstone when
+    * `rec` is absent, Debezium before/after images otherwise — ONE
+    * definition so the two tests cannot drift onto different formats. */
+  private def cdcEnvelope(
+      input: MemoryStream[RWire]): org.apache.spark.sql.DataFrame = {
+    import TestSpark.spark.implicits._
+    input.toDF().select(
+      struct(col("user_id")).as("kafka_key"),
+      when(
+        col("rec").isNotNull,
+        struct(
+          when(col("op") === "d", col("rec")).as("before"),
+          when(col("op") =!= "d", col("rec")).as("after"),
+          col("op").as("op"))).as("kafka_value"),
+      col("offset"))
+  }
+
   private def selectAll(conn: Connection, table: String): Seq[Seq[Any]] = {
     val st = conn.createStatement()
     try {
@@ -246,18 +263,9 @@ class DerbyMergeSpec extends SparkTestBase {
     // pre-restart rows (update mode never re-emits them).
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
-    def envelope(input: MemoryStream[RWire]) = input.toDF().select(
-      struct(col("user_id")).as("kafka_key"),
-      when(
-        col("rec").isNotNull,
-        struct(
-          when(col("op") === "d", col("rec")).as("before"),
-          when(col("op") =!= "d", col("rec")).as("after"),
-          col("op").as("op"))).as("kafka_value"),
-      col("offset"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-derby-repl-rs").toString
     def start(input: MemoryStream[RWire]) = ReplicationPipeline.start(
-      envelope(input),
+      cdcEnvelope(input),
       ReplicationPipeline.Config(
         keyField = "user_id",
         sink = Config("repl_restart", keyCols = Nil, dialect = JdbcMerge.Derby),
@@ -301,18 +309,9 @@ class DerbyMergeSpec extends SparkTestBase {
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
     val input = MemoryStream[RWire](spark)
-    val envelope = input.toDF().select(
-      struct(col("user_id")).as("kafka_key"),
-      when(
-        col("rec").isNotNull,
-        struct(
-          when(col("op") === "d", col("rec")).as("before"),
-          when(col("op") =!= "d", col("rec")).as("after"),
-          col("op").as("op"))).as("kafka_value"),
-      col("offset"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-derby-repl").toString
     val q = ReplicationPipeline.start(
-      envelope,
+      cdcEnvelope(input),
       ReplicationPipeline.Config(
         keyField = "user_id",
         sink = Config("events_sink", keyCols = Nil, dialect = JdbcMerge.Derby),

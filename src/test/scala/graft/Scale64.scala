@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One more octave for the documented super-linear exceptions
+/** One more octave for the documented heaviest-growth exceptions
   * (round-14, verdict ask #5): the ×8-tier ScaleProbe leaves two rows
-  * above linear — q_profile (exact multi-distinct Expand) and the
-  * FIXED-8-bucket q_colocated_join — plus q_substring_dedup's
+  * near or above its linear ceiling — q_profile's exact multi-distinct
+  * Expand (7.30, just under 8.0-linear) and the FIXED-8-bucket
+  * q_colocated_join (11.04, above it) — plus q_substring_dedup's
   * dup-table worst case. This main measures the ×8 → ×64 octave on
   * exactly those, so the 100 TB extrapolation rests on two measured
   * octaves instead of one:
@@ -138,15 +139,14 @@ object Scale64 {
       val s64 = timeMin2(substr(s"$work/x64"))
       octave("q_substring_dedup(dup-max)", s8, s64, gate = 16.0)
 
-      if (failures.nonEmpty) {
-        failures.foreach(f => println(s"SCALE64 FAIL $f"))
-        sys.exit(1)
-      }
-      println("SCALE64 OK")
+      if (failures.nonEmpty) failures.foreach(f => println(s"SCALE64 FAIL $f"))
+      else println("SCALE64 OK")
     } finally {
-      try org.apache.commons.io.FileUtils.deleteDirectory(work.toFile)
-      catch { case _: Exception => () }
+      // cleanup must run even on gate failure (the x64 tiling is
+      // gigabytes) — exit code is decided AFTER the finally
+      try Replay.wipe(work) catch { case _: Exception => () }
       spark.stop()
     }
+    if (failures.nonEmpty) sys.exit(1)
   }
 }
