@@ -313,6 +313,7 @@ object ScaleProbe {
     val probes = only.fold(allProbes)(f => allProbes.filter(f))
 
     val work = java.nio.file.Files.createTempDirectory("graft-scale")
+    var failed = false
     try {
       val oneDir = s"$work/x1"
       val bigDir = s"$work/x$copies"
@@ -583,14 +584,16 @@ object ScaleProbe {
         case (k, None)    => spark.conf.unset(k)
       }
 
-      if (failures.nonEmpty) {
-        failures.foreach(f => println(s"SCALEPROBE FAIL $f"))
-        sys.exit(2)
-      }
-      println("SCALEPROBE OK — near-linear growth, bounded driver heap")
+      if (failures.nonEmpty) failures.foreach(f => println(s"SCALEPROBE FAIL $f"))
+      else println("SCALEPROBE OK — near-linear growth, bounded driver heap")
+      failed = failures.nonEmpty
     } finally {
+      // cleanup must run even on gate failure (the tiled work dirs are
+      // gigabytes) — sys.exit does not unwind the stack, so the exit
+      // code is decided AFTER the finally (the Scale64 discipline)
       Replay.wipe(work)
       spark.stop()
     }
+    if (failed) sys.exit(2)
   }
 }
