@@ -4,10 +4,14 @@ package graft
   * writes at sf0.1 — the quick feedback loop for a single operator's
   * perf work without the full Bench protocol (which pays the replay
   * fork and the 118-query sweep). Usage:
-  * `sbt "Test/runMain graft.QuickTime q_quantize[,q_x...]"`. */
+  * `sbt "Test/runMain graft.QuickTime q_quantize[,q_x...] [cores]"` —
+  * pass cores=32 to reproduce Bench's session shape when adjudicating
+  * a cross-round `regressed` flag (the 4-core default is NOT
+  * comparable to Bench figures). */
 object QuickTime {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("graft-quicktime", cores = 4)
+    val cores = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val spark = GraftSession.local("graft-quicktime", cores = cores)
     val names = args.headOption.getOrElse("q_quantize").split(",")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
