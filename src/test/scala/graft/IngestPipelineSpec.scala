@@ -45,6 +45,44 @@ class IngestPipelineSpec extends SparkTestBase {
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
 
+  test("restart resumes dedup state and the corpus stays exactly-once") {
+    // the facade-level restart composition (StreamRestartSpec pins the
+    // component): kill the ingest query, restart on the same checkpoint
+    // with the source slice realigned — the RESUMED fingerprint state
+    // must drop a cross-restart duplicate, and the parquet sink's
+    // commit log must keep the corpus exactly-once (no re-chunked
+    // gen-1 docs)
+    val history = spark.emptyDataFrame
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("text", org.apache.spark.sql.functions.lit(""))
+      .limit(0)
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-rs-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-rs-ckpt").toString
+    val cfg = IngestPipeline.Config(
+      outDir = out, checkpointDir = ckpt,
+      minTokens = 2, chunkWindow = 3, chunkStride = 2)
+    val batch1 = Seq((1L, "one two three four five"), (2L, "six seven eight"))
+    val batch2 = Seq(
+      (3L, "one two three four five"), // cross-restart dup of 1 — resumed state drops it
+      (4L, "nine ten eleven"))
+    val input1 = MemoryStream[(Long, String)](spark)
+    val q1 = IngestPipeline.run(input1.toDF().toDF("doc_id", "text"), history, cfg)
+    try { input1.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    val input2 = MemoryStream[(Long, String)](spark)
+    input2.addData(batch1) // replayed source offsets are the source's duty
+    val q2 = IngestPipeline.run(input2.toDF().toDF("doc_id", "text"), history, cfg)
+    try { input2.addData(batch2); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "one two three"), (1L, 1, "three four five"), (1L, 2, "five"),
+      (2L, 0, "six seven eight"), (2L, 1, "eight"),
+      (4L, 0, "nine ten eleven"), (4L, 1, "eleven")),
+      s"restarted ingest corpus diverged (dup leaked or chunks doubled): $got")
+  }
+
   test("batch flavor agrees with the stream on an id-ordered replay") {
     // same corpus as the end-to-end stream test, arriving in id order —
     // the stream's first-arrival-wins and the batch's lowest-id-wins
