@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Generations
+
+/** The generation-pointer protocol's primitive contracts, pinned at the
+  * filesystem level (MinhashCompactSpec/SimilaritySpec cover the
+  * integrated swap; this suite pins each primitive so a future change
+  * to one cannot hide behind the integration tests' coarser
+  * assertions): resolution ignores everything but the max COMMITTED
+  * generation, begin never touches the live one, sweep retires exactly
+  * the non-live ones, commit is one-shot. */
+class GenerationsSpec extends AnyFunSuite {
+
+  private def freshRoot(): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gens").toString
+    val root = new Path(s"$dir/idx")
+    (root.getFileSystem(new org.apache.hadoop.conf.Configuration()), root)
+  }
+
+  test("fresh root: no generation resolves; currentDir fails fast; begin opens gen-1") {
+    val (fs, root) = freshRoot()
+    assert(Generations.resolve(fs, root).isEmpty)
+    intercept[IllegalArgumentException](Generations.currentDir(fs, root))
+    assert(Generations.begin(fs, root).getName == "gen-1")
+  }
+
+  test("resolution is the max COMMITTED generation; uncommitted and foreign dirs never win") {
+    val (fs, root) = freshRoot()
+    val g1 = Generations.begin(fs, root)
+    fs.mkdirs(g1)
+    Generations.commit(fs, g1)
+    assert(Generations.resolve(fs, root).map(_._1).contains(1))
+    // an uncommitted higher generation (crashed rebuild) must not win
+    fs.mkdirs(new Path(root, "gen-5"))
+    assert(Generations.currentDir(fs, root).getName == "gen-1")
+    // nor do non-generation entries disturb resolution
+    fs.mkdirs(new Path(root, "streamedish"))
+    fs.create(new Path(root, "gen-weird"), true).close()
+    assert(Generations.currentDir(fs, root).getName == "gen-1")
+    // a committed higher generation DOES win, numerically (gen-10 > gen-9)
+    Seq(9, 10).foreach { n =>
+      val g = new Path(root, s"gen-$n"); fs.mkdirs(g); Generations.commit(fs, g)
+    }
+    assert(Generations.currentDir(fs, root).getName == "gen-10")
+  }
+
+  test("begin is current+1, removes a crashed uncommitted predecessor, never touches the live gen") {
+    val (fs, root) = freshRoot()
+    val g1 = Generations.begin(fs, root)
+    fs.mkdirs(new Path(g1, "data"))
+    Generations.commit(fs, g1)
+    // a crashed prior attempt at gen-2 with leftover junk
+    fs.mkdirs(new Path(root, "gen-2/junk"))
+    val g2 = Generations.begin(fs, root)
+    assert(g2.getName == "gen-2")
+    assert(!fs.exists(new Path(root, "gen-2/junk")), "begin must clear the crashed attempt")
+    assert(fs.exists(new Path(g1, "data")), "begin must never touch the live generation")
+  }
+
+  test("sweep retires exactly the non-live generations and is a no-op on a fresh root") {
+    val (fs, root) = freshRoot()
+    Generations.sweep(fs, root) // nothing to do, nothing thrown
+    Seq(1, 2).foreach { n =>
+      val g = new Path(root, s"gen-$n"); fs.mkdirs(g); Generations.commit(fs, g)
+    }
+    fs.mkdirs(new Path(root, "gen-7")) // uncommitted partial
+    Generations.sweep(fs, root)
+    assert(!fs.exists(new Path(root, "gen-1")), "the old committed generation retires")
+    assert(!fs.exists(new Path(root, "gen-7")), "the partial retires")
+    assert(Generations.currentDir(fs, root).getName == "gen-2", "the live generation survives")
+  }
+
+  test("commit is one-shot (a double flip of the same generation throws, never corrupts)") {
+    val (fs, root) = freshRoot()
+    val g1 = Generations.begin(fs, root)
+    fs.mkdirs(g1)
+    Generations.commit(fs, g1)
+    intercept[java.io.IOException](Generations.commit(fs, g1))
+    assert(Generations.currentDir(fs, root).getName == "gen-1")
+  }
+
+  test("rebuild = sweep + begin + body + commit, in that order") {
+    val (fs, root) = freshRoot()
+    val g1 = Generations.begin(fs, root)
+    fs.mkdirs(new Path(g1, "old"))
+    Generations.commit(fs, g1)
+    fs.mkdirs(new Path(root, "gen-9")) // stale partial for the sweep
+    Generations.rebuild(fs, root) { gen =>
+      // the old generation must still be readable while the body runs
+      assert(fs.exists(new Path(g1, "old")), "grace copy must survive until the NEXT sweep")
+      assert(!fs.exists(new Path(root, "gen-9")), "sweep precedes begin")
+      fs.mkdirs(new Path(gen, "new"))
+    }
+    assert(Generations.currentDir(fs, root).getName == "gen-2")
+    assert(fs.exists(new Path(g1, "old")), "rebuild itself never deletes the predecessor")
+  }
+}
