@@ -52,10 +52,7 @@ class IngestPipelineSpec extends SparkTestBase {
     // must drop a cross-restart duplicate, and the parquet sink's
     // commit log must keep the corpus exactly-once (no re-chunked
     // gen-1 docs)
-    val history = spark.emptyDataFrame
-      .withColumn("doc_id", org.apache.spark.sql.functions.lit(0L))
-      .withColumn("text", org.apache.spark.sql.functions.lit(""))
-      .limit(0)
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = java.nio.file.Files.createTempDirectory("graft-ingest-rs-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-rs-ckpt").toString
     val cfg = IngestPipeline.Config(

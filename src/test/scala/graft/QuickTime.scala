@@ -10,7 +10,10 @@ package graft
   * comparable to Bench figures). */
 object QuickTime {
   def main(args: Array[String]): Unit = {
-    val cores = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val cores = args.drop(1).headOption.map { a =>
+      a.toIntOption.getOrElse(sys.error(
+        s"second arg must be a core count (got '$a'); queries go comma-separated in the FIRST arg"))
+    }.getOrElse(4)
     val spark = GraftSession.local("graft-quicktime", cores = cores)
     val names = args.headOption.getOrElse("q_quantize").split(",")
     names.foreach { n =>

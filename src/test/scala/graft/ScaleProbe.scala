@@ -591,7 +591,7 @@ object ScaleProbe {
       // cleanup must run even on gate failure (the tiled work dirs are
       // gigabytes) — sys.exit does not unwind the stack, so the exit
       // code is decided AFTER the finally (the Scale64 discipline)
-      Replay.wipe(work)
+      try Replay.wipe(work) catch { case _: Exception => () }
       spark.stop()
     }
     if (failed) sys.exit(2)
