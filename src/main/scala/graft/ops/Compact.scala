@@ -2,30 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 
-/** Abort-on-false Hadoop FileSystem steps shared by the index
-  * compactors ([[Similarity.compactIndex]], [[NearDup.compactMinhashIndex]]):
-  * FileSystem reports failure by RETURNING FALSE, not throwing, and a
-  * destructive step that continues past a failed rename deletes data
-  * whose rows never landed — both swaps must abort with their marker
-  * intact so the next call's heal path finishes or unwinds. Factored so
-  * a fix to the failure discipline cannot silently miss one copy
-  * (round-13 review finding). */
+/** Abort-on-false Hadoop FileSystem steps for [[Generations]]'
+  * destructive operations: FileSystem reports failure by RETURNING
+  * FALSE, not throwing, and a sweep that silently continues past a
+  * failed delete would report a retired generation that still exists —
+  * stop the run instead so a half-failing filesystem surfaces
+  * immediately. (The rename helper this object once carried died with
+  * the marker-swap protocol in round 14 — the generation layout never
+  * renames.) */
 private[ops] object FsSteps {
-  def renamed(
-      fs: org.apache.hadoop.fs.FileSystem,
-      src: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path,
-      ctx: String): Unit =
-    require(fs.rename(src, dst),
-      s"$ctx: rename $src -> $dst returned false; aborting with marker intact")
-
   def deleted(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       recursive: Boolean,
       ctx: String): Unit =
     if (fs.exists(p)) require(fs.delete(p, recursive),
-      s"$ctx: delete $p returned false; aborting with marker intact")
+      s"$ctx: delete $p returned false; aborting before further destructive steps")
 }
 
 /** Generation-pointer layout for the persisted indexes
