@@ -66,10 +66,20 @@ object Generations {
         .flatMap(st => genNumber(st.getPath.getName).map(_ -> st.getPath))
         .sortBy(_._1)
 
-  /** The live generation: highest `gen-N` whose `_GEN_DONE` exists. */
+  /** One (FileSystem, qualified root) pair for an index path — the
+    * resolution boilerplate every Similarity/NearDup site needs. */
+  def fsRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (FileSystem, Path) = {
+    val root = new Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** The live generation: highest `gen-N` whose `_GEN_DONE` exists
+    * (generations() already returns ascending order). */
   def resolve(fs: FileSystem, root: Path): Option[(Int, Path)] =
     generations(fs, root).filter { case (_, p) => fs.exists(new Path(p, Done)) }
-      .sortBy(_._1).lastOption
+      .lastOption
 
   /** Live generation's directory as a string, for `spark.read` — fails
     * fast when `root` holds no committed generation (not an index). */
@@ -109,6 +119,19 @@ object Generations {
     body(gen.toString)
     commit(fs, gen)
   }
+
+  /** Retire UNCOMMITTED partial generations only (crashed rebuilds).
+    * Safe on ANY path including no-op ones: a done-less directory is
+    * unreachable by readers by construction, so deleting it can kill
+    * no probe — unlike [[sweep]], which also retires the committed
+    * grace generation and must only run when a new flip follows. Keeps
+    * a crashed compaction's multi-gigabyte partial from leaking
+    * forever on an index that never sees another real compaction. */
+  def sweepPartials(fs: FileSystem, root: Path): Unit =
+    generations(fs, root).filter { case (_, p) => !fs.exists(new Path(p, Done)) }
+      .foreach { case (_, p) =>
+        FsSteps.deleted(fs, p, recursive = true, "Generations.sweepPartials")
+      }
 
   /** Retire everything that is not the live generation: committed
     * predecessors (the grace generation from the last flip) and

@@ -308,9 +308,8 @@ object NearDup {
     * operation to one committed generation. */
   private def resolveMinhashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    Generations.currentDir(
-      root.getFileSystem(spark.sessionState.newHadoopConf()), root).toString
+    val (fs, root) = Generations.fsRoot(spark, path)
+    Generations.currentDir(fs, root).toString
   }
 
   /** Persist the corpus's banded MinHash signature rows as a
@@ -336,9 +335,8 @@ object NearDup {
     // Generations layout (graft.ops.Generations): the part dirs live in
     // a numbered generation; a rebuild writes the next one and flips
     // atomically, so concurrent probes keep the index they resolved
-    val root = new org.apache.hadoop.fs.Path(path)
-    Generations.rebuild(
-      root.getFileSystem(df.sparkSession.sessionState.newHadoopConf()), root) { gen =>
+    val (fs, root) = Generations.fsRoot(df.sparkSession, path)
+    Generations.rebuild(fs, root) { gen =>
       bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
         .withColumn("part", minhashPartExpr(nParts))
         .write.partitionBy("part").mode("overwrite").parquet(gen)
@@ -391,9 +389,7 @@ object NearDup {
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, root) = Generations.fsRoot(spark, path)
     if (Generations.resolve(fs, root).isEmpty) return false
     // resolved BEFORE rebuild opens the next generation; begin() never
     // touches the live generation, so the read below stays valid

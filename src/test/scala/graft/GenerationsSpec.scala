@@ -73,6 +73,19 @@ class GenerationsSpec extends AnyFunSuite {
     assert(Generations.currentDir(fs, root).getName == "gen-2", "the live generation survives")
   }
 
+  test("sweepPartials retires only done-less dirs — committed grace copies survive") {
+    val (fs, root) = freshRoot()
+    Seq(1, 2).foreach { n =>
+      val g = new Path(root, s"gen-$n"); fs.mkdirs(g); Generations.commit(fs, g)
+    }
+    fs.mkdirs(new Path(root, "gen-3/partial"))
+    Generations.sweepPartials(fs, root)
+    assert(!fs.exists(new Path(root, "gen-3")), "the crashed partial retires")
+    assert(fs.exists(new Path(root, "gen-1")),
+      "the committed grace generation must survive a partials-only sweep")
+    assert(Generations.currentDir(fs, root).getName == "gen-2")
+  }
+
   test("commit is one-shot (a double flip of the same generation throws, never corrupts)") {
     val (fs, root) = freshRoot()
     val g1 = Generations.begin(fs, root)

@@ -228,6 +228,21 @@ class SimilaritySpec extends SparkTestBase {
       excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
     assert((approx & exact).size >= k - 2,
       s"overlap ${(approx & exact).size}/$k too low")
+    // a raw-vector streamed/ mistakenly ingested against the quantized
+    // root must not poison the probe with a mismatched-schema union:
+    // the quantized probe reads the generation's base ONLY
+    import spark.implicits._
+    val strayCkpt = java.nio.file.Files.createTempDirectory("graft-ivf-q-stray").toString
+    val stray = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    stray.addData(Seq((888888L, qVec)))
+    val sq = Similarity.ingestIvfIndexStream(
+      stray.toDF().toDF("vec_id", "embedding"), "embedding", centroids, qDir, strayCkpt)
+    try sq.processAllAvailable() finally sq.stop()
+    val afterStray = Similarity.probeIvfIndexQuantized(
+      spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
+    assert(afterStray == approx, "stray streamed rows must be invisible to the quantized probe")
   }
 
   test("streamed IVF ingestion: probes see appended vectors, pruning intact") {
@@ -325,6 +340,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(!new java.io.File(s"$path/gen-9").exists(), "partials must be swept")
     assert(!new java.io.File(gen1).exists(), "the old grace generation must be swept")
     assert(probe() == before, "compaction after a crash must still be duplicate-free")
+    // the NO-OP path (nothing streamed) retires crashed partials too —
+    // a failed compaction's gigabytes must not leak on an index that
+    // never sees another real compaction — while the committed grace
+    // generation stays for in-flight probes
+    val liveGen = genDir(path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/gen-20/base/bucket=0"))
+    assert(!Similarity.compactIndex(spark, path, Seq("bucket")), "nothing to compact")
+    assert(!new java.io.File(s"$path/gen-20").exists(),
+      "the no-op path must retire done-less partials")
+    assert(genDir(path) == liveGen && probe() == before)
   }
 
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
