@@ -47,11 +47,27 @@ private[ops] object FsSteps {
   * the sentinel leaves a done-less partial generation that readers
   * never resolve and the next sweep removes; a crash after the
   * sentinel IS the committed state (cleanup of the predecessor is the
-  * next sweep's job). There is no state from which a retry loses rows. */
+  * next sweep's job). There is no state from which a retry loses rows.
+  *
+  * PRODUCERS are serialized by a `_GEN_LOCK` file at the root
+  * (atomic O_CREAT, same primitive as the flip): without it, two
+  * concurrent rebuilds both target gen-N, the second's [[begin]]
+  * deletes the first's in-flight directory, and the first's [[commit]]
+  * then flips a half-written generation — silent corruption where the
+  * lock makes the second producer fail fast instead. [[rebuild]] and
+  * every compactor/appender/ingester in [[Similarity]]/[[NearDup]]
+  * take the lock; READERS never do (they resolve committed
+  * generations, which no locked operation disturbs). A producer that
+  * dies without releasing (JVM crash — no finally runs) leaves the
+  * lock stale, and every later producer fails loudly with the heal
+  * instruction: verify nothing is live against the index, delete the
+  * lock file. Loud-wedge-with-documented-heal beats the silent
+  * partial-generation commit it replaces. */
 object Generations {
 
   private val Done = "_GEN_DONE"
   private val GenPrefix = "gen-"
+  private val Lock = "_GEN_LOCK"
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   private def genNumber(name: String): Option[Int] =
@@ -89,10 +105,66 @@ object Generations {
         s"$root holds no committed index generation (no gen-N/$Done) — " +
           "not an index root, or the initial build never completed"))
 
+  /** The producer lock's path — exposed so operators and specs can name
+    * it in diagnostics without hardcoding the filename. */
+  def lockPath(root: Path): Path = new Path(root, Lock)
+
+  /** Acquire the root's producer lock: one atomic create-exclusive, so
+    * exactly one rebuild/compaction/append/ingest mutates the root at a
+    * time. Fails fast (never waits) when held — a concurrent producer
+    * is a deployment error, not a queue — and the failure message
+    * carries both the recorded holder and the heal path for the
+    * crashed-producer case. `who` is written into the lock file purely
+    * for that diagnostic. */
+  def acquireLock(fs: FileSystem, root: Path, who: String): Unit = {
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val lock = lockPath(root)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            } catch { case _: java.io.IOException => "unknown" }
+          throw new IllegalStateException(
+            s"$root: producer lock $Lock is held (holder: $holder) — a concurrent " +
+              "rebuild/compaction/append/ingest is running against this index, or a " +
+              s"crashed producer left the lock stale. Verify nothing is live, then " +
+              s"delete $lock to heal.", e)
+      }
+    out.write(who.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Release the producer lock. Idempotent — releasing an already-free
+    * root is a no-op, so belt-and-braces release paths (a stop() hook
+    * plus a termination listener) cannot throw on the second call. */
+  def releaseLock(fs: FileSystem, root: Path): Unit = {
+    val lock = lockPath(root)
+    if (fs.exists(lock)) require(fs.delete(lock, false),
+      s"Generations.releaseLock: delete $lock returned false — the lock is now " +
+        "stale and the next producer will refuse to start; remove it manually")
+  }
+
+  /** Run `body` holding the producer lock, releasing on every exit —
+    * including a failed body, whose partial generation is already
+    * unreachable garbage ([[sweepPartials]]' job), so holding the lock
+    * past the failure would only wedge the retry. */
+  def withLock[A](fs: FileSystem, root: Path, who: String)(body: => A): A = {
+    acquireLock(fs, root, who)
+    try body finally releaseLock(fs, root)
+  }
+
   /** Directory for the NEXT generation (current + 1; 1 on a fresh
     * root). The caller writes it fully, then [[commit]]s. A leftover
     * uncommitted directory with this number (a crashed prior attempt)
-    * is removed first — it is unreachable garbage by construction. */
+    * is removed first — it is unreachable garbage by construction.
+    * PRIMITIVE: assumes the caller holds the producer lock (every
+    * in-repo producer reaches it through [[rebuild]]/[[withLock]]) —
+    * two unserialized producers would race each other's gen-N here. */
   def begin(fs: FileSystem, root: Path): Path = {
     val next = resolve(fs, root).map(_._1 + 1).getOrElse(1)
     val dir = new Path(root, s"$GenPrefix$next")
@@ -106,14 +178,22 @@ object Generations {
 
   /** The atomic flip: readers resolve `genDir` from the moment this
     * create lands. Call only after every row of the generation is on
-    * disk. */
+    * disk. PRIMITIVE: producer-lock discipline as [[begin]]. */
   def commit(fs: FileSystem, genDir: Path): Unit =
     fs.create(new Path(genDir, Done), false).close()
 
   /** Sweep, open the next generation, run `body` on its directory,
-    * commit — the whole producer protocol in order. `body` must leave
+    * commit — the whole producer protocol in order, serialized against
+    * every other producer by the root's `_GEN_LOCK`. `body` must leave
     * every row of the new generation on disk before returning. */
-  def rebuild(fs: FileSystem, root: Path)(body: String => Unit): Unit = {
+  def rebuild(fs: FileSystem, root: Path)(body: String => Unit): Unit =
+    withLock(fs, root, "rebuild")(rebuildLocked(fs, root)(body))
+
+  /** [[rebuild]] for a caller that ALREADY holds the producer lock
+    * (the compactors, whose pre-checks and union reads must sit inside
+    * the same critical section as the swap — see
+    * [[Similarity.compactIndex]]). */
+  def rebuildLocked(fs: FileSystem, root: Path)(body: String => Unit): Unit = {
     sweep(fs, root)
     val gen = begin(fs, root)
     body(gen.toString)

@@ -358,11 +358,22 @@ object NearDup {
       k: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      nParts: Int = 64): Unit =
-    bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
-      .withColumn("part", minhashPartExpr(nParts))
-      .write.partitionBy("part").mode("append")
-      .parquet(resolveMinhashIndex(df.sparkSession, path))
+      nParts: Int = 64): Unit = {
+    // under the producer lock: an append resolves its generation once,
+    // and a compaction flipping the pointer mid-append would strand the
+    // appended rows in the retired generation (silently dropped at the
+    // next sweep) — the lock turns that into one side failing fast.
+    // Concurrent appends serialize too; they'd be file-safe (unique
+    // part-file names) but the daily-batch cadence has no use for the
+    // parallelism that would complicate the lock's meaning.
+    val (fs, root) = Generations.fsRoot(df.sparkSession, path)
+    Generations.withLock(fs, root, "appendMinhashIndex") {
+      bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+        .withColumn("part", minhashPartExpr(nParts))
+        .write.partitionBy("part").mode("append")
+        .parquet(Generations.currentDir(fs, root).toString)
+    }
+  }
 
   /** Compact an append-accumulated MinHash signature index — the
     * signature-index flavor of [[graft.ops.Similarity.compactIndex]]:
@@ -381,24 +392,30 @@ object NearDup {
     * until the next compaction's sweep) — no unavailability window, no
     * marker/heal protocol; a crash at any point leaves either the old
     * committed generation (retry re-compacts) or the new one (retry
-    * re-compacts a no-op). APPENDS must still be quiesced: an append
-    * landing in the old generation after the union read would be
-    * silently dropped by the flip — the same close-the-ingest-
-    * generation rule as the IVF/LSH compactor. Returns false (touching
+    * re-compacts a no-op). APPENDS are serialized against compaction
+    * by the root's `_GEN_LOCK` ([[Generations]]): an append landing in
+    * the old generation after the union read would be silently dropped
+    * by the flip, so whichever producer arrives second now fails fast
+    * instead — the enforced form of the close-the-ingest-generation
+    * rule the IVF/LSH compactor shares. Returns false (touching
     * nothing) when the index does not exist. */
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
     val (fs, root) = Generations.fsRoot(spark, path)
     if (Generations.resolve(fs, root).isEmpty) return false
-    // resolved BEFORE rebuild opens the next generation; begin() never
-    // touches the live generation, so the read below stays valid
-    val cur = Generations.currentDir(fs, root)
-    val compacted = spark.read.parquet(cur.toString).repartition(col("part"))
-    Generations.rebuild(fs, root) { gen =>
-      compacted.write.partitionBy("part").mode("overwrite").parquet(gen)
+    // one critical section from resolve to flip (see
+    // Similarity.compactIndex): the lock serializes this against
+    // appendMinhashIndex and concurrent compactions, so the generation
+    // the lazy read below scans can never be swept mid-compaction
+    Generations.withLock(fs, root, "compactMinhashIndex") {
+      val cur = Generations.currentDir(fs, root)
+      val compacted = spark.read.parquet(cur.toString).repartition(col("part"))
+      Generations.rebuildLocked(fs, root) { gen =>
+        compacted.write.partitionBy("part").mode("overwrite").parquet(gen)
+      }
+      true
     }
-    true
   }
 
   /** Incremental near-dup: `incoming` checked against the PERSISTED

@@ -95,6 +95,51 @@ class GenerationsSpec extends AnyFunSuite {
     assert(Generations.currentDir(fs, root).getName == "gen-1")
   }
 
+  test("producer lock: held fails fast naming the holder and the heal path; release is idempotent") {
+    val (fs, root) = freshRoot()
+    Generations.acquireLock(fs, root, "first-producer")
+    val e = intercept[IllegalStateException](
+      Generations.acquireLock(fs, root, "second-producer"))
+    assert(e.getMessage.contains("_GEN_LOCK"), e.getMessage)
+    assert(e.getMessage.contains("first-producer"), "the holder tag must surface")
+    assert(e.getMessage.contains("delete"), "the stale-lock heal path must surface")
+    Generations.releaseLock(fs, root)
+    Generations.releaseLock(fs, root) // idempotent — belt-and-braces paths double-release
+    Generations.acquireLock(fs, root, "third-producer") // free again
+    Generations.releaseLock(fs, root)
+  }
+
+  test("rebuild serializes producers and releases the lock on success AND on body failure") {
+    val (fs, root) = freshRoot()
+    // a held lock makes a rebuild fail fast BEFORE any destructive step
+    fs.mkdirs(new Path(root, "gen-3")) // a partial a sweeping rebuild would retire
+    Generations.acquireLock(fs, root, "concurrent-producer")
+    intercept[IllegalStateException](Generations.rebuild(fs, root)(_ => ()))
+    assert(fs.exists(new Path(root, "gen-3")),
+      "a lock-refused rebuild must not have swept anything")
+    Generations.releaseLock(fs, root)
+    // success path releases: a second rebuild right after must not wedge
+    Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
+    Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
+    assert(Generations.currentDir(fs, root).getName == "gen-2")
+    // failure path releases too (the partial is sweepPartials' job; a
+    // lock held past the failure would only wedge the retry)
+    intercept[RuntimeException](
+      Generations.rebuild(fs, root)(_ => throw new RuntimeException("body died")))
+    assert(!fs.exists(Generations.lockPath(root)),
+      "a failed rebuild must release the producer lock")
+    Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen))) // retry proceeds
+  }
+
+  test("the lock file never disturbs resolution or survives as a generation") {
+    val (fs, root) = freshRoot()
+    Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
+    Generations.acquireLock(fs, root, "reader-safety-check")
+    // readers never take the lock: resolution works while it is held
+    assert(Generations.currentDir(fs, root).getName == "gen-1")
+    Generations.releaseLock(fs, root)
+  }
+
   test("rebuild = sweep + begin + body + commit, in that order") {
     val (fs, root) = freshRoot()
     val g1 = Generations.begin(fs, root)

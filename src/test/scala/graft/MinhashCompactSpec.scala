@@ -150,4 +150,35 @@ class MinhashCompactSpec extends SparkTestBase {
     assert(failures.isEmpty, s"concurrent probes failed: ${failures.peek()}")
     assert(probes.get() > 0, "the prober must actually have overlapped the compactions")
   }
+
+  test("producer lock serializes appends against compactions; probes stay lock-free") {
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-mh-lock").toString + "/idx"
+    NearDup.writeMinhashIndex(history, "doc_id", "text", path, nParts = 4)
+    def probe() = NearDup.probeMinhashIndex(path, history, incoming,
+      "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe()
+    val (fs, root) = Generations.fsRoot(spark, path)
+    // with the lock held (a producer mid-flight), every OTHER producer
+    // fails fast — an append landing after a compaction's union read
+    // would be silently dropped by the flip, so second-arrival refusal
+    // is the enforced form of the quiesce-appends rule
+    Generations.acquireLock(fs, root, "mid-flight-producer")
+    intercept[IllegalStateException](
+      NearDup.appendMinhashIndex(incoming, "doc_id", "text", path, nParts = 4))
+    intercept[IllegalStateException](NearDup.compactMinhashIndex(spark, path))
+    intercept[IllegalStateException](
+      NearDup.writeMinhashIndex(history, "doc_id", "text", path, nParts = 4))
+    // readers never take the lock: probes keep answering while it is held
+    assert(probe() == before, "probes must be lock-free")
+    Generations.releaseLock(fs, root)
+    // released: the refused producers proceed, and the lock cycles clean
+    NearDup.appendMinhashIndex(incoming, "doc_id", "text", path, nParts = 4)
+    assert(NearDup.compactMinhashIndex(spark, path))
+    assert(!fs.exists(Generations.lockPath(root)),
+      "append and compaction must each release the lock on completion")
+  }
 }

@@ -352,6 +352,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(genDir(path) == liveGen && probe() == before)
   }
 
+  test("producer lock: a live ingester blocks compaction/rebuild, stop() releases synchronously, resume-across-compaction is refused") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-lock").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-lock-ck").toString
+    val (baseVecs, lateVecs) = vecs.sortBy(_._1).splitAt(vecs.length / 2)
+    Similarity.writeIvfIndex(
+      baseVecs.toSeq.toDF("vec_id", "embedding"), "embedding", centroids, path)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt)
+    try {
+      input.addData(lateVecs.toSeq); q.processAllAvailable()
+      // while the ingester lives, every other producer fails fast at the
+      // lock instead of flipping the generation under its appends
+      val e = intercept[IllegalStateException](
+        Similarity.compactIndex(spark, path, Seq("bucket")))
+      assert(e.getMessage.contains("_GEN_LOCK"), e.getMessage)
+      assert(e.getMessage.contains("ingestIvfIndexStream"),
+        "the holder tag must name the live ingester")
+      intercept[IllegalStateException](Similarity.writeIvfIndex(
+        baseVecs.toSeq.toDF("vec_id", "embedding"), "embedding", centroids, path))
+      val ckptB = java.nio.file.Files.createTempDirectory("graft-ivf-lock-ckB").toString
+      intercept[IllegalStateException](Similarity.ingestIvfIndexStream(
+        input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckptB))
+    } finally q.stop()
+    // stop() releases SYNCHRONOUSLY (not via the async listener bus):
+    // the operational stop-then-compact sequence works back-to-back
+    assert(Similarity.compactIndex(spark, path, Seq("bucket")))
+    // the pre-compaction checkpoint has committed batches but its sink
+    // log died with the folded streamed/ — resuming it is refused at
+    // stream start (compactIndex's documented recovery contract)...
+    val e2 = intercept[IllegalStateException](Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt))
+    assert(e2.getMessage.contains("FRESH checkpoint"), e2.getMessage)
+    // ...and the refusal released the lock (nothing wedged): a fresh
+    // checkpoint starts, ingests, and a plain same-checkpoint RESTART
+    // (no compaction in between) is still a legitimate resume
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ivf-lock-ck2").toString
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q2 = Similarity.ingestIvfIndexStream(
+      input2.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt2)
+    try { input2.addData(Seq((777777L, vecs.head._2))); q2.processAllAvailable() }
+    finally q2.stop()
+    val q3 = Similarity.ingestIvfIndexStream(
+      input2.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt2)
+    try { input2.addData(Seq((777778L, vecs.head._2))); q3.processAllAvailable() }
+    finally q3.stop()
+    val ids = spark.read.parquet(s"${genDir(path)}/streamed")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(777777L, 777778L),
+      s"the resumed ingest must append exactly the new rows, got $ids")
+  }
+
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
     val emb = Tables.embeddings(spark, sf001)
     val (bands, bits) = (24, 3) // the fixture-tuned q_sim_topk_lsh regime
