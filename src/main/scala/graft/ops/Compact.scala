@@ -62,7 +62,16 @@ private[ops] object FsSteps {
   * lock stale, and every later producer fails loudly with the heal
   * instruction: verify nothing is live against the index, delete the
   * lock file. Loud-wedge-with-documented-heal beats the silent
-  * partial-generation commit it replaces. */
+  * partial-generation commit it replaces.
+  *
+  * The lock's mutual exclusion rests on create-exclusive being ATOMIC,
+  * which holds on the filesystems with O_CREAT semantics (local, HDFS,
+  * ABFS) but NOT on object stores whose create is check-then-act (S3A
+  * without conditional writes): there, two producers can both
+  * "acquire", and deployments must serialize producers externally (a
+  * scheduler, a real lock service). The `_GEN_DONE` flip never had
+  * this dependence — its atomicity claim is only that readers see the
+  * sentinel entirely or not at all. */
 object Generations {
 
   private val Done = "_GEN_DONE"
@@ -114,39 +123,67 @@ object Generations {
     * time. Fails fast (never waits) when held — a concurrent producer
     * is a deployment error, not a queue — and the failure message
     * carries both the recorded holder and the heal path for the
-    * crashed-producer case. `who` is written into the lock file purely
-    * for that diagnostic. */
-  def acquireLock(fs: FileSystem, root: Path, who: String): Unit = {
+    * crashed-producer case. Returns an OWNERSHIP TOKEN (written into
+    * the lock file, `who` prefix for the diagnostic): [[releaseLock]]
+    * deletes only a lock still carrying it, so a delayed
+    * belt-and-braces release (an ingest stream's async termination
+    * listener) can never free a lock some OTHER producer has since
+    * legitimately acquired after a manual heal. */
+  def acquireLock(fs: FileSystem, root: Path, who: String): String = {
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = lockPath(root)
+    def held(e: java.io.IOException): Nothing =
+      throw new IllegalStateException(
+        s"$root: producer lock $Lock is held (holder: ${lockHolder(fs, lock)}) — a " +
+          "concurrent rebuild/compaction/append/ingest is running against this " +
+          "index, or a crashed producer left the lock stale. If an ingest stream " +
+          "just FAILED, its listener-bus release may land momentarily — retry " +
+          "once before healing. Otherwise verify nothing is live, then delete " +
+          s"$lock to heal.", e)
     val out =
       try fs.create(lock, false)
       catch {
-        case e: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-              finally in.close()
-            } catch { case _: java.io.IOException => "unknown" }
-          throw new IllegalStateException(
-            s"$root: producer lock $Lock is held (holder: $holder) — a concurrent " +
-              "rebuild/compaction/append/ingest is running against this index, or a " +
-              s"crashed producer left the lock stale. Verify nothing is live, then " +
-              s"delete $lock to heal.", e)
+        // only the exists-collision maps to "held"; a permission error or
+        // transient fault must propagate as itself, not as a heal
+        // instruction that would have an operator delete a live lock
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException => held(e)
+        case e: java.nio.file.FileAlreadyExistsException => held(e)
+        case e: java.io.IOException if fs.exists(lock) => held(e)
       }
-    out.write(who.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    val token = s"$who@${java.util.UUID.randomUUID()}"
+    try {
+      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch {
+      case e: java.io.IOException =>
+        // the create landed but the token did not: delete the husk or the
+        // root is wedged stale by a failure no JVM crash excuses
+        try fs.delete(lock, false)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
+    token
   }
 
-  /** Release the producer lock. Idempotent — releasing an already-free
-    * root is a no-op, so belt-and-braces release paths (a stop() hook
-    * plus a termination listener) cannot throw on the second call. */
-  def releaseLock(fs: FileSystem, root: Path): Unit = {
+  private def lockHolder(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: java.io.IOException => "unknown" }
+
+  /** Release the producer lock IF `token` still owns it. Idempotent —
+    * an already-free root is a no-op — and ownership-checked: a lock
+    * carrying a different token (another producer acquired after this
+    * one's release, or after a manual heal) is left untouched, so
+    * double-release paths (a stop() hook plus a termination listener)
+    * can never break a successor's mutual exclusion. */
+  def releaseLock(fs: FileSystem, root: Path, token: String): Unit = {
     val lock = lockPath(root)
-    if (fs.exists(lock)) require(fs.delete(lock, false),
-      s"Generations.releaseLock: delete $lock returned false — the lock is now " +
-        "stale and the next producer will refuse to start; remove it manually")
+    if (fs.exists(lock) && lockHolder(fs, lock) == token)
+      require(fs.delete(lock, false),
+        s"Generations.releaseLock: delete $lock returned false — the lock is now " +
+          "stale and the next producer will refuse to start; remove it manually")
   }
 
   /** Run `body` holding the producer lock, releasing on every exit —
@@ -154,8 +191,8 @@ object Generations {
     * unreachable garbage ([[sweepPartials]]' job), so holding the lock
     * past the failure would only wedge the retry. */
   def withLock[A](fs: FileSystem, root: Path, who: String)(body: => A): A = {
-    acquireLock(fs, root, who)
-    try body finally releaseLock(fs, root)
+    val token = acquireLock(fs, root, who)
+    try body finally releaseLock(fs, root, token)
   }
 
   /** Directory for the NEXT generation (current + 1; 1 on a fresh

@@ -95,29 +95,34 @@ class GenerationsSpec extends AnyFunSuite {
     assert(Generations.currentDir(fs, root).getName == "gen-1")
   }
 
-  test("producer lock: held fails fast naming the holder and the heal path; release is idempotent") {
+  test("producer lock: held fails fast naming the holder and the heal path; release is token-owned and idempotent") {
     val (fs, root) = freshRoot()
-    Generations.acquireLock(fs, root, "first-producer")
+    val t1 = Generations.acquireLock(fs, root, "first-producer")
     val e = intercept[IllegalStateException](
       Generations.acquireLock(fs, root, "second-producer"))
     assert(e.getMessage.contains("_GEN_LOCK"), e.getMessage)
     assert(e.getMessage.contains("first-producer"), "the holder tag must surface")
     assert(e.getMessage.contains("delete"), "the stale-lock heal path must surface")
-    Generations.releaseLock(fs, root)
-    Generations.releaseLock(fs, root) // idempotent — belt-and-braces paths double-release
-    Generations.acquireLock(fs, root, "third-producer") // free again
-    Generations.releaseLock(fs, root)
+    // a stale token (an earlier bracket's delayed belt-and-braces
+    // release) must NOT free a lock a different producer now holds
+    Generations.releaseLock(fs, root, "first-producer@not-the-token")
+    assert(fs.exists(Generations.lockPath(root)),
+      "release with a foreign token must leave the lock in place")
+    Generations.releaseLock(fs, root, t1)
+    Generations.releaseLock(fs, root, t1) // idempotent — double-release paths are safe
+    val t3 = Generations.acquireLock(fs, root, "third-producer") // free again
+    Generations.releaseLock(fs, root, t3)
   }
 
   test("rebuild serializes producers and releases the lock on success AND on body failure") {
     val (fs, root) = freshRoot()
     // a held lock makes a rebuild fail fast BEFORE any destructive step
     fs.mkdirs(new Path(root, "gen-3")) // a partial a sweeping rebuild would retire
-    Generations.acquireLock(fs, root, "concurrent-producer")
+    val t = Generations.acquireLock(fs, root, "concurrent-producer")
     intercept[IllegalStateException](Generations.rebuild(fs, root)(_ => ()))
     assert(fs.exists(new Path(root, "gen-3")),
       "a lock-refused rebuild must not have swept anything")
-    Generations.releaseLock(fs, root)
+    Generations.releaseLock(fs, root, t)
     // success path releases: a second rebuild right after must not wedge
     Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
     Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
@@ -134,10 +139,10 @@ class GenerationsSpec extends AnyFunSuite {
   test("the lock file never disturbs resolution or survives as a generation") {
     val (fs, root) = freshRoot()
     Generations.rebuild(fs, root)(gen => fs.mkdirs(new Path(gen)))
-    Generations.acquireLock(fs, root, "reader-safety-check")
+    val t = Generations.acquireLock(fs, root, "reader-safety-check")
     // readers never take the lock: resolution works while it is held
     assert(Generations.currentDir(fs, root).getName == "gen-1")
-    Generations.releaseLock(fs, root)
+    Generations.releaseLock(fs, root, t)
   }
 
   test("rebuild = sweep + begin + body + commit, in that order") {

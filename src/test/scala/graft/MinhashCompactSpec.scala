@@ -166,7 +166,7 @@ class MinhashCompactSpec extends SparkTestBase {
     // fails fast — an append landing after a compaction's union read
     // would be silently dropped by the flip, so second-arrival refusal
     // is the enforced form of the quiesce-appends rule
-    Generations.acquireLock(fs, root, "mid-flight-producer")
+    val token = Generations.acquireLock(fs, root, "mid-flight-producer")
     intercept[IllegalStateException](
       NearDup.appendMinhashIndex(incoming, "doc_id", "text", path, nParts = 4))
     intercept[IllegalStateException](NearDup.compactMinhashIndex(spark, path))
@@ -174,7 +174,7 @@ class MinhashCompactSpec extends SparkTestBase {
       NearDup.writeMinhashIndex(history, "doc_id", "text", path, nParts = 4))
     // readers never take the lock: probes keep answering while it is held
     assert(probe() == before, "probes must be lock-free")
-    Generations.releaseLock(fs, root)
+    Generations.releaseLock(fs, root, token)
     // released: the refused producers proceed, and the lock cycles clean
     NearDup.appendMinhashIndex(incoming, "doc_id", "text", path, nParts = 4)
     assert(NearDup.compactMinhashIndex(spark, path))

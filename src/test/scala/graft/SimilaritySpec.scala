@@ -407,6 +407,32 @@ class SimilaritySpec extends SparkTestBase {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(ids == Set(777777L, 777778L),
       s"the resumed ingest must append exactly the new rows, got $ids")
+    // cross-checkpoint confusion: the live generation now carries ckpt2's
+    // sink log, so the PRE-compaction checkpoint's batch ids are already
+    // "recorded" — FileStreamSink would silently skip them. The identity
+    // pairing refuses what a sink-log-existence check would wave through
+    val e3 = intercept[IllegalStateException](Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt))
+    assert(e3.getMessage.contains("does not belong"), e3.getMessage)
+    // and a NEVER-used checkpoint against a generation that already has
+    // another's appends is refused too (its from-zero batch counter would
+    // collide with the existing sink log): compact first
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft-ivf-lock-ck3").toString
+    val e4 = intercept[IllegalStateException](Similarity.ingestIvfIndexStream(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt3))
+    assert(e4.getMessage.contains("Compact the index first"), e4.getMessage)
+    // both refusals released the lock: compaction proceeds, after which
+    // the never-used checkpoint pairs with the clean generation
+    assert(Similarity.compactIndex(spark, path, Seq("bucket")))
+    val input3 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val q4 = Similarity.ingestIvfIndexStream(
+      input3.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt3)
+    try { input3.addData(Seq((777779L, vecs.head._2))); q4.processAllAvailable() }
+    finally q4.stop()
+    val ids2 = spark.read.parquet(s"${genDir(path)}/streamed")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(777779L), s"post-compaction fresh pairing must ingest cleanly, got $ids2")
   }
 
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
