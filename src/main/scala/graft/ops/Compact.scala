@@ -156,8 +156,10 @@ object Generations {
       out.close()
     } catch {
       case e: java.io.IOException =>
-        // the create landed but the token did not: delete the husk or the
-        // root is wedged stale by a failure no JVM crash excuses
+        // the create landed but the token did not: close the handle (an
+        // open-for-write file may refuse deletion), then delete the husk
+        // or the root is wedged stale by a failure no JVM crash excuses
+        try out.close() catch { case _: java.io.IOException => () }
         try fs.delete(lock, false)
         catch { case _: java.io.IOException => () }
         throw e
@@ -166,24 +168,41 @@ object Generations {
   }
 
   private def lockHolder(fs: FileSystem, lock: Path): String =
+    readLock(fs, lock).getOrElse("unknown")
+
+  /** The lock's content, None when the read itself fails — callers that
+    * DECIDE on the holder (release) must distinguish a foreign token
+    * from an unreadable file; only diagnostics flatten to "unknown". */
+  private def readLock(fs: FileSystem, lock: Path): Option[String] =
     try {
       val in = fs.open(lock)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
-    } catch { case _: java.io.IOException => "unknown" }
+    } catch { case _: java.io.IOException => None }
 
   /** Release the producer lock IF `token` still owns it. Idempotent —
     * an already-free root is a no-op — and ownership-checked: a lock
     * carrying a different token (another producer acquired after this
     * one's release, or after a manual heal) is left untouched, so
     * double-release paths (a stop() hook plus a termination listener)
-    * can never break a successor's mutual exclusion. */
+    * can never break a successor's mutual exclusion. An UNREADABLE
+    * lock throws instead of silently skipping: treating a transient
+    * read fault as "not mine" would wedge the root stale with no
+    * error anywhere. */
   def releaseLock(fs: FileSystem, root: Path, token: String): Unit = {
     val lock = lockPath(root)
-    if (fs.exists(lock) && lockHolder(fs, lock) == token)
-      require(fs.delete(lock, false),
-        s"Generations.releaseLock: delete $lock returned false — the lock is now " +
-          "stale and the next producer will refuse to start; remove it manually")
+    if (fs.exists(lock)) readLock(fs, lock) match {
+      case Some(holder) if holder == token =>
+        require(fs.delete(lock, false),
+          s"Generations.releaseLock: delete $lock returned false — the lock is " +
+            "now stale and the next producer will refuse to start; remove it manually")
+      case Some(_) => () // a successor's lock — never touch it
+      case None =>
+        throw new IllegalStateException(
+          s"Generations.releaseLock: $lock exists but cannot be read, so ownership " +
+            "is unverifiable — not deleting (it may be a successor's). If no " +
+            "producer is live against this index, delete it manually.")
+    }
   }
 
   /** Run `body` holding the producer lock, releasing on every exit —

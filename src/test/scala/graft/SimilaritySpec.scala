@@ -433,6 +433,27 @@ class SimilaritySpec extends SparkTestBase {
     val ids2 = spark.read.parquet(s"${genDir(path)}/streamed")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(ids2 == Set(777779L), s"post-compaction fresh pairing must ingest cleanly, got $ids2")
+    // a generation CLAIMED by a pairing that never committed a batch
+    // (mid-pairing crash, or an abandoned checkpoint) refuses a fresh
+    // checkpoint — the claim may still be resumable — and the refusal
+    // names the documented heal, after which the start proceeds
+    assert(Similarity.compactIndex(spark, path, Seq("bucket"))) // clean gen, no id
+    val orphanId = new java.io.File(s"${genDir(path)}/_INGEST_ID")
+    java.nio.file.Files.writeString(orphanId.toPath, "crashed-pairing-claim")
+    val ckpt4 = java.nio.file.Files.createTempDirectory("graft-ivf-lock-ck4").toString
+    val input4 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val e5 = intercept[IllegalStateException](Similarity.ingestIvfIndexStream(
+      input4.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt4))
+    assert(e5.getMessage.contains("claimed by ingest id crashed-pairing-claim"), e5.getMessage)
+    assert(orphanId.delete(), "heal: drop the never-committed claim")
+    val q5 = Similarity.ingestIvfIndexStream(
+      input4.toDF().toDF("vec_id", "embedding"), "embedding", centroids, path, ckpt4)
+    try { input4.addData(Seq((777780L, vecs.head._2))); q5.processAllAvailable() }
+    finally q5.stop()
+    val ids3 = spark.read.parquet(s"${genDir(path)}/streamed")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids3 == Set(777780L), s"healed claim must pair and ingest cleanly, got $ids3")
   }
 
   test("persisted LSH index: probe is partition-pruned and equals the in-memory lshTopK") {
