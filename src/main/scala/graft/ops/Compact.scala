@@ -151,21 +151,30 @@ object Generations {
         case e: java.io.IOException if fs.exists(lock) => held(e)
       }
     val token = s"$who@${java.util.UUID.randomUUID()}"
+    writeFully(fs, lock, out, token)
+    token
+  }
+
+  /** Finish writing a just-created marker file, deleting the husk when
+    * the write fails: a partial lock/id file would wedge every retry
+    * behind a heal for a failure no JVM crash excuses. The handle is
+    * closed before the delete (an open-for-write file may refuse
+    * deletion). Shared by the lock and [[Similarity]]'s ingest-identity
+    * files so the discipline cannot drift between them. */
+  private[ops] def writeFully(
+      fs: FileSystem,
+      p: Path,
+      out: org.apache.hadoop.fs.FSDataOutputStream,
+      content: String): Unit =
     try {
-      out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     } catch {
       case e: java.io.IOException =>
-        // the create landed but the token did not: close the handle (an
-        // open-for-write file may refuse deletion), then delete the husk
-        // or the root is wedged stale by a failure no JVM crash excuses
         try out.close() catch { case _: java.io.IOException => () }
-        try fs.delete(lock, false)
-        catch { case _: java.io.IOException => () }
+        try fs.delete(p, false) catch { case _: java.io.IOException => () }
         throw e
     }
-    token
-  }
 
   private def lockHolder(fs: FileSystem, lock: Path): String =
     readLock(fs, lock).getOrElse("unknown")
@@ -197,6 +206,9 @@ object Generations {
           s"Generations.releaseLock: delete $lock returned false — the lock is " +
             "now stale and the next producer will refuse to start; remove it manually")
       case Some(_) => () // a successor's lock — never touch it
+      // deleted between the exists() and the open() (a manual heal
+      // racing this release): already gone IS the idempotent no-op
+      case None if !fs.exists(lock) => ()
       case None =>
         throw new IllegalStateException(
           s"Generations.releaseLock: $lock exists but cannot be read, so ownership " +
@@ -208,10 +220,21 @@ object Generations {
   /** Run `body` holding the producer lock, releasing on every exit —
     * including a failed body, whose partial generation is already
     * unreachable garbage ([[sweepPartials]]' job), so holding the lock
-    * past the failure would only wedge the retry. */
+    * past the failure would only wedge the retry. A release failure
+    * never masks the body's own exception (it rides along suppressed —
+    * the compaction error is the root cause an operator needs). */
   def withLock[A](fs: FileSystem, root: Path, who: String)(body: => A): A = {
     val token = acquireLock(fs, root, who)
-    try body finally releaseLock(fs, root, token)
+    var primary: Throwable = null
+    try body
+    catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try releaseLock(fs, root, token)
+      catch {
+        case t: Throwable =>
+          if (primary == null) throw t else primary.addSuppressed(t)
+      }
+    }
   }
 
   /** Directory for the NEXT generation (current + 1; 1 on a fresh

@@ -112,6 +112,15 @@ class GenerationsSpec extends AnyFunSuite {
     Generations.releaseLock(fs, root, t1) // idempotent — double-release paths are safe
     val t3 = Generations.acquireLock(fs, root, "third-producer") // free again
     Generations.releaseLock(fs, root, t3)
+    // an UNREADABLE lock (here: the path is a directory, so open fails)
+    // must throw loudly, not silently skip — a silent skip would wedge
+    // the root stale with no error anywhere — and must not delete what
+    // it cannot verify ownership of
+    fs.mkdirs(Generations.lockPath(root))
+    intercept[IllegalStateException](Generations.releaseLock(fs, root, t3))
+    assert(fs.exists(Generations.lockPath(root)),
+      "an unverifiable lock must be left in place")
+    fs.delete(Generations.lockPath(root), true)
   }
 
   test("rebuild serializes producers and releases the lock on success AND on body failure") {
