@@ -812,6 +812,115 @@ object VectorKernels {
     else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
   }
 
+  /** Hierarchical (two-level) multi-assignment: the `probes` most
+    * cosine-similar COARSE cells are found first, then only the fine
+    * centroids living in those cells compete for the top `n` — the
+    * IVF-within-IVF trick that makes corpus-proportional fine counts
+    * affordable. Per-row cost O((coarse + probes·fine/coarse)·dim + fine)
+    * vs the flat kernel's O(fine·dim): at fine=k clusters with coarse≈√k
+    * that is ~(1+probes)·√k·dim instead of k·dim.
+    *
+    * Returned indices are GLOBAL fine-table indices, descending
+    * similarity. The fine scan runs in global index order with unprobed
+    * cells skipped, so ties break exactly as [[nearestCentroids]] —
+    * with `probes >= coarse.length` the result EQUALS the flat kernel
+    * over the same fine table bit-for-bit (spec-pinned), which is what
+    * anchors the approximation's correctness. Null contract as the flat
+    * kernel: ragged vector vs `dim`, or no probed fine centroid yields
+    * a similarity. */
+  def nearestCentroidsHier(
+      vec: ArrayData,
+      coarse: Array[Array[Float]],
+      fine: Array[Array[Float]],
+      fineCell: Array[Int],
+      dim: Int,
+      probes: Int,
+      n: Int): ArrayData = {
+    if (vec.numElements() != dim) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
+    // pass 1: top-`probes` coarse cells (same insertion as the flat kernel)
+    val pCap = math.min(probes, coarse.length)
+    val cellIdx = new Array[Int](pCap)
+    val cellSim = new Array[Double](pCap)
+    var cellsFilled = 0
+    var c = 0
+    while (c < coarse.length) {
+      val ct = coarse(c)
+      if (ct.length == dim) {
+        var dot = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = vec.getFloat(j).toDouble
+          val y = ct(j).toDouble
+          dot += x * y
+          nb += y * y
+          j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom != 0.0) {
+          val sim = dot / denom
+          var pos = cellsFilled
+          while (pos > 0 && java.lang.Double.compare(sim, cellSim(pos - 1)) > 0) pos -= 1
+          if (pos < pCap) {
+            var m = if (cellsFilled < pCap) cellsFilled else pCap - 1
+            while (m > pos) { cellSim(m) = cellSim(m - 1); cellIdx(m) = cellIdx(m - 1); m -= 1 }
+            cellSim(pos) = sim
+            cellIdx(pos) = c
+            if (cellsFilled < pCap) cellsFilled += 1
+          }
+        }
+      }
+      c += 1
+    }
+    if (cellsFilled == 0) return null
+    val probed = new Array[Boolean](coarse.length)
+    i = 0
+    while (i < cellsFilled) { probed(cellIdx(i)) = true; i += 1 }
+    // pass 2: flat scan over the fine table in GLOBAL index order,
+    // skipping unprobed cells — the skip is an array read, not a dot
+    val cap = math.min(n, fine.length)
+    val topIdx = new Array[Int](cap)
+    val topSim = new Array[Double](cap)
+    var filled = 0
+    var f = 0
+    while (f < fine.length) {
+      if (probed(fineCell(f))) {
+        val ct = fine(f)
+        if (ct.length == dim) {
+          var dot = 0.0
+          var nb = 0.0
+          var j = 0
+          while (j < dim) {
+            val x = vec.getFloat(j).toDouble
+            val y = ct(j).toDouble
+            dot += x * y
+            nb += y * y
+            j += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom != 0.0) {
+            val sim = dot / denom
+            var pos = filled
+            while (pos > 0 && java.lang.Double.compare(sim, topSim(pos - 1)) > 0) pos -= 1
+            if (pos < cap) {
+              var m = if (filled < cap) filled else cap - 1
+              while (m > pos) { topSim(m) = topSim(m - 1); topIdx(m) = topIdx(m - 1); m -= 1 }
+              topSim(pos) = sim
+              topIdx(pos) = f
+              if (filled < cap) filled += 1
+            }
+          }
+        }
+      }
+      f += 1
+    }
+    if (filled == 0) null
+    else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
   /** All band signatures of one float vector in a single pass:
     * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
     * the vector length differs from the plane dimensionality — the same

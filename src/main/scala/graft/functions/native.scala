@@ -329,6 +329,57 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]], n: In
     copy(child = newChild)
 }
 
+/** Hierarchical multi-assignment: top-`probes` coarse cells first, then
+  * the flat top-`n` among their fine centroids only — see
+  * [[VectorKernels.nearestCentroidsHier]] for the cost model and the
+  * probes-all == flat equality that anchors it. Tables and the
+  * fine→cell map ship as codegen reference objects; `Seq` fields keep
+  * Catalyst's plan canonicalization structural, like the flat kernels. */
+case class NearestCentroidsHier(
+    child: Expression,
+    coarse: Seq[Seq[Float]],
+    fine: Seq[Seq[Float]],
+    fineCell: Seq[Int],
+    probes: Int,
+    n: Int)
+    extends UnaryExpression {
+  require(coarse.nonEmpty && fine.nonEmpty, "need coarse and fine centroids")
+  require(fineCell.length == fine.length,
+    s"fineCell maps each fine centroid to its cell (${fineCell.length} != ${fine.length})")
+  require(fineCell.forall(c => c >= 0 && c < coarse.length),
+    "fineCell entries must index the coarse table")
+  require(probes >= 1 && n >= 1, s"probes=$probes and n=$n must be >= 1")
+  private val dim: Int = fine.head.length
+  @transient private lazy val coarseTable: Array[Array[Float]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val fineTable: Array[Array[Float]] =
+    fine.map(_.toArray).toArray
+  @transient private lazy val cellTable: Array[Int] = fineCell.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids_hier"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroidsHier(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      coarseTable, fineTable, cellTable, dim, probes, n)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refCoarse = ctx.addReferenceObj("coarse", coarseTable, "float[][]")
+    val refFine = ctx.addReferenceObj("fine", fineTable, "float[][]")
+    val refCell = ctx.addReferenceObj("fineCell", cellTable, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("buckets")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.VectorKernels.nearestCentroidsHier(
+         |    $c, $refCoarse, $refFine, $refCell, $dim, $probes, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildInternal(newChild: Expression): NearestCentroidsHier =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float vectors — the exact re-rank/verify kernel
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
@@ -640,6 +691,19 @@ object native {
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
     ColumnBridge.column(
       NearestCentroids(ColumnBridge.expression(vec), centroids.toSeq.map(_.toSeq), n))
+
+  def nearestCentroidsHier(
+      vec: Column,
+      coarse: Array[Array[Float]],
+      fine: Array[Array[Float]],
+      fineCell: Array[Int],
+      probes: Int,
+      n: Int): Column =
+    ColumnBridge.column(
+      NearestCentroidsHier(
+        ColumnBridge.expression(vec),
+        coarse.toSeq.map(_.toSeq), fine.toSeq.map(_.toSeq), fineCell.toSeq,
+        probes, n))
 
   def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
     ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))

@@ -661,7 +661,11 @@ object NearDup {
     * mutuals, the corpus is touched exactly once by the final anti-join
     * — the same posture as [[collapseNearDups]] without the iteration
     * (subsumption needs no transitive closure: the drop decision is
-    * per-edge). Output: the surviving rows of `df`, schema unchanged. */
+    * per-edge). Output: the surviving rows of `df`, schema unchanged.
+    *
+    * Measured (Scale64 r15, sf0.1 decorrelated tiling): the declared
+    * q_subsume pipeline's ×8 → ×64 octave is 4.11 (linear = 8.0) —
+    * sub-linear across two octaves. */
   def dropSubsumed(
       df: DataFrame,
       idCol: String,
@@ -839,7 +843,10 @@ object NearDup {
     * recipe; round count ∝ component diameter (near-dup clusters are
     * near-cliques — 2-3 rounds in practice, `maxIter` caps adversarial
     * chains). The corpus itself is touched exactly once, by the final
-    * anti-join against the non-representative ids.
+    * anti-join against the non-representative ids. Measured (Scale64
+    * r15, sf0.1 decorrelated tiling): the declared q_neardup_dedup
+    * pipeline's ×8 → ×64 octave is 4.90 (linear = 8.0) — sub-linear
+    * across two octaves, round count flat.
     *
     * Checkpoint hygiene (the iterative-algorithm storage contract):
     * `pairs` is scanned ONCE (explode emits both edge directions), each
@@ -1130,6 +1137,69 @@ object NearDup {
       explode(
         graft.functions.native.nearestCentroids(col(vecCol), centroids, nAssign))
         .as("bucket"))
+    collapseAssignedBuckets(emb, idCol, vecCol, threshold, assigned)
+  }
+
+  /** [[semanticDedup]] for corpora where nClusters ∝ rows makes the FLAT
+    * path unaffordable at both ends — flat k-means training is
+    * O(iters·sample·k·dim) on the driver and flat assignment O(rows·k·dim)
+    * on the executors, a rows²/bucketSize wall once k tracks the corpus.
+    * Here both go hierarchical: [[Similarity.trainCentroidsHier]] trains
+    * coarseCells × finePerCell centroids at
+    * O(iters·sample·(coarseCells+finePerCell)·dim), and each row is
+    * assigned by the two-level kernel at
+    * O((coarseCells + coarseProbes·finePerCell)·dim) — with
+    * coarseCells ≈ finePerCell ≈ √k, that is ~√k·dim per row instead of
+    * k·dim. Verification is UNCHANGED (exact cosine ≥ threshold on
+    * candidate pairs, min-id collapse), so precision stays exact; what
+    * the hierarchy trades is candidate RECALL at coarse-cell boundaries,
+    * bought back with `coarseProbes` > 1 (a boundary-straddling pair
+    * still shares a fine bucket if either side probes the other's cell —
+    * the same escape nAssign provides within a level). With
+    * `coarseProbes >= coarseCells` the kernel scans every fine centroid
+    * in global order and assignment equals the flat kernel over the same
+    * table bit-for-bit (spec-pinned), so the approximation has an exact
+    * anchor. Measured (Scale64 r15, sf0.1 ×8→×64 octave at k ∝ rows,
+    * train+assign stage): hier 0.24 → 0.41 s (octave 1.74, full
+    * k = 8 281 trained) vs flat 0.38 → 1.62 s (octave 4.23 with k
+    * CAPPED at 4096 — the flat trainer's budget cannot reach the
+    * prescribed k at all, which is the wall's first symptom). */
+  def semanticDedupHier(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      coarseCells: Int = 8,
+      finePerCell: Int = 8,
+      nAssign: Int = 4,
+      coarseProbes: Int = 2,
+      sampleSize: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
+    require(coarseProbes >= 1, s"coarseProbes=$coarseProbes must be >= 1")
+    val model = Similarity.trainCentroidsHier(
+      emb, idCol, vecCol, coarseCells, finePerCell, sampleSize, iters)
+    if (model.isEmpty) // no non-null vectors: nothing can pair, keep all
+      return emb.select(col(idCol)).orderBy(col(idCol))
+    val assigned = emb.select(
+      col(idCol).as("id"),
+      explode(
+        graft.functions.native.nearestCentroidsHier(
+          col(vecCol), model.coarse, model.fine, model.fineCell, coarseProbes, nAssign))
+        .as("bucket"))
+    collapseAssignedBuckets(emb, idCol, vecCol, threshold, assigned)
+  }
+
+  /** The bucket→candidate→exact-verify→collapse tail [[semanticDedup]]
+    * and [[semanticDedupHier]] share: within-bucket id pairs (id-only
+    * shuffle), exact cosine verify at `threshold`, min-id component
+    * collapse, survivors by id. */
+  private def collapseAssignedBuckets(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      assigned: DataFrame): DataFrame = {
     val rawCands = assigned.select(col("bucket"), col("id").as("id1"))
       .join(assigned.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
       .filter(col("id1") < col("id2"))

@@ -493,6 +493,58 @@ class NearDupSpec extends SparkTestBase {
     assert(sem == brute)
   }
 
+  test("semanticDedupHier equals the unbucketed collapse on both regimes (the flat operator's own contract)") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def survivors(ids: Seq[Long], edges: Set[(Long, Long)]): Set[Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.filter(i => find(i) == i).toSet
+    }
+    // 1) clustered regime — duplicates never straddle cells, so even
+    //    coarseProbes=1 must find every pair
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val data = (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5L + m, center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val truth = (for { (i, vi) <- data; (j, vj) <- data if i < j && cos(vi, vj) >= 0.9 }
+      yield (i, j)).toSet
+    val expect = survivors(data.map(_._1), truth)
+    val got = NearDup
+      .semanticDedupHier(df, "vec_id", "embedding", threshold = 0.9,
+        coarseCells = 2, finePerCell = 2, nAssign = 1, coarseProbes = 1, sampleSize = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // 2) the driver fixture at the declared q_semdedup regime: hier
+    //    buckets + exact verify == brute-force unbucketed collapse
+    //    (probes=2 of 4 cells — the approximation, not the exact anchor,
+    //    must already recover every pair here)
+    val emb = Tables.embeddings(spark, sf001)
+    val vec = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val bruteP = vec.as("a").join(vec.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        graft.functions.native.cosineSim(col("a.v"), col("b.v")).as("cs"))
+      .filter(col("cs") >= 0.5).select("id1", "id2")
+    val brute = NearDup.collapseNearDups(emb, "vec_id", bruteP)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sem = NearDup
+      .semanticDedupHier(emb, "vec_id", "embedding", threshold = 0.5,
+        coarseCells = 4, finePerCell = 2, nAssign = 4, coarseProbes = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(sem == brute)
+  }
+
   test("embeddingNearDupPairs finds intra-cluster pairs with exact precision") {
     val rnd = new scala.util.Random(13)
     val dim = 32

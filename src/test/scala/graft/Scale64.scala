@@ -28,10 +28,48 @@ import org.apache.spark.sql.functions._
   *    across tiers here), cuts ∝ docs — so the octave must be ≈
   *    linear if the shape claims hold.
   *
-  * Run (quiet machine, tmux — ~15-25 min):
+  * Round-15 additions:
+  *  - q_subsume and q_neardup_dedup (the two heaviest declared
+  *    near-dup pipelines) one octave up over ×64-decorrelated copies
+  *    ([[tileDocumentsMutated]]) — candidate volume and component
+  *    structure ∝ rows, label-propagation rounds bounded by component
+  *    diameter.
+  *  - the semantic-dedup centroid stage at k ∝ rows, flat vs
+  *    hierarchical ([[graft.ops.NearDup.semanticDedupHier]]): the flat
+  *    row is the measured rows·k wall (it cannot even train the
+  *    prescribed k — the sample budget caps it), the hier row is the
+  *    production lever and must hold its rows·√k model.
+  *
+  * Run (quiet machine, tmux — ~30-50 min):
   *   sbt "Test/runMain graft.Scale64 /root/testdata/sf0.1 32"
   */
 object Scale64 {
+
+  /** Documents tiled with per-copy DECORRELATED text: every vowel is
+    * replaced by a copy-tagged token (`q<copy>`), so any two copies
+    * share no vowel-bearing shingle — cross-copy Jaccard ≈ 0 and the
+    * near-dup candidate volume stays ∝ rows (ScaleProbe's vowel-map
+    * tiling does the same but tops out at 10 distinct maps; ×64 needs
+    * a generator). Partial decorrelation would be worse than none:
+    * copies at Jaccard ~0.5 collide in MinHash bands often enough to
+    * explode candidates quadratically without ever passing verify. */
+  private def tileDocumentsMutated(
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+    val base = Tables.documents(spark, sfDir)
+    val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    spark.range(copies).withColumnRenamed("id", "copy")
+      .crossJoin(base)
+      .select(
+        (col("doc_id") + col("copy") * span).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(
+            col("text"), lit("[aeiou]"), concat(lit("q"), col("copy").cast("string"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
 
   /** Documents tiled as EXACT duplicates (doc_id offset per copy, text
     * untouched) — deliberately the opposite of ScaleProbe's mutated
@@ -77,6 +115,8 @@ object Scale64 {
         ScaleProbe.tileLineitem(spark, sfDir, d, c)
         ScaleProbe.tileOrders(spark, sfDir, d, c)
         tileDocumentsDup(spark, sfDir, d, c)
+        ScaleProbe.tileEmbeddings(spark, sfDir, d, c)
+        tileDocumentsMutated(spark, sfDir, s"$work/mut$c", c)
       }
       println(s"SCALE64 tiled x8 + x64 under $work")
 
@@ -138,6 +178,67 @@ object Scale64 {
       val s8 = timeMin2(substr(s"$work/x8"))
       val s64 = timeMin2(substr(s"$work/x64"))
       octave("q_substring_dedup(dup-max)", s8, s64, gate = 16.0)
+
+      // ---- the two heaviest text/near-dup pipelines, one octave up over
+      // DECORRELATED copies (cross-copy Jaccard ≈ 0, so candidate volume
+      // and component structure stay ∝ rows — the regime the ×8 probe's
+      // vowel-map tiling pins; this confirms the same shape holds ×64,
+      // including q_neardup_dedup's label-propagation rounds, which must
+      // stay bounded by component DIAMETER, not corpus size).
+      def declared(name: String)(dir: String): Unit =
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      val sub8 = timeMin2(declared("q_subsume")(s"$work/mut8"))
+      val sub64 = timeMin2(declared("q_subsume")(s"$work/mut64"))
+      octave("q_subsume", sub8, sub64, gate = 16.0)
+      val nd8 = timeMin2(declared("q_neardup_dedup")(s"$work/mut8"))
+      val nd64 = timeMin2(declared("q_neardup_dedup")(s"$work/mut64"))
+      octave("q_neardup_dedup", nd8, nd64, gate = 16.0)
+
+      // ---- semantic-dedup centroid stage at k ∝ rows: flat vs
+      // hierarchical. The pair/verify tail is bucket-volume-bound
+      // (∝ rows at constant bucket size — ScaleProbe's q_semdedup row
+      // covers it); what k ∝ rows changes is TRAIN (driver,
+      // iters·sample·k·dim flat vs iters·sample·2√k·dim hier) and
+      // ASSIGN (executor, rows·k·dim flat vs rows·3√k·dim hier at 2
+      // probes), so that stage is what this adjudication times. The
+      // flat row is the documented wall — it cannot even TRAIN the
+      // prescribed k (the sample budget caps it at 4096) and its
+      // assignment still grows ∝ rows·k; the gate only refuses a
+      // beyond-quadratic blowup, the number itself is the finding. The
+      // hier row is the production lever and must hold ≈ linear.
+      def assignStage(dir: String, hier: Boolean): Unit = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val rows = emb.count()
+        val k = (rows / 250L).toInt
+        val assigned =
+          if (!hier) {
+            val kCap = math.min(k, 4096)
+            val cents = graft.ops.Similarity.trainCentroids(
+              emb, "vec_id", "embedding", kCap, sampleSize = 4096)
+            explode(graft.functions.native
+              .nearestCentroids(col("embedding"), cents, 4))
+          } else {
+            val side = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+            val h = graft.ops.Similarity.trainCentroidsHier(
+              emb, "vec_id", "embedding", side, side,
+              sampleSize = math.min(4 * k, 32768))
+            explode(graft.functions.native.nearestCentroidsHier(
+              col("embedding"), h.coarse, h.fine, h.fineCell, 2, 4))
+          }
+        emb.select(assigned.as("bucket"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // hier's exact model is rows·√k·dim — at k ∝ rows that is
+      // rows^1.5 per octave ≤ 8·√8 ≈ 22.6 if assignment alone dominated
+      // (a third level is the next lever at true 100 TB); the gate
+      // refuses anything past that model + scan overhead slack
+      val hf8 = timeMin2(assignStage(s"$work/x8", hier = true))
+      val hf64 = timeMin2(assignStage(s"$work/x64", hier = true))
+      octave("semdedup-assign(hier)", hf8, hf64, gate = 24.0)
+      val ff8 = timeMin2(assignStage(s"$work/x8", hier = false))
+      val ff64 = timeMin2(assignStage(s"$work/x64", hier = false))
+      octave("semdedup-assign(flat)", ff8, ff64, gate = 64.0)
 
       if (failures.nonEmpty) failures.foreach(f => println(s"SCALE64 FAIL $f"))
       else println("SCALE64 OK")

@@ -671,6 +671,99 @@ class SimilaritySpec extends SparkTestBase {
     assert(clamped == Seq(1)) // zero-norm skipped, clamp to the 1 valid centroid
   }
 
+  test("nearestCentroidsHier: probes=all equals the flat kernel bit-for-bit; fewer probes restrict to probed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // a hand-built two-level table: 4 cells × 6 fine = 24 fine centroids
+    val coarse = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val fine = Array.fill(24)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val fineCell = Array.tabulate(24)(_ / 6)
+    // probes >= cells: the exact anchor — identical to the flat kernel
+    // over the same fine table, including tie order (global-index scan)
+    val both = corpus.select(
+        col("vec_id"),
+        graft.functions.native
+          .nearestCentroidsHier(col("embedding"), coarse, fine, fineCell, probes = 4, n = 5)
+          .as("hier"),
+        graft.functions.native.nearestCentroids(col("embedding"), fine, 5).as("flat"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec_id=${r.getLong(0)}")
+    }
+    // fewer probes: results come only from probed cells, in the same
+    // descending order the flat kernel would give those cells' members
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val raw = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probed = corpus.select(
+        col("vec_id"),
+        graft.functions.native
+          .nearestCentroidsHier(col("embedding"), coarse, fine, fineCell, probes = 2, n = 5)
+          .as("hier"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    probed.foreach { case (id, got) =>
+      val v = raw(id)
+      val cells = coarse.indices
+        .map(c => (c, cos(v, coarse(c)))).sortBy { case (c, s) => (-s, c) }
+        .take(2).map(_._1).toSet
+      val expect = fine.indices
+        .filter(f => cells.contains(fineCell(f)))
+        .map(f => (f, cos(v, fine(f))))
+        .sortBy { case (f, s) => (-s, f) }.take(5).map(_._1)
+      assert(got == expect, s"id=$id")
+    }
+    // null contract matches the flat kernel: ragged vector → NULL
+    val shorty = Seq((1L, Array.fill(8)(1f))).toDF("vec_id", "embedding")
+    assert(shorty.select(
+      graft.functions.native
+        .nearestCentroidsHier(col("embedding"), coarse, fine, fineCell, 2, 3))
+      .collect().head.isNullAt(0))
+    // and the assignment is one codegen projection over a parquet scan
+    val plan = Tables.embeddings(spark, sf001).select(
+        graft.functions.native.nearestCentroidsHier(
+          col("embedding"),
+          coarse.map(_.padTo(64, 0f)), fine.map(_.padTo(64, 0f)), fineCell, 2, 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
+  }
+
+  test("trainCentroidsHier: cell-major fine table, members cluster near their cell, flat-trainer cost model avoided") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // 6 well-separated clusters of 40 points
+    val data = (0 until 6).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian() * 4)
+      (0 until 40).map { m =>
+        (c * 40L + m, center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val h = Similarity.trainCentroidsHier(
+      df, "vec_id", "embedding", coarseCells = 3, finePerCell = 4, sampleSize = 240)
+    assert(h.coarse.length == 3)
+    assert(h.fine.nonEmpty && h.fine.length == h.fineCell.length)
+    assert(h.fineCell.forall(c => c >= 0 && c < 3))
+    // cell-major: fineCell is non-decreasing (global index order == cell order)
+    assert(h.fineCell.sameElements(h.fineCell.sorted))
+    // every fine centroid is nearest to its OWN cell among the coarse
+    // table — the invariant the two-level probe relies on
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    h.fine.zip(h.fineCell).foreach { case (f, c) =>
+      val best = h.coarse.indices.maxBy(i => cos(f, h.coarse(i)))
+      assert(best == c, s"fine centroid filed under cell $c but nearest to $best")
+    }
+  }
+
   test("hyperplane signatures are deterministic across evaluations") {
     val emb = Tables.embeddings(spark, sf001)
     val sig = Similarity.hyperplaneSignature(col("embedding"), bits = 12, dim = 64)
