@@ -791,25 +791,37 @@ object VectorKernels {
           j += 1
         }
         val denom = math.sqrt(na) * math.sqrt(nb)
-        if (denom != 0.0) {
-          val sim = dot / denom
-          // descending insertion; equal sims stop left-shift, so the
-          // earlier centroid index stays ahead (first-index-wins ties)
-          var pos = filled
-          while (pos > 0 && java.lang.Double.compare(sim, topSim(pos - 1)) > 0) pos -= 1
-          if (pos < cap) {
-            var m = if (filled < cap) filled else cap - 1
-            while (m > pos) { topSim(m) = topSim(m - 1); topIdx(m) = topIdx(m - 1); m -= 1 }
-            topSim(pos) = sim
-            topIdx(pos) = c
-            if (filled < cap) filled += 1
-          }
-        }
+        if (denom != 0.0)
+          filled = insertDesc(dot / denom, c, topSim, topIdx, filled, cap)
       }
       c += 1
     }
     if (filled == 0) null
     else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
+  }
+
+  /** Descending insertion into a bounded top-k (sim, idx) pair of
+    * arrays — the ONE copy of the tie convention every centroid top-k
+    * shares ([[nearestCentroids]], both passes of
+    * [[nearestCentroidsHier]]): `Double.compare` ordering, equal sims
+    * stop the left-shift so the earlier-visited index stays ahead
+    * (first-index-wins). Returns the new filled count; static and
+    * branch-simple so the JIT inlines it into the scan loops. */
+  private def insertDesc(
+      sim: Double,
+      idx: Int,
+      topSim: Array[Double],
+      topIdx: Array[Int],
+      filled: Int,
+      cap: Int): Int = {
+    var pos = filled
+    while (pos > 0 && java.lang.Double.compare(sim, topSim(pos - 1)) > 0) pos -= 1
+    if (pos >= cap) return filled
+    var m = if (filled < cap) filled else cap - 1
+    while (m > pos) { topSim(m) = topSim(m - 1); topIdx(m) = topIdx(m - 1); m -= 1 }
+    topSim(pos) = sim
+    topIdx(pos) = idx
+    if (filled < cap) filled + 1 else filled
   }
 
   /** Hierarchical (two-level) multi-assignment: the `probes` most
@@ -840,45 +852,41 @@ object VectorKernels {
     var na = 0.0
     var i = 0
     while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
-    // pass 1: top-`probes` coarse cells (same insertion as the flat kernel)
-    val pCap = math.min(probes, coarse.length)
-    val cellIdx = new Array[Int](pCap)
-    val cellSim = new Array[Double](pCap)
-    var cellsFilled = 0
-    var c = 0
-    while (c < coarse.length) {
-      val ct = coarse(c)
-      if (ct.length == dim) {
-        var dot = 0.0
-        var nb = 0.0
-        var j = 0
-        while (j < dim) {
-          val x = vec.getFloat(j).toDouble
-          val y = ct(j).toDouble
-          dot += x * y
-          nb += y * y
-          j += 1
-        }
-        val denom = math.sqrt(na) * math.sqrt(nb)
-        if (denom != 0.0) {
-          val sim = dot / denom
-          var pos = cellsFilled
-          while (pos > 0 && java.lang.Double.compare(sim, cellSim(pos - 1)) > 0) pos -= 1
-          if (pos < pCap) {
-            var m = if (cellsFilled < pCap) cellsFilled else pCap - 1
-            while (m > pos) { cellSim(m) = cellSim(m - 1); cellIdx(m) = cellIdx(m - 1); m -= 1 }
-            cellSim(pos) = sim
-            cellIdx(pos) = c
-            if (cellsFilled < pCap) cellsFilled += 1
-          }
-        }
-      }
-      c += 1
-    }
-    if (cellsFilled == 0) return null
     val probed = new Array[Boolean](coarse.length)
-    i = 0
-    while (i < cellsFilled) { probed(cellIdx(i)) = true; i += 1 }
+    if (probes >= coarse.length) {
+      // probing everything IS the flat kernel — skip pass 1 entirely, so
+      // the documented bit-for-bit equality holds even for a coarse cell
+      // no similarity could select (zero-norm, ragged)
+      java.util.Arrays.fill(probed, true)
+    } else {
+      // pass 1: top-`probes` coarse cells (same insertion as the flat kernel)
+      val cellIdx = new Array[Int](probes)
+      val cellSim = new Array[Double](probes)
+      var cellsFilled = 0
+      var c = 0
+      while (c < coarse.length) {
+        val ct = coarse(c)
+        if (ct.length == dim) {
+          var dot = 0.0
+          var nb = 0.0
+          var j = 0
+          while (j < dim) {
+            val x = vec.getFloat(j).toDouble
+            val y = ct(j).toDouble
+            dot += x * y
+            nb += y * y
+            j += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom != 0.0)
+            cellsFilled = insertDesc(dot / denom, c, cellSim, cellIdx, cellsFilled, probes)
+        }
+        c += 1
+      }
+      if (cellsFilled == 0) return null
+      i = 0
+      while (i < cellsFilled) { probed(cellIdx(i)) = true; i += 1 }
+    }
     // pass 2: flat scan over the fine table in GLOBAL index order,
     // skipping unprobed cells — the skip is an array read, not a dot
     val cap = math.min(n, fine.length)
@@ -901,18 +909,8 @@ object VectorKernels {
             j += 1
           }
           val denom = math.sqrt(na) * math.sqrt(nb)
-          if (denom != 0.0) {
-            val sim = dot / denom
-            var pos = filled
-            while (pos > 0 && java.lang.Double.compare(sim, topSim(pos - 1)) > 0) pos -= 1
-            if (pos < cap) {
-              var m = if (filled < cap) filled else cap - 1
-              while (m > pos) { topSim(m) = topSim(m - 1); topIdx(m) = topIdx(m - 1); m -= 1 }
-              topSim(pos) = sim
-              topIdx(pos) = f
-              if (filled < cap) filled += 1
-            }
-          }
+          if (denom != 0.0)
+            filled = insertDesc(dot / denom, f, topSim, topIdx, filled, cap)
         }
       }
       f += 1

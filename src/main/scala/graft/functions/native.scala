@@ -350,6 +350,13 @@ case class NearestCentroidsHier(
     "fineCell entries must index the coarse table")
   require(probes >= 1 && n >= 1, s"probes=$probes and n=$n must be >= 1")
   private val dim: Int = fine.head.length
+  // every coarse cell must be SELECTABLE by pass 1, or its whole fine
+  // subtree silently vanishes from probes < cells assignments (and a
+  // dim mismatch would make every row NULL — dedup as a silent no-op);
+  // degenerate FINE rows keep the flat kernel's skip semantics instead
+  require(coarse.forall(c => c.length == dim && c.exists(_ != 0f)),
+    s"every coarse centroid must have dim=$dim and nonzero norm — a zero-norm or " +
+      "ragged cell could never be probed and its fine centroids would be unreachable")
   @transient private lazy val coarseTable: Array[Array[Float]] =
     coarse.map(_.toArray).toArray
   @transient private lazy val fineTable: Array[Array[Float]] =

@@ -1175,8 +1175,13 @@ object NearDup {
       coarseProbes: Int = 2,
       sampleSize: Int = 2048,
       iters: Int = 10): DataFrame = {
-    require(nAssign >= 1, s"nAssign=$nAssign must be >= 1")
-    require(coarseProbes >= 1, s"coarseProbes=$coarseProbes must be >= 1")
+    // same validation posture as the flat operator's nAssign <= nClusters:
+    // oversized parameters silently clamping would claim recall the model
+    // cannot deliver
+    require(nAssign >= 1 && nAssign <= coarseCells * finePerCell,
+      s"nAssign=$nAssign must be in [1, coarseCells*finePerCell=${coarseCells * finePerCell}]")
+    require(coarseProbes >= 1 && coarseProbes <= coarseCells,
+      s"coarseProbes=$coarseProbes must be in [1, coarseCells=$coarseCells]")
     val model = Similarity.trainCentroidsHier(
       emb, idCol, vecCol, coarseCells, finePerCell, sampleSize, iters)
     if (model.isEmpty) // no non-null vectors: nothing can pair, keep all

@@ -7,6 +7,25 @@ class NearDupSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  /** Driver-side exact cosine — the one oracle copy the embedding-dedup
+    * suites share. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  /** Driver-side union-find keep-min ground truth for collapse suites. */
+  private def survivors(ids: Seq[Long], edges: Set[(Long, Long)]): Set[Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.filter(i => find(i) == i).toSet
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val plan = Tables.documents(spark, sf001)
       .select(
@@ -440,20 +459,7 @@ class NearDupSpec extends SparkTestBase {
   }
 
   test("semanticDedup equals unbucketed collapse (clustered: nAssign=1; fixture: declared params)") {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
-    }
     // driver-side connected-components keep-min ground truth
-    def survivors(ids: Seq[Long], edges: Set[(Long, Long)]): Set[Long] = {
-      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      ids.filter(i => find(i) == i).toSet
-    }
 
     // 1) SemDeDup's home regime: tight clusters, where nAssign=1 suffices
     //    because a duplicate pair is never split across k-means cells
@@ -494,19 +500,6 @@ class NearDupSpec extends SparkTestBase {
   }
 
   test("semanticDedupHier equals the unbucketed collapse on both regimes (the flat operator's own contract)") {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
-    }
-    def survivors(ids: Seq[Long], edges: Set[(Long, Long)]): Set[Long] = {
-      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      ids.filter(i => find(i) == i).toSet
-    }
     // 1) clustered regime — duplicates never straddle cells, so even
     //    coarseProbes=1 must find every pair
     val rnd = new scala.util.Random(31)
@@ -557,10 +550,6 @@ class NearDupSpec extends SparkTestBase {
     val df = data.toDF("vec_id", "embedding")
     val got = NearDup.embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
-    }
     val truth = (for {
       (i, vi) <- data; (j, vj) <- data if i < j && cos(vi, vj) >= 0.9
     } yield (i, j)).toSet

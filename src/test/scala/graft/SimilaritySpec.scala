@@ -752,16 +752,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(h.fineCell.forall(c => c >= 0 && c < 3))
     // cell-major: fineCell is non-decreasing (global index order == cell order)
     assert(h.fineCell.sameElements(h.fineCell.sorted))
-    // every fine centroid is nearest to its OWN cell among the coarse
-    // table — the invariant the two-level probe relies on
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
-      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
-    }
-    h.fine.zip(h.fineCell).foreach { case (f, c) =>
-      val best = h.coarse.indices.maxBy(i => cos(f, h.coarse(i)))
-      assert(best == c, s"fine centroid filed under cell $c but nearest to $best")
-    }
+    // construction guarantees (the contracts the kernel's validation and
+    // pass-1 rely on — NOT fixture geometry): every coarse and fine
+    // centroid is selectable (nonzero norm, right dim), no cell exceeds
+    // its finePerCell budget, and the model is kernel-constructible
+    assert(h.coarse.forall(c => c.length == dim && c.exists(_ != 0f)))
+    assert(h.fine.forall(f => f.length == dim && f.exists(_ != 0f)))
+    assert(h.fineCell.groupBy(identity).values.forall(_.length <= 4))
+    graft.functions.NearestCentroidsHier(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+      h.coarse.toSeq.map(_.toSeq), h.fine.toSeq.map(_.toSeq), h.fineCell.toSeq, 1, 1)
   }
 
   test("hyperplane signatures are deterministic across evaluations") {
