@@ -45,48 +45,48 @@ import org.apache.spark.sql.functions._
   */
 object Scale64 {
 
-  /** Documents tiled with per-copy DECORRELATED text: every vowel is
-    * replaced by a copy-tagged token (`q<copy>`), so any two copies
-    * share no vowel-bearing shingle — cross-copy Jaccard ≈ 0 and the
-    * near-dup candidate volume stays ∝ rows (ScaleProbe's vowel-map
-    * tiling does the same but tops out at 10 distinct maps; ×64 needs
-    * a generator). Partial decorrelation would be worse than none:
-    * copies at Jaccard ~0.5 collide in MinHash bands often enough to
-    * explode candidates quadratically without ever passing verify. */
-  private def tileDocumentsMutated(
-      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
+  /** One document tiler, parameterized by the per-copy text expression
+    * (doc_id offset per copy either way):
+    *
+    *  - EXACT duplicates (identity text) — the opposite of ScaleProbe's
+    *    mutated tiling: maximal repetition, substring dedup's worst case.
+    *  - DECORRELATED copies (every vowel replaced by a copy-tagged
+    *    token `q<copy>`): any two copies share no vowel-bearing
+    *    shingle, so cross-copy Jaccard ≈ 0 and near-dup candidate
+    *    volume stays ∝ rows (ScaleProbe's vowel-map tiling does the
+    *    same but tops out at 10 distinct maps; ×64 needs a generator).
+    *    Partial decorrelation would be worse than none: copies at
+    *    Jaccard ~0.5 collide in MinHash bands often enough to explode
+    *    candidates quadratically without ever passing verify. */
+  private def tileDocuments(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      copies: Int)(
+      textExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
     val base = Tables.documents(spark, sfDir)
     val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     spark.range(copies).withColumnRenamed("id", "copy")
       .crossJoin(base)
       .select(
         (col("doc_id") + col("copy") * span).as("doc_id"),
-        when(col("copy") === 0, col("text"))
-          .otherwise(regexp_replace(
-            col("text"), lit("[aeiou]"), concat(lit("q"), col("copy").cast("string"))))
-          .as("text"),
+        textExpr(col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$outDir/documents.parquet").count()
   }
 
-  /** Documents tiled as EXACT duplicates (doc_id offset per copy, text
-    * untouched) — deliberately the opposite of ScaleProbe's mutated
-    * tiling: maximal repetition is substring dedup's worst case. */
   private def tileDocumentsDup(
-      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long = {
-    val base = Tables.documents(spark, sfDir)
-    val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1
-    spark.range(copies).withColumnRenamed("id", "copy")
-      .crossJoin(base)
-      .select(
-        (col("doc_id") + col("copy") * span).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    spark.read.parquet(s"$outDir/documents.parquet").count()
-  }
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long =
+    tileDocuments(spark, sfDir, outDir, copies)(identity)
+
+  private def tileDocumentsMutated(
+      spark: SparkSession, sfDir: String, outDir: String, copies: Int): Long =
+    tileDocuments(spark, sfDir, outDir, copies)(text =>
+      when(col("copy") === 0, text)
+        .otherwise(regexp_replace(
+          text, lit("[aeiou]"), concat(lit("q"), col("copy").cast("string")))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
