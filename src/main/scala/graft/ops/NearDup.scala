@@ -1175,11 +1175,13 @@ object NearDup {
       coarseProbes: Int = 2,
       sampleSize: Int = 2048,
       iters: Int = 10): DataFrame = {
-    // same validation posture as the flat operator's nAssign <= nClusters:
-    // oversized parameters silently clamping would claim recall the model
-    // cannot deliver
-    require(nAssign >= 1 && nAssign <= coarseCells * finePerCell,
-      s"nAssign=$nAssign must be in [1, coarseCells*finePerCell=${coarseCells * finePerCell}]")
+    // same REQUEST-level validation posture as the flat operator's
+    // nAssign <= nClusters: parameters that are inconsistent on their
+    // face fail fast. (The TRAINED model can still be smaller — sample
+    // caps, empty cells — and the kernel clamps against it, exactly as
+    // the flat kernel clamps n against its table.)
+    require(nAssign >= 1 && nAssign <= coarseCells.toLong * finePerCell,
+      s"nAssign=$nAssign must be in [1, coarseCells*finePerCell=${coarseCells.toLong * finePerCell}]")
     require(coarseProbes >= 1 && coarseProbes <= coarseCells,
       s"coarseProbes=$coarseProbes must be in [1, coarseCells=$coarseCells]")
     val model = Similarity.trainCentroidsHier(

@@ -459,8 +459,6 @@ class NearDupSpec extends SparkTestBase {
   }
 
   test("semanticDedup equals unbucketed collapse (clustered: nAssign=1; fixture: declared params)") {
-    // driver-side connected-components keep-min ground truth
-
     // 1) SemDeDup's home regime: tight clusters, where nAssign=1 suffices
     //    because a duplicate pair is never split across k-means cells
     val rnd = new scala.util.Random(29)

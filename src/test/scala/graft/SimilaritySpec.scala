@@ -754,14 +754,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(h.fineCell.sameElements(h.fineCell.sorted))
     // construction guarantees (the contracts the kernel's validation and
     // pass-1 rely on — NOT fixture geometry): every coarse and fine
-    // centroid is selectable (nonzero norm, right dim), no cell exceeds
-    // its finePerCell budget, and the model is kernel-constructible
+    // centroid is selectable (nonzero norm, right dim — the trainer
+    // filters both levels), no cell exceeds its finePerCell budget, and
+    // the model is kernel-constructible
     assert(h.coarse.forall(c => c.length == dim && c.exists(_ != 0f)))
     assert(h.fine.forall(f => f.length == dim && f.exists(_ != 0f)))
     assert(h.fineCell.groupBy(identity).values.forall(_.length <= 4))
     graft.functions.NearestCentroidsHier(
       org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
       h.coarse.toSeq.map(_.toSeq), h.fine.toSeq.map(_.toSeq), h.fineCell.toSeq, 1, 1)
+    // filing regression tripwire (deterministic fixture, seed 23, ×4
+    // cluster separation gives the margin): each fine centroid lies
+    // nearest its OWN coarse cell here. Not a construction guarantee in
+    // general geometry — but on this fixture a miss means the trainer
+    // misfiled members (argmaxDot tie-break or cell re-assignment
+    // regression), which would silently cost probe recall.
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    h.fine.zip(h.fineCell).foreach { case (f, c) =>
+      val best = h.coarse.indices.maxBy(i => cosd(f, h.coarse(i)))
+      assert(best == c, s"fine centroid filed under cell $c but nearest to $best")
+    }
   }
 
   test("hyperplane signatures are deterministic across evaluations") {
