@@ -779,6 +779,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hier-built IVF index: probes-all equals the flat build, probeIvfIndex prunes it unchanged") {
+    val emb = Tables.embeddings(spark, sf001)
+    val model = Similarity.trainCentroidsHier(
+      emb, "vec_id", "embedding", coarseCells = 4, finePerCell = 2)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    // probes >= cells: the hier build IS the flat build over model.fine
+    val flatDir = java.nio.file.Files.createTempDirectory("graft-ivf-hflat").toString
+    val hierDir = java.nio.file.Files.createTempDirectory("graft-ivf-hier").toString
+    Similarity.writeIvfIndex(emb, "embedding", model.fine, flatDir)
+    Similarity.writeIvfIndexHier(emb, "embedding", model, hierDir,
+      probes = model.coarse.length)
+    def probe(dir: String) = Similarity.probeIvfIndex(
+      spark, dir, "vec_id", "embedding", qVec, model.fine, k, nProbe = 3,
+      excludeId = Some(queryId))
+    val flatGot = probe(flatDir).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val hierGot = probe(hierDir).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hierGot == flatGot, "probes-all hier build must equal the flat build")
+    // the probe stays partition-pruned on the hier-built layout
+    val plan = probe(hierDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // the approximation (probes=2 of 4 cells): same layout id space,
+    // high top-k overlap with the exact flat build on the fixture
+    val hier2Dir = java.nio.file.Files.createTempDirectory("graft-ivf-hier2").toString
+    Similarity.writeIvfIndexHier(emb, "embedding", model, hier2Dir, probes = 2)
+    val approx = probe(hier2Dir).collect().map(_.getLong(0)).toSet
+    val exact = flatGot.map(_._1).toSet
+    assert((approx & exact).size >= k - 2,
+      s"overlap ${(approx & exact).size}/$k too low for the probes=2 build")
+  }
+
   test("hyperplane signatures are deterministic across evaluations") {
     val emb = Tables.embeddings(spark, sf001)
     val sig = Similarity.hyperplaneSignature(col("embedding"), bits = 12, dim = 64)
