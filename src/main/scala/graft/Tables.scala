@@ -124,7 +124,7 @@ object Tables {
   }
 
   def mediaFixture(spark: SparkSession): DataFrame = {
-    def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    import MediaBytes.{blob, box4}
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
       blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
       blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
@@ -167,6 +167,20 @@ object Tables {
       blob(0, 0, 0, 0)
     val truncatedWebp = "RIFF".getBytes ++ blob(0x16, 0, 0, 0) ++ "WEBP".getBytes ++
       "VP8 ".getBytes // container intact, bitstream missing
+    // ISO-BMFF (mp4): uint32 size + fourcc + payload boxes; dims come
+    // from the first VIDEO trak's tkhd (16.16 fixed point) — an
+    // audio-only file (0×0 track) has none, and a moov-less file parses
+    // to nothing
+    val ftyp = box4("ftyp", "isom".getBytes ++ blob(0, 0, 0, 1))
+    def tkhdTrak(w: Int, h: Int): Array[Byte] = box4("trak", box4("tkhd",
+      blob(0, 0, 0, 7) ++ new Array[Byte](20) ++ new Array[Byte](16) ++
+        new Array[Byte](36) ++
+        blob((w >>> 8) & 0xff, w & 0xff, 0, 0) ++ blob((h >>> 8) & 0xff, h & 0xff, 0, 0)))
+    val mvhd = box4("mvhd", blob(0, 0, 0, 0) ++ new Array[Byte](8) ++
+      blob(0, 0, 0x03, 0xe8) ++ blob(0, 0x01, 0x5f, 0x90)) // timescale 1000, 90 000 units
+    val mp4Video = ftyp ++ box4("moov", mvhd ++ tkhdTrak(1920, 1080))
+    val mp4Audio = ftyp ++ box4("moov", mvhd ++ tkhdTrak(0, 0))
+    val mp4NoMoov = ftyp // header only: identified but dimension-less
     val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int])] = Seq(
       (1L, png, Some(640), Some(480)),
       (2L, gif, Some(320), Some(240)),
@@ -181,8 +195,34 @@ object Tables {
       (11L, webpExtended, Some(4000), Some(3000)),
       (12L, tiffLe, Some(640), Some(480)),
       (13L, tiffBe, Some(640), Some(480)),
-      (14L, truncatedWebp, None, None))
+      (14L, truncatedWebp, None, None),
+      (15L, mp4Video, Some(1920), Some(1080)),
+      (16L, mp4Audio, None, None),
+      (17L, mp4NoMoov, None, None))
     import spark.implicits._
     rows.toDF("media_id", "bytes", "expected_width", "expected_height")
+  }
+}
+
+/** Byte-level builders for hand-crafted media containers — ONE
+  * definition shared by [[Tables.mediaFixture]] and the
+  * container-parsing specs (MultiModalSpec, GraftFunctionsSpec), so a
+  * layout fix (box emission, endianness) cannot drift between the
+  * fixture and the tests that interpret it. */
+private[graft] object MediaBytes {
+  def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+  def le16(v: Int): Array[Byte] = blob(v & 0xff, (v >> 8) & 0xff)
+  def le32(v: Long): Array[Byte] =
+    blob((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+  def be32(v: Long): Array[Byte] =
+    blob(((v >> 24) & 0xff).toInt, ((v >> 16) & 0xff).toInt,
+      ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
+
+  /** ISO-BMFF uint32-size box: `size fourcc payload`. */
+  def box4(tp: String, payload: Array[Byte]): Array[Byte] = {
+    val sz = 8 + payload.length
+    blob((sz >>> 24) & 0xff, (sz >>> 16) & 0xff, (sz >>> 8) & 0xff, sz & 0xff) ++
+      tp.getBytes ++ payload
   }
 }

@@ -92,6 +92,9 @@ object GraftFunctions {
     "media_dims" -> { args =>
       arity("media_dims", args, 1); MediaDims(args(0))
     },
+    "av_meta" -> { args =>
+      arity("av_meta", args, 1); AvMeta(args(0))
+    },
     "hyperplane_signatures" -> { args =>
       arity("hyperplane_signatures", args, 5)
       HyperplaneSignatures(

@@ -919,6 +919,88 @@ object VectorKernels {
     else new GenericArrayData(java.util.Arrays.copyOf(topIdx, filled))
   }
 
+  /** Product-quantization encode (Jégou et al., TPAMI 2011): the vector
+    * is unit-normalized (cosine is scale-invariant, so ranks are
+    * unchanged and every codebook sees the same distribution), split
+    * into `m` contiguous subspaces of `dsub` dims, and each subspace is
+    * replaced by the index of its nearest codebook entry (L2, the PQ
+    * training objective) — `m` BYTES per vector instead of `dim` floats.
+    * Ties keep the first (lowest) code: strict `<` over the
+    * code-ascending scan, the same first-index-wins convention as
+    * [[nearestCentroids]]. NULL for a ragged vector or one with
+    * zero/non-finite norm (no direction to encode — the
+    * NULL-not-garbage posture of [[quantizeInt8]]). Cost O(dim·ksub)
+    * per row, paid ONCE at index-write time; the probe side
+    * ([[pqAdcScore]]) is what this buys: O(m) per row. */
+  def pqEncode(
+      vec: ArrayData,
+      books: Array[Array[Array[Float]]],
+      dim: Int,
+      dsub: Int): Array[Byte] = {
+    if (vec.numElements() != dim) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
+    val norm = math.sqrt(na)
+    if (!java.lang.Double.isFinite(norm) || norm == 0.0) return null
+    val m = books.length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val ct = book(c)
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = vec.getFloat(off + j).toDouble / norm - ct(j).toDouble
+          dist += d * d
+          j += 1
+        }
+        if (java.lang.Double.compare(dist, bestDist) < 0) { bestDist = dist; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance cosine score of one PQ code array against a
+    * query whose per-(subspace, code) partial dot products and
+    * reconstruction norms² were precomputed driver-side
+    * (`tables` = m·ksub dot entries then m·ksub norm² entries, flattened
+    * subspace-major): score = Σ dot[s][code_s] / √(Σ norm2[s][code_s]) —
+    * the cosine between the unit query and the RECONSTRUCTION the codes
+    * name. O(m) array reads per row, no per-dimension work: this lookup
+    * loop is the entire per-row probe cost, the reason a PQ index scans
+    * 8 bytes + 16 adds where the float path does `dim` multiplies. NULL
+    * for a code array of the wrong length or a reconstruction with zero
+    * norm (all-zero codebook entries), same contract as [[cosine]]. */
+  def pqAdcScore(
+      codes: Array[Byte],
+      tables: Array[Double],
+      m: Int,
+      ksub: Int): java.lang.Double = {
+    if (codes.length != m) return null
+    val normOff = m * ksub
+    var dot = 0.0
+    var n2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes(s) & 0xFF
+      if (c >= ksub) return null // corrupt code: NULL, not garbage reads
+      dot += tables(s * ksub + c)
+      n2 += tables(normOff + s * ksub + c)
+      s += 1
+    }
+    if (n2 == 0.0) null else java.lang.Double.valueOf(dot / math.sqrt(n2))
+  }
+
   /** All band signatures of one float vector in a single pass:
     * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
     * the vector length differs from the plane dimensionality — the same
@@ -1089,6 +1171,201 @@ object MediaKernels {
       if (w >= 0 && h >= 0) return dims(w, h)
       return null
     }
+    // ISO-BMFF (mp4/mov family, identified by a top-level `ftyp`):
+    // dims from the first video trak's tkhd (16.16 fixed point; audio
+    // tracks carry 0×0 and are skipped)
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      val moov = mp4Find(b, 0, b.length, 0x6d6f6f76) // 'moov'
+      if (moov < 0) return null
+      val pk = mp4Dims(b, (moov >>> 32).toInt, (moov & 0xffffffffL).toInt)
+      if (pk < 0) return null
+      return dims((pk >>> 32).toInt, (pk & 0xffffffffL).toInt)
+    }
     null
   }
+
+  /** ISO-BMFF box header at `off` within `[off, limit)`: returns
+    * `(payloadStart << 32) | boxEnd`, or -1 for a malformed header —
+    * size smaller than its own header, size past `limit`, or a 64-bit
+    * largesize that cannot fit the buffer. `size == 0` (box extends to
+    * end) and `size == 1` (64-bit largesize) per spec. All size
+    * arithmetic in LONG and bounds by comparison against `limit`, so a
+    * hostile 0xFFFFFFFF size cannot overflow into a false pass. */
+  private def mp4Box(b: Array[Byte], off: Int, limit: Int): Long = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    val szRaw = be32(off)
+    var hdr = 8
+    var end = 0L
+    if (szRaw == 0) end = limit
+    else if (szRaw == 1) {
+      if (off > limit - 16) return -1
+      hdr = 16
+      val lsz = (be32(off + 8) << 32) | be32(off + 12)
+      if (lsz < hdr) return -1
+      end = off + lsz
+    } else {
+      if (szRaw < 8) return -1
+      end = off + szRaw
+    }
+    if (end > limit || off + hdr > end) return -1
+    ((off + hdr).toLong << 32) | end
+  }
+
+  /** First box named `code` (big-endian fourcc) among the siblings in
+    * `[start, limit)`: the packed [[mp4Box]] value, or -1 when absent or
+    * the walk hits a malformed header (corrupt container ⇒ whole parse
+    * is suspect ⇒ null upstream, never a partial answer). */
+  private def mp4Find(b: Array[Byte], start: Int, limit: Int, code: Int): Long = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    var off = start
+    while (off <= limit - 8) {
+      val pk = mp4Box(b, off, limit)
+      if (pk < 0) return -1
+      if (((u8(off + 4) << 24) | (u8(off + 5) << 16) | (u8(off + 6) << 8) | u8(off + 7)) == code)
+        return pk
+      off = (pk & 0xffffffffL).toInt
+    }
+    -1
+  }
+
+  /** `(width << 32) | height` of the first video trak (tkhd with
+    * nonzero 16.16 dims) inside the already-located `moov` payload
+    * `[ms, me)`, or -1. Shared by [[mediaDims]] and [[avMeta]] — both
+    * locate `moov` once and pass its bounds, so the top-level box walk
+    * runs a single time per row. */
+  private def mp4Dims(b: Array[Byte], ms: Int, me: Int): Long = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    var off = ms
+    while (off <= me - 8) {
+      val pk = mp4Box(b, off, me)
+      if (pk < 0) return -1
+      val fourcc = (u8(off + 4) << 24) | (u8(off + 5) << 16) | (u8(off + 6) << 8) | u8(off + 7)
+      if (fourcc == 0x7472616b) { // 'trak'
+        val tk = mp4Find(b, (pk >>> 32).toInt, (pk & 0xffffffffL).toInt, 0x746b6864) // 'tkhd'
+        if (tk >= 0) {
+          val hs = (tk >>> 32).toInt
+          val he = (tk & 0xffffffffL).toInt
+          if (hs >= he) return -1
+          val ver = u8(hs)
+          // after version+flags(4): v0 ctime4 mtime4 id4 res4 dur4 = 20,
+          // v1 ctime8 mtime8 id4 res4 dur8 = 32; then reserved8 layer2
+          // altgroup2 volume2 reserved2 matrix36 = 52; width4 height4
+          val base = hs + 4 + (if (ver == 1) 32 else 20) + 52
+          if (base <= he - 8 && base <= b.length - 8) {
+            val w = be32(base)
+            val h = be32(base + 4)
+            if (w < 0 || h < 0) return -1 // a negative 16.16 dim is malformed
+            val wi = w >>> 16
+            val hi = h >>> 16
+            if (wi > 0 && hi > 0) return (wi.toLong << 32) | hi
+          }
+          // 0×0 (audio/meta track) or short tkhd: keep scanning traks
+        }
+      }
+      off = (pk & 0xffffffffL).toInt
+    }
+    -1
+  }
+
+  /** Audio/video CONTAINER metadata — codec-free, like [[mediaDims]]:
+    * `(container, duration_ms, sample_rate, channels, bit_depth, width,
+    * height)` with NULL for fields the container does not carry.
+    *
+    * WAV (RIFF/WAVE chunk walk): sample_rate / channels / bit_depth
+    * from `fmt `, duration from the `data` chunk's byte size over
+    * `fmt `'s average byte rate — the container's own figures, valid
+    * for any codec the container can hold. MP4 (ISO-BMFF): duration
+    * from `mvhd` (version 0 and 1 layouts; the spec's all-ones
+    * "unknown" sentinel yields NULL), dims from the first video
+    * trak's `tkhd` ([[mp4Dims]]); sample_rate/channels stay NULL —
+    * they live in codec-specific `stsd` sample descriptions, the
+    * decode-side boundary this kernel deliberately stops at. NULL row
+    * for anything else (or a corrupt container): a probe that
+    * misidentifies media must say so, not guess. Chunk/box sizes are
+    * unsigned and bounds-checked by subtraction — hostile sizes are
+    * data. */
+  def avMeta(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b == null) return null
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)) & 0xffffffffL
+    @inline def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      out.update(0, UTF8String.fromString("wav"))
+      var sampleRate = -1L
+      var channels = -1
+      var bits = -1
+      var byteRate = -1L
+      var dataBytes = -1L
+      var off = 12
+      while (off <= b.length - 8) {
+        val size = le32(off + 4)
+        val ps = off + 8
+        if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
+          if (size < 16 || ps > b.length - 16) return null // truncated fmt: no trustworthy rates
+          channels = le16(ps + 2)
+          sampleRate = le32(ps + 4)
+          byteRate = le32(ps + 8)
+          bits = le16(ps + 14)
+        } else if (b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' &&
+          b(off + 3) == 'a') {
+          dataBytes = size // size may exceed the buffer (streamed WAV): the FIELD is the truth
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        val step = size + (size & 1L) + 8L
+        if (step <= 0 || off > b.length - step) off = b.length // hostile/final size: stop
+        else off += step.toInt
+      }
+      if (sampleRate > 0 && sampleRate <= Int.MaxValue) out.setInt(2, sampleRate.toInt)
+      if (channels > 0) out.setInt(3, channels)
+      if (bits > 0) out.setInt(4, bits)
+      if (dataBytes >= 0 && byteRate > 0) out.setLong(1, dataBytes * 1000L / byteRate)
+      if (sampleRate <= 0 && dataBytes < 0) return null // RIFF/WAVE shell with nothing inside
+      return out // unset ordinals are already null in a GenericInternalRow
+    }
+    if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
+      out.update(0, UTF8String.fromString("mp4"))
+      val moov = mp4Find(b, 0, b.length, 0x6d6f6f76) // 'moov'
+      if (moov < 0) return null
+      val mv = mp4Find(b, (moov >>> 32).toInt, (moov & 0xffffffffL).toInt, 0x6d766864) // 'mvhd'
+      if (mv < 0) return null
+      val hs = (mv >>> 32).toInt
+      val he = (mv & 0xffffffffL).toInt
+      if (hs >= he) return null
+      val ver = u8(hs)
+      // v0: ctime4 mtime4 timescale4 duration4; v1: ctime8 mtime8
+      // timescale4 duration8 — offsets from the payload start (after
+      // version+flags)
+      val tsOff = hs + 4 + (if (ver == 1) 16 else 8)
+      val durLen = if (ver == 1) 8 else 4
+      if (tsOff > he - (4 + durLen) || tsOff > b.length - (4 + durLen)) return null
+      val timescale = be32(tsOff)
+      val duration =
+        if (ver == 1) (be32(tsOff + 4) << 32) | be32(tsOff + 8)
+        else be32(tsOff + 4)
+      // all-ones = "duration unknown" per spec; a v1 duration with the
+      // top bit set would be negative ms, and one above Long.MaxValue/1000
+      // would overflow the ms conversion — all are absent, not garbage
+      val known = timescale > 0 && duration >= 0 &&
+        duration <= Long.MaxValue / 1000 &&
+        duration != (if (ver == 1) -1L else 0xffffffffL)
+      if (known) out.setLong(1, duration * 1000L / timescale)
+      val dm = mp4Dims(b, (moov >>> 32).toInt, (moov & 0xffffffffL).toInt)
+      if (dm >= 0) {
+        out.setInt(5, (dm >>> 32).toInt)
+        out.setInt(6, (dm & 0xffffffffL).toInt)
+      }
+      return out
+    }
+    null
+  }
+
 }

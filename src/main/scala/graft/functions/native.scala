@@ -387,6 +387,76 @@ case class NearestCentroidsHier(
     copy(child = newChild)
 }
 
+/** Product-quantization encode: unit-normalize, split into `m = books`
+  * subspaces, emit the nearest codebook entry's index per subspace — `m`
+  * BYTES per vector (see [[VectorKernels.pqEncode]]). The codebook
+  * tensor ships as one codegen reference object; the `Seq` field keeps
+  * plan canonicalization structural, like every centroid kernel here.
+  * NULL for ragged or zero/non-finite-norm vectors. */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
+  require(books.nonEmpty, "need at least one codebook")
+  require(books.forall(_.nonEmpty), "every subspace codebook needs at least one entry")
+  require(books.forall(_.length <= 256),
+    s"codebook sizes ${books.map(_.length).max} must fit one byte (<= 256)")
+  private val dsub: Int = books.head.head.length
+  require(dsub >= 1 && books.forall(_.forall(_.length == dsub)),
+    s"every codebook entry must have the same sub-dimension (head has $dsub)")
+  private val dim: Int = books.length * dsub
+  @transient private lazy val table: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], table, dim, dsub)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", table, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("codes")
+      s"""
+         |byte[] $tmp = graft.functions.VectorKernels.pqEncode($c, $ref, $dim, $dsub);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance cosine of a PQ code column against ONE query,
+  * via the query's precomputed per-(subspace, code) lookup tables — the
+  * probe-side half of [[PqEncode]]: O(m) table reads per row where the
+  * float kernels do O(dim) multiplies (see [[VectorKernels.pqAdcScore]]).
+  * `tables` is the driver-flattened [dot | norm²] pair of m·ksub blocks;
+  * the `Seq` field keeps canonicalization structural. NULL for a code
+  * array of the wrong length, an out-of-table code, or a zero-norm
+  * reconstruction — same contract as [[CosineSim]]. */
+case class PqAdcScore(child: Expression, tables: Seq[Double], m: Int, ksub: Int)
+    extends UnaryExpression {
+  require(m >= 1 && ksub >= 1 && ksub <= 256, s"m=$m, ksub=$ksub out of range")
+  require(tables.length == 2 * m * ksub,
+    s"tables.length=${tables.length} must be 2*m*ksub=${2 * m * ksub} (dot block then norm² block)")
+  @transient private lazy val table: Array[Double] = tables.toArray
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqAdcScore(input.asInstanceOf[Array[Byte]], table, m, ksub)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tables", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.pqAdcScore($c, $ref, $m, $ksub);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildInternal(newChild: Expression): PqAdcScore =
+    copy(child = newChild)
+}
+
 /** Cosine similarity over float vectors — the exact re-rank/verify kernel
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
@@ -610,6 +680,38 @@ case class MediaDims(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codec-free audio/video container metadata — see
+  * [[MediaKernels.avMeta]]: WAV RIFF chunk walk (rates/channels/bits +
+  * data-size duration) and MP4 ISO-BMFF box walk (mvhd duration, first
+  * video trak's tkhd dims, both mvhd/tkhd versions), as a struct with
+  * NULL fields where the container carries no figure and a NULL row for
+  * anything else — corrupt or foreign payloads are data. */
+case class AvMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("container", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "av_meta"
+  protected override def nullSafeEval(input: Any): Any =
+    MediaKernels.avMeta(input.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("av")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp =
+         |  graft.functions.MediaKernels.avMeta($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): AvMeta =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe over a string column — the pre-gate of
   * [[graft.ops.TextOps.dedupAgainstBloom]]. The serialized filter rides
   * the expression as `Seq[Byte]` so Catalyst's case-class plan
@@ -712,6 +814,14 @@ object native {
         coarse.toSeq.map(_.toSeq), fine.toSeq.map(_.toSeq), fineCell.toSeq,
         probes, n))
 
+  def pqEncode(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(vec), books.toSeq.map(_.toSeq.map(_.toSeq))))
+
+  def pqAdcScore(codes: Column, tables: Array[Double], m: Int, ksub: Int): Column =
+    ColumnBridge.column(
+      PqAdcScore(ColumnBridge.expression(codes), tables.toSeq, m, ksub))
+
   def unigramNll(text: Column, vocab: Seq[(String, Long)], total: Double, vsize: Double): Column =
     ColumnBridge.column(UnigramNll(ColumnBridge.expression(text), vocab, total, vsize))
 
@@ -728,6 +838,9 @@ object native {
 
   def mediaDims(bytes: Column): Column =
     ColumnBridge.column(MediaDims(ColumnBridge.expression(bytes)))
+
+  def avMeta(bytes: Column): Column =
+    ColumnBridge.column(AvMeta(ColumnBridge.expression(bytes)))
 
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))

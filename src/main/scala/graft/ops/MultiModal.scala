@@ -64,6 +64,26 @@ object MultiModal {
       .withColumn("height", element_at(dims, 2))
   }
 
+  /** REAL (not stubbed) audio/video CONTAINER metadata — duration,
+    * sample rate, channels, bit depth, and video dimensions parsed from
+    * WAV RIFF chunks and MP4 ISO-BMFF boxes (both `mvhd`/`tkhd`
+    * versions) via the codegen'd `av_meta` kernel; the same codec-free,
+    * zero-shuffle projection posture as [[withDimensions]]. Fields the
+    * container does not carry are NULL (WAV has no dims; MP4 sample
+    * rates live in codec-specific `stsd` entries — the decode boundary);
+    * non-AV or corrupt payloads yield a NULL struct, so `container` also
+    * serves as the "is this parseable AV media" gate. */
+  def withAvMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    val av = graft.functions.native.avMeta(col(bytesCol))
+    df.withColumn("av_container", av.getField("container"))
+      .withColumn("duration_ms", av.getField("duration_ms"))
+      .withColumn("sample_rate", av.getField("sample_rate"))
+      .withColumn("channels", av.getField("channels"))
+      .withColumn("bit_depth", av.getField("bit_depth"))
+      .withColumn("video_width", av.getField("width"))
+      .withColumn("video_height", av.getField("height"))
+  }
+
   /** STUB feature extractor: a deterministic pseudo-embedding derived by
     * hashing (payload, dimension-index) — stands in for "decode media,
     * run the encoder". Real per-dim values in [-1, 1], fixed `dim`,

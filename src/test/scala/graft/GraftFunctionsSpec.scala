@@ -71,6 +71,18 @@ class GraftFunctionsSpec extends SparkTestBase {
     val r4 = spark.sql("SELECT char_entropy('abab') AS e, char_entropy('') AS e0")
       .collect()(0)
     assert(r4.getDouble(0) == math.log(2.0) && r4.isNullAt(1))
+    // av_meta: a minimal WAV (16 kHz mono 16-bit, 2 s of declared
+    // payload) through the SQL path — struct fields addressable by name
+    import MediaBytes.{le16, le32}
+    val wav: Array[Byte] = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(64000)
+    Seq(Tuple1(wav)).toDF("bytes").createOrReplaceTempView("t_wav")
+    val r5 = spark.sql(
+      "SELECT av_meta(bytes).container AS c, av_meta(bytes).duration_ms AS d, " +
+        "av_meta(bytes).sample_rate AS sr FROM t_wav").collect()(0)
+    assert(r5.getString(0) == "wav" && r5.getLong(1) == 2000L && r5.getInt(2) == 16000)
   }
 
   test("non-literal size parameters are rejected with a clear error") {

@@ -7,7 +7,7 @@ class MultiModalSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private def blob(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+  import MediaBytes.{blob, box4, be32, le16, le32}
 
   private val media = Seq(
     (1L, blob(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46)),
@@ -116,8 +116,9 @@ class MultiModalSpec extends SparkTestBase {
     assert(got == Map(1L -> Some((320, 240)), 2L -> Some((1024, 768)), 3L -> None))
   }
 
-  test("WEBP dims: all three bitstream flavors, plus truncation; TIFF both byte orders") {
-    // drive through the SHARED fixture (rows 9-14 are the new formats),
+  test("WEBP/TIFF/MP4 dims through the shared fixture; sniffing keeps pace") {
+    // drive through the SHARED fixture (rows 9-17 are the non-trivial
+    // formats: WEBP flavors, TIFF byte orders, MP4 video/audio/headless),
     // asserting the kernel recovers exactly the expected dims the
     // q_media_dims oracle reads from the fixture columns
     val got = MultiModal.withDimensions(Tables.mediaFixture(spark), "bytes")
@@ -125,7 +126,7 @@ class MultiModalSpec extends SparkTestBase {
       .select(col("media_id"), col("width"), col("height"),
         col("expected_width"), col("expected_height"))
       .collect()
-    assert(got.length == 6)
+    assert(got.length == 9)
     got.foreach { r =>
       assert(Option(r.get(1)) == Option(r.get(3)) &&
         Option(r.get(2)) == Option(r.get(4)),
@@ -137,7 +138,100 @@ class MultiModalSpec extends SparkTestBase {
       .filter(col("media_id") >= 9L)
       .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
     assert(fmts == Map(9L -> "webp", 10L -> "webp", 11L -> "webp",
-      12L -> "tiff", 13L -> "tiff", 14L -> "webp"))
+      12L -> "tiff", 13L -> "tiff", 14L -> "webp",
+      15L -> "mp4", 16L -> "mp4", 17L -> "mp4"))
+  }
+
+  test("avMeta: WAV chunk walk — rates, duration from the data size, null contract") {
+    def fmtChunk(channels: Int, rate: Int, byteRate: Int, bits: Int): Array[Byte] =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+        le32(byteRate) ++ le16(byteRate / rate) ++ le16(bits)
+    def wav(chunks: Array[Byte]): Array[Byte] = {
+      val body = "WAVE".getBytes ++ chunks
+      "RIFF".getBytes ++ le32(4 + chunks.length) ++ body
+    }
+    // canonical 44.1 kHz stereo 16-bit, one second of payload bytes
+    val canonical = wav(fmtChunk(2, 44100, 176400, 16) ++
+      "data".getBytes ++ le32(176400) ++ new Array[Byte](176400))
+    // streamed WAV: the data SIZE field is the truth even when the
+    // buffer holds less (a sniffing scan reads prefixes, not payloads)
+    val streamed = wav(fmtChunk(1, 16000, 32000, 16) ++
+      "data".getBytes ++ le32(64000) ++ new Array[Byte](10))
+    // an odd-sized junk chunk BEFORE fmt: the walk must skip its pad byte
+    val padded = wav("junk".getBytes ++ le32(3) ++ blob(1, 2, 3, 0) ++
+      fmtChunk(2, 48000, 192000, 16) ++ "data".getBytes ++ le32(96000) ++ blob(0))
+    // zero byte rate: rates are reported, duration cannot be
+    val zeroRate = wav(fmtChunk(2, 44100, 0, 16) ++
+      "data".getBytes ++ le32(1000) ++ blob(0))
+    // a RIFF/WAVE shell with neither fmt nor data parses to nothing
+    val shell = wav("junk".getBytes ++ le32(4) ++ blob(0, 0, 0, 0))
+    val got = MultiModal.withAvMeta(
+        Seq((1L, canonical), (2L, streamed), (3L, padded), (4L, zeroRate), (5L, shell))
+          .toDF("media_id", "bytes"), "bytes")
+      .select(col("media_id"), col("av_container"), col("duration_ms"),
+        col("sample_rate"), col("channels"), col("bit_depth"), col("video_width"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+      .toMap
+    assert(got(1L) == ((Some("wav"), Some(1000L), Some(44100), Some(2), Some(16), None)))
+    assert(got(2L) == ((Some("wav"), Some(2000L), Some(16000), Some(1), Some(16), None)))
+    assert(got(3L) == ((Some("wav"), Some(500L), Some(48000), Some(2), Some(16), None)))
+    assert(got(4L) == ((Some("wav"), None, Some(44100), Some(2), Some(16), None)))
+    assert(got(5L) == ((None, None, None, None, None, None)))
+  }
+
+  test("avMeta: MP4 mvhd/tkhd both versions, unknown-duration sentinel, hostile boxes") {
+    val ftyp = box4("ftyp", "isom".getBytes ++ be32(1))
+    // the fixture's v0 file: timescale 1000, duration 90 000 units, 1920×1080
+    val v0 = Tables.mediaFixture(spark)
+      .filter(col("media_id") === 15L).collect()(0).getAs[Array[Byte]]("bytes")
+    // v1 layouts: 64-bit mvhd times (timescale 600, 120 600 units →
+    // 201 000 ms) and the longer tkhd prefix (width offset +12)
+    val mvhdV1 = box4("mvhd", blob(1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(600) ++ be32(0) ++ be32(120600))
+    val tkhdV1Trak = box4("trak", box4("tkhd",
+      blob(1, 0, 0, 7) ++ new Array[Byte](32) ++ new Array[Byte](16) ++
+        new Array[Byte](36) ++ be32(1280L << 16) ++ be32(720L << 16)))
+    val v1 = ftyp ++ box4("moov", mvhdV1 ++ tkhdV1Trak)
+    // v0 all-ones duration = "unknown" per spec → NULL, not 4 294 967 ms
+    val unknownDur = ftyp ++ box4("moov",
+      box4("mvhd", blob(0, 0, 0, 0) ++ new Array[Byte](8) ++ be32(1000) ++
+        be32(0xffffffffL)) ++ tkhdV1Trak)
+    // hostile sizes: a box claiming less than its own header, and one
+    // claiming past the buffer — both are data, not crashes
+    val tinyBox = ftyp ++ be32(3) ++ "moov".getBytes
+    val hugeBox = ftyp ++ be32(0xfffffff0L) ++ "moov".getBytes
+    // size == 0: the spec's box-extends-to-EOF form must still parse
+    val mvhdV0 = box4("mvhd", blob(0, 0, 0, 0) ++ new Array[Byte](8) ++
+      be32(1000) ++ be32(90000))
+    val moovToEof = {
+      val body = mvhdV0 ++ tkhdV1Trak
+      ftyp ++ be32(0) ++ "moov".getBytes ++ body
+    }
+    // v1 duration too large for the ms conversion (duration·1000 would
+    // overflow Long): absent, not a wrapped-negative garbage figure —
+    // the dims next to it still parse
+    val overflowDur = ftyp ++ box4("moov",
+      box4("mvhd", blob(1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(1) ++ be32(0x70000000L) ++ be32(0)) ++ tkhdV1Trak)
+    val got = MultiModal.withAvMeta(
+        Seq((1L, v0), (2L, v1), (3L, unknownDur), (4L, tinyBox), (5L, hugeBox),
+          (6L, moovToEof), (7L, overflowDur))
+          .toDF("media_id", "bytes"), "bytes")
+      .select(col("media_id"), col("av_container"), col("duration_ms"),
+        col("sample_rate"), col("video_width"), col("video_height"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(got(1L) == ((Some("mp4"), Some(90000L), None, Some(1920), Some(1080))))
+    assert(got(2L) == ((Some("mp4"), Some(201000L), None, Some(1280), Some(720))))
+    assert(got(3L) == ((Some("mp4"), None, None, Some(1280), Some(720))))
+    assert(got(4L) == ((None, None, None, None, None)))
+    assert(got(5L) == ((None, None, None, None, None)))
+    assert(got(6L) == ((Some("mp4"), Some(90000L), None, Some(1280), Some(720))))
+    assert(got(7L) == ((Some("mp4"), None, None, Some(1280), Some(720))))
   }
 
   test("hostile TIFF payloads yield NULL, never a crash or garbage") {
