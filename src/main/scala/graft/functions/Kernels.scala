@@ -1249,21 +1249,23 @@ object MediaKernels {
         if (tk >= 0) {
           val hs = (tk >>> 32).toInt
           val he = (tk & 0xffffffffL).toInt
-          if (hs >= he) return -1
-          val ver = u8(hs)
-          // after version+flags(4): v0 ctime4 mtime4 id4 res4 dur4 = 20,
-          // v1 ctime8 mtime8 id4 res4 dur8 = 32; then reserved8 layer2
-          // altgroup2 volume2 reserved2 matrix36 = 52; width4 height4
-          val base = hs + 4 + (if (ver == 1) 32 else 20) + 52
-          if (base <= he - 8 && base <= b.length - 8) {
-            val w = be32(base)
-            val h = be32(base + 4)
-            if (w < 0 || h < 0) return -1 // a negative 16.16 dim is malformed
-            val wi = w >>> 16
-            val hi = h >>> 16
-            if (wi > 0 && hi > 0) return (wi.toLong << 32) | hi
+          if (hs < he) {
+            val ver = u8(hs)
+            // after version+flags(4): v0 ctime4 mtime4 id4 res4 dur4 = 20,
+            // v1 ctime8 mtime8 id4 res4 dur8 = 32; then reserved8 layer2
+            // altgroup2 volume2 reserved2 matrix36 = 52; width4 height4
+            val base = hs + 4 + (if (ver == 1) 32 else 20) + 52
+            if (base <= he - 8 && base <= b.length - 8) {
+              // 16.16 is UNSIGNED: a top-bit width (integer part >= 32768)
+              // is a weird track, not a malformed file
+              val wi = be32(base) >>> 16
+              val hi = be32(base + 4) >>> 16
+              if (wi > 0 && hi > 0) return (wi.toLong << 32) | hi
+            }
           }
-          // 0×0 (audio/meta track) or short tkhd: keep scanning traks
+          // 0×0 (audio/meta track), empty or short tkhd: this trak has
+          // no usable dims — keep scanning; only a malformed BOX WALK
+          // (mp4Box/mp4Find -1) is evidence the whole parse is suspect
         }
       }
       off = (pk & 0xffffffffL).toInt
@@ -1305,8 +1307,17 @@ object MediaKernels {
       var bits = -1
       var byteRate = -1L
       var dataBytes = -1L
+      // the RIFF size field declares where the container ENDS (8 + size):
+      // bytes after it (appended tags, a concatenated second file) are
+      // not chunks and must not win a last-writer race for fmt/data.
+      // Streamed writers leave a placeholder (0 / all-ones) or a size
+      // past the buffer — then the buffer is the only honest bound.
+      val riffSize = le32(4)
+      val wavEnd =
+        if (riffSize >= 4L && 8L + riffSize <= b.length) (8L + riffSize).toInt
+        else b.length
       var off = 12
-      while (off <= b.length - 8) {
+      while (off <= wavEnd - 8) {
         val size = le32(off + 4)
         val ps = off + 8
         if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
@@ -1321,7 +1332,7 @@ object MediaKernels {
         }
         // chunks are word-aligned: odd sizes carry a pad byte
         val step = size + (size & 1L) + 8L
-        if (step <= 0 || off > b.length - step) off = b.length // hostile/final size: stop
+        if (step <= 0 || off > wavEnd - step) off = wavEnd // hostile/final size: stop
         else off += step.toInt
       }
       if (sampleRate > 0 && sampleRate <= Int.MaxValue) out.setInt(2, sampleRate.toInt)

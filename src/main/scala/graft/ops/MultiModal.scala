@@ -59,9 +59,15 @@ object MultiModal {
     * the metadata. NULL columns for unrecognized/truncated payloads
     * (corrupt media is data). */
   def withDimensions(df: DataFrame, bytesCol: String): DataFrame = {
+    // parse ONCE into a named column, then project the fields out of the
+    // attribute: CollapseProject refuses to inline a non-cheap expression
+    // referenced twice, so the header walk runs once per row even when
+    // whole-stage codegen (and its subexpression elimination) is off
     val dims = graft.functions.native.mediaDims(col(bytesCol))
-    df.withColumn("width", element_at(dims, 1))
-      .withColumn("height", element_at(dims, 2))
+    df.withColumn("_graft_dims", dims)
+      .withColumn("width", element_at(col("_graft_dims"), 1))
+      .withColumn("height", element_at(col("_graft_dims"), 2))
+      .drop("_graft_dims")
   }
 
   /** REAL (not stubbed) audio/video CONTAINER metadata — duration,
@@ -74,14 +80,18 @@ object MultiModal {
     * non-AV or corrupt payloads yield a NULL struct, so `container` also
     * serves as the "is this parseable AV media" gate. */
   def withAvMeta(df: DataFrame, bytesCol: String): DataFrame = {
+    // one parse per row, seven cheap field reads — same single-eval
+    // projection shape as [[withDimensions]], and it matters 7× more here
     val av = graft.functions.native.avMeta(col(bytesCol))
-    df.withColumn("av_container", av.getField("container"))
-      .withColumn("duration_ms", av.getField("duration_ms"))
-      .withColumn("sample_rate", av.getField("sample_rate"))
-      .withColumn("channels", av.getField("channels"))
-      .withColumn("bit_depth", av.getField("bit_depth"))
-      .withColumn("video_width", av.getField("width"))
-      .withColumn("video_height", av.getField("height"))
+    df.withColumn("_graft_av", av)
+      .withColumn("av_container", col("_graft_av.container"))
+      .withColumn("duration_ms", col("_graft_av.duration_ms"))
+      .withColumn("sample_rate", col("_graft_av.sample_rate"))
+      .withColumn("channels", col("_graft_av.channels"))
+      .withColumn("bit_depth", col("_graft_av.bit_depth"))
+      .withColumn("video_width", col("_graft_av.width"))
+      .withColumn("video_height", col("_graft_av.height"))
+      .drop("_graft_av")
   }
 
   /** STUB feature extractor: a deterministic pseudo-embedding derived by

@@ -165,8 +165,14 @@ class MultiModalSpec extends SparkTestBase {
       "data".getBytes ++ le32(1000) ++ blob(0))
     // a RIFF/WAVE shell with neither fmt nor data parses to nothing
     val shell = wav("junk".getBytes ++ le32(4) ++ blob(0, 0, 0, 0))
+    // bytes AFTER the declared RIFF end (an appended tag / concatenated
+    // file) are not chunks: this trailer parses as a 'data' chunk with a
+    // garbage size exactly at the aligned walk position, and must lose
+    // to the real container's figures
+    val trailingJunk = canonical ++ "data".getBytes ++ le32(999999999L)
     val got = MultiModal.withAvMeta(
-        Seq((1L, canonical), (2L, streamed), (3L, padded), (4L, zeroRate), (5L, shell))
+        Seq((1L, canonical), (2L, streamed), (3L, padded), (4L, zeroRate), (5L, shell),
+          (6L, trailingJunk))
           .toDF("media_id", "bytes"), "bytes")
       .select(col("media_id"), col("av_container"), col("duration_ms"),
         col("sample_rate"), col("channels"), col("bit_depth"), col("video_width"))
@@ -179,6 +185,7 @@ class MultiModalSpec extends SparkTestBase {
     assert(got(3L) == ((Some("wav"), Some(500L), Some(48000), Some(2), Some(16), None)))
     assert(got(4L) == ((Some("wav"), None, Some(44100), Some(2), Some(16), None)))
     assert(got(5L) == ((None, None, None, None, None, None)))
+    assert(got(6L) == got(1L), "chunks past the declared RIFF end must not win")
   }
 
   test("avMeta: MP4 mvhd/tkhd both versions, unknown-duration sentinel, hostile boxes") {
@@ -215,9 +222,18 @@ class MultiModalSpec extends SparkTestBase {
     val overflowDur = ftyp ++ box4("moov",
       box4("mvhd", blob(1, 0, 0, 0) ++ new Array[Byte](16) ++
         be32(1) ++ be32(0x70000000L) ++ be32(0)) ++ tkhdV1Trak)
+    // an unusable leading trak (empty tkhd payload) must be SKIPPED, not
+    // abort the scan — the valid video trak behind it still answers
+    val emptyTkhd = ftyp ++ box4("moov",
+      mvhdV0 ++ box4("trak", box4("tkhd", Array.empty[Byte])) ++ tkhdV1Trak)
+    // tkhd dims are UNSIGNED 16.16: a top-bit width is a (weird) figure,
+    // not a malformed file
+    val bigDim = ftyp ++ box4("moov", mvhdV0 ++ box4("trak", box4("tkhd",
+      blob(0, 0, 0, 7) ++ new Array[Byte](20) ++ new Array[Byte](16) ++
+        new Array[Byte](36) ++ be32(0x80000000L) ++ be32(1L << 16))))
     val got = MultiModal.withAvMeta(
         Seq((1L, v0), (2L, v1), (3L, unknownDur), (4L, tinyBox), (5L, hugeBox),
-          (6L, moovToEof), (7L, overflowDur))
+          (6L, moovToEof), (7L, overflowDur), (8L, emptyTkhd), (9L, bigDim))
           .toDF("media_id", "bytes"), "bytes")
       .select(col("media_id"), col("av_container"), col("duration_ms"),
         col("sample_rate"), col("video_width"), col("video_height"))
@@ -232,6 +248,8 @@ class MultiModalSpec extends SparkTestBase {
     assert(got(5L) == ((None, None, None, None, None)))
     assert(got(6L) == ((Some("mp4"), Some(90000L), None, Some(1280), Some(720))))
     assert(got(7L) == ((Some("mp4"), None, None, Some(1280), Some(720))))
+    assert(got(8L) == ((Some("mp4"), Some(90000L), None, Some(1280), Some(720))))
+    assert(got(9L) == ((Some("mp4"), Some(90000L), None, Some(32768), Some(1))))
   }
 
   test("hostile TIFF payloads yield NULL, never a crash or garbage") {

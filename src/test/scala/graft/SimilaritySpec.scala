@@ -364,6 +364,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(enc(1L).get.toSeq == enc(2L).get.toSeq,
       "cosine is scale-invariant, so encode must be")
     assert(enc(3L).isEmpty && enc(4L).isEmpty, "zero-norm and ragged vectors carry NULL codes")
+    // a ragged hand-built tensor would corrupt the ADC tables' block
+    // arithmetic (ksub comes from books.head) — the constructor refuses
+    intercept[IllegalArgumentException](Similarity.PqCodebooks(
+      Array(Array(Array(1f, 2f)), Array(Array(1f, 2f), Array(3f, 4f)))))
+    intercept[IllegalArgumentException](Similarity.PqCodebooks(
+      Array(Array(Array.empty[Float]))))
   }
 
   test("streamed IVF ingestion: probes see appended vectors, pruning intact") {
