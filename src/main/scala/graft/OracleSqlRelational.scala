@@ -426,10 +426,16 @@ private[graft] object OracleSqlRelational {
         |       sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // the fixture stores the expected dims next to the bytes; the engine
-    // side must re-derive them from the bytes alone
+    // the fixture stores the expected dims AND av-container figures next
+    // to the bytes; the engine side must re-derive them from the bytes
+    // alone (media_dims + av_meta kernels)
     "q_media_dims" ->
-      s"""SELECT media_id, expected_width AS width, expected_height AS height
+      s"""SELECT media_id, expected_width AS width, expected_height AS height,
+         |       expected_container AS av_container,
+         |       expected_duration_ms AS duration_ms,
+         |       expected_sample_rate AS sample_rate,
+         |       expected_channels AS channels,
+         |       expected_bit_depth AS bit_depth
          |FROM read_parquet('${Tables.mediaFixturePath}/*.parquet')
          |ORDER BY media_id""".stripMargin,
 

@@ -533,17 +533,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "q_media_dims" -> ((s, dir) => {
-      // The media_dims kernel under the oracle gate: parse pixel
-      // dimensions out of every container-header layout the kernel
-      // supports, against expectations STORED NEXT TO the bytes in a
-      // deterministic generated fixture (no binary media table exists in
-      // the driver set — Tables.mediaFixture). The oracle reads the same
-      // fixture file and emits the stored expectations; a kernel
-      // mis-parse (or a NULL where dims exist) hash-mismatches.
+      // The media_dims AND av_meta kernels under the oracle gate: parse
+      // pixel dimensions plus audio/video container metadata out of
+      // every layout the kernels support, against expectations STORED
+      // NEXT TO the bytes in a deterministic generated fixture (no
+      // binary media table exists in the driver set —
+      // Tables.mediaFixture). The oracle reads the same fixture file and
+      // emits the stored expectations; a kernel mis-parse (or a NULL
+      // where a figure exists) hash-mismatches.
       val media = s.read.parquet(mediaFixtureFor(s))
       MultiModal
-        .withDimensions(media, "bytes")
-        .select(col("media_id"), col("width"), col("height"))
+        .withAvMeta(MultiModal.withDimensions(media, "bytes"), "bytes")
+        .select(col("media_id"), col("width"), col("height"),
+          col("av_container"), col("duration_ms"), col("sample_rate"),
+          col("channels"), col("bit_depth"))
         .orderBy(col("media_id"))
     }),
 

@@ -79,8 +79,12 @@ object Tables {
     * query time and both engines read it back. Covers every parser
     * branch: PNG, GIF, JPEG SOF walk, all three BMP header layouts,
     * all three WEBP bitstream flavors (VP8/VP8L/VP8X), TIFF in both
-    * byte orders,
-    * truncated and non-media payloads (expected NULL dims). */
+    * byte orders, MP4 ISO-BMFF (video/audio/headless),
+    * truncated and non-media payloads (expected NULL dims) — and, for
+    * the `av_meta` half of the widened gate, WAV containers (canonical /
+    * streamed-prefix / zero-byte-rate / chunk-less shell) with their
+    * expected duration/rate/channel/bit-depth figures stored the same
+    * way. */
   /** Per-user, per-process fixture path: concurrent driver JVMs must not
     * race on one world-writable directory (an overwrite deletes part
     * files while another process's DuckDB oracle reads the glob), and a
@@ -124,7 +128,7 @@ object Tables {
   }
 
   def mediaFixture(spark: SparkSession): DataFrame = {
-    import MediaBytes.{blob, box4}
+    import MediaBytes.{blob, box4, le16, le32}
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
       blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
       blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
@@ -181,26 +185,52 @@ object Tables {
     val mp4Video = ftyp ++ box4("moov", mvhd ++ tkhdTrak(1920, 1080))
     val mp4Audio = ftyp ++ box4("moov", mvhd ++ tkhdTrak(0, 0))
     val mp4NoMoov = ftyp // header only: identified but dimension-less
-    val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int])] = Seq(
-      (1L, png, Some(640), Some(480)),
-      (2L, gif, Some(320), Some(240)),
-      (3L, bmpInfo, Some(1024), Some(768)),
-      (4L, bmpCore, Some(320), Some(240)),
-      (5L, bmpTopDown, Some(1024), Some(768)),
-      (6L, jpg, Some(800), Some(600)),
-      (7L, truncatedPng, None, None),
-      (8L, notMedia, None, None),
-      (9L, webpLossy, Some(160), Some(120)),
-      (10L, webpLossless, Some(100), Some(80)),
-      (11L, webpExtended, Some(4000), Some(3000)),
-      (12L, tiffLe, Some(640), Some(480)),
-      (13L, tiffBe, Some(640), Some(480)),
-      (14L, truncatedWebp, None, None),
-      (15L, mp4Video, Some(1920), Some(1080)),
-      (16L, mp4Audio, None, None),
-      (17L, mp4NoMoov, None, None))
+    // WAV (RIFF/WAVE) for the av_meta half of the gate: rates/channels/
+    // bits from `fmt `, duration = data SIZE FIELD over the byte rate
+    // (the field is the truth — a streamed prefix holds fewer bytes)
+    def wavFmt(channels: Int, rate: Int, byteRate: Int, bits: Int): Array[Byte] =
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+        le32(byteRate) ++ le16(if (rate == 0) 0 else byteRate / rate) ++ le16(bits)
+    def wavFile(chunks: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+    val wavStereo = wavFile(wavFmt(2, 44100, 176400, 16) ++
+      "data".getBytes ++ le32(176400) ++ new Array[Byte](32)) // 1 s declared
+    val wavMono = wavFile(wavFmt(1, 16000, 32000, 16) ++
+      "data".getBytes ++ le32(64000) ++ new Array[Byte](8)) // 2 s declared
+    val wavZeroRate = wavFile(wavFmt(2, 44100, 0, 16) ++
+      "data".getBytes ++ le32(1000) ++ blob(0)) // rates known, duration not
+    val wavShell = wavFile("junk".getBytes ++ le32(4) ++ blob(0, 0, 0, 0))
+    // (media_id, bytes, width, height, container, duration_ms,
+    //  sample_rate, channels, bit_depth) — every expectation stored
+    // NEXT TO the bytes; both engines read this table back
+    val N = Option.empty[Int]
+    val rows: Seq[(Long, Array[Byte], Option[Int], Option[Int], Option[String],
+        Option[Long], Option[Int], Option[Int], Option[Int])] = Seq(
+      (1L, png, Some(640), Some(480), None, None, N, N, N),
+      (2L, gif, Some(320), Some(240), None, None, N, N, N),
+      (3L, bmpInfo, Some(1024), Some(768), None, None, N, N, N),
+      (4L, bmpCore, Some(320), Some(240), None, None, N, N, N),
+      (5L, bmpTopDown, Some(1024), Some(768), None, None, N, N, N),
+      (6L, jpg, Some(800), Some(600), None, None, N, N, N),
+      (7L, truncatedPng, N, N, None, None, N, N, N),
+      (8L, notMedia, N, N, None, None, N, N, N),
+      (9L, webpLossy, Some(160), Some(120), None, None, N, N, N),
+      (10L, webpLossless, Some(100), Some(80), None, None, N, N, N),
+      (11L, webpExtended, Some(4000), Some(3000), None, None, N, N, N),
+      (12L, tiffLe, Some(640), Some(480), None, None, N, N, N),
+      (13L, tiffBe, Some(640), Some(480), None, None, N, N, N),
+      (14L, truncatedWebp, N, N, None, None, N, N, N),
+      (15L, mp4Video, Some(1920), Some(1080), Some("mp4"), Some(90000L), N, N, N),
+      (16L, mp4Audio, N, N, Some("mp4"), Some(90000L), N, N, N),
+      (17L, mp4NoMoov, N, N, None, None, N, N, N),
+      (18L, wavStereo, N, N, Some("wav"), Some(1000L), Some(44100), Some(2), Some(16)),
+      (19L, wavMono, N, N, Some("wav"), Some(2000L), Some(16000), Some(1), Some(16)),
+      (20L, wavZeroRate, N, N, Some("wav"), None, Some(44100), Some(2), Some(16)),
+      (21L, wavShell, N, N, None, None, N, N, N))
     import spark.implicits._
-    rows.toDF("media_id", "bytes", "expected_width", "expected_height")
+    rows.toDF("media_id", "bytes", "expected_width", "expected_height",
+      "expected_container", "expected_duration_ms", "expected_sample_rate",
+      "expected_channels", "expected_bit_depth")
   }
 }
 

@@ -117,8 +117,9 @@ class MultiModalSpec extends SparkTestBase {
   }
 
   test("WEBP/TIFF/MP4 dims through the shared fixture; sniffing keeps pace") {
-    // drive through the SHARED fixture (rows 9-17 are the non-trivial
-    // formats: WEBP flavors, TIFF byte orders, MP4 video/audio/headless),
+    // drive through the SHARED fixture (rows 9-21 are the non-trivial
+    // formats: WEBP flavors, TIFF byte orders, MP4 video/audio/headless,
+    // WAV variants — the last expecting NULL dims),
     // asserting the kernel recovers exactly the expected dims the
     // q_media_dims oracle reads from the fixture columns
     val got = MultiModal.withDimensions(Tables.mediaFixture(spark), "bytes")
@@ -126,7 +127,7 @@ class MultiModalSpec extends SparkTestBase {
       .select(col("media_id"), col("width"), col("height"),
         col("expected_width"), col("expected_height"))
       .collect()
-    assert(got.length == 9)
+    assert(got.length == 13)
     got.foreach { r =>
       assert(Option(r.get(1)) == Option(r.get(3)) &&
         Option(r.get(2)) == Option(r.get(4)),
@@ -139,7 +140,8 @@ class MultiModalSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
     assert(fmts == Map(9L -> "webp", 10L -> "webp", 11L -> "webp",
       12L -> "tiff", 13L -> "tiff", 14L -> "webp",
-      15L -> "mp4", 16L -> "mp4", 17L -> "mp4"))
+      15L -> "mp4", 16L -> "mp4", 17L -> "mp4",
+      18L -> "wav", 19L -> "wav", 20L -> "wav", 21L -> "wav"))
   }
 
   test("avMeta: WAV chunk walk — rates, duration from the data size, null contract") {

@@ -338,9 +338,12 @@ object ScaleProbe {
       val probeOverrides: Map[String, (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame] = Map(
         "q_media_dims" -> ((s, dir) =>
-          graft.ops.MultiModal.withDimensions(
-            graft.ops.MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
-            .select(col("doc_id"), col("width"), col("height"))),
+          graft.ops.MultiModal.withAvMeta(
+            graft.ops.MultiModal.withDimensions(
+              graft.ops.MultiModal.docBlobs(Tables.documents(s, dir)), "bytes"),
+            "bytes")
+            .select(col("doc_id"), col("width"), col("height"),
+              col("av_container"), col("duration_ms"))),
         // q_semdedup's declared k=8 suits the 500-vector fixture; at a
         // growing corpus the operator's own scale lever is nClusters ∝
         // rows (bucket size constant → candidate pairs ∝ rows, the same
