@@ -128,7 +128,7 @@ object Tables {
   }
 
   def mediaFixture(spark: SparkSession): DataFrame = {
-    import MediaBytes.{blob, box4, le16, le32}
+    import MediaBytes.{blob, box4, le32, wavFile, wavFmt}
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
       blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
       blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
@@ -188,11 +188,6 @@ object Tables {
     // WAV (RIFF/WAVE) for the av_meta half of the gate: rates/channels/
     // bits from `fmt `, duration = data SIZE FIELD over the byte rate
     // (the field is the truth — a streamed prefix holds fewer bytes)
-    def wavFmt(channels: Int, rate: Int, byteRate: Int, bits: Int): Array[Byte] =
-      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
-        le32(byteRate) ++ le16(if (rate == 0) 0 else byteRate / rate) ++ le16(bits)
-    def wavFile(chunks: Array[Byte]): Array[Byte] =
-      "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
     val wavStereo = wavFile(wavFmt(2, 44100, 176400, 16) ++
       "data".getBytes ++ le32(176400) ++ new Array[Byte](32)) // 1 s declared
     val wavMono = wavFile(wavFmt(1, 16000, 32000, 16) ++
@@ -255,4 +250,15 @@ private[graft] object MediaBytes {
     blob((sz >>> 24) & 0xff, (sz >>> 16) & 0xff, (sz >>> 8) & 0xff, sz & 0xff) ++
       tp.getBytes ++ payload
   }
+
+  /** Canonical PCM WAV `fmt ` chunk (16-byte payload). */
+  def wavFmt(channels: Int, rate: Int, byteRate: Int, bits: Int): Array[Byte] =
+    "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(byteRate) ++ le16(if (rate == 0) 0 else byteRate / rate) ++ le16(bits)
+
+  /** RIFF/WAVE container around `chunks`; the size field covers exactly
+    * what is present (use hand-rolled headers to model streamed /
+    * mis-declared files). */
+  def wavFile(chunks: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
 }

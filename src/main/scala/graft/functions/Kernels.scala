@@ -1312,6 +1312,9 @@ object MediaKernels {
       // not chunks and must not win a last-writer race for fmt/data.
       // Streamed writers leave a placeholder (0 / all-ones) or a size
       // past the buffer — then the buffer is the only honest bound.
+      // DELIBERATE flip side: a buggy writer that under-declared the
+      // size loses the chunks past its declared end (NULL figures) — the
+      // declared container is authoritative over heuristic recovery.
       val riffSize = le32(4)
       val wavEnd =
         if (riffSize >= 4L && 8L + riffSize <= b.length) (8L + riffSize).toInt
@@ -1321,7 +1324,9 @@ object MediaKernels {
         val size = le32(off + 4)
         val ps = off + 8
         if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
-          if (size < 16 || ps > b.length - 16) return null // truncated fmt: no trustworthy rates
+          // the fmt PAYLOAD must also sit inside the declared container,
+          // not just the buffer — bytes past wavEnd are not chunk data
+          if (size < 16 || ps > wavEnd - 16) return null // truncated fmt: no trustworthy rates
           channels = le16(ps + 2)
           sampleRate = le32(ps + 4)
           byteRate = le32(ps + 8)

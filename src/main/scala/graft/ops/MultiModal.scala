@@ -63,6 +63,8 @@ object MultiModal {
     // attribute: CollapseProject refuses to inline a non-cheap expression
     // referenced twice, so the header walk runs once per row even when
     // whole-stage codegen (and its subexpression elimination) is off
+    require(!df.columns.contains("_graft_dims"),
+      "input already carries the staging column name '_graft_dims'")
     val dims = graft.functions.native.mediaDims(col(bytesCol))
     df.withColumn("_graft_dims", dims)
       .withColumn("width", element_at(col("_graft_dims"), 1))
@@ -82,6 +84,8 @@ object MultiModal {
   def withAvMeta(df: DataFrame, bytesCol: String): DataFrame = {
     // one parse per row, seven cheap field reads — same single-eval
     // projection shape as [[withDimensions]], and it matters 7× more here
+    require(!df.columns.contains("_graft_av"),
+      "input already carries the staging column name '_graft_av'")
     val av = graft.functions.native.avMeta(col(bytesCol))
     df.withColumn("_graft_av", av)
       .withColumn("av_container", col("_graft_av.container"))

@@ -73,11 +73,9 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r4.getDouble(0) == math.log(2.0) && r4.isNullAt(1))
     // av_meta: a minimal WAV (16 kHz mono 16-bit, 2 s of declared
     // payload) through the SQL path — struct fields addressable by name
-    import MediaBytes.{le16, le32}
-    val wav: Array[Byte] = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
-      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
-      le32(32000) ++ le16(2) ++ le16(16) ++
-      "data".getBytes ++ le32(64000)
+    import MediaBytes.{le32, wavFile, wavFmt}
+    val wav: Array[Byte] = wavFile(wavFmt(1, 16000, 32000, 16) ++
+      "data".getBytes ++ le32(64000))
     Seq(Tuple1(wav)).toDF("bytes").createOrReplaceTempView("t_wav")
     val r5 = spark.sql(
       "SELECT av_meta(bytes).container AS c, av_meta(bytes).duration_ms AS d, " +

@@ -145,28 +145,22 @@ class MultiModalSpec extends SparkTestBase {
   }
 
   test("avMeta: WAV chunk walk — rates, duration from the data size, null contract") {
-    def fmtChunk(channels: Int, rate: Int, byteRate: Int, bits: Int): Array[Byte] =
-      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
-        le32(byteRate) ++ le16(byteRate / rate) ++ le16(bits)
-    def wav(chunks: Array[Byte]): Array[Byte] = {
-      val body = "WAVE".getBytes ++ chunks
-      "RIFF".getBytes ++ le32(4 + chunks.length) ++ body
-    }
+    import MediaBytes.{wavFile, wavFmt}
     // canonical 44.1 kHz stereo 16-bit, one second of payload bytes
-    val canonical = wav(fmtChunk(2, 44100, 176400, 16) ++
+    val canonical = wavFile(wavFmt(2, 44100, 176400, 16) ++
       "data".getBytes ++ le32(176400) ++ new Array[Byte](176400))
     // streamed WAV: the data SIZE field is the truth even when the
     // buffer holds less (a sniffing scan reads prefixes, not payloads)
-    val streamed = wav(fmtChunk(1, 16000, 32000, 16) ++
+    val streamed = wavFile(wavFmt(1, 16000, 32000, 16) ++
       "data".getBytes ++ le32(64000) ++ new Array[Byte](10))
     // an odd-sized junk chunk BEFORE fmt: the walk must skip its pad byte
-    val padded = wav("junk".getBytes ++ le32(3) ++ blob(1, 2, 3, 0) ++
-      fmtChunk(2, 48000, 192000, 16) ++ "data".getBytes ++ le32(96000) ++ blob(0))
+    val padded = wavFile("junk".getBytes ++ le32(3) ++ blob(1, 2, 3, 0) ++
+      wavFmt(2, 48000, 192000, 16) ++ "data".getBytes ++ le32(96000) ++ blob(0))
     // zero byte rate: rates are reported, duration cannot be
-    val zeroRate = wav(fmtChunk(2, 44100, 0, 16) ++
+    val zeroRate = wavFile(wavFmt(2, 44100, 0, 16) ++
       "data".getBytes ++ le32(1000) ++ blob(0))
     // a RIFF/WAVE shell with neither fmt nor data parses to nothing
-    val shell = wav("junk".getBytes ++ le32(4) ++ blob(0, 0, 0, 0))
+    val shell = wavFile("junk".getBytes ++ le32(4) ++ blob(0, 0, 0, 0))
     // bytes AFTER the declared RIFF end (an appended tag / concatenated
     // file) are not chunks: this trailer parses as a 'data' chunk with a
     // garbage size exactly at the aligned walk position, and must lose
