@@ -392,8 +392,7 @@ object TextKernels {
     var i = 0
     while (i < n) {
       val c = str.charAt(i)
-      val prev = counts.get(c)
-      counts.put(c, if (prev == null) 1L else prev + 1L)
+      counts.put(c, counts.getOrDefault(c, 0L) + 1L)
       i += 1
     }
     val nd = n.toDouble
@@ -968,6 +967,38 @@ object VectorKernels {
       s += 1
     }
     out
+  }
+
+  /** Cosine of an int8-quantized row against one float query, dequantized
+    * INSIDE the accumulation loop — the compiled replacement for the
+    * quantized probe's `transform` HOF (interpreted per element in the
+    * bucket-scan hot path, the q_quantize lesson). BIT-equal to that
+    * formulation by construction: recon_i = ((code·scale)/127.0).toFloat
+    * in the HOF's cast order, then [[cosine]]'s double accumulation in
+    * dimension order over the recon/query pair. A null code element
+    * reconstructs as 0.0f (exactly what the HOF's unsafe array hands the
+    * cosine). NULL for a ragged code array or a zero denominator, same
+    * contract as [[cosine]]. */
+  def int8Cosine(
+      codes: ArrayData,
+      scale: Double,
+      query: Array[Float]): java.lang.Double = {
+    if (codes.numElements() != query.length) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < query.length) {
+      val c = if (codes.isNullAt(i)) 0.0 else codes.getInt(i).toDouble
+      val x = ((c * scale) / 127.0).toFloat.toDouble
+      val y = query(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
   /** Asymmetric-distance cosine score of one PQ code array against a

@@ -482,6 +482,39 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine of an int8-quantized row (codes + per-row scale) against ONE
+  * query vector, dequantizing inside the compiled loop — the quantized
+  * probe's scan kernel (see [[VectorKernels.int8Cosine]]); replaced the
+  * interpreted `transform` dequantization in the bucket-scan hot path,
+  * bit-equal to it by construction. The query rides as a codegen
+  * reference object; the `Seq` field keeps canonicalization structural,
+  * like every centroid kernel here. */
+case class Int8CosineSim(left: Expression, right: Expression, query: Seq[Float])
+    extends BinaryExpression {
+  require(query.nonEmpty, "query vector must be non-empty")
+  @transient private lazy val q: Array[Float] = query.toArray
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_cosine_sim"
+  protected override def nullSafeEval(codes: Any, scale: Any): Any =
+    VectorKernels.int8Cosine(
+      codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      scale.asInstanceOf[Double], q)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("query", q, "float[]")
+    nullSafeCodeGen(ctx, ev, (c, s) => {
+      val tmp = ctx.freshName("i8cos")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorKernels.int8Cosine($c, $s, $ref);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Int8 quantization of a float vector — struct(scale, codes) in one
   * compiled pass (see [[VectorKernels.quantizeInt8]]); replaced the
   * per-element-interpreted aggregate+transform HOF pipeline. */
@@ -813,6 +846,10 @@ object native {
         ColumnBridge.expression(vec),
         coarse.toSeq.map(_.toSeq), fine.toSeq.map(_.toSeq), fineCell.toSeq,
         probes, n))
+
+  def int8Cosine(codes: Column, scale: Column, query: Array[Float]): Column =
+    ColumnBridge.column(Int8CosineSim(
+      ColumnBridge.expression(codes), ColumnBridge.expression(scale), query.toSeq))
 
   def pqEncode(vec: Column, books: Array[Array[Array[Float]]]): Column =
     ColumnBridge.column(

@@ -229,8 +229,9 @@ class SimilaritySpec extends SparkTestBase {
     assert((approx & exact).size >= k - 2,
       s"overlap ${(approx & exact).size}/$k too low")
     // a raw-vector streamed/ mistakenly ingested against the quantized
-    // root must not poison the probe with a mismatched-schema union:
-    // the quantized probe reads the generation's base ONLY
+    // root must fail the probe LOUDLY — the union is by name, and the
+    // float layout's columns don't resolve against (scale, codes):
+    // neither a silent poison nor silently invisible rows
     import spark.implicits._
     val strayCkpt = java.nio.file.Files.createTempDirectory("graft-ivf-q-stray").toString
     val stray = org.apache.spark.sql.execution.streaming.runtime
@@ -239,10 +240,116 @@ class SimilaritySpec extends SparkTestBase {
     val sq = Similarity.ingestIvfIndexStream(
       stray.toDF().toDF("vec_id", "embedding"), "embedding", centroids, qDir, strayCkpt)
     try sq.processAllAvailable() finally sq.stop()
-    val afterStray = Similarity.probeIvfIndexQuantized(
-      spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
-      excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
-    assert(afterStray == approx, "stray streamed rows must be invisible to the quantized probe")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.probeIvfIndexQuantized(
+        spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
+        excludeId = Some(queryId)).collect()
+    }
+  }
+
+  test("int8Cosine kernel equals the interpreted HOF dequantization bit-for-bit") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    // a zero vector (NULL codes) and a ragged vector ride along: the
+    // kernel must go NULL exactly where the HOF formulation does
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((777777L, Array.fill(64)(0f)), (777778L, qVec.take(10)))
+        .toDF("vec_id", "embedding"))
+    val q = graft.functions.native.quantizeInt8(col("embedding"))
+    val staged = corpus.select(col("vec_id"), q.as("_q"))
+    val hof = staged.select(
+      col("vec_id"),
+      graft.functions.native.cosineSim(
+        transform(col("_q.codes"),
+          c => (c.cast("double") * col("_q.scale") / 127.0).cast("float")),
+        typedLit(qVec.toSeq)).as("s"))
+    val kern = staged.select(
+      col("vec_id"),
+      graft.functions.native.int8Cosine(col("_q.codes"), col("_q.scale"), qVec).as("s"))
+    val both = hof.join(kern, "vec_id")
+    assert(both.count() == corpus.count())
+    val diverged = both
+      .filter(!(hof("s") <=> kern("s"))) // null-safe: both-NULL agrees
+      .collect()
+    assert(diverged.isEmpty, s"kernel diverged from the HOF model: ${diverged.mkString(",")}")
+  }
+
+  test("quantized IVF ingest: typed appends visible, equal to a rebuild, folded by compaction") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-qi").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-qi-ck").toString
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, dir)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    def probe(d: String): Seq[(Long, Double)] =
+      Similarity.probeIvfIndexQuantized(
+        spark, d, "vec_id", qVec, centroids, k, nProbe = 8,
+        excludeId = Some(queryId))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // append an exact copy of the query vector under a fresh id: the
+    // quantized ingester must encode it through the SAME layout pass as
+    // the batch writer, and the probe must surface it at the top
+    val s = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    s.addData(Seq((888888L, qVec)))
+    val q = Similarity.ingestIvfIndexStreamQuantized(
+      s.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", centroids, dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val after = probe(dir)
+    assert(after.head._1 == 888888L, s"appended near-dup must rank first: $after")
+    // streamed rows equal the batch writer's computation: an index
+    // REBUILT over corpus + appended row probes identically
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-qi2").toString
+    Similarity.writeIvfIndexQuantized(
+      emb.select(col("vec_id"), col("embedding"))
+        .union(Seq((888888L, qVec)).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", centroids, dir2)
+    assert(probe(dir2) == after, "append == rebuild for the quantized layout")
+    // compaction folds streamed/ into the next generation's base: answers
+    // unchanged, and a second compaction finds nothing to fold
+    assert(Similarity.compactIndex(spark, dir, Seq("bucket")))
+    assert(probe(dir) == after, "compaction must preserve probe answers")
+    assert(!Similarity.compactIndex(spark, dir, Seq("bucket")),
+      "second compaction must be a no-op (streamed/ was folded)")
+  }
+
+  test("PQ IVF ingest: typed appends visible, equal to a rebuild, folded by compaction") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val pq = Similarity.trainPq(emb, "vec_id", "embedding", m = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-pqi").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-pqi-ck").toString
+    Similarity.writeIvfIndexPq(emb, "vec_id", "embedding", centroids, pq, dir)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    def probe(d: String): Seq[(Long, Double)] =
+      Similarity.probeIvfIndexPq(
+        spark, d, "vec_id", qVec, centroids, pq, k, nProbe = 8,
+        excludeId = Some(queryId))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    s.addData(Seq((888888L, qVec)))
+    val q = Similarity.ingestIvfIndexStreamPq(
+      s.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centroids, pq, dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val after = probe(dir)
+    // the appended row carries the query's own codes, so ADC scores it at
+    // the reconstruction's self-cosine — the maximum any row can reach
+    assert(after.head._1 == 888888L, s"appended near-dup must rank first: $after")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivf-pqi2").toString
+    Similarity.writeIvfIndexPq(
+      emb.select(col("vec_id"), col("embedding"))
+        .union(Seq((888888L, qVec)).toDF("vec_id", "embedding")),
+      "vec_id", "embedding", centroids, pq, dir2)
+    assert(probe(dir2) == after, "append == rebuild for the PQ layout")
+    assert(Similarity.compactIndex(spark, dir, Seq("bucket")))
+    assert(probe(dir) == after, "compaction must preserve probe answers")
+    assert(!Similarity.compactIndex(spark, dir, Seq("bucket")),
+      "second compaction must be a no-op (streamed/ was folded)")
   }
 
   test("PQ index: smaller than int8 on disk, pruned ADC probe, high top-k overlap") {
