@@ -493,19 +493,29 @@ case class Int8CosineSim(left: Expression, right: Expression, query: Seq[Float])
     extends BinaryExpression {
   require(query.nonEmpty, "query vector must be non-empty")
   @transient private lazy val q: Array[Float] = query.toArray
+  /** √(Σq²) in dimension order — constant per query, hoisted out of the
+    * kernel's row loop (bit-identical denominator either way). */
+  @transient private lazy val qNorm: Double = {
+    var nb = 0.0
+    var i = 0
+    while (i < q.length) { val y = q(i).toDouble; nb += y * y; i += 1 }
+    math.sqrt(nb)
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "int8_cosine_sim"
   protected override def nullSafeEval(codes: Any, scale: Any): Any =
     VectorKernels.int8Cosine(
       codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      scale.asInstanceOf[Double], q)
+      scale.asInstanceOf[Double], q, qNorm)
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("query", q, "float[]")
+    val refN = ctx.addReferenceObj("queryNorm", java.lang.Double.valueOf(qNorm), "java.lang.Double")
     nullSafeCodeGen(ctx, ev, (c, s) => {
       val tmp = ctx.freshName("i8cos")
       s"""
-         |java.lang.Double $tmp = graft.functions.VectorKernels.int8Cosine($c, $s, $ref);
+         |java.lang.Double $tmp = graft.functions.VectorKernels.int8Cosine(
+         |  $c, $s, $ref, $refN.doubleValue());
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
     })

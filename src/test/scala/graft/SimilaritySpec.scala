@@ -228,23 +228,30 @@ class SimilaritySpec extends SparkTestBase {
       excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
     assert((approx & exact).size >= k - 2,
       s"overlap ${(approx & exact).size}/$k too low")
-    // a raw-vector streamed/ mistakenly ingested against the quantized
-    // root must fail the probe LOUDLY — the union is by name, and the
-    // float layout's columns don't resolve against (scale, codes):
-    // neither a silent poison nor silently invisible rows
+    // a FLOAT ingester pointed at the quantized root must be refused AT
+    // STREAM START (layout check against the base's parquet footer) —
+    // before any batch commits offsets whose rows would then brick every
+    // probe and compaction on the root
     import spark.implicits._
     val strayCkpt = java.nio.file.Files.createTempDirectory("graft-ivf-q-stray").toString
     val stray = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Float])](spark)
     stray.addData(Seq((888888L, qVec)))
-    val sq = Similarity.ingestIvfIndexStream(
-      stray.toDF().toDF("vec_id", "embedding"), "embedding", centroids, qDir, strayCkpt)
-    try sq.processAllAvailable() finally sq.stop()
-    intercept[org.apache.spark.sql.AnalysisException] {
-      Similarity.probeIvfIndexQuantized(
-        spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
-        excludeId = Some(queryId)).collect()
+    val refusal = intercept[IllegalArgumentException] {
+      Similarity.ingestIvfIndexStream(
+        stray.toDF().toDF("vec_id", "embedding"), "embedding", centroids, qDir, strayCkpt)
     }
+    assert(refusal.getMessage.contains("does not match"), refusal.getMessage)
+    // nothing was written: the probe keeps serving the base unchanged
+    val afterRefusal = Similarity.probeIvfIndexQuantized(
+      spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
+      excludeId = Some(queryId)).collect().map(_.getLong(0)).toSet
+    assert(afterRefusal == approx)
+    // and an EMPTY query degrades to NULL scores, the cosine posture —
+    // not an exception out of the kernel's non-empty-reference require
+    val emptyQ = Similarity.probeIvfIndexQuantized(
+      spark, qDir, "vec_id", Array.empty[Float], centroids, k, nProbe = 6).collect()
+    assert(emptyQ.nonEmpty && emptyQ.forall(_.isNullAt(1)))
   }
 
   test("int8Cosine kernel equals the interpreted HOF dequantization bit-for-bit") {
