@@ -252,6 +252,19 @@ class SimilaritySpec extends SparkTestBase {
     val emptyQ = Similarity.probeIvfIndexQuantized(
       spark, qDir, "vec_id", Array.empty[Float], centroids, k, nProbe = 6).collect()
     assert(emptyQ.nonEmpty && emptyQ.forall(_.isNullAt(1)))
+    // BACKSTOP: a mismatched streamed/ that exists anyway (hand-written,
+    // or from a build predating the start-time guard) must fail the
+    // probe's union LOUDLY — a silent drop or coercion here would
+    // un-protect every pre-guard index on disk
+    Seq((999999L, qVec)).toDF("vec_id", "embedding")
+      .withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(genDir(qDir) + "/streamed")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.probeIvfIndexQuantized(
+        spark, qDir, "vec_id", qVec, centroids, k, nProbe = 6,
+        excludeId = Some(queryId)).collect()
+    }
   }
 
   test("int8Cosine kernel equals the interpreted HOF dequantization bit-for-bit") {
