@@ -335,6 +335,39 @@ class SimilaritySpec extends SparkTestBase {
       "second compaction must be a no-op (streamed/ was folded)")
   }
 
+  test("typed ingest restart: same-checkpoint resume passes the layout guard, appends exactly once") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-qr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-qr-ck").toString
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", centroids, dir)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    def start() = Similarity.ingestIvfIndexStreamQuantized(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", centroids, dir, ckpt)
+    val v = vecs.find(_._1 == queryId).get._2
+    val q1 = start()
+    try { input.addData(Seq((777777L, v))); q1.processAllAvailable() } finally q1.stop()
+    // restart on the SAME checkpoint: the start-time layout guard must
+    // accept its own layout back (base footer schema vs plan schema —
+    // the encoder/parquet nullability difference must not refuse a
+    // legitimate resume), the checkpoint identity must match, and the
+    // resumed sink must append ONLY the new batch
+    val q2 = start()
+    try { input.addData(Seq((777778L, v.map(_ * 2f)))); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(genDir(dir) + "/streamed")
+    assert(streamed.select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+      == Seq(777777L, 777778L), "exactly-once: one row per appended id, none dropped")
+    // and the probe serves base + both resumed appends (same direction ⇒
+    // identical codes ⇒ both rank at the top, above every corpus row)
+    val top = Similarity.probeIvfIndexQuantized(
+      spark, dir, "vec_id", v, centroids, k, nProbe = 8, excludeId = Some(queryId))
+      .collect().map(_.getLong(0)).take(2).toSet
+    assert(top == Set(777777L, 777778L), s"resumed appends must serve: $top")
+  }
+
   test("PQ IVF ingest: typed appends visible, equal to a rebuild, folded by compaction") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf001)
