@@ -128,7 +128,7 @@ object Tables {
   }
 
   def mediaFixture(spark: SparkSession): DataFrame = {
-    import MediaBytes.{blob, box4, le32, wavFile, wavFmt}
+    import MediaBytes.{blob, box4, flac, le32, wavFile, wavFmt}
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
       blob(0, 0, 0, 0x0d) ++ "IHDR".getBytes ++
       blob(0, 0, 0x02, 0x80) ++ blob(0, 0, 0x01, 0xe0) // 640 x 480 BE
@@ -221,7 +221,14 @@ object Tables {
       (18L, wavStereo, N, N, Some("wav"), Some(1000L), Some(44100), Some(2), Some(16)),
       (19L, wavMono, N, N, Some("wav"), Some(2000L), Some(16000), Some(1), Some(16)),
       (20L, wavZeroRate, N, N, Some("wav"), None, Some(44100), Some(2), Some(16)),
-      (21L, wavShell, N, N, None, None, N, N, N))
+      (21L, wavShell, N, N, None, None, N, N, N),
+      // FLAC STREAMINFO: 44.1 kHz stereo 16-bit, one second of samples;
+      // a 96 kHz mono 24-bit stream whose total-samples field is the
+      // spec's 0 = unknown (duration absent, structure still reported)
+      (22L, flac(44100, 2, 16, 44100L), N, N,
+        Some("flac"), Some(1000L), Some(44100), Some(2), Some(16)),
+      (23L, flac(96000, 1, 24, 0L), N, N,
+        Some("flac"), None, Some(96000), Some(1), Some(24)))
     import spark.implicits._
     rows.toDF("media_id", "bytes", "expected_width", "expected_height",
       "expected_container", "expected_duration_ms", "expected_sample_rate",
@@ -261,4 +268,28 @@ private[graft] object MediaBytes {
     * mis-declared files). */
   def wavFile(chunks: Array[Byte]): Array[Byte] =
     "RIFF".getBytes ++ le32(4 + chunks.length) ++ "WAVE".getBytes ++ chunks
+
+  /** Minimal FLAC: magic + a last-flag STREAMINFO first block (the
+    * spec-mandated layout) carrying the given figures; `totalSamples`
+    * 0 = unknown per spec, ≤ 2³⁶−1. `firstBlockType` overrides the block
+    * type to model a malformed stream whose first block is not
+    * STREAMINFO. */
+  def flac(
+      sampleRate: Int,
+      channels: Int,
+      bits: Int,
+      totalSamples: Long,
+      firstBlockType: Int = 0): Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10 // min/max block size 4096 (any legal value)
+    si(10) = ((sampleRate >>> 12) & 0xff).toByte
+    si(11) = ((sampleRate >>> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) | ((bits - 1) >>> 4)).toByte
+    si(13) = ((((bits - 1) & 0xf) << 4) | ((totalSamples >>> 32) & 0xf).toInt).toByte
+    si(14) = ((totalSamples >>> 24) & 0xff).toByte
+    si(15) = ((totalSamples >>> 16) & 0xff).toByte
+    si(16) = ((totalSamples >>> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    "fLaC".getBytes ++ blob(0x80 | firstBlockType, 0, 0, 34) ++ si
+  }
 }

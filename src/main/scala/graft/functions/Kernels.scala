@@ -1380,6 +1380,31 @@ object MediaKernels {
       if (sampleRate <= 0 && dataBytes < 0) return null // RIFF/WAVE shell with nothing inside
       return out // unset ordinals are already null in a GenericInternalRow
     }
+    // FLAC: the spec REQUIRES STREAMINFO as the first metadata block
+    // (format §"METADATA_BLOCK_STREAMINFO ... must be present as the
+    // first metadata block"), so its figures sit at fixed offsets —
+    // magic(4) + block header(4) + 34-byte STREAMINFO
+    if (b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      if ((b(4) & 0x7f) != 0) return null // first block is not STREAMINFO: malformed
+      val blockLen = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+      if (blockLen < 34) return null // truncated STREAMINFO declaration
+      out.update(0, UTF8String.fromString("flac"))
+      // byte 18: sr[19:12] · 19: sr[11:4] · 20: sr[3:0] | (ch-1)<<1 | bps-1[4]
+      // 21: bps-1[3:0]<<4 | total[35:32] · 22-25: total[31:0]
+      val sr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >>> 4)
+      val ch = ((u8(20) >>> 1) & 0x7) + 1
+      val bps = (((u8(20) & 1) << 4) | (u8(21) >>> 4)) + 1
+      val total = ((u8(21) & 0xf).toLong << 32) | be32(22)
+      // sample rate 0 is invalid per spec ("a value of 0 is invalid"):
+      // rate-derived fields stay NULL, the structural ones still report
+      if (sr > 0) out.setInt(2, sr)
+      out.setInt(3, ch)
+      out.setInt(4, bps)
+      // total-samples 0 means "unknown" per spec — absent, not 0 ms;
+      // total ≤ 2^36−1 so ·1000 cannot overflow Long
+      if (sr > 0 && total > 0) out.setLong(1, total * 1000L / sr)
+      return out
+    }
     if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') {
       out.update(0, UTF8String.fromString("mp4"))
       val moov = mp4Find(b, 0, b.length, 0x6d6f6f76) // 'moov'

@@ -39,6 +39,7 @@ object MultiModal {
       .when(prefix(4) === "52494646" && upper(hex(substring(bytes, 9, 4))) === "41564920", "avi")
       // TIFF: endian marker + magic 42
       .when(prefix(4) === "49492A00" || prefix(4) === "4D4D002A", "tiff")
+      .when(prefix(4) === "664C6143", "flac") // "fLaC"
       // ISO-BMFF (mp4 family): "ftyp" at offset 5
       .when(upper(hex(substring(bytes, 5, 4))) === "66747970", "mp4")
       .when(prefix(4) === "25504446", "pdf")
@@ -74,7 +75,8 @@ object MultiModal {
 
   /** REAL (not stubbed) audio/video CONTAINER metadata — duration,
     * sample rate, channels, bit depth, and video dimensions parsed from
-    * WAV RIFF chunks and MP4 ISO-BMFF boxes (both `mvhd`/`tkhd`
+    * WAV RIFF chunks, FLAC STREAMINFO (the spec-mandated first metadata
+    * block), and MP4 ISO-BMFF boxes (both `mvhd`/`tkhd`
     * versions) via the codegen'd `av_meta` kernel; the same codec-free,
     * zero-shuffle projection posture as [[withDimensions]]. Fields the
     * container does not carry are NULL (WAV has no dims; MP4 sample

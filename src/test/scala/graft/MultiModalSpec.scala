@@ -117,9 +117,9 @@ class MultiModalSpec extends SparkTestBase {
   }
 
   test("WEBP/TIFF/MP4 dims through the shared fixture; sniffing keeps pace") {
-    // drive through the SHARED fixture (rows 9-21 are the non-trivial
+    // drive through the SHARED fixture (rows 9-23 are the non-trivial
     // formats: WEBP flavors, TIFF byte orders, MP4 video/audio/headless,
-    // WAV variants — the last expecting NULL dims),
+    // WAV and FLAC variants — the audio rows expecting NULL dims),
     // asserting the kernel recovers exactly the expected dims the
     // q_media_dims oracle reads from the fixture columns
     val got = MultiModal.withDimensions(Tables.mediaFixture(spark), "bytes")
@@ -127,7 +127,7 @@ class MultiModalSpec extends SparkTestBase {
       .select(col("media_id"), col("width"), col("height"),
         col("expected_width"), col("expected_height"))
       .collect()
-    assert(got.length == 13)
+    assert(got.length == 15)
     got.foreach { r =>
       assert(Option(r.get(1)) == Option(r.get(3)) &&
         Option(r.get(2)) == Option(r.get(4)),
@@ -141,7 +141,8 @@ class MultiModalSpec extends SparkTestBase {
     assert(fmts == Map(9L -> "webp", 10L -> "webp", 11L -> "webp",
       12L -> "tiff", 13L -> "tiff", 14L -> "webp",
       15L -> "mp4", 16L -> "mp4", 17L -> "mp4",
-      18L -> "wav", 19L -> "wav", 20L -> "wav", 21L -> "wav"))
+      18L -> "wav", 19L -> "wav", 20L -> "wav", 21L -> "wav",
+      22L -> "flac", 23L -> "flac"))
   }
 
   test("avMeta: WAV chunk walk — rates, duration from the data size, null contract") {
@@ -182,6 +183,32 @@ class MultiModalSpec extends SparkTestBase {
     assert(got(4L) == ((Some("wav"), None, Some(44100), Some(2), Some(16), None)))
     assert(got(5L) == ((None, None, None, None, None, None)))
     assert(got(6L) == got(1L), "chunks past the declared RIFF end must not win")
+  }
+
+  test("avMeta: FLAC STREAMINFO fixed offsets, unknown-length sentinel, malformed first block") {
+    import MediaBytes.flac
+    // 36-bit total samples: the high nibble of byte 21 must participate
+    // (2^32 samples at 48 kHz ≈ 89 478 485 ms — a wrong 32-bit read
+    // would be off by exactly the high bits)
+    val huge = flac(48000, 2, 16, 1L << 32)
+    // first metadata block is VORBIS_COMMENT (type 4), not STREAMINFO:
+    // the spec forbids it, and fixed-offset figures would be garbage
+    val wrongBlock = flac(44100, 2, 16, 44100L, firstBlockType = 4)
+    // magic but a buffer too short for STREAMINFO
+    val truncated = "fLaC".getBytes ++ Array[Byte](0x00.toByte, 0, 0, 34)
+    val got = MultiModal.withAvMeta(
+        Seq((1L, huge), (2L, wrongBlock), (3L, truncated))
+          .toDF("media_id", "bytes"), "bytes")
+      .select(col("media_id"), col("av_container"), col("duration_ms"),
+        col("sample_rate"), col("channels"), col("bit_depth"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(got(1L) == ((Some("flac"), Some((1L << 32) * 1000L / 48000),
+      Some(48000), Some(2), Some(16))))
+    assert(got(2L) == ((None, None, None, None, None)))
+    assert(got(3L) == ((None, None, None, None, None)))
   }
 
   test("avMeta: MP4 mvhd/tkhd both versions, unknown-duration sentinel, hostile boxes") {
