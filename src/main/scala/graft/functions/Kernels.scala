@@ -1034,6 +1034,136 @@ object VectorKernels {
     if (n2 == 0.0) null else java.lang.Double.valueOf(dot / math.sqrt(n2))
   }
 
+  /** RESIDUAL product-quantization encode (the FAISS IVF-PQ
+    * construction, Jégou et al. TPAMI 2011 §IV): unit-normalize, assign
+    * to the nearest coarse centroid with EXACTLY [[nearestCentroid]]'s
+    * semantics (Double.compare, strict >, ragged/zero-norm centroids
+    * skipped, first index wins), then PQ-encode the RESIDUAL
+    * `v̂ − centroid[bucket]` — bucket and codes come from ONE pass, so a
+    * row's codes can never name a different centroid than its partition.
+    * Residuals are far smaller than raw vectors on clustered corpora, so
+    * the same codebook budget spends its ksub^m reconstructions on a
+    * tighter ball — the recall gain over raw-vector PQ that makes this
+    * the standard construction. Returns struct(bucket, codes); NULL row
+    * for ragged/zero-norm vectors or when no centroid is assignable
+    * (the [[nearestCentroid]] NULL contract). */
+  def pqEncodeResidual(
+      vec: ArrayData,
+      centroids: Array[Array[Float]],
+      books: Array[Array[Array[Float]]],
+      dim: Int,
+      dsub: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    if (vec.numElements() != dim) return null
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
+    val norm = math.sqrt(na)
+    if (!java.lang.Double.isFinite(norm) || norm == 0.0) return null
+    // nearest coarse centroid — the [[nearestCentroid]] loop verbatim
+    // (cosine ranking is norm-invariant, so ranking the UNNORMALIZED
+    // vector is the same assignment)
+    var best = -1
+    var bestSim = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      if (ct.length == dim) {
+        var dot = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < dim) {
+          val x = vec.getFloat(j).toDouble
+          val y = ct(j).toDouble
+          dot += x * y
+          nb += y * y
+          j += 1
+        }
+        val denom = norm * math.sqrt(nb)
+        if (denom != 0.0) {
+          val sim = dot / denom
+          if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+            best = c; bestSim = sim
+          }
+        }
+      }
+      c += 1
+    }
+    if (best < 0) return null
+    val cent = centroids(best)
+    val m = books.length
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var bc = 0
+      var bestDist = Double.PositiveInfinity
+      var k = 0
+      while (k < book.length) {
+        val ct = book(k)
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val r = vec.getFloat(off + j).toDouble / norm - cent(off + j).toDouble
+          val d = r - ct(j).toDouble
+          dist += d * d
+          j += 1
+        }
+        if (java.lang.Double.compare(dist, bestDist) < 0) { bestDist = dist; bc = k }
+        k += 1
+      }
+      codes(s) = bc.toByte
+      s += 1
+    }
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    out.setInt(0, best)
+    out.update(1, codes)
+    out
+  }
+
+  /** ADC score for RESIDUAL PQ codes: score = (q̂·cent_b + Σ dot[s][c]) /
+    * √(|cent_b|² + 2·Σ cross_b[s][c] + Σ norm²[s][c]) — the cosine
+    * between the unit query and `cent_b + recon(codes)`. `probeBuckets`
+    * holds the nProbe bucket ids the scan was pruned to; `tables` is the
+    * driver-flattened [dot m·ksub | norm² m·ksub | per-probe: centNorm²,
+    * q̂·cent, cross m·ksub] layout of [[graft.functions.PqAdcScoreResidual]].
+    * O(m) table reads per row plus one ≤nProbe bucket lookup. NULL for a
+    * wrong-length code array, an out-of-table code, a bucket outside the
+    * probed set (cannot happen after pruning — defensive), or a
+    * non-positive denominator. */
+  def pqAdcScoreResidual(
+      codes: Array[Byte],
+      bucket: Int,
+      probeBuckets: Array[Int],
+      tables: Array[Double],
+      m: Int,
+      ksub: Int): java.lang.Double = {
+    if (codes.length != m) return null
+    var p = -1
+    var i = 0
+    while (i < probeBuckets.length && p < 0) {
+      if (probeBuckets(i) == bucket) p = i
+      i += 1
+    }
+    if (p < 0) return null
+    val mk = m * ksub
+    val probeOff = 2 * mk + p * (2 + mk)
+    var dot = tables(probeOff + 1) // q̂·cent_b
+    var cross = 0.0
+    var n2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes(s) & 0xFF
+      if (c >= ksub) return null // corrupt code: NULL, not garbage reads
+      dot += tables(s * ksub + c)
+      n2 += tables(mk + s * ksub + c)
+      cross += tables(probeOff + 2 + s * ksub + c)
+      s += 1
+    }
+    val den2 = tables(probeOff) + 2.0 * cross + n2
+    if (den2 <= 0.0) null else java.lang.Double.valueOf(dot / math.sqrt(den2))
+  }
+
   /** All band signatures of one float vector in a single pass:
     * out(b) = `bits` sign bits of plane·vec packed into a Long. Null when
     * the vector length differs from the plane dimensionality — the same

@@ -455,6 +455,120 @@ class SimilaritySpec extends SparkTestBase {
       centroids, pq, pDir, payloadCols = Seq("codes")))
   }
 
+  test("residual PQ: tighter reconstructions beat raw PQ on clustered data") {
+    import spark.implicits._
+    // the regime residual coding is FOR: MORE clusters than codebook
+    // entries (32 clusters, ksub=16), where raw PQ cannot even give each
+    // cluster's fragment its own entry per subspace, while the residual
+    // coder spends the whole budget on the cluster-INDEPENDENT noise
+    // ball — the construction, not the budget, decides.
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val data = (0 until 32).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 20).map { i =>
+        (c * 20L + i, center.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.find(_._1 == 0L).get._2
+    val truth = data.filter(_._1 != 0L).map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+    val centroids = Similarity.trainCentroids(df, "vec_id", "embedding", k = 32)
+    val raw = Similarity.trainPq(df, "vec_id", "embedding", m = 8, ksub = 16)
+    val res = Similarity.trainPqResidual(df, "vec_id", "embedding", centroids, m = 8, ksub = 16)
+    val rawDir = java.nio.file.Files.createTempDirectory("graft-pq-raw").toString
+    val resDir = java.nio.file.Files.createTempDirectory("graft-pq-res").toString
+    Similarity.writeIvfIndexPq(df, "vec_id", "embedding", centroids, raw, rawDir)
+    Similarity.writeIvfIndexPqResidual(df, "vec_id", "embedding", centroids, res, resDir)
+    def recall(ids: Set[Long]): Double = truth.count(ids.contains).toDouble / k
+    // score ERROR is the honest measurement here: the true within-cluster
+    // ranking is noise-vs-noise (every member sits the same distance from
+    // the center), so absolute rank recall is adversarial for ANY m-byte
+    // coder — what residual coding buys is reconstruction accuracy, and
+    // the rank quality follows it
+    val trueCos = data.filterNot(_._1 == 0L)
+      .map { case (id, v) => id -> cosine(v, q) }.toMap
+    def meanErr(rows: Array[(Long, Double)]): Double =
+      rows.map { case (id, s) => math.abs(s - trueCos(id)) }.sum / rows.length
+    val rawRows = Similarity.probeIvfIndexPq(
+      spark, rawDir, "vec_id", q, centroids, raw, 399, nProbe = 8, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val resProbed = Similarity.probeIvfIndexPqResidual(
+      spark, resDir, "vec_id", q, centroids, res, 399, nProbe = 8, excludeId = Some(0L))
+    val plan = resProbed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val resRows = resProbed.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (rawErr, resErr) = (meanErr(rawRows), meanErr(resRows))
+    assert(resErr < rawErr / 2,
+      s"residual mean |adc-cos| $resErr must halve raw $rawErr on clustered data")
+    // and the rank quality follows: top-k recall at the probe defaults
+    val rawR = recall(rawRows.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet)
+    val resR = recall(resRows.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet)
+    assert(resR >= rawR, s"residual recall $resR must not trail raw $rawR")
+    info(f"clustered: rawErr=$rawErr%.4f resErr=$resErr%.4f rawRecall=$rawR resRecall=$resR")
+  }
+
+  test("residual ADC equals the driver reconstruction model; encode null contract") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val pq = Similarity.trainPqResidual(emb, "vec_id", "embedding", centroids, m = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-res-model").toString
+    Similarity.writeIvfIndexPqResidual(emb, "vec_id", "embedding", centroids, pq, dir)
+    val qVec = vecs.find(_._1 == queryId).get._2
+    val got = Similarity.probeIvfIndexPqResidual(
+      spark, dir, "vec_id", qVec, centroids, pq, k, nProbe = 8,
+      excludeId = Some(queryId))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val qn = math.sqrt(qVec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+    val byId = vecs.toMap
+    var maxErr = 0.0
+    got.foreach { case (id, score) =>
+      // encode through the kernel entry point, then replicate the ADC
+      // table construction + kernel accumulation order in plain Scala:
+      // q̂·cent first, per-subspace (dot, cross, norm²) partials in
+      // dimension order, den = |cent|² + 2·cross + norm². Bit-for-bit.
+      val row = graft.functions.VectorKernels.pqEncodeResidual(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          byId(id).map(_.asInstanceOf[Any])),
+        centroids, pq.books, qVec.length, pq.dsub)
+      val cent = centroids(row.getInt(0))
+      val codes = row.getBinary(1)
+      var qc = 0.0
+      var cn = 0.0
+      for (i <- qVec.indices) {
+        qc += qVec(i).toDouble / qn * cent(i)
+        cn += cent(i).toDouble * cent(i)
+      }
+      var dot = qc
+      var cross = 0.0
+      var n2 = 0.0
+      for (s <- 0 until pq.m) {
+        val e = pq.books(s)(codes(s) & 0xFF)
+        var d = 0.0; var x = 0.0; var nn = 0.0
+        for (j <- e.indices) {
+          d += qVec(s * pq.dsub + j).toDouble / qn * e(j)
+          nn += e(j).toDouble * e(j)
+          x += cent(s * pq.dsub + j).toDouble * e(j)
+        }
+        dot += d; n2 += nn; cross += x
+      }
+      val model = dot / math.sqrt(cn + 2.0 * cross + n2)
+      assert(model == score, s"id=$id driver ADC model diverged: $model vs $score")
+      maxErr = math.max(maxErr, math.abs(score - cosine(byId(id), qVec)))
+    }
+    // near-random fixture: residual ≈ raw regime, the loose quality floor
+    assert(maxErr < 0.2, s"max |adc - cosine| = $maxErr")
+    // NULL contract: zero-norm and ragged vectors encode to a NULL struct
+    val enc = Seq((1L, Array.fill(64)(0f)), (2L, qVec.take(5)))
+      .toDF("id", "vec")
+      .select(col("id"),
+        graft.functions.native.pqEncodeResidual(col("vec"), centroids, pq.books).as("e"))
+      .collect()
+    assert(enc.forall(_.isNullAt(1)), "zero-norm/ragged must encode NULL")
+  }
+
   test("PQ ADC scores equal the driver reconstruction model; error band vs true cosine") {
     val emb = Tables.embeddings(spark, sf001)
     val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
