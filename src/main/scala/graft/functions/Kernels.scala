@@ -1058,37 +1058,17 @@ object VectorKernels {
     var i = 0
     while (i < dim) { val x = vec.getFloat(i).toDouble; na += x * x; i += 1 }
     val norm = math.sqrt(na)
+    // the norm guard runs BEFORE assignment: this struct's fields are
+    // non-nullable, so a NaN/zero-norm vector NULLs the whole row here
+    // where the raw flavor gives it a real bucket with NULL codes — both
+    // probe to NULL, neither is scanned meaningfully
     if (!java.lang.Double.isFinite(norm) || norm == 0.0) return null
-    // nearest coarse centroid — the [[nearestCentroid]] loop verbatim
-    // (cosine ranking is norm-invariant, so ranking the UNNORMALIZED
-    // vector is the same assignment)
-    var best = -1
-    var bestSim = 0.0
-    var c = 0
-    while (c < centroids.length) {
-      val ct = centroids(c)
-      if (ct.length == dim) {
-        var dot = 0.0
-        var nb = 0.0
-        var j = 0
-        while (j < dim) {
-          val x = vec.getFloat(j).toDouble
-          val y = ct(j).toDouble
-          dot += x * y
-          nb += y * y
-          j += 1
-        }
-        val denom = norm * math.sqrt(nb)
-        if (denom != 0.0) {
-          val sim = dot / denom
-          if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
-            best = c; bestSim = sim
-          }
-        }
-      }
-      c += 1
-    }
-    if (best < 0) return null
+    // assignment IS nearestCentroid — one shared definition, so the two
+    // PQ flavors (and assignBuckets) can never drift; the extra O(dim)
+    // norm pass inside is noise next to the O(dim·ksub) encode below
+    val bestI = nearestCentroid(vec, centroids, dim)
+    if (bestI == null) return null
+    val best = bestI.intValue()
     val cent = centroids(best)
     val m = books.length
     val codes = new Array[Byte](m)

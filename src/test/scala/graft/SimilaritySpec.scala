@@ -567,6 +567,38 @@ class SimilaritySpec extends SparkTestBase {
         graft.functions.native.pqEncodeResidual(col("vec"), centroids, pq.books).as("e"))
       .collect()
     assert(enc.forall(_.isNullAt(1)), "zero-norm/ragged must encode NULL")
+    // FLAVOR guard: raw-PQ and residual-PQ share a schema, so the
+    // generation's flavor marker is what refuses the cross-flavor
+    // probe and ingester — plausible-looking garbage scores otherwise
+    val crossProbe = intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexPq(
+        spark, dir, "vec_id", qVec, centroids, pq, k, nProbe = 2)
+    }
+    assert(crossProbe.getMessage.contains("flavor"), crossProbe.getMessage)
+    val ck = java.nio.file.Files.createTempDirectory("graft-pq-flavor-ck").toString
+    val stray = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    val crossIngest = intercept[IllegalArgumentException] {
+      Similarity.ingestIvfIndexStreamPq(
+        stray.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        centroids, pq, dir, ck)
+    }
+    assert(crossIngest.getMessage.contains("flavor"), crossIngest.getMessage)
+    // ...and compaction carries the marker: after folding a legitimate
+    // residual append, the cross-flavor probe is STILL refused
+    val rck = java.nio.file.Files.createTempDirectory("graft-pq-res-ck").toString
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    in2.addData(Seq((888888L, qVec)))
+    val rq = Similarity.ingestIvfIndexStreamPqResidual(
+      in2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centroids, pq, dir, rck)
+    try rq.processAllAvailable() finally rq.stop()
+    assert(Similarity.compactIndex(spark, dir, Seq("bucket")))
+    intercept[IllegalArgumentException] {
+      Similarity.probeIvfIndexPq(
+        spark, dir, "vec_id", qVec, centroids, pq, k, nProbe = 2)
+    }
   }
 
   test("PQ ADC scores equal the driver reconstruction model; error band vs true cosine") {
