@@ -279,6 +279,36 @@ object Generations {
     commit(fs, gen)
   }
 
+  /** Name of the generation's FLAVOR marker: a one-line tag written by
+    * index producers whose layouts can share a SCHEMA while their bytes
+    * mean different things (raw-PQ vs residual-PQ codes) — a schema
+    * guard cannot see tensor provenance, so ingesters and ambiguous
+    * probes check this instead. Lives in [[Generations]] so every
+    * producer family (Similarity's vector indexes, NearDup's signature
+    * index) shares one read/write/carry-forward discipline. */
+  private val Flavor = "_GRAFT_FLAVOR"
+
+  /** Stamp `genDir`'s flavor — call INSIDE the rebuild body, before the
+    * done flip, so the marker is exactly as atomic as the data. */
+  private[ops] def writeFlavorMarker(fs: FileSystem, genDir: String, flavor: String): Unit = {
+    val p = new Path(genDir, Flavor)
+    writeFully(fs, p, fs.create(p, false), flavor)
+  }
+
+  /** The generation's flavor, None for a generation written before the
+    * marker existed (legacy: the schema guard is the only protection).
+    * An EXISTING but unreadable marker propagates its IOException — a
+    * caller deciding whether to append must not guess. */
+  private[ops] def readFlavorMarker(fs: FileSystem, genDir: Path): Option[String] = {
+    val p = new Path(genDir, Flavor)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   /** Retire UNCOMMITTED partial generations only (crashed rebuilds).
     * Safe on ANY path including no-op ones: a done-less directory is
     * unreachable by readers by construction, so deleting it can kill
