@@ -290,7 +290,7 @@ object Generations {
 
   /** Stamp `genDir`'s flavor — call INSIDE the rebuild body, before the
     * done flip, so the marker is exactly as atomic as the data. */
-  private[ops] def writeFlavorMarker(fs: FileSystem, genDir: String, flavor: String): Unit = {
+  private[ops] def writeFlavorMarker(fs: FileSystem, genDir: Path, flavor: String): Unit = {
     val p = new Path(genDir, Flavor)
     writeFully(fs, p, fs.create(p, false), flavor)
   }

@@ -509,6 +509,36 @@ class SimilaritySpec extends SparkTestBase {
     info(f"clustered: rawErr=$rawErr%.4f resErr=$resErr%.4f rawRecall=$rawR resRecall=$resR")
   }
 
+  test("trainers survive poisoned sample vectors: non-finite rows neither train nor starve") {
+    import spark.implicits._
+    // a poisoned LOW-ID PREFIX is the adversarial shape: the sample is
+    // first-N-by-id, so if the filter ran after the limit these rows
+    // would consume the whole budget and return empty trainers — and if
+    // they trained, ONE NaN point would turn every centroid NaN (NaN
+    // ranks above any number in the assignment kernels)
+    val dim = 8
+    val rnd = new scala.util.Random(3)
+    val poisoned = (0 until 6).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      v(i % dim) = if (i % 3 == 0) Float.NaN
+        else if (i % 3 == 1) Float.PositiveInfinity else Float.NegativeInfinity
+      (i.toLong, v)
+    }
+    val clean = (6 until 30).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = (poisoned ++ clean).toDF("vec_id", "embedding")
+    // sampleSize = 6: a post-limit filter would see ONLY poisoned rows
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, sampleSize = 6)
+    assert(cents.nonEmpty && cents.forall(_.forall(java.lang.Float.isFinite)),
+      "poisoned prefix must neither starve nor contaminate the centroids")
+    val pq = Similarity.trainPq(df, "vec_id", "embedding", m = 2, ksub = 4, sampleSize = 6)
+    assert(!pq.isEmpty && pq.books.forall(_.forall(_.forall(java.lang.Float.isFinite))),
+      "PQ codebooks must be finite")
+    val res = Similarity.trainPqResidual(
+      df, "vec_id", "embedding", cents, m = 2, ksub = 4, sampleSize = 6)
+    assert(!res.isEmpty && res.books.forall(_.forall(_.forall(java.lang.Float.isFinite))),
+      "residual codebooks must be finite")
+  }
+
   test("residual ADC equals the driver reconstruction model; encode null contract") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf001)
