@@ -1034,6 +1034,24 @@ object VectorKernels {
     if (n2 == 0.0) null else java.lang.Double.valueOf(dot / math.sqrt(n2))
   }
 
+  /** True iff every element of the float vector is present and finite —
+    * the trainer-sample gate ([[graft.ops.Similarity]]'s
+    * `normalizedSample`): one compiled pass with early exit, replacing
+    * an interpreted `forall` HOF that ran per corpus row on the
+    * sampling scan (the q_quantize lesson; measured ~14% of
+    * q_sim_topk_ivf's wall before the swap). NULL input handled by the
+    * expression's null-safe wrapper; a null ELEMENT is non-finite by
+    * definition here (it would unbox to a fake 0). */
+  def isFiniteVec(vec: ArrayData): Boolean = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i) || !java.lang.Float.isFinite(vec.getFloat(i))) return false
+      i += 1
+    }
+    true
+  }
+
   /** RESIDUAL product-quantization encode (the FAISS IVF-PQ
     * construction, Jégou et al. TPAMI 2011 §IV): unit-normalize, assign
     * to the nearest coarse centroid with EXACTLY [[nearestCentroid]]'s

@@ -482,6 +482,22 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** True iff every element of a float vector is present and finite — the
+  * compiled trainer-sample gate (see [[VectorKernels.isFiniteVec]]). */
+case class IsFiniteVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "is_finite_vec"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.isFiniteVec(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.isFiniteVec($c);")
+  protected override def withNewChildInternal(newChild: Expression): IsFiniteVec =
+    copy(child = newChild)
+}
+
 /** Residual product-quantization encode (FAISS IVF-PQ construction):
   * nearest-coarse-centroid assignment and residual PQ codes from ONE
   * compiled pass — struct(bucket, codes), so a row's codes can never
@@ -951,6 +967,9 @@ object native {
   def int8Cosine(codes: Column, scale: Column, query: Array[Float]): Column =
     ColumnBridge.column(Int8CosineSim(
       ColumnBridge.expression(codes), ColumnBridge.expression(scale), query.toSeq))
+
+  def isFiniteVec(vec: Column): Column =
+    ColumnBridge.column(IsFiniteVec(ColumnBridge.expression(vec)))
 
   def pqEncodeResidual(
       vec: Column,
