@@ -41,7 +41,14 @@ private[ops] object FsSteps {
   * compactions; the index is ≪ the corpus); the bound a deployment
   * must hold is that no probe outlives an entire compaction CYCLE
   * (flip → next compaction's sweep), which replaces the old
-  * "quiesce probes for the swap window" runbook rule entirely.
+  * "quiesce probes for the swap window" runbook rule entirely. A
+  * reader that DOES outlive the cycle — a DataFrame still resolved
+  * over the retired generation when the next compaction's sweep
+  * deletes it — fails LOUDLY, not wrongly: Spark plans record file
+  * paths, not file contents, so the reader's next action throws
+  * FileNotFoundException (or a task-level read error) rather than
+  * returning partial rows (spec: GenerationsSpec "a reader that
+  * outlives the compaction cycle fails loudly after the next sweep").
   *
   * Crash safety falls out of the write→flip ordering: a crash before
   * the sentinel leaves a done-less partial generation that readers
@@ -64,13 +71,24 @@ private[ops] object FsSteps {
   * lock file. Loud-wedge-with-documented-heal beats the silent
   * partial-generation commit it replaces.
   *
-  * The lock's mutual exclusion rests on create-exclusive being ATOMIC,
-  * which holds on the filesystems with O_CREAT semantics (local, HDFS,
-  * ABFS) but NOT on object stores whose create is check-then-act (S3A
-  * without conditional writes): there, two producers can both
+  * The lock's mutual exclusion rests on create-exclusive being ATOMIC.
+  * That holds on HDFS and ABFS natively, and on `file://` roots via an
+  * explicit special case in [[acquireLock]]: Hadoop's
+  * RawLocalFileSystem/ChecksumFileSystem implement
+  * `create(path, overwrite=false)` as an exists() check FOLLOWED by
+  * create — check-then-act, so two local-JVM producers could both
+  * "acquire" — so local roots go through `java.nio.file.Files
+  * .createFile` (kernel O_CREAT|O_EXCL) instead. Object stores whose
+  * create is check-then-act (S3A without conditional writes, GCS, …)
+  * have no such primitive to reach for: there, two producers can both
   * "acquire", and deployments must serialize producers externally (a
-  * scheduler, a real lock service). The `_GEN_DONE` flip never had
-  * this dependence — its atomicity claim is only that readers see the
+  * scheduler, a real lock service such as ZooKeeper/DynamoDB
+  * conditional puts). [[acquireLock]] therefore REFUSES object-store
+  * roots outright unless the deployment states it has that external
+  * serialization, via `-Dgraft.generations.allowNonAtomicFs=true` —
+  * a silent mutual-exclusion downgrade is exactly the failure class
+  * the lock exists to prevent. The `_GEN_DONE` flip never had this
+  * dependence — its atomicity claim is only that readers see the
   * sentinel entirely or not at all. */
 object Generations {
 
@@ -130,6 +148,7 @@ object Generations {
     * listener) can never free a lock some OTHER producer has since
     * legitimately acquired after a manual heal. */
   def acquireLock(fs: FileSystem, root: Path, who: String): String = {
+    requireAtomicCreate(fs, root)
     if (!fs.exists(root)) fs.mkdirs(root)
     val lock = lockPath(root)
     def held(e: java.io.IOException): Nothing =
@@ -141,7 +160,7 @@ object Generations {
           "once before healing. Otherwise verify nothing is live, then delete " +
           s"$lock to heal.", e)
     val out =
-      try fs.create(lock, false)
+      try createExclusive(fs, lock)
       catch {
         // only the exists-collision maps to "held"; a permission error or
         // transient fault must propagate as itself, not as a heal
@@ -153,6 +172,58 @@ object Generations {
     val token = s"$who@${java.util.UUID.randomUUID()}"
     writeFully(fs, lock, out, token)
     token
+  }
+
+  /** Create `p` exclusively, ATOMICALLY. Hadoop's `create(p, overwrite
+    * = false)` is only as atomic as the FileSystem's implementation,
+    * and RawLocalFileSystem/ChecksumFileSystem implement it as an
+    * exists() check followed by an unconditional create — check-then-
+    * act, so two producers in separate local JVMs could both pass the
+    * check and both "hold" the lock (the same TOCTOU object stores
+    * have). `file://` roots therefore route through
+    * `java.nio.file.Files.createFile`, which is kernel
+    * O_CREAT|O_EXCL; from the instant it succeeds the path EXISTS, so
+    * the overwrite-reopen for the token write races nobody — any
+    * concurrent acquirer now collides. HDFS/ABFS take the plain Hadoop
+    * path (their create-exclusive is atomic on the NameNode /
+    * conditional-write), and object-store schemes never reach here
+    * ([[requireAtomicCreate]] refuses them first). */
+  private def createExclusive(
+      fs: FileSystem, p: Path): org.apache.hadoop.fs.FSDataOutputStream =
+    if (fs.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
+      java.nio.file.Files.createFile(nio) // throws nio FileAlreadyExistsException
+      fs.create(p, true)
+    } else fs.create(p, false)
+
+  /** System property a deployment sets (`-Dgraft.generations
+    * .allowNonAtomicFs=true`) to state that producers are serialized
+    * EXTERNALLY (a scheduler, a lock service) and the `_GEN_LOCK`'s
+    * on-FS mutual exclusion may be best-effort. Without it,
+    * [[acquireLock]] refuses object-store roots. */
+  val AllowNonAtomicFsProp = "graft.generations.allowNonAtomicFs"
+
+  /** Schemes whose create-exclusive is check-then-act (no atomic
+    * O_CREAT primitive): two producers can both "acquire" a lock there,
+    * which silently voids every corruption guarantee the lock buys. */
+  private val NonAtomicSchemes =
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "cosn", "wasb", "wasbs", "swift")
+
+  /** Refuse to take a producer lock on a filesystem that cannot give
+    * the lock its mutual-exclusion semantics, unless the deployment
+    * explicitly opts out (external serialization in place). Checked at
+    * every producer START — one cheap scheme test — because a lock that
+    * only usually excludes is worse than no lock: operators trust it. */
+  private def requireAtomicCreate(fs: FileSystem, root: Path): Unit = {
+    val scheme = fs.getScheme
+    if (NonAtomicSchemes.contains(scheme) &&
+        !java.lang.Boolean.getBoolean(AllowNonAtomicFsProp))
+      throw new IllegalStateException(
+        s"$root: scheme '$scheme' has check-then-act create semantics, so the " +
+          s"$Lock producer lock CANNOT guarantee mutual exclusion there — two " +
+          "concurrent producers could both acquire it and silently corrupt the " +
+          "index. Serialize producers externally (a scheduler or lock service), " +
+          s"then opt in with -D$AllowNonAtomicFsProp=true.")
   }
 
   /** Finish writing a just-created marker file, deleting the husk when
@@ -243,7 +314,12 @@ object Generations {
     * is removed first — it is unreachable garbage by construction.
     * PRIMITIVE: assumes the caller holds the producer lock (every
     * in-repo producer reaches it through [[rebuild]]/[[withLock]]) —
-    * two unserialized producers would race each other's gen-N here. */
+    * two unserialized producers would race each other's gen-N here.
+    * FS CONTRACT: that lock's mutual exclusion needs atomic
+    * create-exclusive on the root's filesystem; [[acquireLock]] refuses
+    * object-store roots unless producers are serialized externally
+    * (`-Dgraft.generations.allowNonAtomicFs=true` — a lock service, per
+    * the module doc). */
   def begin(fs: FileSystem, root: Path): Path = {
     val next = resolve(fs, root).map(_._1 + 1).getOrElse(1)
     val dir = new Path(root, s"$GenPrefix$next")

@@ -349,7 +349,12 @@ object NearDup {
     * tomorrow's probe sees it as history. Append-only parquet under the
     * SAME partition dirs — one file per touched part per batch, so run
     * [[compactMinhashIndex]] on the small-file cadence (the IVF/LSH
-    * generation-swap discipline, probe-equality preserved). */
+    * generation-swap discipline, probe-equality preserved).
+    * FS CONTRACT: appends serialize on the root's `_GEN_LOCK`, whose
+    * mutual exclusion needs atomic create-exclusive on the index root's
+    * filesystem — [[graft.ops.Generations.acquireLock]] refuses
+    * object-store roots unless producers are serialized externally and
+    * `-Dgraft.generations.allowNonAtomicFs=true` says so. */
   def appendMinhashIndex(
       df: DataFrame,
       idCol: String,
@@ -397,8 +402,16 @@ object NearDup {
     * the old generation after the union read would be silently dropped
     * by the flip, so whichever producer arrives second now fails fast
     * instead — the enforced form of the close-the-ingest-generation
-    * rule the IVF/LSH compactor shares. Returns false (touching
-    * nothing) when the index does not exist. */
+    * rule the IVF/LSH compactor shares. A probe that outlives the
+    * cycle — still holding a DataFrame over the retired generation when
+    * the NEXT compaction sweeps it — fails loudly
+    * (FileNotFoundException on its next action), never returns partial
+    * rows (spec: GenerationsSpec). FS CONTRACT: the `_GEN_LOCK`'s
+    * mutual exclusion needs atomic create-exclusive on the index
+    * root's filesystem — [[graft.ops.Generations.acquireLock]] refuses
+    * object-store roots unless producers are serialized externally and
+    * `-Dgraft.generations.allowNonAtomicFs=true` says so. Returns
+    * false (touching nothing) when the index does not exist. */
   def compactMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {

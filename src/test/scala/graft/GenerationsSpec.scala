@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.hadoop.fs.Path
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Generations
 
@@ -11,8 +10,9 @@ import graft.ops.Generations
   * to one cannot hide behind the integration tests' coarser
   * assertions): resolution ignores everything but the max COMMITTED
   * generation, begin never touches the live one, sweep retires exactly
-  * the non-live ones, commit is one-shot. */
-class GenerationsSpec extends AnyFunSuite {
+  * the non-live ones, commit is one-shot, the producer lock excludes
+  * atomically on local roots and refuses object-store roots. */
+class GenerationsSpec extends SparkTestBase {
 
   private def freshRoot(): (org.apache.hadoop.fs.FileSystem, Path) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-gens").toString
@@ -152,6 +152,84 @@ class GenerationsSpec extends AnyFunSuite {
     // readers never take the lock: resolution works while it is held
     assert(Generations.currentDir(fs, root).getName == "gen-1")
     Generations.releaseLock(fs, root, t)
+  }
+
+  test("producer lock refuses object-store roots without the external-serialization opt-in") {
+    // RawLocalFileSystem masquerading as S3A: the guard is a SCHEME
+    // check, so a fake scheme over a real local store exercises exactly
+    // the decision without needing a real object store offline
+    val fake = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    fake.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
+    val dir = java.nio.file.Files.createTempDirectory("graft-s3ish").toString
+    val root = new Path(s"$dir/idx")
+    val e = intercept[IllegalStateException](Generations.acquireLock(fake, root, "spec"))
+    assert(e.getMessage.contains(Generations.AllowNonAtomicFsProp), e.getMessage)
+    assert(e.getMessage.contains("mutual exclusion"), "the refusal must say WHY")
+    assert(!fake.exists(Generations.lockPath(root)),
+      "a refused acquire must leave nothing on disk")
+    // the opt-in states producers are serialized externally — then the
+    // lock is best-effort and acquisition proceeds
+    System.setProperty(Generations.AllowNonAtomicFsProp, "true")
+    try {
+      val t = Generations.acquireLock(fake, root, "spec")
+      Generations.releaseLock(fake, root, t)
+    } finally System.clearProperty(Generations.AllowNonAtomicFsProp)
+  }
+
+  test("local-root lock acquisition is atomic under a same-instant race: exactly one winner") {
+    // Hadoop's RawLocalFileSystem create(p, overwrite=false) is an
+    // exists() check FOLLOWED by a create — two racing producers could
+    // both pass it. acquireLock routes file:// through kernel
+    // O_CREAT|O_EXCL instead; this race pins that exactly one of N
+    // simultaneous acquirers wins (flaky-only under the old TOCTOU,
+    // deterministic now).
+    val (fs, root) = freshRoot()
+    fs.mkdirs(root)
+    val n = 16
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          def call(): Option[String] = {
+            gate.await()
+            try Some(Generations.acquireLock(fs, root, s"racer-$i"))
+            catch { case _: IllegalStateException => None }
+          }
+        })
+      }
+      gate.countDown()
+      val tokens = futures.flatMap(_.get())
+      assert(tokens.size == 1, s"exactly one racer may hold the lock, got ${tokens.size}")
+      Generations.releaseLock(fs, root, tokens.head)
+    } finally pool.shutdown()
+  }
+
+  test("a reader that outlives the compaction cycle fails loudly after the next sweep") {
+    // the documented bound (module scaladoc): a probe may span ONE flip —
+    // the grace generation keeps its files — but not a whole cycle. A
+    // DataFrame still resolved over the retired generation when the NEXT
+    // rebuild's sweep deletes it must fail its next action LOUDLY
+    // (plans record paths, not contents), never return partial rows.
+    import spark.implicits._
+    val (fs, root) = freshRoot()
+    def writeGen(rows: Range): Unit = Generations.rebuild(fs, root) { gen =>
+      rows.map(i => (i.toLong, s"row-$i")).toDF("id", "payload").write.parquet(gen)
+    }
+    writeGen(0 until 10)
+    val pinned = spark.read.parquet(Generations.currentDir(fs, root).toString)
+    assert(pinned.count() == 10)
+    writeGen(0 until 20) // flip: gen-1 is now the grace copy — reader unharmed
+    assert(pinned.count() == 10, "the grace generation must keep a spanning reader alive")
+    writeGen(0 until 30) // next cycle: sweep retires gen-1 under the reader
+    val e = intercept[Exception](pinned.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.isInstanceOf[java.io.FileNotFoundException]
+        || String.valueOf(t.getMessage).contains("does not exist")),
+      s"expected a loud missing-file failure, got: $e")
   }
 
   test("rebuild = sweep + begin + body + commit, in that order") {

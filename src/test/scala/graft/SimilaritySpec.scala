@@ -539,6 +539,40 @@ class SimilaritySpec extends SparkTestBase {
       "residual codebooks must be finite")
   }
 
+  test("trainers survive RAGGED sample vectors: off-dimension rows neither train nor starve") {
+    import spark.implicits._
+    // the ragged sibling of the poisoned-prefix test: the executor
+    // kernels NULL a mismatched row per row, but the trainers index
+    // every sampled point up to pts.head.length — before the dim gate, a
+    // length-2 row in the sample threw AIOOBE in kmeans, and a
+    // one-short row silently ZERO-PADDED trainPq's tail subspace. The
+    // adversarial shape is again a LOW-ID PREFIX: ragged rows dominate
+    // the first ids, so a prefix-bounded dim probe would detect the
+    // WRONG dim and a post-limit drop would starve the sample.
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val ragged = (0 until 6).map { i =>
+      val len = Seq(2, dim - 1, dim + 3)(i % 3) // short, one-short, long
+      (i.toLong, Array.fill(len)(rnd.nextGaussian().toFloat))
+    }
+    val clean = (6 until 30).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = (ragged ++ clean).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, sampleSize = 6)
+    assert(cents.nonEmpty && cents.forall(_.length == dim),
+      "ragged prefix must neither starve training nor skew the detected dimension")
+    assert(cents.forall(_.forall(java.lang.Float.isFinite)))
+    val pq = Similarity.trainPq(df, "vec_id", "embedding", m = 2, ksub = 4, sampleSize = 6)
+    assert(!pq.isEmpty && pq.dsub == dim / 2,
+      "PQ subspaces must split the modal dim, not a ragged head row's")
+    val res = Similarity.trainPqResidual(
+      df, "vec_id", "embedding", cents, m = 2, ksub = 4, sampleSize = 6)
+    assert(!res.isEmpty && res.dsub == dim / 2)
+    val hier = Similarity.trainCentroidsHier(
+      df, "vec_id", "embedding", coarseCells = 2, finePerCell = 2, sampleSize = 6)
+    assert(!hier.isEmpty && hier.coarse.forall(_.length == dim)
+      && hier.fine.forall(_.length == dim))
+  }
+
   test("residual ADC equals the driver reconstruction model; encode null contract") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf001)
