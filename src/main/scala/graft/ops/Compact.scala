@@ -83,8 +83,10 @@ private[ops] object FsSteps {
   * have no such primitive to reach for: there, two producers can both
   * "acquire", and deployments must serialize producers externally (a
   * scheduler, a real lock service such as ZooKeeper/DynamoDB
-  * conditional puts). [[acquireLock]] therefore REFUSES object-store
-  * roots outright unless the deployment states it has that external
+  * conditional puts). [[acquireLock]] therefore REFUSES any root whose
+  * scheme is not on a known-atomic-create ALLOWLIST (fail closed — the
+  * object-store hazard class grows a member with every new vendor
+  * connector) unless the deployment states it has that external
   * serialization, via `-Dgraft.generations.allowNonAtomicFs=true` —
   * a silent mutual-exclusion downgrade is exactly the failure class
   * the lock exists to prevent. The `_GEN_DONE` flip never had this
@@ -184,46 +186,76 @@ object Generations {
     * `java.nio.file.Files.createFile`, which is kernel
     * O_CREAT|O_EXCL; from the instant it succeeds the path EXISTS, so
     * the overwrite-reopen for the token write races nobody — any
-    * concurrent acquirer now collides. HDFS/ABFS take the plain Hadoop
-    * path (their create-exclusive is atomic on the NameNode /
-    * conditional-write), and object-store schemes never reach here
-    * ([[requireAtomicCreate]] refuses them first). */
+    * concurrent acquirer now collides. If that reopen itself fails
+    * (disk full, checksum-sibling fault), the just-created file is
+    * deleted before rethrowing — left behind, acquireLock's catch
+    * would misread the transient fault as "held" and the zero-byte
+    * husk would wedge every retry behind a manual heal (the same
+    * discipline as [[Generations.writeFully]]). HDFS/ABFS take the
+    * plain Hadoop path (their create-exclusive is atomic on the
+    * NameNode / conditional-write); schemes not on the known-atomic
+    * list never reach here ([[requireAtomicCreate]] refuses them
+    * first). */
   private def createExclusive(
       fs: FileSystem, p: Path): org.apache.hadoop.fs.FSDataOutputStream =
-    if (fs.getScheme == "file") {
+    if (fs.getUri.getScheme == "file") {
       val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
       java.nio.file.Files.createFile(nio) // throws nio FileAlreadyExistsException
-      fs.create(p, true)
+      try fs.create(p, true)
+      catch {
+        case t: Throwable =>
+          try java.nio.file.Files.deleteIfExists(nio)
+          catch { case e: java.io.IOException => t.addSuppressed(e) }
+          throw t
+      }
     } else fs.create(p, false)
 
   /** System property a deployment sets (`-Dgraft.generations
     * .allowNonAtomicFs=true`) to state that producers are serialized
     * EXTERNALLY (a scheduler, a lock service) and the `_GEN_LOCK`'s
     * on-FS mutual exclusion may be best-effort. Without it,
-    * [[acquireLock]] refuses object-store roots. */
+    * [[acquireLock]] refuses roots whose scheme is not on the
+    * known-atomic-create list. */
   val AllowNonAtomicFsProp = "graft.generations.allowNonAtomicFs"
 
-  /** Schemes whose create-exclusive is check-then-act (no atomic
-    * O_CREAT primitive): two producers can both "acquire" a lock there,
-    * which silently voids every corruption guarantee the lock buys. */
-  private val NonAtomicSchemes =
-    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "cosn", "wasb", "wasbs", "swift")
+  /** Schemes whose create-exclusive is known ATOMIC — local (via
+    * [[createExclusive]]'s O_CREAT|O_EXCL route), HDFS-family (single
+    * NameNode namespace op), ABFS (conditional create), Ozone. An
+    * ALLOWLIST, failing closed: the hazard class (object stores with
+    * check-then-act create: S3A, GCS, OSS, COS, WASB, Swift, OBS, TOS,
+    * …) grows a new member with every vendor connector, and a
+    * blocklist would wave each new one through to the exact silent
+    * mutual-exclusion downgrade the guard exists to stop. `viewfs` is
+    * deliberately absent — it resolves to whatever its mount table
+    * names, which this check cannot see; opt in if every mount is
+    * atomic. Unknown-but-actually-atomic schemes pay one explicit
+    * `-Dgraft.generations.allowNonAtomicFs=true` (or a PR to this
+    * list), which is the cheap direction of the asymmetry: a refused
+    * good scheme is one startup error; an admitted bad one is silent
+    * index corruption. */
+  private val AtomicCreateSchemes =
+    Set("file", "hdfs", "webhdfs", "swebhdfs", "hopsfs", "abfs", "abfss", "o3fs", "ofs")
 
   /** Refuse to take a producer lock on a filesystem that cannot give
     * the lock its mutual-exclusion semantics, unless the deployment
     * explicitly opts out (external serialization in place). Checked at
     * every producer START — one cheap scheme test — because a lock that
-    * only usually excludes is worse than no lock: operators trust it. */
+    * only usually excludes is worse than no lock: operators trust it.
+    * The scheme comes from `fs.getUri` (always present), NOT
+    * `fs.getScheme` — the base FileSystem implementation of the latter
+    * throws UnsupportedOperationException, which would turn the guard
+    * into a crash on every connector that doesn't override it. */
   private def requireAtomicCreate(fs: FileSystem, root: Path): Unit = {
-    val scheme = fs.getScheme
-    if (NonAtomicSchemes.contains(scheme) &&
+    val scheme = fs.getUri.getScheme
+    if (!AtomicCreateSchemes.contains(scheme) &&
         !java.lang.Boolean.getBoolean(AllowNonAtomicFsProp))
       throw new IllegalStateException(
-        s"$root: scheme '$scheme' has check-then-act create semantics, so the " +
-          s"$Lock producer lock CANNOT guarantee mutual exclusion there — two " +
-          "concurrent producers could both acquire it and silently corrupt the " +
-          "index. Serialize producers externally (a scheduler or lock service), " +
-          s"then opt in with -D$AllowNonAtomicFsProp=true.")
+        s"$root: scheme '$scheme' is not on the known-atomic-create-exclusive " +
+          s"list, so the $Lock producer lock cannot be trusted for mutual " +
+          "exclusion there — on check-then-act filesystems (S3-class object " +
+          "stores) two concurrent producers could both acquire it and silently " +
+          "corrupt the index. Serialize producers externally (a scheduler or " +
+          s"lock service), then opt in with -D$AllowNonAtomicFsProp=true.")
   }
 
   /** Finish writing a just-created marker file, deleting the husk when

@@ -156,10 +156,11 @@ class GenerationsSpec extends SparkTestBase {
 
   test("producer lock refuses object-store roots without the external-serialization opt-in") {
     // RawLocalFileSystem masquerading as S3A: the guard is a SCHEME
-    // check, so a fake scheme over a real local store exercises exactly
-    // the decision without needing a real object store offline
+    // check (on fs.getUri — fs.getScheme's base implementation throws),
+    // so a fake URI over a real local store exercises exactly the
+    // decision without needing a real object store offline
     val fake = new org.apache.hadoop.fs.RawLocalFileSystem {
-      override def getScheme: String = "s3a"
+      override def getUri: java.net.URI = java.net.URI.create("s3a:///")
     }
     fake.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
     val dir = java.nio.file.Files.createTempDirectory("graft-s3ish").toString

@@ -448,7 +448,7 @@ class NearDupSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1))
   }
 
-  test("detectDim skips NULL vectors and reads the first real row") {
+  test("detectDim skips NULLs and is MODAL: a ragged first row cannot pick the wrong dim") {
     val df = Seq(
       (1L, null.asInstanceOf[Array[Float]]),
       (2L, Array(1.0f, 2.0f, 3.0f))
@@ -456,6 +456,20 @@ class NearDupSpec extends SparkTestBase {
     assert(graft.ops.Similarity.detectDim(df, "embedding") == 3)
     val allNull = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
     assert(graft.ops.Similarity.detectDim(allNull, "embedding") == 0)
+    // first-row detection would say 2 here and silently NULL the dim-3
+    // majority's signatures (a near-empty LSH index); modal says 3
+    val ragged = Seq(
+      (1L, Array(9.0f, 9.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(4.0f, 5.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.detectDim(ragged, "embedding") == 3)
+    // deterministic tie-break: equal counts go to the SMALLER dim
+    val tied = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.detectDim(tied, "embedding") == 2)
   }
 
   test("semanticDedup equals unbucketed collapse (clustered: nAssign=1; fixture: declared params)") {
