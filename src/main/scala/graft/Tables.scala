@@ -127,6 +127,20 @@ object Tables {
     new java.io.File(tmp, s"graft_media_fixture_${user}_$pid").getAbsolutePath
   }
 
+  /** The deterministic binary media fixture behind `q_media_dims`:
+    * every supported container layout (PNG/GIF/BMP×3/JPEG/WEBP
+    * VP8+VP8L+VP8X/TIFF both byte orders/MP4 both tkhd versions/WAV
+    * four variants/FLAC two streams — plus truncated/foreign negatives)
+    * with its EXPECTED dimensions and av_meta figures STORED NEXT TO
+    * the bytes. Engine and oracle read the same fixture: the engine
+    * side parses the bytes through the `media_dims`/`av_meta` kernels,
+    * the oracle side emits the stored expectations — a kernel
+    * mis-parse, or a NULL where figures exist, hash-mismatches in the
+    * driver's correctness gate. Written at [[mediaFixturePath]] at
+    * Verify time (no binary media table exists in the driver set);
+    * byte layouts come from [[MediaBytes]]'s container builders, the
+    * public-spec offsets documented at the kernels
+    * (graft/functions/native.scala). */
   def mediaFixture(spark: SparkSession): DataFrame = {
     import MediaBytes.{blob, box4, flac, le32, wavFile, wavFmt}
     val png = blob(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++

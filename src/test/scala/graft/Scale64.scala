@@ -134,6 +134,26 @@ object Scale64 {
       val p64 = timeMin2(profile(s"$work/x64"))
       octave("q_profile(exact)", p8, p64, gate = 16.0)
 
+      // ---- q_profile_approx: the declared 100 TB swap-in, as the
+      // DECLARED checked surface (two aggregate scans joined — the HLL
+      // pass at ×1 row volume PLUS the exact pass whose n_distinct the
+      // audit needs; at true 100 TB the audit column comes off, leaving
+      // the HLL scan alone). Round-16 addition (r15 verdict ask #6): the
+      // only super-linear-TRENDING bench line had no second octave; the
+      // r13→r15 drift adjudicated AMBIENT this round (PLANS.md), and
+      // this row pins the growth POWER so a real regression can never
+      // hide behind ambient noise again. Gate = the exact pass's own
+      // gate: the checked surface cannot grow faster than its slowest
+      // scan, and q_profile(exact) above measured 3.47 on this octave.
+      def profileApprox(dir: String): Unit =
+        graft.ops.Relational.profileApproxChecked(
+          spark.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+          .write.format("noop").mode("overwrite").save()
+      val pa8 = timeMin2(profileApprox(s"$work/x8"))
+      val pa64 = timeMin2(profileApprox(s"$work/x64"))
+      octave("q_profile_approx(checked)", pa8, pa64, gate = 16.0)
+
       // ---- colocated join, fixed 8 buckets vs buckets ∝ data.
       def colocated(dir: String, buckets: Int, tag: String): Double = {
         val li = s"s64_li_$tag"

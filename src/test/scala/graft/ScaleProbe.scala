@@ -582,6 +582,63 @@ object ScaleProbe {
         failures ::= f"PQ probe ratio $pqRatio%.1f > 3.0 at constant probed volume " +
           "(ADC probe cost is tracking the corpus, not the probed buckets)"
 
+      // ---- adjudication 2f (r16): the HIER build as the probed flavor
+      // (r15 verdict ask #7 — 2e and the q_sim_topk_ivf row ride flat
+      // builds, so the √k-assignment claim had no standing per-round
+      // measurement). Buckets ∝ corpus via the two-level trainer +
+      // hierarchical kernel; BUILD wall (dominated by the assignment
+      // pass at this scale) and pruned-probe wall timed separately.
+      // Build model: per-row ~(side + probes·side)·dim with side = √k,
+      // so ×8 rows at ×8 k is ≤ 8·√8 ≈ 22.6 if assignment alone
+      // dominated (scan/write overhead amortizes it well below that);
+      // probe must stay ~flat at constant per-bucket volume and fixed
+      // nProbe — fine-bucket ids partition-prune exactly like the flat
+      // layout's (probeIvfIndex reads the hier build unchanged,
+      // SimilaritySpec pins the equality).
+      def hierBuildProbe(dir: String, fineTarget: Int, tag: String): (Double, Double) = {
+        val emb = Tables.embeddings(spark, dir)
+        val side = math.max(1, math.ceil(math.sqrt(fineTarget.toDouble)).toInt)
+        val model = graft.ops.Similarity.trainCentroidsHier(
+          emb, "vec_id", "embedding", side, side,
+          sampleSize = math.min(4 * fineTarget, 32768))
+        val root = s"$work/hier_$tag"
+        def buildOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.writeIvfIndexHier(emb, "embedding", model, root)
+          (System.nanoTime() - t0) / 1e9
+        }
+        buildOnce() // warm
+        val build = (1 to 2).map(_ => buildOnce()).min
+        val qv = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head.getSeq[Float](0).toArray
+        def probeOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.probeIvfIndex(
+            spark, root, "vec_id", "embedding", qv, model.fine, 10, nProbe = 6,
+            excludeId = Some(0L))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce() // warm
+        val probe = (1 to 2).map(_ => probeOnce()).min
+        (build, probe)
+      }
+      val (hb1, hp1) = hierBuildProbe(oneDir, 64, "x1")
+      val (hb8, hp8) = hierBuildProbe(bigDir, 64 * copies, "xbig")
+      val hbRatio = hb8 / hb1
+      val hpRatio = hp8 / hp1
+      println(f"SCALEPROBE hier-ivf-build x1(64)=$hb1%6.2f s " +
+        f"x$copies(${64 * copies})=$hb8%6.2f s ratio=$hbRatio%5.2f " +
+        f"(rows·√k model=${copies * math.sqrt(copies)}%.1f)")
+      println(f"SCALEPROBE hier-ivf-probe x1=$hp1%6.2f s x$copies=$hp8%6.2f s " +
+        f"ratio=$hpRatio%5.2f (flat=1.0)")
+      if (hbRatio > copies * math.sqrt(copies) * 1.2)
+        failures ::= f"hier IVF build ratio $hbRatio%.1f broke the rows·√k model " +
+          f"(${copies * math.sqrt(copies)}%.1f × 1.2 slack)"
+      if (hpRatio > 3.0)
+        failures ::= f"hier IVF probe ratio $hpRatio%.1f > 3.0 at constant probed " +
+          "volume (the hier layout's pruning is tracking the corpus)"
+
       // At probe scale no partition crosses AQE's skew thresholds (256 MiB
       // default) and small sides broadcast — so the split decision never
       // fires above. Force the 100 TB join shape for the range join (no
