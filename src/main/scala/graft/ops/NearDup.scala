@@ -337,11 +337,12 @@ object NearDup {
     // atomically, so concurrent probes keep the index they resolved
     val (fs, root) = Generations.fsRoot(df.sparkSession, path)
     Generations.rebuild(fs, root) { gen =>
-      bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
-        .withColumn("part", minhashPartExpr(nParts))
-        // files ∝ parts, not tasks×parts — the compacted layout
-        // compactMinhashIndex restores (see Similarity.writeIvfIndex)
-        .repartition(col("part"))
+      // files ∝ parts, not tasks×parts — the compacted layout
+      // compactMinhashIndex restores (Similarity.spreadForWrite doc)
+      Similarity.spreadForWrite(
+        bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+          .withColumn("part", minhashPartExpr(nParts)),
+        nParts, col("part"))
         .write.partitionBy("part").mode("overwrite").parquet(gen)
     }
   }
@@ -376,10 +377,11 @@ object NearDup {
     // parallelism that would complicate the lock's meaning.
     val (fs, root) = Generations.fsRoot(df.sparkSession, path)
     Generations.withLock(fs, root, "appendMinhashIndex") {
-      bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
-        .withColumn("part", minhashPartExpr(nParts))
-        // one file per TOUCHED part per batch instead of tasks×parts
-        .repartition(col("part"))
+      // one file per TOUCHED part per batch instead of tasks×parts
+      Similarity.spreadForWrite(
+        bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
+          .withColumn("part", minhashPartExpr(nParts)),
+        nParts, col("part"))
         .write.partitionBy("part").mode("append")
         .parquet(Generations.currentDir(fs, root).toString)
     }

@@ -142,12 +142,17 @@ object Search {
       col(idCol).as("doc_id"),
       TextOps.tokenCount(col(textCol)).cast("double").as("dl"),
       toks.as("toks"))
-    base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    // files ∝ buckets, not tasks×buckets, write kept parallel at small
+    // bucket counts — the shared index-layout discipline
+    // ([[Similarity.spreadForWrite]]'s doc carries the r16 finding)
+    Similarity.spreadForWrite(
+      base
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong))),
+      buckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
     base
       .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
@@ -189,7 +194,24 @@ object Search {
     require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val wanted = terms.map(t => bucketOf(t, buckets)).distinct
-    val posts = spark.read.parquet(s"$path/postings")
+    // read exactly the wanted bucket= directories (basePath keeps the
+    // partition column): probe-time file LISTING is O(|terms|), not
+    // O(buckets) — the same fix as Similarity.readIndex's probedBuckets
+    // (r16; no streamed/ sink log here, the postings table is
+    // batch-written, so the explicit-dir read is unconditionally safe).
+    // The isin filters stay as the semantic guard; when none of the
+    // wanted dirs exist the full-listing read serves only as the
+    // schema source for an empty result.
+    val postingsDir = s"$path/postings"
+    val root = new org.apache.hadoop.fs.Path(postingsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = wanted
+      .map(b => new org.apache.hadoop.fs.Path(root, s"bucket=$b"))
+      .filter(fs.exists).map(_.toString)
+    val posts0 =
+      if (dirs.nonEmpty) spark.read.option("basePath", postingsDir).parquet(dirs: _*)
+      else spark.read.parquet(postingsDir).filter(lit(false))
+    val posts = posts0
       .where(col("bucket").isin(wanted: _*) && col("term").isin(terms: _*))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(s"__tf$i")

@@ -40,6 +40,9 @@ object RecallProbe {
   private val NQueries = 16
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    // ragged pair → 0, never a prefix-cosine: the engine NULLs such
+    // rows, and a silently-plausible truth score would deflate recall
+    if (a.length != b.length) return 0.0
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length && i < b.length) {
       dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)

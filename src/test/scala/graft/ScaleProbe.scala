@@ -595,9 +595,13 @@ object ScaleProbe {
       // nProbe — fine-bucket ids partition-prune exactly like the flat
       // layout's (probeIvfIndex reads the hier build unchanged,
       // SimilaritySpec pins the equality).
-      def hierBuildProbe(dir: String, fineTarget: Int, tag: String): (Double, Double) = {
+      def hierBuildProbe(dir: String, fineTarget: Int, tag: String): (Double, Double, Int) = {
         val emb = Tables.embeddings(spark, dir)
         val side = math.max(1, math.ceil(math.sqrt(fineTarget.toDouble)).toInt)
+        // the ACTUAL prescribed cell count is side² (529 at target 512 —
+        // ceil(√512)=23), and the roster line + model must carry what
+        // ran, not the request, or cross-round comparisons drift
+        val cells = side * side
         val model = graft.ops.Similarity.trainCentroidsHier(
           emb, "vec_id", "embedding", side, side,
           sampleSize = math.min(4 * fineTarget, 32768))
@@ -621,20 +625,22 @@ object ScaleProbe {
         }
         probeOnce() // warm
         val probe = (1 to 2).map(_ => probeOnce()).min
-        (build, probe)
+        (build, probe, cells)
       }
-      val (hb1, hp1) = hierBuildProbe(oneDir, 64, "x1")
-      val (hb8, hp8) = hierBuildProbe(bigDir, 64 * copies, "xbig")
+      val (hb1, hp1, cells1) = hierBuildProbe(oneDir, 64, "x1")
+      val (hb8, hp8, cells8) = hierBuildProbe(bigDir, 64 * copies, "xbig")
       val hbRatio = hb8 / hb1
       val hpRatio = hp8 / hp1
-      println(f"SCALEPROBE hier-ivf-build x1(64)=$hb1%6.2f s " +
-        f"x$copies(${64 * copies})=$hb8%6.2f s ratio=$hbRatio%5.2f " +
-        f"(rows·√k model=${copies * math.sqrt(copies)}%.1f)")
+      // model from the ACTUAL k ratio (cells are side², not the target)
+      val hbModel = copies * math.sqrt(cells8.toDouble / cells1)
+      println(f"SCALEPROBE hier-ivf-build x1($cells1)=$hb1%6.2f s " +
+        f"x$copies($cells8)=$hb8%6.2f s ratio=$hbRatio%5.2f " +
+        f"(rows·√k model=$hbModel%.1f)")
       println(f"SCALEPROBE hier-ivf-probe x1=$hp1%6.2f s x$copies=$hp8%6.2f s " +
         f"ratio=$hpRatio%5.2f (flat=1.0)")
-      if (hbRatio > copies * math.sqrt(copies) * 1.2)
+      if (hbRatio > hbModel * 1.2)
         failures ::= f"hier IVF build ratio $hbRatio%.1f broke the rows·√k model " +
-          f"(${copies * math.sqrt(copies)}%.1f × 1.2 slack)"
+          f"($hbModel%.1f × 1.2 slack)"
       if (hpRatio > 3.0)
         failures ::= f"hier IVF probe ratio $hpRatio%.1f > 3.0 at constant probed " +
           "volume (the hier layout's pruning is tracking the corpus)"
