@@ -351,9 +351,11 @@ object NearDup {
     * layout params as the write) — the close of the incremental loop:
     * probe today's batch against the index, then append the batch so
     * tomorrow's probe sees it as history. Append-only parquet under the
-    * SAME partition dirs — one file per touched part per batch, so run
-    * [[compactMinhashIndex]] on the small-file cadence (the IVF/LSH
-    * generation-swap discipline, probe-equality preserved).
+    * SAME partition dirs — at most `spread` files per touched part per
+    * batch ([[Similarity.spreadForWrite]]; exactly one once nParts ≥ 2×
+    * cluster parallelism), so run [[compactMinhashIndex]] on the
+    * small-file cadence (the IVF/LSH generation-swap discipline,
+    * probe-equality preserved).
     * FS CONTRACT: appends serialize on the root's `_GEN_LOCK`, whose
     * mutual exclusion needs atomic create-exclusive on the index root's
     * filesystem — [[graft.ops.Generations.acquireLock]] refuses
@@ -377,7 +379,8 @@ object NearDup {
     // parallelism that would complicate the lock's meaning.
     val (fs, root) = Generations.fsRoot(df.sparkSession, path)
     Generations.withLock(fs, root, "appendMinhashIndex") {
-      // one file per TOUCHED part per batch instead of tasks×parts
+      // ≤ spread files per TOUCHED part per batch instead of
+      // tasks×parts (spread = 1 once nParts ≥ 2× cluster parallelism)
       Similarity.spreadForWrite(
         bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
           .withColumn("part", minhashPartExpr(nParts)),

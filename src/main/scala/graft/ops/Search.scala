@@ -194,24 +194,15 @@ object Search {
     require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val wanted = terms.map(t => bucketOf(t, buckets)).distinct
-    // read exactly the wanted bucket= directories (basePath keeps the
-    // partition column): probe-time file LISTING is O(|terms|), not
-    // O(buckets) — the same fix as Similarity.readIndex's probedBuckets
-    // (r16; no streamed/ sink log here, the postings table is
-    // batch-written, so the explicit-dir read is unconditionally safe).
-    // The isin filters stay as the semantic guard; when none of the
-    // wanted dirs exist the full-listing read serves only as the
-    // schema source for an empty result.
+    // read exactly the wanted bucket= directories: probe-time file
+    // LISTING is O(|terms|), not O(buckets) — the shared
+    // [[Similarity.prunedBucketRead]] (safe here: the postings table is
+    // batch-written, no streaming-sink commit log). The isin filters
+    // stay as the semantic guard.
     val postingsDir = s"$path/postings"
-    val root = new org.apache.hadoop.fs.Path(postingsDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs = wanted
-      .map(b => new org.apache.hadoop.fs.Path(root, s"bucket=$b"))
-      .filter(fs.exists).map(_.toString)
-    val posts0 =
-      if (dirs.nonEmpty) spark.read.option("basePath", postingsDir).parquet(dirs: _*)
-      else spark.read.parquet(postingsDir).filter(lit(false))
-    val posts = posts0
+    val fs = new org.apache.hadoop.fs.Path(postingsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val posts = Similarity.prunedBucketRead(spark, fs, postingsDir, wanted)
       .where(col("bucket").isin(wanted: _*) && col("term").isin(terms: _*))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(s"__tf$i")

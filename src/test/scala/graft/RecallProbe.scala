@@ -40,9 +40,8 @@ object RecallProbe {
   private val NQueries = 16
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
-    // ragged pair → 0, never a prefix-cosine: the engine NULLs such
-    // rows, and a silently-plausible truth score would deflate recall
-    if (a.length != b.length) return 0.0
+    require(a.length == b.length,
+      "ragged pair reached the truth scorer — candidates must be length-filtered")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length && i < b.length) {
       dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
@@ -98,7 +97,12 @@ object RecallProbe {
         .take(NQueries).map(corpus(_)._1)
       val truth: Map[Long, Set[Long]] = qids.map { qid =>
         val q = byId(qid)
+        // ragged rows are EXCLUDED from the truth candidate set (not
+        // scored 0 — a 0 would outrank genuine negative-cosine
+        // neighbors and deflate recall): the engine NULLs such rows and
+        // can never return them, so they are not retrievable truth
         qid -> corpus.iterator.filter(_._1 != qid)
+          .filter(_._2.length == q.length)
           .map { case (id, v) => (id, cosine(v, q)) }
           .toArray.sortBy { case (id, c) => (-c, id) }
           .take(K).map(_._1).toSet

@@ -598,13 +598,14 @@ object ScaleProbe {
       def hierBuildProbe(dir: String, fineTarget: Int, tag: String): (Double, Double, Int) = {
         val emb = Tables.embeddings(spark, dir)
         val side = math.max(1, math.ceil(math.sqrt(fineTarget.toDouble)).toInt)
-        // the ACTUAL prescribed cell count is side² (529 at target 512 —
-        // ceil(√512)=23), and the roster line + model must carry what
-        // ran, not the request, or cross-round comparisons drift
-        val cells = side * side
         val model = graft.ops.Similarity.trainCentroidsHier(
           emb, "vec_id", "embedding", side, side,
           sampleSize = math.min(4 * fineTarget, 32768))
+        // the roster line + gate model must carry what RAN, not the
+        // request: side² (529 at target 512) is only the PRESCRIPTION —
+        // cells that attract no sample points train no fine centroids,
+        // so the trained count is model.fine.length
+        val cells = model.fine.length
         val root = s"$work/hier_$tag"
         def buildOnce(): Double = {
           val t0 = System.nanoTime()
