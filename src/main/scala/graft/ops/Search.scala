@@ -202,7 +202,7 @@ object Search {
     val postingsDir = s"$path/postings"
     val fs = new org.apache.hadoop.fs.Path(postingsDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val posts = Similarity.prunedBucketRead(spark, fs, postingsDir, wanted)
+    val posts = Similarity.prunedPartitionRead(spark, fs, postingsDir, wanted.map(b => s"bucket=$b"))
       .where(col("bucket").isin(wanted: _*) && col("term").isin(terms: _*))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0.0))).as(s"__tf$i")
