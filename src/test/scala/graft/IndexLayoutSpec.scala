@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** The two round-16 index-layout primitives, pinned at the unit level
+  * (the integration suites — SimilaritySpec/SearchSpec/
+  * MinhashCompactSpec — prove the probes still answer identically;
+  * this suite pins the LAYOUT contracts those probes' cost model rests
+  * on, so a future writer or reader change cannot regress them while
+  * the answer-equality specs stay green):
+  *
+  *  - [[Similarity.spreadForWrite]]: a partitioned write emits files ∝
+  *    partition values (never tasks×values), and at SMALL value counts
+  *    the row-derived salt keeps the write parallel instead of one
+  *    task per hot value;
+  *  - [[Similarity.prunedPartitionRead]]: reading explicit partition
+  *    subpaths equals the full read filtered to the same values — same
+  *    rows, same schema including partition columns — and the
+  *    no-matching-dirs case returns an empty frame with the full
+  *    schema rather than failing.
+  */
+class IndexLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-layout").toString
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("spreadForWrite: files proportional to partition values, not tasks x values") {
+    // 40K rows over 64 buckets from MANY input partitions: an unspread
+    // write would emit up to tasks x 64 files; the contract is ~1/bucket
+    // (spread == 1 here — 64 >= 2x the 4-core test parallelism)
+    val dir = tmp()
+    val df = spark.range(0, 40000, 1, 16)
+      .select(col("id"), pmod(col("id"), lit(64)).as("bucket"))
+    Similarity.spreadForWrite(df, 64, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val files = parquetFiles(dir)
+    assert(files.size == 64, s"expected one file per bucket, got ${files.size}")
+    // and the layout held the data
+    assert(spark.read.parquet(dir).count() == 40000)
+  }
+
+  /** At unit-test volumes AQE legitimately coalesces the tiny salted
+    * partitions back together (every slice far below the advisory
+    * size — the regime where a serialized write costs nothing); the
+    * salt's contract is for slices too big to merge, so the mechanism
+    * is pinned with coalescing OFF, conf restored in finally (shared
+    * test session). */
+  private def withoutAqeCoalesce[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("spreadForWrite: small value counts stay parallel via the row-derived salt") {
+    // 2 buckets at 4-core parallelism → spread = ceil(2*4/2) = 4: up to
+    // 4 files per bucket (the salt), bounded — NOT tasks x buckets (16
+    // input partitions would give up to 32), and MORE than 1 per bucket
+    // so a hot bucket is not a single serialized task
+    withoutAqeCoalesce {
+      val dir = tmp()
+      val df = spark.range(0, 40000, 1, 16)
+        .select(col("id"), pmod(col("id"), lit(2)).as("bucket"))
+      Similarity.spreadForWrite(df, 2, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      val perBucket = parquetFiles(dir)
+        .groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+      assert(perBucket.keySet == Set("bucket=0", "bucket=1"), perBucket.toString)
+      perBucket.foreach { case (b, n) =>
+        assert(n > 1 && n <= 4, s"$b: expected 2..4 salted files, got $n")
+      }
+      assert(spark.read.parquet(dir).count() == 40000)
+    }
+  }
+
+  test("spreadForWrite: the salt is row-derived — immune to an input coalesced to one partition") {
+    // the spark_partition_id salt this replaced degenerates to ONE value
+    // on a single-partition input (AQE coalescing shape); the row hash
+    // must still spread the hot bucket
+    withoutAqeCoalesce {
+      val dir = tmp()
+      val df = spark.range(0, 40000, 1, 1) // ONE input partition
+        .select(col("id"), lit(0).as("bucket")) // one hot bucket
+      Similarity.spreadForWrite(df, 1, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      val files = parquetFiles(dir)
+      assert(files.size > 1,
+        s"a row-derived salt must spread the single hot bucket, got ${files.size} file(s)")
+      assert(spark.read.parquet(dir).count() == 40000)
+    }
+  }
+
+  test("prunedPartitionRead equals the full read filtered to the same values") {
+    val dir = tmp()
+    val df = (0 until 1000).map(i => (i.toLong, i % 8, s"p$i")).toDF("id", "bucket", "payload")
+    Similarity.spreadForWrite(df, 8, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pruned = Similarity.prunedPartitionRead(spark, fs, dir, Seq("bucket=2", "bucket=5"))
+    val full = spark.read.parquet(dir).filter(col("bucket").isin(2, 5))
+    assert(pruned.columns.sorted.toSeq == full.columns.sorted.toSeq,
+      "partition column must survive the explicit-dir read (basePath)")
+    val a = pruned.select("id", "bucket", "payload").collect().map(_.toString).sorted
+    val b = full.select("id", "bucket", "payload").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "pruned read must equal filtered full read")
+    // a value with no directory on disk is simply absent, never an error
+    val sparse = Similarity.prunedPartitionRead(
+      spark, fs, dir, Seq("bucket=2", "bucket=99"))
+    assert(sparse.count() == full.filter(col("bucket") === 2).count())
+  }
+
+  test("prunedPartitionRead: no matching dirs yields an EMPTY frame with the full schema") {
+    val dir = tmp()
+    val df = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    Similarity.spreadForWrite(df, 4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val none = Similarity.prunedPartitionRead(spark, fs, dir, Seq("bucket=77"))
+    assert(none.count() == 0)
+    assert(none.columns.sorted.toSeq == Seq("bucket", "id"),
+      "the schema-source fallback must carry the full schema")
+  }
+
+  test("prunedPartitionRead handles nested partition subpaths (the LSH band/sig shape)") {
+    val dir = tmp()
+    val df = (0 until 400)
+      .map(i => (i.toLong, i % 4, (i / 4) % 5)).toDF("id", "band", "sig")
+    Similarity.spreadForWrite(df, 20, col("band"), col("sig"))
+      .write.partitionBy("band", "sig").mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pruned = Similarity.prunedPartitionRead(
+      spark, fs, dir, Seq("band=1/sig=3", "band=2/sig=0"))
+    val full = spark.read.parquet(dir)
+      .filter((col("band") === 1 && col("sig") === 3) || (col("band") === 2 && col("sig") === 0))
+    val a = pruned.select("id", "band", "sig").collect().map(_.toString).sorted
+    val b = full.select("id", "band", "sig").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
