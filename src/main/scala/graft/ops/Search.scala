@@ -196,7 +196,7 @@ object Search {
     val wanted = terms.map(t => bucketOf(t, buckets)).distinct
     // read exactly the wanted bucket= directories: probe-time file
     // LISTING is O(|terms|), not O(buckets) — the shared
-    // [[Similarity.prunedBucketRead]] (safe here: the postings table is
+    // [[Similarity.prunedPartitionRead]] (safe here: the postings table is
     // batch-written, no streaming-sink commit log). The isin filters
     // stay as the semantic guard.
     val postingsDir = s"$path/postings"

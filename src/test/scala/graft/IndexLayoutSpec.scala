@@ -105,6 +105,25 @@ class IndexLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("spreadForWrite: map and dotted-name payload columns survive the salt") {
+    // the salt hashes ROWS, but hash expressions reject MapType and a
+    // raw col("a.b") parses as nested-field access — payloads ride into
+    // every index (compressedKeep, writeLshIndex's col("*")), so a
+    // legal map/dotted payload must not fail the build when spread > 1
+    val dir = tmp()
+    val df = spark.range(0, 1000, 1, 8)
+      .select(
+        col("id"),
+        pmod(col("id"), lit(2)).as("bucket"),
+        map(lit("k"), col("id").cast("string")).as("meta"),
+        (col("id") * 2).as("dotted.name"))
+    Similarity.spreadForWrite(df, 2, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.columns.toSet == Set("id", "bucket", "meta", "dotted.name"))
+  }
+
   test("prunedPartitionRead equals the full read filtered to the same values") {
     val dir = tmp()
     val df = (0 until 1000).map(i => (i.toLong, i % 8, s"p$i")).toDF("id", "bucket", "payload")
