@@ -303,15 +303,6 @@ object NearDup {
   private def minhashPartExpr(nParts: Int) =
     pmod(xxhash64(lit("part"), col("band"), col("bucket")), lit(nParts.toLong)).cast("int")
 
-  /** The signature index's live generation directory ([[Generations]]
-    * layout) — appenders and probes resolve through here, pinning each
-    * operation to one committed generation. */
-  private def resolveMinhashIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val (fs, root) = Generations.fsRoot(spark, path)
-    Generations.currentDir(fs, root).toString
-  }
-
   /** Persist the corpus's banded MinHash signature rows as a
     * `part`-partitioned parquet table — the incremental-crawl
     * amortization model (the bm25/LSH index posture): the history's
@@ -499,7 +490,16 @@ object NearDup {
         .withColumn("jaccard", lit(null).cast("double"))
         .select("new_id", "old_id", "jaccard")
     }
-    val idx = spark.read.parquet(resolveMinhashIndex(spark, path))
+    // read exactly the batch's part= directories (the shared
+    // Similarity.prunedPartitionRead — safe: appendMinhashIndex writes
+    // BATCH appends, no streaming-sink commit log in this layout), so
+    // probe-time file listing is O(batch's parts), not O(nParts) dirs
+    // times the accumulated append files; the isin filter stays as the
+    // semantic guard
+    val (idxFs, idxRoot) = Generations.fsRoot(spark, path)
+    val idx = Similarity.prunedPartitionRead(
+      spark, idxFs, Generations.currentDir(idxFs, idxRoot).toString,
+      parts.map(p => s"part=$p"))
       .filter(col("part").isin(parts: _*))
     val cands = newB
       .select(col("part"), col("band"), col("bucket"), col("id").as("id1"))
