@@ -17,15 +17,52 @@ class BenchGuardSpec extends AnyFunSuite {
       """"regressed":{"q_b":[2.0000,0.9000]},""" +
       """"baseline_subset_total":2.5000,"replay_events":0,"replay_sec":-1,""" +
       """"replay_iterations":[],"replay_msgs_per_sec":-1,"replay_mode":"fork",""" +
-      """"replay_reran":false,"sf":"/root/testdata/sf0.1"}"""
+      """"replay_reran":false,""" +
+      """"prior_window":{"q_a":[0.3000,0.5000],"q_b":[2.0000,1.0000,2.1000]},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
 
   test("full artifact line: min per query across queries+iterations, regressed map stripped") {
     val got = Bench.parsePriorQueries(fullLine)
+    // the prior_window's 0.3 (a PAST round's figure) must not fold in
+    // either — same poison class as the regressed pair below
     assert(got("q_a") == 0.5)
     // q_b's accepted figure is 2.0; the regressed pair's 0.9 PRE-regression
     // min must NOT re-inject (the prior could never advance otherwise)
     assert(got("q_b") == 2.0)
     assert(got("q_tiny") == 0.05)
+  }
+
+  test("prior_window: parsed per query, upper median wins, absent field falls back") {
+    val w = Bench.parsePriorWindow(fullLine)
+    assert(w("q_a") == Seq(0.3, 0.5))
+    assert(w("q_b") == Seq(2.0, 1.0, 2.1))
+    // upper median: even count takes the SLOWER middle — one
+    // outlier-fast round can never set the prior alone
+    assert(Bench.windowPrior(w("q_a")) == 0.5)
+    assert(Bench.windowPrior(w("q_b")) == 2.0)
+    assert(Bench.windowPrior(Seq(1.7)) == 1.7)
+    // a line predating the field disarms the window (min-fold fallback)
+    assert(Bench.parsePriorWindow(fullLine.replace("prior_window", "x")).isEmpty)
+    // a front cut INSIDE the window map beheads its anchor: nothing parses
+    val cut = fullLine.substring(fullLine.indexOf(""""q_b":[2.0000,1.0000"""))
+    assert(Bench.parsePriorWindow(cut).isEmpty)
+  }
+
+  test("an adjudicated-ambient round advances the prior: no repeat flag on the same figure") {
+    // the q_neardup_jaccard history, compressed: round N-1's window holds
+    // an outlier-fast 0.86 beside the steady 1.41 it flagged (and the
+    // round adjudicated ambient, keeping the slower figure). Round N
+    // measures the same steady ~1.5 s: under the old min-prior (0.86)
+    // that flags AGAIN (1.5 > 0.86*1.5); under the window median it must
+    // not — the accepted slower figure has advanced the prior.
+    val window = Seq(0.86, 1.41)
+    assert(Bench.crossRoundRegressed(Some(window.min), 1.5, 1.5),
+      "min-prior would have re-flagged (the bug this window fixes)")
+    assert(!Bench.crossRoundRegressed(Some(Bench.windowPrior(window)), 1.5, 1.5))
+    // a GENUINE regression still trips through the median within two
+    // rounds: steady 1.4s history, plan change lands 3s
+    assert(Bench.crossRoundRegressed(
+      Some(Bench.windowPrior(Seq(1.38, 1.41, 1.44))), 3.0, 1.5))
   }
 
   test("tail truncated mid-iterations keeps the regressed strip working") {
