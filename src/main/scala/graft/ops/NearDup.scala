@@ -494,12 +494,16 @@ object NearDup {
     // Similarity.prunedPartitionRead — safe: appendMinhashIndex writes
     // BATCH appends, no streaming-sink commit log in this layout), so
     // probe-time file listing is O(batch's parts), not O(nParts) dirs
-    // times the accumulated append files; the isin filter stays as the
-    // semantic guard
+    // times the accumulated append files. totalValues arms the
+    // DENSE-probe short-circuit: a bulk batch whose keys hit ≥¾ of the
+    // parts root-reads instead (one listing, no per-dir exists calls,
+    // no parallel-discovery job) — legal here precisely because the
+    // isin filter below stays as the semantic guard either way, and
+    // partition pruning drops non-probed parts at the scan
     val (idxFs, idxRoot) = Generations.fsRoot(spark, path)
     val idx = Similarity.prunedPartitionRead(
       spark, idxFs, Generations.currentDir(idxFs, idxRoot).toString,
-      parts.map(p => s"part=$p"))
+      parts.map(p => s"part=$p"), totalValues = Some(nParts))
       .filter(col("part").isin(parts: _*))
     val cands = newB
       .select(col("part"), col("band"), col("bucket"), col("id").as("id1"))
@@ -1260,8 +1264,12 @@ object NearDup {
       threshold: Double = 0.9,
       bands: Int = 16,
       bitsPerBand: Int = 8,
-      dedupCandidates: Boolean = false): DataFrame = {
-    val dim = Similarity.detectDim(df, vecCol)
+      dedupCandidates: Boolean = false,
+      knownDim: Int = 0): DataFrame = {
+    // knownDim skips the corpus-modal detection aggregate — repeated
+    // invocations over one corpus detect once and pass it down (the
+    // trainers' convention)
+    val dim = if (knownDim > 0) knownDim else Similarity.detectDim(df, vecCol)
     if (dim == 0)
       return df.select(
         col(idCol).as("id1"), col(idCol).as("id2"), lit(0.0).as("cos_sim")).limit(0)

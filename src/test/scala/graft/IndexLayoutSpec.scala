@@ -105,6 +105,29 @@ class IndexLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("graft.index.writeSpread overrides the plan-time parallelism probe") {
+    // dynamic-allocation regime: defaultParallelism at PLAN time is the
+    // submit-time executor count, not the fleet the write will have —
+    // the conf names the real target and overrides the probe entirely.
+    // Declared 1-wide here: spread must compute 1 (one file per bucket)
+    // even though this session's 4-core default would have salted 2
+    // buckets into up to 4 files each (the test above pins that side).
+    withoutAqeCoalesce {
+      val dir = tmp()
+      val df = spark.range(0, 40000, 1, 16)
+        .select(col("id"), pmod(col("id"), lit(2)).as("bucket"))
+      spark.conf.set("graft.index.writeSpread", "1")
+      try Similarity.spreadForWrite(df, 2, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      finally spark.conf.unset("graft.index.writeSpread")
+      assert(parquetFiles(dir).size == 2,
+        "a declared 1-wide fleet means spread == 1: one file per bucket")
+      // (the widening direction — conf ABOVE defaultParallelism — is not
+      // observable here: salted file count is capped by the session's 4
+      // shuffle partitions before the larger spread can show)
+    }
+  }
+
   test("spreadForWrite: map and dotted-name payload columns survive the salt") {
     // the salt hashes ROWS, but hash expressions reject MapType and a
     // raw col("a.b") parses as nested-field access — payloads ride into
@@ -155,6 +178,44 @@ class IndexLayoutSpec extends SparkTestBase {
     assert(none.count() == 0)
     assert(none.columns.sorted.toSeq == Seq("bucket", "id"),
       "the schema-source fallback must carry the full schema")
+  }
+
+  test("prunedPartitionRead: totalValues arms the dense short-circuit, sparse stays exact") {
+    val dir = tmp()
+    val df = (0 until 1000).map(i => (i.toLong, i % 8)).toDF("id", "bucket")
+    Similarity.spreadForWrite(df, 8, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // DENSE (6 of 8 named = 75%, at the ≥¾ threshold): root read — the
+    // documented contract shift means NON-named buckets' rows may appear;
+    // pin that they DO (proving this is the one-listing root path, not
+    // the per-dir read) and that the caller's isin guard restores the
+    // named set exactly
+    val named = (0 until 6).map(b => s"bucket=$b")
+    val dense = Similarity.prunedPartitionRead(
+      spark, fs, dir, named, totalValues = Some(8))
+    assert(dense.count() == 1000,
+      "the dense short-circuit must be the root read (all rows pre-filter)")
+    assert(dense.filter(col("bucket").isin(0 to 5: _*)).count() ==
+      spark.read.parquet(dir).filter(col("bucket") < 6).count())
+    // SPARSE (2 of 8 = 25%): exact named-dirs semantics unchanged — the
+    // same totalValues hint must NOT leak non-named rows
+    val sparse = Similarity.prunedPartitionRead(
+      spark, fs, dir, Seq("bucket=2", "bucket=5"), totalValues = Some(8))
+    assert(sparse.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+      .sameElements(Array(2, 5)))
+    // dense probe whose named dirs are ALL absent while others exist:
+    // the root read surfaces the others' rows (contract shift), and the
+    // caller's isin guard still lands on an empty-but-schema'd result
+    val partial = tmp()
+    df.filter(col("bucket") >= 6)
+      .write.partitionBy("bucket").mode("overwrite").parquet(partial)
+    val ghosts = Similarity.prunedPartitionRead(
+      spark, fs, partial, named, totalValues = Some(8))
+    assert(ghosts.count() > 0, "dense path reads the root, ghosts included")
+    assert(ghosts.filter(col("bucket").isin(0 to 5: _*)).count() == 0)
+    assert(ghosts.columns.sorted.toSeq == Seq("bucket", "id"))
   }
 
   test("prunedPartitionRead handles nested partition subpaths (the LSH band/sig shape)") {

@@ -646,6 +646,45 @@ object ScaleProbe {
         failures ::= f"hier IVF probe ratio $hpRatio%.1f > 3.0 at constant probed " +
           "volume (the hier layout's pruning is tracking the corpus)"
 
+      // ---- adjudication 2g (r17): the MinHash probe's partition-pruned
+      // index read at growing nParts (the b9e6ff9 trade, kept measured).
+      // nParts ∝ corpus is the production sizing; a FIXED-SIZE daily
+      // batch's (band, bucket) keys hash into a bounded part set, so the
+      // probe must stay ~flat as corpus and nParts grow ×8 together:
+      // listing O(batch's parts), candidates O(batch's collisions),
+      // history touched only by the candidate semi-join's scan. The
+      // 5-doc batch stays under the dense threshold at BOTH tiers
+      // (≤ 80 keys → <¾ of 128 parts) so this times the PRUNED path —
+      // the dense root-read short-circuit a bulk batch takes instead is
+      // pinned semantically in IndexLayoutSpec and by the q_neardup_incr
+      // bench row (whose sf0.1 batch covers ~all 64 parts).
+      def minhashProbe(dir: String, nParts: Int, tag: String): Double = {
+        val docs = Tables.documents(spark, dir)
+        val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val root = s"$work/mh_$tag"
+        graft.ops.NearDup.writeMinhashIndex(
+          history, "doc_id", "text", root, nParts = nParts)
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .orderBy(col("doc_id")).limit(5).localCheckpoint()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.ops.NearDup.probeMinhashIndex(
+            root, history, batch, "doc_id", "text", nParts = nParts)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        (1 to 2).map(_ => once()).min
+      }
+      val mh1 = minhashProbe(oneDir, 128, "x1")
+      val mhBig = minhashProbe(bigDir, 128 * copies, "xbig")
+      val mhRatio = mhBig / mh1
+      println(f"SCALEPROBE minhash-probe-scaledparts x1(128)=$mh1%6.2f s " +
+        f"x$copies(${128 * copies})=$mhBig%6.2f s ratio=$mhRatio%5.2f (flat=1.0)")
+      if (mhRatio > 3.0)
+        failures ::= f"MinHash index probe ratio $mhRatio%.1f > 3.0 at fixed batch " +
+          "size (the pruned read is tracking nParts or the corpus, not the batch)"
+
       // At probe scale no partition crosses AQE's skew thresholds (256 MiB
       // default) and small sides broadcast — so the split decision never
       // fires above. Force the 100 TB join shape for the range join (no
