@@ -183,15 +183,25 @@ object Generations {
     * act, so two producers in separate local JVMs could both pass the
     * check and both "hold" the lock (the same TOCTOU object stores
     * have). `file://` roots therefore route through
-    * `java.nio.file.Files.createFile`, which is kernel
-    * O_CREAT|O_EXCL; from the instant it succeeds the path EXISTS, so
-    * the overwrite-reopen for the token write races nobody — any
-    * concurrent acquirer now collides. If that reopen itself fails
-    * (disk full, checksum-sibling fault), the just-created file is
-    * deleted before rethrowing — left behind, acquireLock's catch
-    * would misread the transient fault as "held" and the zero-byte
-    * husk would wedge every retry behind a manual heal (the same
-    * discipline as [[Generations.writeFully]]). HDFS/ABFS take the
+    * `java.nio.file.Files.newOutputStream(CREATE_NEW)`, kernel
+    * O_CREAT|O_EXCL|O_WRONLY — ONE open that both creates exclusively
+    * and IS the token-write handle. The single handle matters beyond
+    * atomicity (r16 advisor finding): a second overwrite-reopen (the
+    * pre-r17 shape) left a window where a producer stalled between
+    * create and reopen could — after an operator followed the
+    * documented heal (delete the apparently-husk lock) and a NEW
+    * producer acquired — have its delayed overwrite truncate the new
+    * holder's token, and both would proceed: the exact
+    * mutual-exclusion loss the kernel create was bought to end. With
+    * one handle the stalled producer's write goes to the inode it
+    * created; once healed, that inode is unlinked, so the write lands
+    * nowhere visible. A token-write failure on this handle is
+    * writeFully's to clean (it deletes the husk before rethrowing —
+    * left behind, acquireLock's catch would misread the transient
+    * fault as "held"). The checksum sibling LocalFileSystem would have
+    * written is deliberately absent: ChecksumFileSystem tolerates a
+    * missing `.crc` on read, and no CRC protects a file whose whole
+    * point is existence. HDFS/ABFS take the
     * plain Hadoop path (their create-exclusive is atomic on the
     * NameNode / conditional-write); schemes not on the known-atomic
     * list never reach here ([[requireAtomicCreate]] refuses them
@@ -200,14 +210,11 @@ object Generations {
       fs: FileSystem, p: Path): org.apache.hadoop.fs.FSDataOutputStream =
     if (fs.getUri.getScheme == "file") {
       val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
-      java.nio.file.Files.createFile(nio) // throws nio FileAlreadyExistsException
-      try fs.create(p, true)
-      catch {
-        case t: Throwable =>
-          try java.nio.file.Files.deleteIfExists(nio)
-          catch { case e: java.io.IOException => t.addSuppressed(e) }
-          throw t
-      }
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        java.nio.file.Files.newOutputStream( // throws nio FileAlreadyExistsException
+          nio, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE),
+        null)
     } else fs.create(p, false)
 
   /** System property a deployment sets (`-Dgraft.generations
@@ -215,8 +222,24 @@ object Generations {
     * EXTERNALLY (a scheduler, a lock service) and the `_GEN_LOCK`'s
     * on-FS mutual exclusion may be best-effort. Without it,
     * [[acquireLock]] refuses roots whose scheme is not on the
-    * known-atomic-create list. */
+    * known-atomic-create list. JVM-WIDE and therefore blunt (r16
+    * advisor finding): one deployment that legitimately serializes
+    * producers for ONE object-store root waives the guard for every
+    * other root in the same JVM, including ones nobody serializes.
+    * Prefer the per-root [[AllowNonAtomicFsMarker]] — this property
+    * remains for single-root deployments and as the upgrade path for
+    * pre-r16 object-store layouts (where the guard itself was a
+    * breaking change). */
   val AllowNonAtomicFsProp = "graft.generations.allowNonAtomicFs"
+
+  /** Per-root opt-out: an (empty) marker file a deployment places AT
+    * the index root — `<root>/_ALLOW_NON_ATOMIC_FS` — to state that
+    * producers against THIS root are serialized externally. Scoped to
+    * exactly the data whose guarantee it waives, visible in the same
+    * listing as that data, and auditable in the root's history; other
+    * roots in the same JVM keep the full refusal. One `exists` call at
+    * producer start, on a path the producer is about to list anyway. */
+  val AllowNonAtomicFsMarker = "_ALLOW_NON_ATOMIC_FS"
 
   /** Schemes whose create-exclusive is known ATOMIC — local (via
     * [[createExclusive]]'s O_CREAT|O_EXCL route), HDFS-family (single
@@ -248,14 +271,23 @@ object Generations {
   private def requireAtomicCreate(fs: FileSystem, root: Path): Unit = {
     val scheme = fs.getUri.getScheme
     if (!AtomicCreateSchemes.contains(scheme) &&
-        !java.lang.Boolean.getBoolean(AllowNonAtomicFsProp))
+        !java.lang.Boolean.getBoolean(AllowNonAtomicFsProp) &&
+        // per-root marker checked LAST: on the common path (atomic
+        // scheme, or the JVM property set) it costs nothing; the exists
+        // call is paid only by non-atomic roots deciding their fate.
+        // A missing root cannot carry a marker — exists(child) on a
+        // missing parent is simply false, which fails CLOSED.
+        !(try fs.exists(new Path(root, AllowNonAtomicFsMarker))
+          catch { case _: java.io.IOException => false }))
       throw new IllegalStateException(
         s"$root: scheme '$scheme' is not on the known-atomic-create-exclusive " +
           s"list, so the $Lock producer lock cannot be trusted for mutual " +
           "exclusion there — on check-then-act filesystems (S3-class object " +
           "stores) two concurrent producers could both acquire it and silently " +
           "corrupt the index. Serialize producers externally (a scheduler or " +
-          s"lock service), then opt in with -D$AllowNonAtomicFsProp=true.")
+          s"lock service), then opt in for THIS root by placing an empty " +
+          s"$AllowNonAtomicFsMarker file at $root (or JVM-wide with " +
+          s"-D$AllowNonAtomicFsProp=true).")
   }
 
   /** Finish writing a just-created marker file, deleting the husk when

@@ -179,6 +179,28 @@ class GenerationsSpec extends SparkTestBase {
     } finally System.clearProperty(Generations.AllowNonAtomicFsProp)
   }
 
+  test("per-root marker waives the scheme guard for THAT root only") {
+    // the JVM property is blunt (one serialized S3 root would waive
+    // every root in the JVM); the marker is scoped to the data whose
+    // guarantee it waives — a sibling root under the same fake object
+    // store must stay refused
+    val fake = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+    }
+    fake.initialize(java.net.URI.create("file:///"), new org.apache.hadoop.conf.Configuration())
+    val dir = java.nio.file.Files.createTempDirectory("graft-s3ish-marker").toString
+    val optedIn = new Path(s"$dir/idx_serialized")
+    val sibling = new Path(s"$dir/idx_unserialized")
+    fake.mkdirs(optedIn)
+    fake.create(new Path(optedIn, Generations.AllowNonAtomicFsMarker), false).close()
+    val t = Generations.acquireLock(fake, optedIn, "spec")
+    Generations.releaseLock(fake, optedIn, t)
+    val e = intercept[IllegalStateException](
+      Generations.acquireLock(fake, sibling, "spec"))
+    assert(e.getMessage.contains(Generations.AllowNonAtomicFsMarker),
+      "the refusal must name the per-root opt-in")
+  }
+
   test("local-root lock acquisition is atomic under a same-instant race: exactly one winner") {
     // Hadoop's RawLocalFileSystem create(p, overwrite=false) is an
     // exists() check FOLLOWED by a create — two racing producers could

@@ -580,5 +580,12 @@ class NearDupSpec extends SparkTestBase {
         dedupCandidates = true)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pre == got)
+    // knownDim (the detect-once convention, r17): identical pairs and
+    // scores with the detection aggregate skipped
+    val known = NearDup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.9,
+        knownDim = dim)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(known == got)
   }
 }

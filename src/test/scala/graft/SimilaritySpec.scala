@@ -113,6 +113,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (got ${got.toSeq.sorted})")
   }
 
+  test("lshTopK knownDim skips detection and answers identically") {
+    // the detect-once convention (the trainers' knownDim, extended to
+    // the per-probe callers r17): passing the corpus dim must change
+    // nothing but the skipped aggregate pass
+    val emb = Tables.embeddings(spark, sf001)
+    val dim = Similarity.detectDim(emb, "embedding")
+    assert(dim > 0)
+    val detected = Similarity
+      .lshTopK(emb, "vec_id", "embedding", queryId, k, bands = 24, bitsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val known = Similarity
+      .lshTopK(emb, "vec_id", "embedding", queryId, k, bands = 24, bitsPerBand = 3,
+        knownDim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(known == detected)
+  }
+
   test("ivfTopK matches brute force on the fixture at the declared (k=8, nProbe=6)") {
     // Near-random fixture geometry: the true top-10 scatters across
     // buckets, so the declared query probes 6 of 8 (grid-probed: exact
