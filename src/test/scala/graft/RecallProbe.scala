@@ -10,8 +10,10 @@ import graft.ops.{Generations, Similarity}
   * synthetic 32 tight clusters, the SimilaritySpec construction) and
   * NEAR-RANDOM (the `embeddings` table: top-10 cosine ≈ 0.27-0.33,
   * neighbor gaps ~0.01 — the adversarial regime for any quantizer) —
-  * for all four persisted layouts (float → int8 → PQ → residual PQ),
-  * emitting one markdown row per (fixture, layout, nProbe):
+  * for all five persisted rungs (float → int8 → PQ → residual PQ,
+  * nProbe-swept; LSH, banding-swept — its recall axis is candidate-set
+  * collision, not routing, see the in-loop note), emitting one
+  * markdown row per (fixture, layout, nProbe):
   * recall@10 vs driver-side exact cosine truth, on-disk index bytes,
   * and warm per-query probe latency. The table lands in PLANS.md and
   * feeds the choosing-a-rung guidance in [[Similarity]]'s scaladoc —
@@ -157,6 +159,37 @@ object RecallProbe {
           val recall = hits.toDouble / (qids.length * K)
           println(f"| $fname | $lname | $bytes | $nProbe | $recall%.3f | $msPerQ%.1f |")
         }
+      }
+
+      // LSH rung (r17 verdict ask #4 — the candidate-set member of the
+      // ladder): its loss is whether a true neighbor COLLIDES with the
+      // query in at least one band (vs IVF's routing loss), and the
+      // re-rank is exact cosine on the stored float vector — so recall
+      // moves with BANDING density, not probed volume, and each
+      // (bands × bitsPerBand) point is its OWN index (signatures are
+      // baked in at write time). The nProbe column carries `bands`,
+      // the probed partition-dir count (the listing-cost analog of
+      // IVF's nProbe). bytes shows the bands× payload duplication —
+      // the space-for-time trade writeLshIndex documents.
+      val lshConfigs = Seq((8, 8), (16, 8), (24, 3), (32, 6))
+      lshConfigs.foreach { case (bands, bits) =>
+        val lname = s"lsh-${bands}x$bits"
+        val path = s"$outRoot/$fname/$lname"
+        Similarity.writeLshIndex(df, "embedding", path, bands, bits, knownDim = dim)
+        val bytes = genBytes(spark, path)
+        def probe(qid: Long): DataFrame = Similarity.probeLshIndex(
+          spark, path, "vec_id", "embedding", byId(qid), K, bands, bits,
+          excludeId = Some(qid))
+        qids.foreach(qid => probe(qid).collect()) // warm
+        var hits = 0
+        val t0 = System.nanoTime()
+        qids.foreach { qid =>
+          val got = probe(qid).collect().map(_.getLong(0)).toSet
+          hits += truth(qid).count(got.contains)
+        }
+        val msPerQ = (System.nanoTime() - t0) / 1e6 / qids.length
+        val recall = hits.toDouble / (qids.length * K)
+        println(f"| $fname | $lname | $bytes | $bands | $recall%.3f | $msPerQ%.1f |")
       }
     }
     spark.stop()
