@@ -252,12 +252,18 @@ object Bench {
           val i = txt0.indexOf("\"baseline_subset_total\"")
           if (i >= 0) txt0.substring(i) else ""
         }
-      val txt = safe.replaceAll("\"regressed\":\\{[^}]*\\}", "")
+      // the closing brace is OPTIONAL in both strips: a TAIL-torn line
+      // (a crash mid-write of BENCH_LAST.json) leaves the map's anchor
+      // and complete leading entries but no '}' — an anchored-but-
+      // unterminated map must still strip to the end rather than leak
+      // its entries into the min-fold below (r17 review finding; the
+      // write is also temp+renamed now, so this is the second fence)
+      val txt = safe.replaceAll("\"regressed\":\\{[^}]*\\}?", "")
         // the prior_window map's older entries are PAST rounds' figures —
         // letting them feed the min-fold would re-inject an outlier-fast
         // round forever (the same poison as the regressed map; the
         // window is consumed by parsePriorWindow, median-not-min)
-        .replaceAll("\"prior_window\":\\{[^}]*\\}", "")
+        .replaceAll("\"prior_window\":\\{[^}]*\\}?", "")
       // accept both shapes: `"q_x":0.12` (queries map) and
       // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
       val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
@@ -605,10 +611,18 @@ object Bench {
     // persist the full line: the driver's BENCH_r*.json keeps only an
     // output tail, and the cross-round guard needs last round's mins.
     // Anchored at benchHome, not the CWD, so a bench launched from
-    // anywhere updates (and later finds) the same prior.
-    try java.nio.file.Files.writeString(
-      benchHome.resolve("BENCH_LAST.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"bench: BENCH_LAST.json write failed: $e") }
+    // anywhere updates (and later finds) the same prior. Written to a
+    // temp sibling then ATOMIC-MOVEd: a crash mid-write must never
+    // leave a tail-torn prior (the parser defends against that too,
+    // but the artifact other tools read should simply never be torn).
+    try {
+      val dst = benchHome.resolve("BENCH_LAST.json")
+      val tmp = benchHome.resolve("BENCH_LAST.json.tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable => System.err.println(s"bench: BENCH_LAST.json write failed: $e") }
     spark.stop()
     if (best.exists(_._3.isDefined)) sys.exit(2)
   }

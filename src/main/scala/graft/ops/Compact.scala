@@ -161,7 +161,7 @@ object Generations {
           "just FAILED, its listener-bus release may land momentarily — retry " +
           "once before healing. Otherwise verify nothing is live, then delete " +
           s"$lock to heal.", e)
-    val out =
+    val (out, stillMine) =
       try createExclusive(fs, lock)
       catch {
         // only the exists-collision maps to "held"; a permission error or
@@ -172,7 +172,7 @@ object Generations {
         case e: java.io.IOException if fs.exists(lock) => held(e)
       }
     val token = s"$who@${java.util.UUID.randomUUID()}"
-    writeFully(fs, lock, out, token)
+    writeFully(fs, lock, out, token, stillMine)
     token
   }
 
@@ -207,15 +207,40 @@ object Generations {
     * list never reach here ([[requireAtomicCreate]] refuses them
     * first). */
   private def createExclusive(
-      fs: FileSystem, p: Path): org.apache.hadoop.fs.FSDataOutputStream =
+      fs: FileSystem,
+      p: Path): (org.apache.hadoop.fs.FSDataOutputStream, () => Boolean) =
     if (fs.getUri.getScheme == "file") {
       val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
-      new org.apache.hadoop.fs.FSDataOutputStream(
+      val out = new org.apache.hadoop.fs.FSDataOutputStream(
         java.nio.file.Files.newOutputStream( // throws nio FileAlreadyExistsException
           nio, java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE),
         null)
-    } else fs.create(p, false)
+      // a PRE-r17 producer wrote this lock through LocalFileSystem and
+      // left a checksum sibling; a plain `rm _GEN_LOCK` heal keeps it,
+      // and ChecksumFileSystem verifies our fresh raw bytes against the
+      // STALE .crc on the next readLock — releaseLock would then refuse
+      // the rightful owner. We hold the path (create just won), so the
+      // legacy sibling is garbage by definition: drop it.
+      try java.nio.file.Files.deleteIfExists(
+        nio.resolveSibling("." + nio.getFileName + ".crc"))
+      catch { case _: java.io.IOException => () }
+      // inode identity at create time, for the cleanup-ownership check
+      // below — fileKey is (dev, ino) on POSIX, null where unsupported
+      val key =
+        try Option(java.nio.file.Files
+          .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey())
+        catch { case _: java.io.IOException => None }
+      val stillMine = () =>
+        key.isEmpty || { // unknowable identity: keep the legacy behavior
+          try key.contains(java.nio.file.Files
+            .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
+            .fileKey())
+          catch { case _: java.io.IOException => false } // path gone: nothing to delete
+        }
+      (out, stillMine)
+    } else (fs.create(p, false), () => true)
 
   /** System property a deployment sets (`-Dgraft.generations
     * .allowNonAtomicFs=true`) to state that producers are serialized
@@ -295,19 +320,30 @@ object Generations {
     * behind a heal for a failure no JVM crash excuses. The handle is
     * closed before the delete (an open-for-write file may refuse
     * deletion). Shared by the lock and [[Similarity]]'s ingest-identity
-    * files so the discipline cannot drift between them. */
+    * files so the discipline cannot drift between them.
+    *
+    * `stillMine` gates the failure-path delete by IDENTITY, not path
+    * (r17 review finding): a producer stalled since its create may
+    * resume this write AFTER an operator healed the husk and a new
+    * producer acquired — its delayed failure must not delete the NEW
+    * holder's file, which the path now names. [[createExclusive]]
+    * supplies an inode (fileKey) check for local roots; schemes where
+    * identity is unknowable keep the path delete (the pre-r17
+    * behavior, with its documented residual race). */
   private[ops] def writeFully(
       fs: FileSystem,
       p: Path,
       out: org.apache.hadoop.fs.FSDataOutputStream,
-      content: String): Unit =
+      content: String,
+      stillMine: () => Boolean = () => true): Unit =
     try {
       out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     } catch {
       case e: java.io.IOException =>
         try out.close() catch { case _: java.io.IOException => () }
-        try fs.delete(p, false) catch { case _: java.io.IOException => () }
+        try { if (stillMine()) fs.delete(p, false) }
+        catch { case _: java.io.IOException => () }
         throw e
     }
 

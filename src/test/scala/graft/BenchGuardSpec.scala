@@ -48,6 +48,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parsePriorWindow(cut).isEmpty)
   }
 
+  test("a TAIL-torn line (crash mid-write) cannot leak window/regressed entries into the min-fold") {
+    // the write is temp+renamed so this should never exist on disk, but
+    // the parser is the second fence: an anchored-but-UNTERMINATED map
+    // (the tear removed the closing brace and everything after) must
+    // strip to end-of-string, not leak its complete leading entries
+    val wAnchor = """"prior_window":{"q_a":[0.3000,0.5000]"""
+    val tornWindow = fullLine.substring(0, fullLine.indexOf(wAnchor) + wAnchor.length)
+    assert(tornWindow.endsWith(wAnchor))
+    val got = Bench.parsePriorQueries(tornWindow)
+    assert(got("q_a") == 0.5, s"past-round window residue leaked: $got")
+    // and the torn window disarms the median path (object never closes)
+    assert(Bench.parsePriorWindow(tornWindow).isEmpty)
+    // same tear landing inside the regressed map
+    val rAnchor = """"regressed":{"q_b":[2.0000,0.9000]"""
+    val tornRegressed = fullLine.substring(0, fullLine.indexOf(rAnchor) + rAnchor.length)
+    assert(tornRegressed.endsWith(rAnchor))
+    val got2 = Bench.parsePriorQueries(tornRegressed)
+    assert(got2("q_b") == 2.0, s"pre-regression residue leaked: $got2")
+  }
+
   test("an adjudicated-ambient round advances the prior: no repeat flag on the same figure") {
     // the q_neardup_jaccard history, compressed: round N-1's window holds
     // an outlier-fast 0.86 beside the steady 1.41 it flagged (and the

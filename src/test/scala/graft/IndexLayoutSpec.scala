@@ -105,7 +105,7 @@ class IndexLayoutSpec extends SparkTestBase {
     }
   }
 
-  test("graft.index.writeSpread overrides the plan-time parallelism probe") {
+  test("graft.index.writeParallelism overrides the plan-time parallelism probe") {
     // dynamic-allocation regime: defaultParallelism at PLAN time is the
     // submit-time executor count, not the fleet the write will have —
     // the conf names the real target and overrides the probe entirely.
@@ -116,10 +116,10 @@ class IndexLayoutSpec extends SparkTestBase {
       val dir = tmp()
       val df = spark.range(0, 40000, 1, 16)
         .select(col("id"), pmod(col("id"), lit(2)).as("bucket"))
-      spark.conf.set("graft.index.writeSpread", "1")
+      spark.conf.set("graft.index.writeParallelism", "1")
       try Similarity.spreadForWrite(df, 2, col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(dir)
-      finally spark.conf.unset("graft.index.writeSpread")
+      finally spark.conf.unset("graft.index.writeParallelism")
       assert(parquetFiles(dir).size == 2,
         "a declared 1-wide fleet means spread == 1: one file per bucket")
       // (the widening direction — conf ABOVE defaultParallelism — is not

@@ -52,6 +52,26 @@ object RecallProbe {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** One table row: warm sweep (file listing, plan, codegen), then the
+    * timed recall pass — shared by the IVF rungs and the LSH rung so
+    * the like-with-like method notes above cannot drift between them
+    * (the warm-up and the denominator are the comparison contract). */
+  private def measureRow(
+      fname: String, lname: String, bytes: Long, probedDirs: Int,
+      qids: Seq[Long], truth: Map[Long, Set[Long]],
+      probe: Long => DataFrame): Unit = {
+    qids.foreach(qid => probe(qid).collect()) // warm
+    var hits = 0
+    val t0 = System.nanoTime()
+    qids.foreach { qid =>
+      val got = probe(qid).collect().map(_.getLong(0)).toSet
+      hits += truth(qid).count(got.contains)
+    }
+    val msPerQ = (System.nanoTime() - t0) / 1e6 / qids.length
+    val recall = hits.toDouble / (qids.length * K)
+    println(f"| $fname | $lname | $bytes | $probedDirs | $recall%.3f | $msPerQ%.1f |")
+  }
+
   private def genBytes(spark: SparkSession, path: String): Long = {
     val (fs, root) = Generations.fsRoot(spark, path)
     val gen = Generations.currentDir(fs, root)
@@ -147,17 +167,7 @@ object RecallProbe {
         val probe = mkProbe(path)
         val nProbes = Seq(1, 2, 4, 8, nCells).distinct.filter(_ <= nCells)
         nProbes.foreach { nProbe =>
-          // warm sweep: file listing, plan, codegen
-          qids.foreach(qid => probe(qid, nProbe).collect())
-          var hits = 0
-          val t0 = System.nanoTime()
-          qids.foreach { qid =>
-            val got = probe(qid, nProbe).collect().map(_.getLong(0)).toSet
-            hits += truth(qid).count(got.contains)
-          }
-          val msPerQ = (System.nanoTime() - t0) / 1e6 / qids.length
-          val recall = hits.toDouble / (qids.length * K)
-          println(f"| $fname | $lname | $bytes | $nProbe | $recall%.3f | $msPerQ%.1f |")
+          measureRow(fname, lname, bytes, nProbe, qids, truth, probe(_, nProbe))
         }
       }
 
@@ -176,20 +186,10 @@ object RecallProbe {
         val lname = s"lsh-${bands}x$bits"
         val path = s"$outRoot/$fname/$lname"
         Similarity.writeLshIndex(df, "embedding", path, bands, bits, knownDim = dim)
-        val bytes = genBytes(spark, path)
-        def probe(qid: Long): DataFrame = Similarity.probeLshIndex(
-          spark, path, "vec_id", "embedding", byId(qid), K, bands, bits,
-          excludeId = Some(qid))
-        qids.foreach(qid => probe(qid).collect()) // warm
-        var hits = 0
-        val t0 = System.nanoTime()
-        qids.foreach { qid =>
-          val got = probe(qid).collect().map(_.getLong(0)).toSet
-          hits += truth(qid).count(got.contains)
-        }
-        val msPerQ = (System.nanoTime() - t0) / 1e6 / qids.length
-        val recall = hits.toDouble / (qids.length * K)
-        println(f"| $fname | $lname | $bytes | $bands | $recall%.3f | $msPerQ%.1f |")
+        measureRow(fname, lname, genBytes(spark, path), bands, qids, truth,
+          qid => Similarity.probeLshIndex(
+            spark, path, "vec_id", "embedding", byId(qid), K, bands, bits,
+            excludeId = Some(qid)))
       }
     }
     spark.stop()
