@@ -265,8 +265,15 @@ object Bench {
         // window is consumed by parsePriorWindow, median-not-min)
         .replaceAll("\"prior_window\":\\{[^}]*\\}?", "")
       // accept both shapes: `"q_x":0.12` (queries map) and
-      // `"q_x":[0.12,0.3]` (iterations map) — min per name wins
-      val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+      // `"q_x":[0.12,0.3]` (iterations map) — min per name wins. The
+      // scalar's lookahead requires the ENTRY to be complete (a `,` or
+      // `}` follows): a tail tear mid-number (`"q_x":1.9876` cut to
+      // `"q_x":1`) would otherwise parse as a fake-fast 1.0 prior and
+      // false-flag the genuine figure next round (r17 review finding;
+      // every intact entry is followed by one of the two, so the
+      // lookahead costs nothing on untorn lines — listRe needs no
+      // equivalent, its closing `]` already plays that role)
+      val scalarRe = "\"(q_[A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)(?=[,}])".r
       val listRe = "\"(q_[A-Za-z0-9_]+)\":\\[([0-9.,eE+-]+)\\]".r
       val scalars = scalarRe.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
@@ -619,9 +626,17 @@ object Bench {
       val dst = benchHome.resolve("BENCH_LAST.json")
       val tmp = benchHome.resolve("BENCH_LAST.json.tmp")
       java.nio.file.Files.writeString(tmp, line + "\n")
-      java.nio.file.Files.move(tmp, dst,
+      try java.nio.file.Files.move(tmp, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a mount without atomic rename (some FUSE/SMB providers) must
+        // still update the prior — fall back to the plain move; the
+        // parser's torn-line fences remain the guard on such mounts
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch { case e: Throwable => System.err.println(s"bench: BENCH_LAST.json write failed: $e") }
     spark.stop()
     if (best.exists(_._3.isDefined)) sys.exit(2)

@@ -225,20 +225,35 @@ object Generations {
       try java.nio.file.Files.deleteIfExists(
         nio.resolveSibling("." + nio.getFileName + ".crc"))
       catch { case _: java.io.IOException => () }
-      // inode identity at create time, for the cleanup-ownership check
-      // below — fileKey is (dev, ino) on POSIX, null where unsupported
-      val key =
-        try Option(java.nio.file.Files
-          .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
-          .fileKey())
-        catch { case _: java.io.IOException => None }
-      val stillMine = () =>
-        key.isEmpty || { // unknowable identity: keep the legacy behavior
-          try key.contains(java.nio.file.Files
-            .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
-            .fileKey())
+      // inode identity captured right after the create, for the
+      // cleanup-ownership check below. Three outcomes, kept distinct
+      // (r17 review finding — collapsing them re-opened the race):
+      //  Right(Some(k)) — identity known: cleanup deletes only if the
+      //    path STILL resolves to k;
+      //  Right(None) — this FS exposes no fileKey: identity unknowable
+      //    by design, keep the legacy path-delete;
+      //  Left(_) — the stat itself failed (a heal raced this capture,
+      //    or a transient fault): identity is unknown but KNOWABLE, so
+      //    never path-delete — a successor may own the path by now (a
+      //    wedged retry beats deleting a live lock).
+      // Residual window, documented not closed: the stat is a separate
+      // syscall after the create — a heal plus a successor's acquire
+      // landing BETWEEN the two would capture the successor's key. The
+      // heal contract ("verify nothing is live, then delete") already
+      // excludes healing a lock whose producer is mid-acquire.
+      def stat(): Option[AnyRef] = Option(java.nio.file.Files
+        .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey())
+      val key: Either[Unit, Option[AnyRef]] =
+        try Right(stat())
+        catch { case _: java.io.IOException => Left(()) }
+      val stillMine = () => key match {
+        case Left(_)        => false
+        case Right(None)    => true
+        case Right(Some(k)) =>
+          try stat().contains(k)
           catch { case _: java.io.IOException => false } // path gone: nothing to delete
-        }
+      }
       (out, stillMine)
     } else (fs.create(p, false), () => true)
 

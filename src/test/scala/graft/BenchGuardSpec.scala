@@ -66,6 +66,13 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(tornRegressed.endsWith(rAnchor))
     val got2 = Bench.parsePriorQueries(tornRegressed)
     assert(got2("q_b") == 2.0, s"pre-regression residue leaked: $got2")
+    // a tear MID-NUMBER in the queries map ("q_b":2.0000 cut to
+    // "q_b":2) must not parse the stump as a fake-fast prior — only
+    // entries followed by ',' or '}' are complete
+    val midNumber = fullLine.substring(0, fullLine.indexOf(""""q_b":2.0000""") + 8)
+    assert(midNumber.endsWith(""""q_b":2."""))
+    assert(!Bench.parsePriorQueries(midNumber).contains("q_b"),
+      "truncated scalar stump must not become a prior")
   }
 
   test("an adjudicated-ambient round advances the prior: no repeat flag on the same figure") {
