@@ -197,8 +197,14 @@ class IndexLayoutSpec extends SparkTestBase {
       spark, fs, dir, named, totalValues = Some(8))
     assert(dense.count() == 1000,
       "the dense short-circuit must be the root read (all rows pre-filter)")
-    assert(dense.filter(col("bucket").isin(0 to 5: _*)).count() ==
+    val guarded = dense.filter(col("bucket").isin(0 to 5: _*))
+    assert(guarded.count() ==
       spark.read.parquet(dir).filter(col("bucket") < 6).count())
+    // the caller's isin guard restores the pruning at the SCAN on this
+    // path — the root read costs one listing, not six dirs of reading
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"dense root read + isin must partition-prune at the scan:\n${plan.take(2000)}")
     // SPARSE (2 of 8 = 25%): exact named-dirs semantics unchanged — the
     // same totalValues hint must NOT leak non-named rows
     val sparse = Similarity.prunedPartitionRead(

@@ -31,6 +31,36 @@ class KafkaWireSpec extends SparkTestBase {
     assert(KafkaWire.kafkaStreamReader(spark, cfg) != null)
   }
 
+  test("kafkaStreamReader applies EXACTLY the declared option map to the reader") {
+    // the one seam between the assertable option map and the unrunnable
+    // .load(): the fold that copies options(cfg) onto the
+    // DataStreamReader. A typo there (dropped option, mangled key) is
+    // precisely the production failure class the offline tests can't
+    // catch at .load() — so pin the reader's INTERNAL state by
+    // reflection: format == "kafka" and extraOptions == options(cfg),
+    // no more, no less. Private-field reflection is deliberate: Spark
+    // exposes no reader-side getter, and this spec exists to fail loudly
+    // if an upgrade moves the fields (then re-pin, don't delete).
+    val cfg = KafkaWire.Config(
+      brokers = "broker:29092",
+      topic = "mssql.MoviesDB.cso.movies",
+      maxOffsetsPerTrigger = Some(10000),
+      extra = Map("kafka.security.protocol" -> "PLAINTEXT"))
+    val reader = KafkaWire.kafkaStreamReader(spark, cfg)
+    def field[A](name: String): A = {
+      val f = classOf[org.apache.spark.sql.classic.DataStreamReader]
+        .getDeclaredField(name)
+      f.setAccessible(true)
+      f.get(reader).asInstanceOf[A]
+    }
+    assert(field[String]("source") == "kafka")
+    val applied: Map[String, String] =
+      field[org.apache.spark.sql.catalyst.util.CaseInsensitiveMap[String]](
+        "extraOptions").originalMap
+    assert(applied == KafkaWire.options(cfg),
+      s"reader options drifted from the declared map: $applied")
+  }
+
   test("KafkaChangeSource rejects bare numeric offsets with an actionable message") {
     // Kafka offsets are per-partition; a bare numeric (valid for
     // ParquetChangeSource's global offset order) must fail fast at
