@@ -199,4 +199,57 @@ object AvroSerde {
       new GenericDatumReader[GenericRecord](writer, reader).read(null, decoder),
       readerSt)
   }
+
+  /** Avro record schema → StructType, the inverse of [[avroSchema]] —
+    * what a registry CLIENT needs (a fetched subject history arrives as
+    * Avro schema JSON; the engine's decode expressions consume
+    * StructTypes). Inverse up to the forward map's deliberate
+    * collapses: Short/Byte widened to Integer on the way out come back
+    * as Integer (Avro has no narrower int), and record names drop
+    * (StructType is structural). `union(null, T)` → nullable T — the
+    * only union shape [[avroSchema]] emits and Debezium's optional-field
+    * encoding; any other union fails loudly rather than guessing a
+    * branch. */
+  def structType(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (s, nullable) = unwrapNullable(f.schema())
+      StructField(f.name, dataTypeOf(s), nullable)
+    }.toSeq)
+  }
+
+  private def unwrapNullable(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1 && branches.size > nonNull.size,
+        s"only union(null, T) is decodable, got $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def dataTypeOf(s: Schema): DataType = s.getLogicalType match {
+    case d: org.apache.avro.LogicalTypes.Decimal =>
+      DecimalType(d.getPrecision, d.getScale)
+    case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+    case _ => s.getType match {
+      case Schema.Type.INT     => IntegerType
+      case Schema.Type.LONG    => LongType
+      case Schema.Type.FLOAT   => FloatType
+      case Schema.Type.DOUBLE  => DoubleType
+      case Schema.Type.STRING  => StringType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES   => BinaryType
+      case Schema.Type.RECORD  => structType(s)
+      case Schema.Type.ARRAY =>
+        val (elem, containsNull) = unwrapNullableElement(s.getElementType)
+        ArrayType(dataTypeOf(elem), containsNull)
+      case other =>
+        throw new IllegalArgumentException(s"no StructType mapping for Avro $other")
+    }
+  }
+
+  private def unwrapNullableElement(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) unwrapNullable(s)
+    else (s, false)
 }

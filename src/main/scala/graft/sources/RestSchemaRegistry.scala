@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.types.StructType
+
+/** [[SchemaRegistry]] over Confluent Schema Registry's REST surface —
+  * the deployment half the in-memory registry stands in for offline
+  * (reference: docker-compose.yaml:142-162 runs the service at :8081;
+  * start-source-connector.sh:97-101 points the Avro converters at it).
+  * Shipped TESTED despite the sandbox having no network: the spec
+  * drives this client against an in-process JDK HttpServer speaking the
+  * same wire protocol (RestSchemaRegistrySpec), so the request paths,
+  * content type, body shapes, and error mapping are all pinned — the
+  * pieces a mock-free "deployment drop-in" note used to leave to the
+  * first production run.
+  *
+  * Wire protocol (Confluent Schema Registry API, v1 content type):
+  *  - `POST /subjects/{subject}/versions` body `{"schema": <avro json>}`
+  *    → `{"id": N}`; the service is idempotent for a schema already
+  *    registered under the subject (same id back), which is what the
+  *    trait's `register` contract requires;
+  *  - `GET /schemas/ids/{id}` → `{"schema": <avro json>}`; 404 → None;
+  *  - `GET /subjects/{subject}/versions` → `[1, 2, …]`, then
+  *    `GET /subjects/{subject}/versions/{v}` → `{"id": N, "schema": …}`
+  *    per version; a 404 subject → empty snapshot (the trait's unknown-
+  *    subject contract).
+  *
+  * Schemas cross the wire as Avro schema JSON ([[AvroSerde.avroSchema]]
+  * out, [[AvroSerde.structType]] back) — the same mapping the engine's
+  * serde uses, so a schema registered here decodes exactly the bytes
+  * [[AvroSerde.toBytesWithId]] frames. The conversion is deterministic,
+  * which is what makes the service-side idempotence reachable: the same
+  * StructType always posts byte-identical schema JSON.
+  *
+  * Driver-side only, by the same plan-time trust model the trait
+  * documents: [[SchemaRegistry.decodeEnvelope]] snapshots a subject once
+  * per (re)plan; nothing here serializes to executors. Non-2xx responses
+  * other than the contractual 404s fail LOUDLY with the status and body
+  * — a half-up registry must stop the plan, not ship a partial subject
+  * history into the decode expression.
+  *
+  * @param baseUrl e.g. `http://schema-registry:8081` (no trailing slash)
+  * @param auth    optional basic-auth credentials (user, password) —
+  *                Confluent's `basic.auth.user.info` equivalent
+  */
+final class RestSchemaRegistry(
+    baseUrl: String,
+    auth: Option[(String, String)] = None,
+    timeout: Duration = Duration.ofSeconds(30)) extends SchemaRegistry {
+
+  private val ContentType = "application/vnd.schemaregistry.v1+json"
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+  private val base = baseUrl.stripSuffix("/")
+
+  def register(subject: String, schema: StructType): Int = {
+    val body = mapper.createObjectNode()
+    body.put("schema", AvroSerde.avroSchema(schema).toString)
+    val resp = send(request(s"$base/subjects/$subject/versions")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))))
+    requireOk(resp, s"register under '$subject'")
+    mapper.readTree(resp.body()).get("id").asInt()
+  }
+
+  def schemaById(id: Int): Option[StructType] = {
+    val resp = send(request(s"$base/schemas/ids/$id").GET())
+    if (resp.statusCode() == 404) None
+    else {
+      requireOk(resp, s"fetch schema id $id")
+      Some(AvroSerde.structType(new org.apache.avro.Schema.Parser()
+        .parse(mapper.readTree(resp.body()).get("schema").asText())))
+    }
+  }
+
+  def subjectSnapshot(subject: String): Map[Int, StructType] = {
+    val versions = send(request(s"$base/subjects/$subject/versions").GET())
+    if (versions.statusCode() == 404) Map.empty
+    else {
+      requireOk(versions, s"list versions of '$subject'")
+      mapper.readTree(versions.body()).elements().asScala.map(_.asInt()).map { v =>
+        val resp = send(request(s"$base/subjects/$subject/versions/$v").GET())
+        // a version the list just named MUST resolve: a 404 here means
+        // the subject changed mid-snapshot (or the service is lying) —
+        // either way a partial history must not reach the decoder
+        requireOk(resp, s"fetch '$subject' version $v")
+        val node = mapper.readTree(resp.body())
+        node.get("id").asInt() -> AvroSerde.structType(
+          new org.apache.avro.Schema.Parser().parse(node.get("schema").asText()))
+      }.toMap
+    }
+  }
+
+  private def request(url: String): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(timeout)
+      .header("Content-Type", ContentType)
+      .header("Accept", ContentType)
+    auth.fold(b) { case (user, pass) =>
+      val cred = java.util.Base64.getEncoder.encodeToString(
+        s"$user:$pass".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b.header("Authorization", s"Basic $cred")
+    }
+  }
+
+  private def send(b: HttpRequest.Builder): HttpResponse[String] =
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+
+  private def requireOk(resp: HttpResponse[String], what: String): Unit =
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new IllegalStateException(
+        s"schema registry: $what failed with HTTP ${resp.statusCode()}: " +
+          resp.body().take(500))
+}

@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.StructType
   *    serializable implementation.
   *
   * Implementations: [[InMemorySchemaRegistry]] (complete, carries every
-  * evolution spec offline); an HTTP client against a real registry is a
-  * deployment drop-in behind this trait — the sandbox has no network,
-  * so it is intentionally absent rather than shipped untested. */
+  * evolution spec offline) and [[RestSchemaRegistry]] (the Confluent
+  * REST client, r17) — the latter tested against an in-process JDK
+  * HttpServer speaking the same wire protocol, so its request paths,
+  * body shapes, idempotence, and 404/error mapping are pinned without a
+  * network (RestSchemaRegistrySpec); only the TCP hop to a real :8081
+  * remains deployment-verified. */
 trait SchemaRegistry {
   /** Register `schema` under `subject`, returning its id — the existing
     * id when this exact schema is already registered there. */
