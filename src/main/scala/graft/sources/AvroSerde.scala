@@ -225,13 +225,48 @@ object AvroSerde {
       val nonNull = branches.filter(_.getType != Schema.Type.NULL)
       require(nonNull.size == 1 && branches.size > nonNull.size,
         s"only union(null, T) is decodable, got $s")
+      // branch ORDER is load-bearing, not cosmetic (r17 review finding):
+      // Avro binary encodes the union branch INDEX, and the decode path
+      // regenerates the writer schema from the StructType null-FIRST
+      // ([[avroSchema]]) — accepting a union(T, null) here would decode
+      // its records with swapped branch indices, silently yielding
+      // nulls-for-values and misaligned bytes. A producer registering
+      // T-first unions (some Connect AvroData shapes) needs the original
+      // Schema carried through the decode path, which this StructType
+      // seam cannot do — fail loudly at FETCH time, not per record.
+      require(branches.head.getType == Schema.Type.NULL,
+        s"union must be null-FIRST to round-trip through StructType " +
+          s"(the decode path regenerates the writer schema null-first; " +
+          s"a [T, null] writer would decode with swapped branch indices), got $s")
       (nonNull.head, true)
     } else (s, false)
 
   private def dataTypeOf(s: Schema): DataType = s.getLogicalType match {
     case d: org.apache.avro.LogicalTypes.Decimal =>
+      // decimals are decodable only on BYTES (varint length + unscaled
+      // big-endian) — the only physical shape [[avroSchema]] emits. A
+      // decimal on FIXED has a different binary layout (raw N bytes, no
+      // length) and the regenerated writer schema would misread it.
+      require(s.getType == Schema.Type.BYTES,
+        s"decimal logical type is decodable only on bytes, got ${s.getType}: $s")
       DecimalType(d.getPrecision, d.getScale)
     case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+    case lt if lt != null && lt.getName == "uuid" =>
+      // uuid rides a string physically and carries no numeric scale —
+      // decoding it as a plain string is lossless
+      StringType
+    case lt if lt != null =>
+      // timestamp-millis, date, time-*, local-timestamp-*: all ride
+      // plain int/long physically, so mapping them to the raw type
+      // would DECODE without error and silently ship values at the
+      // wrong scale (a timestamp-millis long read as micros is off
+      // 1000×) or wrong semantics. Refuse at fetch time instead.
+      throw new IllegalArgumentException(
+        s"no lossless StructType mapping for Avro logical type " +
+          s"'${lt.getName}' on ${s.getType} — the engine's wire shape " +
+          s"uses timestamp-micros and bytes-decimal ([[avroSchema]]); " +
+          s"re-register the subject on those, or decode this producer " +
+          s"with a hand-carried schema")
     case _ => s.getType match {
       case Schema.Type.INT     => IntegerType
       case Schema.Type.LONG    => LongType

@@ -99,8 +99,12 @@ object KafkaWire {
     * This is the wire-side half of schema evolution (the sink half is
     * [[graft.sink.JdbcMerge.evolveTableSql]]): a producer ALTER TABLE
     * mid-stream keeps every old record decodable. */
-  def avroDecodeRegistry(bytes: Column, registry: Map[Int, StructType]): Column =
-    ColumnBridge.column(AvroDecodeRegistry(ColumnBridge.expression(bytes), registry))
+  def avroDecodeRegistry(
+      bytes: Column,
+      registry: Map[Int, StructType],
+      latestId: Option[Int] = None): Column =
+    ColumnBridge.column(
+      AvroDecodeRegistry(ColumnBridge.expression(bytes), registry, latestId))
 
   /** Registry-style encode: Confluent framing (0x00 + schema id) around
     * the Avro payload, the id naming which registered schema wrote it. */
@@ -119,10 +123,11 @@ object KafkaWire {
   def decodeEnvelopeEvolving(
       frame: DataFrame,
       keySchema: StructType,
-      valueRegistry: Map[Int, StructType]): DataFrame =
+      valueRegistry: Map[Int, StructType],
+      latestId: Option[Int] = None): DataFrame =
     frame.select(
       avroDecode(col("key"), keySchema).as("kafka_key"),
-      avroDecodeRegistry(col("value"), valueRegistry).as("kafka_value"),
+      avroDecodeRegistry(col("value"), valueRegistry, latestId).as("kafka_value"),
       col("offset"))
 }
 
@@ -184,16 +189,29 @@ case class AvroDecode(child: Expression, schema: StructType)
   * registered Avro subject and keeps consuming as it evolves,
   * ksql-transformations/01-movies-transform.sql:17-24, README.md:193).
   * `registry` models the subject's version history: id → the StructType
-  * registered under that id; the highest id is the current schema and
-  * the expression's output type. Decoding uses Avro writer/reader
-  * resolution ([[AvroSerde.fromBytesResolved]]) so old records widen
-  * with NULLs; an id absent from the registry fails loudly — silently
-  * dropping undecodable records would corrupt the changelog. */
-case class AvroDecodeRegistry(child: Expression, registry: Map[Int, StructType])
+  * registered under that id. `latestId` names the subject's CURRENT
+  * schema (the expression's output type); None falls back to the
+  * highest id, which is correct ONLY for registries whose ids are
+  * minted monotonically with versions ([[InMemorySchemaRegistry]]) —
+  * real Confluent global ids are CONTENT-ADDRESSED and reused across
+  * subjects, so a subject's newest version can carry a lower id than an
+  * older one (a rollback re-registration literally reuses the old id);
+  * REST-sourced snapshots must pass the version history's last id
+  * ([[SchemaRegistry.decodeEnvelope]] does). Decoding uses Avro
+  * writer/reader resolution ([[AvroSerde.fromBytesResolved]]) so old
+  * records widen with NULLs; an id absent from the registry fails
+  * loudly — silently dropping undecodable records would corrupt the
+  * changelog. */
+case class AvroDecodeRegistry(
+    child: Expression,
+    registry: Map[Int, StructType],
+    latestId: Option[Int] = None)
     extends UnaryExpression with CodegenFallback {
   require(registry.nonEmpty, "schema registry map must not be empty")
-  private val latestId = registry.keys.max
-  private val readerSt = registry(latestId)
+  latestId.foreach(id => require(registry.contains(id),
+    s"declared latest schema id $id is not in the registry map " +
+      registry.keys.toSeq.sorted.mkString("[", ", ", "]")))
+  private val readerSt = registry(latestId.getOrElse(registry.keys.max))
   @transient private lazy val readerAvro = AvroSerde.avroSchema(readerSt)
   @transient private lazy val writerAvro =
     registry.map { case (id, st) => id -> AvroSerde.avroSchema(st) }

@@ -28,8 +28,10 @@ import org.apache.spark.sql.types.StructType
   *  - `GET /schemas/ids/{id}` → `{"schema": <avro json>}`; 404 → None;
   *  - `GET /subjects/{subject}/versions` → `[1, 2, …]`, then
   *    `GET /subjects/{subject}/versions/{v}` → `{"id": N, "schema": …}`
-  *    per version; a 404 subject → empty snapshot (the trait's unknown-
-  *    subject contract).
+  *    per version, kept in VERSION order (the trait's subjectHistory —
+  *    Confluent global ids are content-addressed and reusable, so only
+  *    version order can name the current schema); a 404 subject →
+  *    empty history (the trait's unknown-subject contract).
   *
   * Schemas cross the wire as Avro schema JSON ([[AvroSerde.avroSchema]]
   * out, [[AvroSerde.structType]] back) — the same mapping the engine's
@@ -62,7 +64,7 @@ final class RestSchemaRegistry(
   def register(subject: String, schema: StructType): Int = {
     val body = mapper.createObjectNode()
     body.put("schema", AvroSerde.avroSchema(schema).toString)
-    val resp = send(request(s"$base/subjects/$subject/versions")
+    val resp = send(request(s"$base/subjects/${enc(subject)}/versions")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))))
     requireOk(resp, s"register under '$subject'")
     mapper.readTree(resp.body()).get("id").asInt()
@@ -78,23 +80,36 @@ final class RestSchemaRegistry(
     }
   }
 
-  def subjectSnapshot(subject: String): Map[Int, StructType] = {
-    val versions = send(request(s"$base/subjects/$subject/versions").GET())
-    if (versions.statusCode() == 404) Map.empty
+  def subjectHistory(subject: String): Seq[(Int, StructType)] = {
+    val versions = send(request(s"$base/subjects/${enc(subject)}/versions").GET())
+    if (versions.statusCode() == 404) Seq.empty
     else {
       requireOk(versions, s"list versions of '$subject'")
-      mapper.readTree(versions.body()).elements().asScala.map(_.asInt()).map { v =>
-        val resp = send(request(s"$base/subjects/$subject/versions/$v").GET())
-        // a version the list just named MUST resolve: a 404 here means
-        // the subject changed mid-snapshot (or the service is lying) —
-        // either way a partial history must not reach the decoder
-        requireOk(resp, s"fetch '$subject' version $v")
-        val node = mapper.readTree(resp.body())
-        node.get("id").asInt() -> AvroSerde.structType(
-          new org.apache.avro.Schema.Parser().parse(node.get("schema").asText()))
-      }.toMap
+      // version ORDER is the payload here (Confluent returns versions
+      // ascending; sorted defensively) — the last entry is the
+      // subject's current schema, which content-addressed global ids
+      // cannot tell you (a rollback re-registration reuses an old id)
+      mapper.readTree(versions.body()).elements().asScala
+        .map(_.asInt()).toSeq.sorted.map { v =>
+          val resp = send(request(s"$base/subjects/${enc(subject)}/versions/$v").GET())
+          // a version the list just named MUST resolve: a 404 here means
+          // the subject changed mid-snapshot (or the service is lying) —
+          // either way a partial history must not reach the decoder
+          requireOk(resp, s"fetch '$subject' version $v")
+          val node = mapper.readTree(resp.body())
+          node.get("id").asInt() -> AvroSerde.structType(
+            new org.apache.avro.Schema.Parser().parse(node.get("schema").asText()))
+        }
     }
   }
+
+  /** Percent-encode a subject for use as one URL path segment —
+    * Confluent subjects can carry any character under custom
+    * subject-name strategies; a raw space would make URI.create throw
+    * and a raw '/', '?', '#' would silently change the request. */
+  private def enc(subject: String): String =
+    java.net.URLEncoder.encode(subject, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
 
   private def request(url: String): HttpRequest.Builder = {
     val b = HttpRequest.newBuilder(URI.create(url))

@@ -41,10 +41,21 @@ trait SchemaRegistry {
     * silently skipping undecodable records is data loss). */
   def schemaById(id: Int): Option[StructType]
 
-  /** Every (id, schema) registered under `subject`, the map
-    * [[KafkaWire.avroDecodeRegistry]] consumes; empty for an unknown
-    * subject. */
-  def subjectSnapshot(subject: String): Map[Int, StructType]
+  /** The subject's full (id, schema) history in VERSION order (last =
+    * current schema); empty Seq for an unknown subject. Version order is
+    * the only trustworthy "which schema is latest" signal: Confluent
+    * global ids are content-addressed and reused (across subjects, and
+    * by a same-subject rollback re-registration), so the highest id is
+    * NOT necessarily the newest version — the r17 REST client is where
+    * that stops being hypothetical. */
+  def subjectHistory(subject: String): Seq[(Int, StructType)]
+
+  /** Every (id, schema) registered under `subject` as the id-dispatch
+    * map [[KafkaWire.avroDecodeRegistry]] consumes; empty for an
+    * unknown subject. Derived FINAL so the map and the history can
+    * never disagree about a subject's contents. */
+  final def subjectSnapshot(subject: String): Map[Int, StructType] =
+    subjectHistory(subject).toMap
 }
 
 /** In-memory [[SchemaRegistry]] with Confluent id semantics: globally
@@ -72,9 +83,9 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
 
   def schemaById(id: Int): Option[StructType] = lock.synchronized(byId.get(id))
 
-  def subjectSnapshot(subject: String): Map[Int, StructType] =
+  def subjectHistory(subject: String): Seq[(Int, StructType)] =
     lock.synchronized {
-      bySubject.getOrElse(subject, Vector.empty).map(id => id -> byId(id)).toMap
+      bySubject.getOrElse(subject, Vector.empty).map(id => id -> byId(id))
     }
 }
 
@@ -87,8 +98,11 @@ object SchemaRegistry {
       registry: SchemaRegistry,
       keySchema: StructType,
       valueSubject: String): DataFrame = {
-    val snapshot = registry.subjectSnapshot(valueSubject)
-    require(snapshot.nonEmpty, s"subject '$valueSubject' has no registered schemas")
-    KafkaWire.decodeEnvelopeEvolving(frame, keySchema, snapshot)
+    val history = registry.subjectHistory(valueSubject)
+    require(history.nonEmpty, s"subject '$valueSubject' has no registered schemas")
+    // latest = last VERSION, passed explicitly: the highest id is not
+    // the newest version under content-addressed (Confluent) ids
+    KafkaWire.decodeEnvelopeEvolving(
+      frame, keySchema, history.toMap, latestId = Some(history.last._1))
   }
 }

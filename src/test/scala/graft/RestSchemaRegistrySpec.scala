@@ -30,6 +30,12 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     val requests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
     private var nextId = 1
     private var byId = Map.empty[Int, String]
+    // CONTENT-ADDRESSED global ids, the real Confluent model: the same
+    // schema JSON gets the same id under every subject — which is
+    // exactly what makes "latest = max id" false and the version order
+    // load-bearing (the client must survive this, not just the
+    // in-memory registry's per-subject monotone ids)
+    private var byJson = Map.empty[String, Int]
     private var bySubject = Map.empty[String, Vector[Int]]
     private val lock = new Object
 
@@ -43,7 +49,10 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
 
     val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
-      val path = ex.getRequestURI.getPath
+      // RAW path: the subject segment arrives percent-encoded and must
+      // be routed as ONE segment (getPath would decode %2F into a real
+      // slash and split it — the exact confusion the encoding prevents)
+      val path = ex.getRequestURI.getRawPath
       requests.add((ex.getRequestMethod, path,
         Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
       val SubjectVersions = "/subjects/([^/]+)/versions".r
@@ -54,13 +63,13 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
           val posted = mapper.readTree(new String(
             ex.getRequestBody.readAllBytes(), "UTF-8")).get("schema").asText()
           lock.synchronized {
-            val ids = bySubject.getOrElse(subject, Vector.empty)
-            val id = ids.find(i => byId(i) == posted).getOrElse {
+            val id = byJson.getOrElse(posted, {
               val i = nextId; nextId += 1
-              byId += i -> posted
-              bySubject += subject -> (ids :+ i)
+              byId += i -> posted; byJson += posted -> i
               i
-            }
+            })
+            val ids = bySubject.getOrElse(subject, Vector.empty)
+            if (!ids.contains(id)) bySubject += subject -> (ids :+ id)
             reply(ex, 200, s"""{"id":$id}""")
           }
         case ("GET", SchemaById(id)) => lock.synchronized {
@@ -111,17 +120,44 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
   private val v2 = StructType(v1.fields.toSeq :+
     StructField("rating", DecimalType(3, 1), nullable = true))
 
-  test("register is idempotent through the wire and ids are the service's") {
+  test("register is idempotent through the wire and ids are content-addressed") {
     withServer { (_, reg) =>
       val id1 = reg.register("movies-value", v1)
       assert(reg.register("movies-value", v1) == id1,
         "re-registering the same schema must return the existing id")
       val id2 = reg.register("movies-value", v2)
       assert(id2 != id1)
-      // a different subject mints a new id even for an identical schema
-      // (Confluent ids are global but idempotence is per subject-schema)
-      assert(reg.register("movies-key", v1) != id1 ||
-        reg.register("movies-key", v1) == reg.register("movies-key", v1))
+      // the real Confluent id model: the same schema CONTENT gets the
+      // same global id under a different subject — the property that
+      // makes max-id an unsound "latest" (pinned end-to-end below)
+      assert(reg.register("movies-key", v1) == id1,
+        "identical schema content must reuse the global id across subjects")
+    }
+  }
+
+  test("latest is the newest VERSION, not the highest id") {
+    // content-addressed ids make a subject's newest version carry a
+    // LOWER id than an older one: v2's schema was registered earlier
+    // under another subject. The decode built through the trait must
+    // output the latest VERSION's schema; the max-id shortcut (valid
+    // only for the in-memory registry's monotone ids) would pick the
+    // OLD schema and silently drop the new column from every record.
+    withServer { (_, reg) =>
+      val idA = reg.register("staging-value", v2) // v2 content gets the LOW id
+      val idB = reg.register("movies-value", v1)
+      assert(reg.register("movies-value", v2) == idA)
+      val hist = reg.subjectHistory("movies-value")
+      assert(hist == Seq(idB -> v1, idA -> v2))
+      assert(hist.last._1 < hist.head._1,
+        "fixture must exercise latest-version id < older-version id")
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val lit = Literal(null, BinaryType)
+      assert(graft.sources.AvroDecodeRegistry(
+        lit, hist.toMap, latestId = Some(hist.last._1)).dataType == v2,
+        "explicit latestId must make the newest VERSION the output schema")
+      assert(graft.sources.AvroDecodeRegistry(lit, hist.toMap).dataType == v1,
+        "the max-id fallback picks the old schema here — the exact trap " +
+          "SchemaRegistry.decodeEnvelope's explicit latestId exists to avoid")
     }
   }
 
@@ -197,6 +233,46 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       val e3 = intercept[IllegalStateException](reg.subjectSnapshot("s"))
       assert(e3.getMessage.contains("500"))
     } finally srv.stop(0)
+  }
+
+  test("subjects with reserved URL characters travel percent-encoded") {
+    withServer { (srv, reg) =>
+      // custom subject-name strategies can put spaces and slashes in
+      // subjects; raw interpolation would throw (space) or change the
+      // request path (slash)
+      val id = reg.register("cso movies/value#1", v1)
+      assert(reg.subjectHistory("cso movies/value#1") == Seq(id -> v1))
+      val paths = srv.requests.asScala.map(_._2).toList
+      assert(paths.forall(_.contains("cso%20movies%2Fvalue%231")), paths.toString)
+    }
+  }
+
+  test("foreign schema shapes that cannot round-trip fail LOUDLY at fetch, not per record") {
+    def parse(json: String) = new org.apache.avro.Schema.Parser().parse(json)
+    // union(T, null): branch order is encoded in the binary — the
+    // regenerated null-first writer schema would decode swapped indices
+    val tFirst = parse("""{"type":"record","name":"R","fields":[
+      {"name":"t","type":["string","null"]}]}""")
+    val e1 = intercept[IllegalArgumentException](AvroSerde.structType(tFirst))
+    assert(e1.getMessage.contains("null-FIRST"))
+    // decimal on FIXED: different binary layout than the bytes decimal
+    // the serde encodes
+    val fixedDec = parse("""{"type":"record","name":"R","fields":[
+      {"name":"d","type":{"type":"fixed","name":"F","size":4,
+        "logicalType":"decimal","precision":9,"scale":2}}]}""")
+    val e2 = intercept[IllegalArgumentException](AvroSerde.structType(fixedDec))
+    assert(e2.getMessage.contains("bytes"))
+    // timestamp-millis rides a plain long: mapping it to LongType (or
+    // worse, TimestampType at micros) would ship values off by 1000x
+    val millis = parse("""{"type":"record","name":"R","fields":[
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""")
+    val e3 = intercept[IllegalArgumentException](AvroSerde.structType(millis))
+    assert(e3.getMessage.contains("timestamp-millis"))
+    // uuid rides a string losslessly: plain StringType, no error
+    val uuid = parse("""{"type":"record","name":"R","fields":[
+      {"name":"u","type":{"type":"string","logicalType":"uuid"}}]}""")
+    assert(AvroSerde.structType(uuid) ==
+      StructType(Seq(StructField("u", StringType, nullable = false))))
   }
 
   test("structType is avroSchema's inverse on the wire surface") {
