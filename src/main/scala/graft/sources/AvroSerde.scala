@@ -251,9 +251,13 @@ object AvroSerde {
         s"decimal logical type is decodable only on bytes, got ${s.getType}: $s")
       DecimalType(d.getPrecision, d.getScale)
     case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
-    case lt if lt != null && lt.getName == "uuid" =>
-      // uuid rides a string physically and carries no numeric scale —
-      // decoding it as a plain string is lossless
+    case lt if lt != null && lt.getName == "uuid" &&
+        s.getType == Schema.Type.STRING =>
+      // uuid on STRING rides the string physically — decoding it as a
+      // plain string is lossless. Avro 1.12 also attaches uuid to
+      // fixed(16), whose raw-16-byte layout a regenerated string writer
+      // schema would misread — that shape falls through to the loud
+      // refusal below, same as the other non-round-trippable logicals.
       StringType
     case lt if lt != null =>
       // timestamp-millis, date, time-*, local-timestamp-*: all ride

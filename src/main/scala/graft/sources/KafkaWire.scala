@@ -102,7 +102,7 @@ object KafkaWire {
   def avroDecodeRegistry(
       bytes: Column,
       registry: Map[Int, StructType],
-      latestId: Option[Int] = None): Column =
+      latestId: Int): Column =
     ColumnBridge.column(
       AvroDecodeRegistry(ColumnBridge.expression(bytes), registry, latestId))
 
@@ -124,7 +124,7 @@ object KafkaWire {
       frame: DataFrame,
       keySchema: StructType,
       valueRegistry: Map[Int, StructType],
-      latestId: Option[Int] = None): DataFrame =
+      latestId: Int): DataFrame =
     frame.select(
       avroDecode(col("key"), keySchema).as("kafka_key"),
       avroDecodeRegistry(col("value"), valueRegistry, latestId).as("kafka_value"),
@@ -190,28 +190,29 @@ case class AvroDecode(child: Expression, schema: StructType)
   * ksql-transformations/01-movies-transform.sql:17-24, README.md:193).
   * `registry` models the subject's version history: id → the StructType
   * registered under that id. `latestId` names the subject's CURRENT
-  * schema (the expression's output type); None falls back to the
-  * highest id, which is correct ONLY for registries whose ids are
-  * minted monotonically with versions ([[InMemorySchemaRegistry]]) —
-  * real Confluent global ids are CONTENT-ADDRESSED and reused across
-  * subjects, so a subject's newest version can carry a lower id than an
-  * older one (a rollback re-registration literally reuses the old id);
-  * REST-sourced snapshots must pass the version history's last id
-  * ([[SchemaRegistry.decodeEnvelope]] does). Decoding uses Avro
-  * writer/reader resolution ([[AvroSerde.fromBytesResolved]]) so old
-  * records widen with NULLs; an id absent from the registry fails
-  * loudly — silently dropping undecodable records would corrupt the
-  * changelog. */
+  * schema (the expression's output type) and is REQUIRED — there is no
+  * max-id fallback, because that shortcut is only sound for registries
+  * whose ids are minted monotonically with versions
+  * ([[InMemorySchemaRegistry]]; callers there pass `keys.max`
+  * themselves), while real Confluent global ids are CONTENT-ADDRESSED
+  * and reused across subjects, so a subject's newest version can carry
+  * a LOWER id than an older one — a reachable default would silently
+  * decode every record to the old schema. [[SchemaRegistry
+  * .decodeEnvelope]] passes the version history's last id. Decoding
+  * uses Avro writer/reader resolution ([[AvroSerde.fromBytesResolved]])
+  * so old records widen with NULLs; an id absent from the registry
+  * fails loudly — silently dropping undecodable records would corrupt
+  * the changelog. */
 case class AvroDecodeRegistry(
     child: Expression,
     registry: Map[Int, StructType],
-    latestId: Option[Int] = None)
+    latestId: Int)
     extends UnaryExpression with CodegenFallback {
   require(registry.nonEmpty, "schema registry map must not be empty")
-  latestId.foreach(id => require(registry.contains(id),
-    s"declared latest schema id $id is not in the registry map " +
-      registry.keys.toSeq.sorted.mkString("[", ", ", "]")))
-  private val readerSt = registry(latestId.getOrElse(registry.keys.max))
+  require(registry.contains(latestId),
+    s"declared latest schema id $latestId is not in the registry map " +
+      registry.keys.toSeq.sorted.mkString("[", ", ", "]"))
+  private val readerSt = registry(latestId)
   @transient private lazy val readerAvro = AvroSerde.avroSchema(readerSt)
   @transient private lazy val writerAvro =
     registry.map { case (id, st) => id -> AvroSerde.avroSchema(st) }

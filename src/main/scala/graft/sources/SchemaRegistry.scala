@@ -103,6 +103,6 @@ object SchemaRegistry {
     // latest = last VERSION, passed explicitly: the highest id is not
     // the newest version under content-addressed (Confluent) ids
     KafkaWire.decodeEnvelopeEvolving(
-      frame, keySchema, history.toMap, latestId = Some(history.last._1))
+      frame, keySchema, history.toMap, latestId = history.last._1)
   }
 }

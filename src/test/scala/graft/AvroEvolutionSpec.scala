@@ -65,7 +65,8 @@ class AvroEvolutionSpec extends SparkTestBase {
         Row(null, Row("x"), "c", 0L), envV1, AvroSerde.avroSchema(envV1), 99)))
       .toDF("value")
     val e = intercept[Exception](
-      frames.select(KafkaWire.avroDecodeRegistry(col("value"), registry)).collect())
+      frames.select(
+        KafkaWire.avroDecodeRegistry(col("value"), registry, latestId = 2)).collect())
     assert(e.getMessage.contains("unregistered schema id 99") ||
       Option(e.getCause).exists(_.getMessage.contains("unregistered schema id 99")))
   }
@@ -89,7 +90,9 @@ class AvroEvolutionSpec extends SparkTestBase {
       frame(3, Row(null, Row("gamma", "scifi"), "c", 5L), envV2, 2, 5L))
       .toDF("key", "value", "offset")
 
-    val decoded = KafkaWire.decodeEnvelopeEvolving(frames, keySt, registry)
+    // latestId is REQUIRED (no max-id fallback — unsound under real
+    // Confluent's content-addressed ids); here v2's id is 2 by fixture
+    val decoded = KafkaWire.decodeEnvelopeEvolving(frames, keySt, registry, latestId = 2)
     // the decoded envelope is ALREADY the latest shape: v1 records carry
     // NULL GENRE, the tombstone survives as a NULL kafka_value
     assert(decoded.schema("kafka_value").dataType == envV2)

@@ -153,11 +153,13 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       import org.apache.spark.sql.catalyst.expressions.Literal
       val lit = Literal(null, BinaryType)
       assert(graft.sources.AvroDecodeRegistry(
-        lit, hist.toMap, latestId = Some(hist.last._1)).dataType == v2,
-        "explicit latestId must make the newest VERSION the output schema")
-      assert(graft.sources.AvroDecodeRegistry(lit, hist.toMap).dataType == v1,
-        "the max-id fallback picks the old schema here — the exact trap " +
-          "SchemaRegistry.decodeEnvelope's explicit latestId exists to avoid")
+        lit, hist.toMap, latestId = hist.last._1).dataType == v2,
+        "the history's last version must be the output schema")
+      // the max-id shortcut would have picked v1 (idB > idA) — pinned
+      // here as the WRONG answer, and latestId is a required parameter
+      // so that shortcut is no longer reachable by omission
+      val dispatch = hist.toMap
+      assert(dispatch(dispatch.keys.max) == v1)
     }
   }
 
@@ -268,11 +270,18 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}""")
     val e3 = intercept[IllegalArgumentException](AvroSerde.structType(millis))
     assert(e3.getMessage.contains("timestamp-millis"))
-    // uuid rides a string losslessly: plain StringType, no error
+    // uuid on STRING rides losslessly: plain StringType, no error
     val uuid = parse("""{"type":"record","name":"R","fields":[
       {"name":"u","type":{"type":"string","logicalType":"uuid"}}]}""")
     assert(AvroSerde.structType(uuid) ==
       StructType(Seq(StructField("u", StringType, nullable = false))))
+    // uuid on FIXED(16) (Avro 1.12 attaches it there too): raw 16 bytes
+    // vs a regenerated varint-length string writer — refuse at fetch
+    val fixedUuid = parse("""{"type":"record","name":"R","fields":[
+      {"name":"u","type":{"type":"fixed","name":"U","size":16,
+        "logicalType":"uuid"}}]}""")
+    val e4 = intercept[IllegalArgumentException](AvroSerde.structType(fixedUuid))
+    assert(e4.getMessage.contains("uuid"))
   }
 
   test("structType is avroSchema's inverse on the wire surface") {
