@@ -213,6 +213,20 @@ class SimilaritySpec extends SparkTestBase {
       .ivfTopK(emb, "vec_id", "embedding", queryId, k, nCentroids = 8, nProbe = 6)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == mem)
+    // (6 of 8 = 75% sits exactly AT the dense threshold, so the probe
+    // above also exercises the root-read short-circuit — the isin guard
+    // keeps the PartitionFilters assertion and the answer equality.)
+    // nProbe == nlist, the fully-dense corner: one root read, answers
+    // equal the brute-force scan over the whole index
+    val all = Similarity.probeIvfIndex(
+      spark, path, "vec_id", "embedding", qVec, centroids, k,
+      nProbe = centroids.length, excludeId = Some(queryId))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queryId, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == brute,
+      "probing every bucket must equal brute force over the corpus")
   }
 
   test("quantized IVF index: smaller on disk, pruned probe, high top-k overlap") {
