@@ -1609,8 +1609,11 @@ object TextOps {
     // totals re-aggregate the COUNT TABLES (n_bi = Σ pre-floor pair
     // counts), never the corpus — a third kernel-explode pass for one
     // scalar would be a full extra scan at 100 TB
+    // both sides are one-row aggregates; the broadcast hint keeps this a
+    // BroadcastNestedLoopJoin even with AQE off (every sibling one-row
+    // crossJoin here carries the same hint)
     val totals = uni.agg(sum(col("c_term")).as("n_uni"))
-      .crossJoin(biAll.agg(sum(col("c_ab")).as("n_bi")))
+      .crossJoin(broadcast(biAll.agg(sum(col("c_ab")).as("n_bi"))))
     val pmi = round(
       log((col("c_ab") / col("n_bi"))
         / ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
