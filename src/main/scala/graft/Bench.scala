@@ -316,6 +316,15 @@ object Bench {
     s(s.size / 2)
   }
 
+  /** Roll one query's prior window forward by this round's final min —
+    * or, when the query ERRORED this round (`v` empty), carry the window
+    * unchanged: dropping it would let a single failed round erase the
+    * multi-round history and hand the recovered query back to the
+    * single-min fallback prior (the outlier-fast-poison mode the window
+    * was introduced to fix — r17 advisor finding). */
+  private[graft] def rollWindow(prior: Seq[Double], v: Option[Double]): Seq[Double] =
+    v.fold(prior)(x => (prior :+ x).takeRight(3))
+
   /** The cross-round guard's trip condition, shared by the re-run
     * trigger and the final `regressed` field: a prior exists, clears
     * the 0.1 s floor (sub-100 ms priors double on codegen-cache jitter
@@ -587,15 +596,19 @@ object Bench {
           if crossRoundRegressed(effectivePrior(k), ts.min, crossFactor) =>
         s"${jstr(k)}:[${fmt(ts.min)},${fmt(effectivePrior(k).get)}]"
     }.mkString("{", ",", "}")
-    // roll each query's window forward: prior rounds' entries (seeded
-    // from the single min for pre-window artifacts) plus this round's
-    // FINAL min, capped at 3 — an adjudicated-ambient round's slower
-    // figure thereby ADVANCES the prior instead of being re-flagged
-    // against the same stale min next round. Failed queries carry no
-    // figure and drop out of the window until they measure again.
-    val priorWindow = best.collect { case (k, v, None) =>
-      val w = (priorWindows.getOrElse(k, priorQueries.get(k).toSeq) :+ v).takeRight(3)
-      s"${jstr(k)}:${w.map(fmt).mkString("[", ",", "]")}"
+    // roll each query's window forward ([[rollWindow]]): prior rounds'
+    // entries (seeded from the single min for pre-window artifacts) plus
+    // this round's FINAL min, capped at 3 — an adjudicated-ambient
+    // round's slower figure thereby ADVANCES the prior instead of being
+    // re-flagged against the same stale min next round; a FAILED query's
+    // window rides along unchanged so one errored round cannot erase the
+    // history.
+    val priorWindow = best.flatMap { case (k, v, errOpt) =>
+      val w = rollWindow(
+        priorWindows.getOrElse(k, priorQueries.get(k).toSeq),
+        if (errOpt.isEmpty) Some(v) else None)
+      if (w.isEmpty) None
+      else Some(s"${jstr(k)}:${w.map(fmt).mkString("[", ",", "]")}")
     }.mkString("{", ",", "}")
     // failed queries report -1 individually but must not distort the total
     val total = best.map(_._2).filter(_ >= 0).sum

@@ -126,6 +126,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries("not json at all").isEmpty)
   }
 
+  test("a failed round carries the prior window UNCHANGED instead of erasing the history") {
+    // measured round: this round's final min appends, capped at 3
+    assert(Bench.rollWindow(Seq(1.0, 2.0, 3.0), Some(4.0)) == Seq(2.0, 3.0, 4.0))
+    assert(Bench.rollWindow(Seq(1.7), Some(1.8)) == Seq(1.7, 1.8))
+    assert(Bench.rollWindow(Nil, Some(0.9)) == Seq(0.9))
+    // errored round (no figure): the multi-round window must survive —
+    // dropping it would hand the recovered query to the single-min
+    // fallback prior, re-exposing the outlier-fast-poison mode
+    assert(Bench.rollWindow(Seq(1.3, 1.4, 1.5), None) == Seq(1.3, 1.4, 1.5))
+    // a query with no history that also errored stays absent (empty)
+    assert(Bench.rollWindow(Nil, None).isEmpty)
+  }
+
   test("trip condition: factor breach above the floor re-runs and records; floor and no-prior disarm") {
     // the synthetic-prior scenario: last round 0.5 s, this round 0.9 s
     // at the 1.5x default → the guard must trip (re-run + regressed)
