@@ -48,8 +48,22 @@ class KafkaWireSpec extends SparkTestBase {
       extra = Map("kafka.security.protocol" -> "PLAINTEXT"))
     val reader = KafkaWire.kafkaStreamReader(spark, cfg)
     def field[A](name: String): A = {
-      val f = classOf[org.apache.spark.sql.classic.DataStreamReader]
-        .getDeclaredField(name)
+      // pinned against Spark 4.1.2's private layout; a dependency bump
+      // that moves/renames the fields must surface as THIS self-
+      // diagnosing cancellation, not an opaque reflection failure in a
+      // test unrelated to the bump (r17 advisor finding)
+      val f =
+        try classOf[org.apache.spark.sql.classic.DataStreamReader]
+          .getDeclaredField(name)
+        catch {
+          case _: NoSuchFieldException =>
+            cancel(
+              s"DataStreamReader private field '$name' (pinned against " +
+                s"Spark 4.1.2, actual ${org.apache.spark.SPARK_VERSION}) has " +
+                "moved — re-pin this spec's reflection against the new " +
+                "layout (do not delete it: it is the only offline check " +
+                "that the declared option map reaches the reader)")
+        }
       f.setAccessible(true)
       f.get(reader).asInstanceOf[A]
     }
