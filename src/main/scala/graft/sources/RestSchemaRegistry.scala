@@ -67,7 +67,7 @@ final class RestSchemaRegistry(
     val resp = send(request(s"$base/subjects/${enc(subject)}/versions")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))))
     requireOk(resp, s"register under '$subject'")
-    mapper.readTree(resp.body()).get("id").asInt()
+    jsonField(resp, s"register under '$subject'", "id").asInt()
   }
 
   def schemaById(id: Int): Option[StructType] = {
@@ -76,7 +76,7 @@ final class RestSchemaRegistry(
     else {
       requireOk(resp, s"fetch schema id $id")
       Some(AvroSerde.structType(new org.apache.avro.Schema.Parser()
-        .parse(mapper.readTree(resp.body()).get("schema").asText())))
+        .parse(jsonField(resp, s"fetch schema id $id", "schema").asText())))
     }
   }
 
@@ -89,16 +89,21 @@ final class RestSchemaRegistry(
       // ascending; sorted defensively) — the last entry is the
       // subject's current schema, which content-addressed global ids
       // cannot tell you (a rollback re-registration reuses an old id)
-      mapper.readTree(versions.body()).elements().asScala
+      val listWhat = s"list versions of '$subject'"
+      val list = parsed(versions, listWhat)
+      if (!list.isArray)
+        malformed(versions, listWhat, "a JSON array of version numbers")
+      list.elements().asScala
         .map(_.asInt()).toSeq.sorted.map { v =>
+          val what = s"fetch '$subject' version $v"
           val resp = send(request(s"$base/subjects/${enc(subject)}/versions/$v").GET())
           // a version the list just named MUST resolve: a 404 here means
           // the subject changed mid-snapshot (or the service is lying) —
           // either way a partial history must not reach the decoder
-          requireOk(resp, s"fetch '$subject' version $v")
-          val node = mapper.readTree(resp.body())
-          node.get("id").asInt() -> AvroSerde.structType(
-            new org.apache.avro.Schema.Parser().parse(node.get("schema").asText()))
+          requireOk(resp, what)
+          jsonField(resp, what, "id").asInt() -> AvroSerde.structType(
+            new org.apache.avro.Schema.Parser()
+              .parse(jsonField(resp, what, "schema").asText()))
         }
     }
   }
@@ -131,4 +136,42 @@ final class RestSchemaRegistry(
       throw new IllegalStateException(
         s"schema registry: $what failed with HTTP ${resp.statusCode()}: " +
           resp.body().take(500))
+
+  /** A 2xx body that is not what the protocol promised — same loud
+    * error shape as [[requireOk]] (request description + status + body),
+    * never a bare NullPointerException from a missing key (r17 advisor
+    * finding): a proxy's HTML error page with a 200, or a registry
+    * version whose response dropped a field, must name the request it
+    * broke. */
+  private def malformed(
+      resp: HttpResponse[String], what: String, expected: String): Nothing =
+    throw new IllegalStateException(
+      s"schema registry: $what returned HTTP ${resp.statusCode()} but its " +
+        s"body is not $expected: ${resp.body().take(500)}")
+
+  private def parsed(
+      resp: HttpResponse[String], what: String): com.fasterxml.jackson.databind.JsonNode = {
+    val node =
+      try mapper.readTree(resp.body())
+      catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          malformed(resp, what, "valid JSON")
+      }
+    // readTree maps an EMPTY body to null/MissingNode depending on the
+    // jackson line — normalize both to the same loud failure
+    if (node == null || node.isMissingNode) malformed(resp, what, "valid JSON")
+    node
+  }
+
+  /** Required object field of a 2xx response body. */
+  private def jsonField(
+      resp: HttpResponse[String],
+      what: String,
+      name: String): com.fasterxml.jackson.databind.JsonNode = {
+    val node = parsed(resp, what)
+    val f = node.get(name)
+    if (f == null || f.isNull)
+      malformed(resp, what, s"a JSON object carrying '$name'")
+    f
+  }
 }
