@@ -23,93 +23,12 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
 
-  /** Minimal Confluent-wire registry: POST /subjects/{s}/versions,
-    * GET /schemas/ids/{id}, GET /subjects/{s}/versions[/v]. Records
-    * every request (method, path, headers) for wire-shape assertions. */
-  private final class WireServer {
-    val requests = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
-    private var nextId = 1
-    private var byId = Map.empty[Int, String]
-    // CONTENT-ADDRESSED global ids, the real Confluent model: the same
-    // schema JSON gets the same id under every subject — which is
-    // exactly what makes "latest = max id" false and the version order
-    // load-bearing (the client must survive this, not just the
-    // in-memory registry's per-subject monotone ids)
-    private var byJson = Map.empty[String, Int]
-    private var bySubject = Map.empty[String, Vector[Int]]
-    private val lock = new Object
+  // the in-process Confluent-wire service lives in TestRegistryServer
+  // (shared with ReplicationRegistrySpec, which drives the replication
+  // facade through this same protocol surface)
 
-    private def reply(ex: HttpExchange, status: Int, body: String): Unit = {
-      val bytes = body.getBytes("UTF-8")
-      ex.getResponseHeaders.add("Content-Type", "application/vnd.schemaregistry.v1+json")
-      ex.sendResponseHeaders(status, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
-
-    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (ex: HttpExchange) => {
-      // RAW path: the subject segment arrives percent-encoded and must
-      // be routed as ONE segment (getPath would decode %2F into a real
-      // slash and split it — the exact confusion the encoding prevents)
-      val path = ex.getRequestURI.getRawPath
-      requests.add((ex.getRequestMethod, path,
-        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")))
-      val SubjectVersions = "/subjects/([^/]+)/versions".r
-      val SubjectVersion = "/subjects/([^/]+)/versions/(\\d+)".r
-      val SchemaById = "/schemas/ids/(\\d+)".r
-      (ex.getRequestMethod, path) match {
-        case ("POST", SubjectVersions(subject)) =>
-          val posted = mapper.readTree(new String(
-            ex.getRequestBody.readAllBytes(), "UTF-8")).get("schema").asText()
-          lock.synchronized {
-            val id = byJson.getOrElse(posted, {
-              val i = nextId; nextId += 1
-              byId += i -> posted; byJson += posted -> i
-              i
-            })
-            val ids = bySubject.getOrElse(subject, Vector.empty)
-            if (!ids.contains(id)) bySubject += subject -> (ids :+ id)
-            reply(ex, 200, s"""{"id":$id}""")
-          }
-        case ("GET", SchemaById(id)) => lock.synchronized {
-          byId.get(id.toInt) match {
-            case Some(s) =>
-              val node = mapper.createObjectNode(); node.put("schema", s)
-              reply(ex, 200, mapper.writeValueAsString(node))
-            case None =>
-              reply(ex, 404, """{"error_code":40403,"message":"Schema not found"}""")
-          }
-        }
-        case ("GET", SubjectVersion(subject, v)) => lock.synchronized {
-          bySubject.get(subject).flatMap(_.lift(v.toInt - 1)) match {
-            case Some(id) =>
-              val node = mapper.createObjectNode()
-              node.put("id", id); node.put("version", v.toInt)
-              node.put("schema", byId(id))
-              reply(ex, 200, mapper.writeValueAsString(node))
-            case None =>
-              reply(ex, 404, """{"error_code":40402,"message":"Version not found"}""")
-          }
-        }
-        case ("GET", SubjectVersions(subject)) => lock.synchronized {
-          bySubject.get(subject) match {
-            case Some(ids) =>
-              reply(ex, 200, ids.indices.map(_ + 1).mkString("[", ",", "]"))
-            case None =>
-              reply(ex, 404, """{"error_code":40401,"message":"Subject not found"}""")
-          }
-        }
-        case _ => reply(ex, 500, """{"message":"unexpected request"}""")
-      }
-    })
-    server.start()
-    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def stop(): Unit = server.stop(0)
-  }
-
-  private def withServer[A](body: (WireServer, RestSchemaRegistry) => A): A = {
-    val srv = new WireServer
+  private def withServer[A](body: (TestRegistryServer, RestSchemaRegistry) => A): A = {
+    val srv = new TestRegistryServer
     try body(srv, new RestSchemaRegistry(srv.url))
     finally srv.stop()
   }
@@ -199,7 +118,7 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
   }
 
   test("wire shapes: paths, content type, and basic auth reach the service verbatim") {
-    val srv = new WireServer
+    val srv = new TestRegistryServer
     try {
       val reg = new RestSchemaRegistry(srv.url, auth = Some(("svc-user", "s3cret")))
       val id = reg.register("movies-value", v1)
@@ -235,6 +154,47 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       val e3 = intercept[IllegalStateException](reg.subjectSnapshot("s"))
       assert(e3.getMessage.contains("500"))
     } finally srv.stop(0)
+  }
+
+  test("a well-statused but MALFORMED body fails loudly, never a bare NPE") {
+    // a proxy's HTML error page with a 200, a registry that dropped a
+    // field, an empty body: each must fail with the requireOk error
+    // shape (request description + status + body), not a
+    // NullPointerException from a missing JSON key (r17 advisor finding)
+    def serve(body: String)(check: RestSchemaRegistry => Unit): Unit = {
+      val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/", (ex: HttpExchange) => {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      })
+      srv.start()
+      try check(new RestSchemaRegistry(s"http://127.0.0.1:${srv.getAddress.getPort}"))
+      finally srv.stop(0)
+    }
+    // missing key with an otherwise-valid object body
+    serve("""{"unexpected":42}""") { reg =>
+      val e = intercept[IllegalStateException](reg.register("s", v1))
+      assert(e.getMessage.contains("register under 's'")
+        && e.getMessage.contains("'id'")
+        && e.getMessage.contains("unexpected"), e.getMessage)
+      val e2 = intercept[IllegalStateException](reg.schemaById(1))
+      assert(e2.getMessage.contains("'schema'"), e2.getMessage)
+      // the versions LIST must be an array — an object here means the
+      // endpoint is not what we think it is
+      val e3 = intercept[IllegalStateException](reg.subjectHistory("s"))
+      assert(e3.getMessage.contains("array"), e3.getMessage)
+    }
+    // non-JSON (the proxy-error-page case) and empty bodies
+    serve("<html>gateway error</html>") { reg =>
+      val e = intercept[IllegalStateException](reg.register("s", v1))
+      assert(e.getMessage.contains("gateway error"), e.getMessage)
+    }
+    serve("") { reg =>
+      val e = intercept[IllegalStateException](reg.register("s", v1))
+      assert(e.getMessage.contains("valid JSON"), e.getMessage)
+    }
   }
 
   test("subjects with reserved URL characters travel percent-encoded") {
