@@ -497,9 +497,10 @@ object NearDup {
     // times the accumulated append files. totalValues arms the
     // DENSE-probe short-circuit: a bulk batch whose keys hit ≥¾ of the
     // parts root-reads instead (one listing, no per-dir exists calls,
-    // no parallel-discovery job) — legal here precisely because the
-    // isin filter below stays as the semantic guard either way, and
-    // partition pruning drops non-probed parts at the scan
+    // no parallel-discovery job) — the helper applies the probed-parts
+    // predicate to that root read itself (structural since r18), so
+    // either regime returns only the probed parts; the isin below is
+    // the redundant belt (and documents the probe's semantics in place)
     val (idxFs, idxRoot) = Generations.fsRoot(spark, path)
     val idx = Similarity.prunedPartitionRead(
       spark, idxFs, Generations.currentDir(idxFs, idxRoot).toString,

@@ -187,24 +187,36 @@ class IndexLayoutSpec extends SparkTestBase {
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // DENSE (6 of 8 named = 75%, at the ≥¾ threshold): root read — the
-    // documented contract shift means NON-named buckets' rows may appear;
-    // pin that they DO (proving this is the one-listing root path, not
-    // the per-dir read) and that the caller's isin guard restores the
-    // named set exactly
+    // DENSE (6 of 8 named = 75%, at the ≥¾ threshold): ONE root read,
+    // with the named-subpaths-only contract held STRUCTURALLY — a
+    // guard-less caller (no isin of its own) still gets exactly the
+    // named partitions' rows (r18: the r17 shape returned non-named
+    // rows and relied on every caller's own filter, a comment-enforced
+    // trap)
     val named = (0 until 6).map(b => s"bucket=$b")
     val dense = Similarity.prunedPartitionRead(
       spark, fs, dir, named, totalValues = Some(8))
-    assert(dense.count() == 1000,
-      "the dense short-circuit must be the root read (all rows pre-filter)")
-    val guarded = dense.filter(col("bucket").isin(0 to 5: _*))
-    assert(guarded.count() ==
-      spark.read.parquet(dir).filter(col("bucket") < 6).count())
-    // the caller's isin guard restores the pruning at the SCAN on this
-    // path — the root read costs one listing, not six dirs of reading
-    val plan = guarded.queryExecution.executedPlan.toString
+    assert(dense.count() ==
+      spark.read.parquet(dir).filter(col("bucket") < 6).count(),
+      "guard-less dense call must return ONLY the named partitions' rows")
+    assert(dense.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 1, 2, 3, 4, 5)))
+    // still the ROOT-read path (one listing, no per-dir exists calls):
+    // the scan's file index is rooted at the table dir, not six subdirs…
+    val roots = dense.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths
+    }.flatten
+    assert(roots.map(_.getName) == Seq(new java.io.File(dir).getName),
+      s"dense path must read the ROOT, got $roots")
+    // …and the structural predicate partition-prunes at that scan, so
+    // the residual 2 non-named buckets cost no read
+    val plan = dense.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
-      s"dense root read + isin must partition-prune at the scan:\n${plan.take(2000)}")
+      s"dense root read must partition-prune via the structural guard:\n${plan.take(2000)}")
+    // a caller's own redundant isin (every probe keeps one for the
+    // streamed/ union) composes harmlessly
+    assert(dense.filter(col("bucket").isin(0 to 5: _*)).count() == dense.count())
     // SPARSE (2 of 8 = 25%): exact named-dirs semantics unchanged — the
     // same totalValues hint must NOT leak non-named rows
     val sparse = Similarity.prunedPartitionRead(
@@ -212,16 +224,47 @@ class IndexLayoutSpec extends SparkTestBase {
     assert(sparse.select("bucket").distinct().collect().map(_.getInt(0)).sorted
       .sameElements(Array(2, 5)))
     // dense probe whose named dirs are ALL absent while others exist:
-    // the root read surfaces the others' rows (contract shift), and the
-    // caller's isin guard still lands on an empty-but-schema'd result
+    // the root read surfaces nothing through the structural guard — an
+    // empty result with the full schema, no caller filter needed
     val partial = tmp()
     df.filter(col("bucket") >= 6)
       .write.partitionBy("bucket").mode("overwrite").parquet(partial)
     val ghosts = Similarity.prunedPartitionRead(
       spark, fs, partial, named, totalValues = Some(8))
-    assert(ghosts.count() > 0, "dense path reads the root, ghosts included")
-    assert(ghosts.filter(col("bucket").isin(0 to 5: _*)).count() == 0)
+    assert(ghosts.count() == 0,
+      "non-named partitions' rows must never surface, even guard-less")
     assert(ghosts.columns.sorted.toSeq == Seq("bucket", "id"))
+  }
+
+  test("the dense guard predicate covers the nested band/sig shape and escaped strings") {
+    val dir = tmp()
+    val df = (0 until 400)
+      .map(i => (i.toLong, i % 4, (i / 4) % 2)).toDF("id", "band", "sig")
+    Similarity.spreadForWrite(df, 8, col("band"), col("sig"))
+      .write.partitionBy("band", "sig").mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // 6 of 8 (band, sig) pairs named → dense root read; only those six
+    // pairs' rows may come back
+    val named = for { b <- 0 until 3; s <- 0 until 2 } yield s"band=$b/sig=$s"
+    val dense = Similarity.prunedPartitionRead(
+      spark, fs, dir, named, totalValues = Some(8))
+    assert(dense.select("band").distinct().collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 1, 2)))
+    assert(dense.count() ==
+      spark.read.parquet(dir).filter(col("band") < 3).count())
+    // STRING partition values round-trip through the writer's path
+    // escaping: the guard must compare the unescaped value
+    val sdir = tmp()
+    Seq((1L, "a b"), (2L, "c:d"), (3L, "plain"), (4L, "x%y"))
+      .toDF("id", "term")
+      .write.partitionBy("term").mode("overwrite").parquet(sdir)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val wanted = Seq("a b", "c:d", "x%y").map(t => s"term=${escapePathName(t)}")
+    val sd = Similarity.prunedPartitionRead(
+      spark, fs, sdir, wanted, totalValues = Some(4))
+    assert(sd.select("term").distinct().collect().map(_.getString(0)).sorted
+      .sameElements(Array("a b", "c:d", "x%y")), "escaped string values must unescape in the guard")
   }
 
   test("prunedPartitionRead handles nested partition subpaths (the LSH band/sig shape)") {
