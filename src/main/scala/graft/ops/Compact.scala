@@ -211,50 +211,111 @@ object Generations {
       p: Path): (org.apache.hadoop.fs.FSDataOutputStream, () => Boolean) =
     if (fs.getUri.getScheme == "file") {
       val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri)
-      val out = new org.apache.hadoop.fs.FSDataOutputStream(
-        java.nio.file.Files.newOutputStream( // throws nio FileAlreadyExistsException
-          nio, java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE),
-        null)
-      // a PRE-r17 producer wrote this lock through LocalFileSystem and
-      // left a checksum sibling; a plain `rm _GEN_LOCK` heal keeps it,
-      // and ChecksumFileSystem verifies our fresh raw bytes against the
-      // STALE .crc on the next readLock — releaseLock would then refuse
-      // the rightful owner. We hold the path (create just won), so the
-      // legacy sibling is garbage by definition: drop it.
-      try java.nio.file.Files.deleteIfExists(
-        nio.resolveSibling("." + nio.getFileName + ".crc"))
-      catch { case _: java.io.IOException => () }
-      // inode identity captured right after the create, for the
-      // cleanup-ownership check below. Three outcomes, kept distinct
-      // (r17 review finding — collapsing them re-opened the race):
-      //  Right(Some(k)) — identity known: cleanup deletes only if the
-      //    path STILL resolves to k;
-      //  Right(None) — this FS exposes no fileKey: identity unknowable
-      //    by design, keep the legacy path-delete;
-      //  Left(_) — the stat itself failed (a heal raced this capture,
-      //    or a transient fault): identity is unknown but KNOWABLE, so
-      //    never path-delete — a successor may own the path by now (a
-      //    wedged retry beats deleting a live lock).
-      // Residual window, documented not closed: the stat is a separate
-      // syscall after the create — a heal plus a successor's acquire
-      // landing BETWEEN the two would capture the successor's key. The
-      // heal contract ("verify nothing is live, then delete") already
-      // excludes healing a lock whose producer is mid-acquire.
-      def stat(): Option[AnyRef] = Option(java.nio.file.Files
+      def pathKey(): Option[AnyRef] = Option(java.nio.file.Files
         .readAttributes(nio, classOf[java.nio.file.attribute.BasicFileAttributes])
         .fileKey())
-      val key: Either[Unit, Option[AnyRef]] =
-        try Right(stat())
-        catch { case _: java.io.IOException => Left(()) }
-      val stillMine = () => key match {
-        case Left(_)        => false
-        case Right(None)    => true
-        case Right(Some(k)) =>
-          try stat().contains(k)
-          catch { case _: java.io.IOException => false } // path gone: nothing to delete
+      // LINK PROTOCOL (r18, closes the r17-documented create-to-stat
+      // window): create a uniquely-named temp sibling, capture ITS
+      // inode key — race-free, nobody heals or acquires a UUID name —
+      // then atomically hard-link it to the lock name. The link is the
+      // exclusive acquire (fails FileAlreadyExists when held, exactly
+      // like CREATE_NEW), and the identity was known BEFORE the lock
+      // name existed, so stillMine can never capture a successor's
+      // inode. The write handle stays on the temp-open stream: same
+      // inode, so the token lands at the lock path; the temp NAME is
+      // unlinked right after (a kill between create and unlink leaves
+      // an inert `.tmp` husk that never blocks an acquire — a heal may
+      // remove them). Filesystems without hard links fall back to the
+      // r17 CREATE_NEW-then-stat shape with its documented residual
+      // window.
+      val tmp = nio.resolveSibling(
+        s"${nio.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      def cleanupTmp(): Unit =
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+      val out = new org.apache.hadoop.fs.FSDataOutputStream(
+        java.nio.file.Files.newOutputStream(
+          tmp, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE),
+        null)
+      def abort(e: Throwable): Nothing = {
+        try out.close() catch { case _: java.io.IOException => () }
+        cleanupTmp()
+        throw e
       }
-      (out, stillMine)
+      // our inode's identity, pre-link. A transient stat failure here
+      // aborts the acquire as ITSELF (the lock name does not exist yet,
+      // so acquireLock's held-mapping correctly lets it propagate).
+      val key: Option[AnyRef] =
+        try Option(java.nio.file.Files
+          .readAttributes(tmp, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey())
+        catch { case e: java.io.IOException => abort(e) }
+      val linked =
+        try { java.nio.file.Files.createLink(nio, tmp); true }
+        catch {
+          // held: surface as the exclusive-create collision acquireLock
+          // maps to its actionable "held" error (temp husk removed first)
+          case e: java.nio.file.FileAlreadyExistsException => abort(e)
+          // this FS has no hard links: fall back to CREATE_NEW below
+          case _: UnsupportedOperationException => false
+          case _: java.nio.file.FileSystemException => false
+        }
+      if (linked) {
+        cleanupTmp()
+        // a PRE-r17 producer wrote this lock through LocalFileSystem and
+        // left a checksum sibling; a plain `rm _GEN_LOCK` heal keeps it,
+        // and ChecksumFileSystem verifies our fresh raw bytes against the
+        // STALE .crc on the next readLock — releaseLock would then refuse
+        // the rightful owner. We hold the path (link just won), so the
+        // legacy sibling is garbage by definition: drop it.
+        try java.nio.file.Files.deleteIfExists(
+          nio.resolveSibling("." + nio.getFileName + ".crc"))
+        catch { case _: java.io.IOException => () }
+        val stillMine = () => key match {
+          // identity unknowable on this FS (no fileKey): keep the
+          // legacy path-delete
+          case None    => true
+          case Some(k) =>
+            try pathKey().contains(k)
+            catch { case _: java.io.IOException => false } // path gone: nothing to delete
+        }
+        (out, stillMine)
+      } else {
+        // FALLBACK (no-hard-link FS): the r17 shape — CREATE_NEW on the
+        // lock name, identity captured by a SEPARATE path-stat after it.
+        // Three outcomes kept distinct (r17 review finding):
+        //  Right(Some(k)) — identity known: delete only if still k;
+        //  Right(None) — FS exposes no fileKey: keep the path-delete;
+        //  Left(_) — the stat failed: unknown but KNOWABLE, never
+        //    delete (a successor may own the path by now).
+        // Residual window, documented not closed ON THIS PATH ONLY: a
+        // heal plus a successor's acquire landing between create and
+        // stat captures the successor's key — the heal contract
+        // ("verify nothing is live, then delete") already excludes
+        // healing a lock whose producer is mid-acquire.
+        try out.close() catch { case _: java.io.IOException => () }
+        cleanupTmp()
+        val out2 = new org.apache.hadoop.fs.FSDataOutputStream(
+          java.nio.file.Files.newOutputStream( // throws nio FileAlreadyExistsException
+            nio, java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE),
+          null)
+        try java.nio.file.Files.deleteIfExists(
+          nio.resolveSibling("." + nio.getFileName + ".crc"))
+        catch { case _: java.io.IOException => () }
+        val key2: Either[Unit, Option[AnyRef]] =
+          try Right(pathKey())
+          catch { case _: java.io.IOException => Left(()) }
+        val stillMine = () => key2 match {
+          case Left(_)        => false
+          case Right(None)    => true
+          case Right(Some(k)) =>
+            try pathKey().contains(k)
+            catch { case _: java.io.IOException => false }
+        }
+        (out2, stillMine)
+      }
     } else (fs.create(p, false), () => true)
 
   /** System property a deployment sets (`-Dgraft.generations

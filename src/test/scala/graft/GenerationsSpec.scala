@@ -201,6 +201,34 @@ class GenerationsSpec extends SparkTestBase {
       "the refusal must name the per-root opt-in")
   }
 
+  test("link-protocol acquire: no temp husk left behind, held and re-acquire unaffected") {
+    // r18: local acquires go temp-create → stat → hard-LINK to the lock
+    // name, so the inode identity is captured BEFORE the lock name
+    // exists (the r17 create-to-stat window is closed, not documented).
+    // Externally observable surface: the lock works exactly as before
+    // and the protocol's temp name never survives an acquire, a
+    // contended acquire, or a release.
+    val (fs, root) = freshRoot()
+    def husks(): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).map(_.getPath.getName).toSeq
+        .filter(n => n.startsWith("_GEN_LOCK.") && n.endsWith(".tmp"))
+    val t1 = Generations.acquireLock(fs, root, "linker")
+    assert(husks().isEmpty, s"acquire must unlink its temp name: ${husks()}")
+    intercept[IllegalStateException](Generations.acquireLock(fs, root, "contender"))
+    assert(husks().isEmpty, s"a refused contender must clean its temp: ${husks()}")
+    Generations.releaseLock(fs, root, t1)
+    assert(!fs.exists(Generations.lockPath(root)))
+    val t2 = Generations.acquireLock(fs, root, "again")
+    assert(husks().isEmpty)
+    // the token write landed at the LOCK path through the temp-opened
+    // handle (same inode): the holder must be readable there
+    val e = intercept[IllegalStateException](
+      Generations.acquireLock(fs, root, "reader"))
+    assert(e.getMessage.contains("again"), "holder token must be visible at the lock path")
+    Generations.releaseLock(fs, root, t2)
+  }
+
   test("local-root lock acquisition is atomic under a same-instant race: exactly one winner") {
     // Hadoop's RawLocalFileSystem create(p, overwrite=false) is an
     // exists() check FOLLOWED by a create — two racing producers could
