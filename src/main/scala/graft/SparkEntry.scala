@@ -85,12 +85,24 @@ object SparkEntry {
       val li = s"bucketed_lineitem_$tag"
       val ord = s"bucketed_orders_$tag"
       val root = tempDirCleanedAtExit("graft-bucketed")
+      // buckets ∝ rows (Bucketed.bucketsFor — sized from the larger
+      // side, SAME count on both or co-location silently degrades):
+      // the declared layout previously pinned 8 buckets at ANY sf, the
+      // exact frozen-layout anti-pattern Bucketed's scaladoc warns
+      // about and the roster's one super-linear scale shape (r17
+      // ScaleProbe 5.05; ×64 octave 21.44 fixed vs 5.92 scaled).
+      // Results never change with layout (BucketedJoinSpec pins it) —
+      // only the plan does. The count() here reads parquet footers
+      // only, paid once per (JVM, sf) alongside the layout write itself.
+      val liRows = Tables.lineitem(s, d).count()
+      val ordRows = Tables.orders(s, d).count()
+      val buckets = ops.Bucketed.bucketsFor(math.max(liRows, ordRows))
       ops.Bucketed.writeBucketedTable(
         Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
-        li, s"$root/lineitem", "l_orderkey", buckets = 8)
+        li, s"$root/lineitem", "l_orderkey", buckets)
       ops.Bucketed.writeBucketedTable(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
-        ord, s"$root/orders", "o_orderkey", buckets = 8)
+        ord, s"$root/orders", "o_orderkey", buckets)
       (li, ord)
     })
 

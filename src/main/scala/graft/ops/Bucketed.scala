@@ -28,6 +28,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * way. */
 object Bucketed {
 
+  /** Bucket count for a layout write, sized from the table's row count:
+    * `⌈rows / targetRowsPerBucket⌉`, floored at `floor`. This is the
+    * production lever both scale probes measured (ScaleProbe 2d, ×8;
+    * Scale64, ×64): a FIXED bucket count makes the per-bucket sort
+    * super-linear in the data (11–14× at ×8, compounding to 25× over an
+    * 8× octave as buckets spill), while buckets ∝ rows keeps per-bucket
+    * volume — and therefore the join's per-task cost — constant,
+    * measuring linear-to-sub-linear on the same data. The default
+    * target (64 Ki rows/bucket) keeps a bucket's sort comfortably
+    * in-memory for the fact-table row widths here; both join sides must
+    * be written with the SAME resulting count (size from the LARGER
+    * side) or the co-location silently degrades to a shuffled join. */
+  def bucketsFor(
+      rows: Long,
+      targetRowsPerBucket: Long = 65536L,
+      floor: Int = 8): Int = {
+    require(targetRowsPerBucket > 0 && floor > 0,
+      s"targetRowsPerBucket=$targetRowsPerBucket floor=$floor must be positive")
+    val needed = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
+    math.max(floor.toLong, needed).min(Int.MaxValue.toLong).toInt
+  }
+
   /** Write `df` as an external bucketed table: `buckets` files per
     * writer task, hashed and sorted by `keyCol`, registered as `name`
     * at `path` (overwriting any previous registration of the name). */

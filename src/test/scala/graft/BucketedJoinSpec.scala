@@ -52,6 +52,50 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("bucketsFor sizes the layout from the data: floor at small rows, ⌈rows/target⌉ past it") {
+    // the r17 verdict's one super-linear declared row was exactly a
+    // fixture that pinned 8 buckets at any sf; this is the sizing the
+    // declared q_colocated_join layout now derives from the larger side
+    assert(Bucketed.bucketsFor(0L) == 8)
+    assert(Bucketed.bucketsFor(60000L) == 8, "sf0.01 stays at the floor")
+    assert(Bucketed.bucketsFor(65536L * 8) == 8)
+    assert(Bucketed.bucketsFor(65536L * 8 + 1) == 9, "ceil, not floor division")
+    assert(Bucketed.bucketsFor(600000L) == 10, "sf0.1 scales past the floor")
+    assert(Bucketed.bucketsFor(600000L * 8) == 74, "x8 keeps per-bucket volume constant")
+    assert(Bucketed.bucketsFor(600000L * 64) == 586, "x64 keeps scaling linearly")
+    assert(Bucketed.bucketsFor(1000L, targetRowsPerBucket = 100L, floor = 4) == 10)
+    intercept[IllegalArgumentException](Bucketed.bucketsFor(10L, targetRowsPerBucket = 0L))
+  }
+
+  test("a scaled (non-default) matched count keeps the no-Exchange plan and the answer") {
+    // the production sizing writes a data-derived count; the no-Exchange
+    // property must not be an 8-bucket accident
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed-scaled").toString
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, sf001).select("o_orderkey", "o_orderpriority")
+    val n = Bucketed.bucketsFor(math.max(li.count(), ord.count()),
+      targetRowsPerBucket = 256L) // force past the floor at fixture scale
+    assert(n > 8, s"fixture sizing must exercise a non-default count, got $n")
+    Bucketed.writeBucketedTable(li, "bscaled_li", s"$root/li", "l_orderkey", n)
+    Bucketed.writeBucketedTable(ord, "bscaled_ord", s"$root/ord", "o_orderkey", n)
+    withSmjForced {
+      val joined = Bucketed
+        .colocatedJoin(spark, "bscaled_li", "bscaled_ord", "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"scaled matched layout must stay exchange-free:\n$plan")
+      val want = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want)
+    }
+  }
+
   test("a drifted layout (mismatched bucket counts) degrades to a correct shuffled join") {
     val root = java.nio.file.Files.createTempDirectory("graft-bucketed-drift").toString
     val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
