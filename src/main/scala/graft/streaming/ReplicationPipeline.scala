@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.sink.JdbcMerge
-import graft.sources.Cdc
+import graft.sources.{Cdc, KafkaWire, SchemaRegistry}
 
 /** The reference's ENTIRE data path as one composable entry point
   * (SURVEY.md §3.1) — what a user of the reference actually deploys:
@@ -101,12 +101,138 @@ object ReplicationPipeline {
     val snap = PullQuery
       .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
       .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
+    pullFilter(snap, cfg, key)
+  }
+
+  /** [[pullQuery]] against a [[startFromFrame]]/[[startFromKafka]]
+    * pipeline's state, whose rows hold the value as raw registry-framed
+    * BYTES (the evolution-stable state shape that facade is built on):
+    * id-dispatch decode the snapshot through the same registry, then
+    * answer identically. The registry is consulted at CALL time, so a
+    * pull query sees schemas registered after the pipeline started. */
+  def pullQueryFromFrame(
+      spark: SparkSession, wire: WireConfig, cfg: Config, key: Any): DataFrame = {
+    val snap = PullQuery
+      .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
+      .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
+    val history = wire.registry.subjectHistory(wire.subject)
+    require(history.nonEmpty, s"subject '${wire.subject}' has no registered schemas")
+    val envelope = snap.select(
+      col("kafka_key"),
+      KafkaWire.avroDecodeRegistry(col("value"), history.toMap, history.last._1)
+        .as("kafka_value"),
+      col("offset"))
+    pullFilter(envelope, cfg, key)
+  }
+
+  /** Shared tail of both pull-query shapes: flatten the envelope rows
+    * and keep the one LIVE row for `key` (NOT deleted, where deleted
+    * mirrors [[isDeletion]]: NULL `__DELETED` = raw tombstone, "true" =
+    * rewrite record). */
+  private def pullFilter(envelope: DataFrame, cfg: Config, key: Any): DataFrame = {
     val keyCol = cfg.keyField.toUpperCase(Locale.ROOT)
-    flatten(snap, cfg.keyField, cfg.projectCols)
-      // live = NOT deleted, where deleted mirrors isDeletion:
-      // NULL __DELETED (raw tombstone) or "true" (rewrite record)
+    flatten(envelope, cfg.keyField, cfg.projectCols)
       .filter(coalesce(col("__DELETED") =!= "true", lit(false)))
       .filter(col(keyCol) === lit(key))
+  }
+
+  /** The WIRE half of the deployable unit — where the envelope's bytes
+    * come from and how they decode. Together with [[Config]] (the state
+    * + sink half) this is the whole of what the reference deploys as
+    * two Connect jobs plus a ksqlDB script (start-source-connector.sh:
+    * 70-104 names broker, topic, and registry URL; start-sink-
+    * connector.sh:57-87 names the JDBC target): broker + topic, a
+    * [[SchemaRegistry]] (a [[graft.sources.RestSchemaRegistry]] at the
+    * registry's URL in production; in-memory in tests), the fixed key
+    * schema (Debezium keys never evolve — the PK struct IS row
+    * identity), and the value subject, defaulted to Confluent's
+    * TopicNameStrategy `<topic>-value`. */
+  case class WireConfig(
+      kafka: KafkaWire.Config,
+      registry: SchemaRegistry,
+      keySchema: StructType,
+      valueSubject: Option[String] = None) {
+    def subject: String = valueSubject.getOrElse(s"${kafka.topic}-value")
+  }
+
+  /** ONE call from "broker + registry URL" to "replicated JDBC table":
+    * configures the Kafka reader ([[KafkaWire.kafkaStreamReader]]),
+    * resolves the value subject through the registry and builds the
+    * id-dispatch evolving decode, and hands the envelope to [[start]].
+    * Needs the Kafka connector jars on the classpath at `.load()` —
+    * the one seam the offline suite cannot execute; everything after
+    * the frame is ReplicationRegistrySpec's end-to-end surface
+    * ([[startFromFrame]], driven through a real
+    * [[graft.sources.RestSchemaRegistry]] against an in-process
+    * registry server, mid-stream widening included). */
+  def startFromKafka(
+      spark: SparkSession,
+      wire: WireConfig,
+      cfg: Config,
+      connect: () => Connection): StreamingQuery =
+    startFromFrame(
+      KafkaWire.kafkaStreamReader(spark, wire.kafka).load()
+        .select(col("key"), col("value"), col("offset")),
+      wire, cfg, connect)
+
+  /** [[startFromKafka]] minus the transport: `frame` is ANY streaming
+    * (key BINARY, value BINARY, offset LONG) source — the Kafka reader
+    * in production, a MemoryStream of encoded frames in tests, a
+    * parquet archive of raw frames in a backfill. The registry is
+    * consulted ONCE, here at plan time (the [[SchemaRegistry]] trait's
+    * documented trust model): records framed by any schema id already
+    * registered decode and widen to the subject's latest schema; a
+    * subject that evolves AFTER start needs a stop + same-checkpoint
+    * restart to pick up the new snapshot.
+    *
+    * Deliberately NOT `start(decodeEnvelope(frame))`: only the KEY is
+    * decoded before the changelog (its schema is static by contract —
+    * Debezium keys never evolve), while the VALUE rides through the
+    * keyed state as its raw registry-framed bytes and is id-dispatch
+    * decoded per MICRO-BATCH on the way to the sink. That keeps the
+    * state-store schema pinned to (key struct, binary, long) across
+    * every subject evolution — the widening restart passes the state
+    * schema check and replays nothing, because the evolving half never
+    * entered the state. Decoding the value pre-state would make the
+    * first widening restart fail that check and force a from-scratch
+    * backfill (ReplicationRegistrySpec pins the whole sequence against
+    * a real [[graft.sources.RestSchemaRegistry]] and a real database).
+    * Exactly-once across the restart is the changelog checkpoint's
+    * contract. */
+  def startFromFrame(
+      frame: DataFrame,
+      wire: WireConfig,
+      cfg: Config,
+      connect: () => Connection): StreamingQuery = {
+    ChangelogStream.configure(frame.sparkSession)
+    val history = wire.registry.subjectHistory(wire.subject)
+    require(history.nonEmpty, s"subject '${wire.subject}' has no registered schemas")
+    val valueRegistry = history.toMap
+    // latest = last VERSION (content-addressed ids make max-id unsound)
+    val latestId = history.last._1
+    val keyed = frame.select(
+      KafkaWire.avroDecode(col("key"), wire.keySchema).as("kafka_key"),
+      col("value"), col("offset"))
+    val schema = keyed.schema
+    val keyFieldIdx = wire.keySchema.fieldIndex(cfg.keyField)
+    val offsetIdx = schema.fieldIndex("offset")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val strEnc = Encoders.STRING
+    val sinkCfg = cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
+    val latest = ChangelogStream.latestByKey[String, Row](
+      keyed.as(rowEnc),
+      key = r => String.valueOf(r.getStruct(0).get(keyFieldIdx)),
+      seq = r => r.getLong(offsetIdx))
+    ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
+      (batch, batchId) =>
+        val envelope = batch.toDF().select(
+          col("kafka_key"),
+          KafkaWire.avroDecodeRegistry(col("value"), valueRegistry, latestId)
+            .as("kafka_value"),
+          col("offset"))
+        JdbcMerge.sink(sinkCfg, isDeletion, connect)(
+          flatten(envelope, cfg.keyField, cfg.projectCols), batchId)
+    }
   }
 
   /** Start the continuous replication: envelope stream in, target table
