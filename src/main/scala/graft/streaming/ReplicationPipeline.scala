@@ -115,11 +115,10 @@ object ReplicationPipeline {
     val snap = PullQuery
       .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
       .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
-    val history = wire.registry.subjectHistory(wire.subject)
-    require(history.nonEmpty, s"subject '${wire.subject}' has no registered schemas")
+    val (valueRegistry, latestId) = resolveSubject(wire.registry, wire.subject)
     val envelope = snap.select(
       col("kafka_key"),
-      KafkaWire.avroDecodeRegistry(col("value"), history.toMap, history.last._1)
+      KafkaWire.avroDecodeRegistry(col("value"), valueRegistry, latestId)
         .as("kafka_value"),
       col("offset"))
     pullFilter(envelope, cfg, key)
@@ -145,15 +144,65 @@ object ReplicationPipeline {
     * [[SchemaRegistry]] (a [[graft.sources.RestSchemaRegistry]] at the
     * registry's URL in production; in-memory in tests), the fixed key
     * schema (Debezium keys never evolve — the PK struct IS row
-    * identity), and the value subject, defaulted to Confluent's
-    * TopicNameStrategy `<topic>-value`. */
+    * identity), and the subjects, defaulted to Confluent's
+    * TopicNameStrategy `<topic>-value` / `<topic>-key`.
+    *
+    * `keyFramed` defaults TRUE because that is what a real
+    * Connect/Avro-converter producer emits: the KEY bytes carry the
+    * same Confluent framing as the value (0x00 magic + 4-byte schema
+    * id + payload). Decoding a framed key as bare Avro would read the
+    * magic byte as the first field's varint — every key collapses to
+    * 0/garbage and the whole topic lands on one changelog state key,
+    * silently. The framed path id-dispatch decodes through the key
+    * subject and REQUIRES the subject's latest schema to equal the
+    * declared `keySchema` (key identity drift must stop the plan, not
+    * re-key the table). Set `keyFramed = false` only for producers
+    * that write bare Avro keys ([[KafkaWire.decodeEnvelope]]'s
+    * convention, e.g. graft's own encodeEnvelope output). */
   case class WireConfig(
       kafka: KafkaWire.Config,
       registry: SchemaRegistry,
       keySchema: StructType,
-      valueSubject: Option[String] = None) {
+      valueSubject: Option[String] = None,
+      keyFramed: Boolean = true,
+      keySubject: Option[String] = None) {
     def subject: String = valueSubject.getOrElse(s"${kafka.topic}-value")
+    def keySubjectName: String = keySubject.getOrElse(s"${kafka.topic}-key")
   }
+
+  /** Resolve one subject's id-dispatch map + latest id through the
+    * registry — the load-bearing "latest = last VERSION, never max id"
+    * rule (content-addressed Confluent ids are reused, so the highest
+    * id is not the newest version), kept in ONE place for every
+    * facade path that builds a decode. */
+  private def resolveSubject(
+      registry: SchemaRegistry, subject: String): (Map[Int, StructType], Int) = {
+    val history = registry.subjectHistory(subject)
+    require(history.nonEmpty, s"subject '$subject' has no registered schemas")
+    (history.toMap, history.last._1)
+  }
+
+  /** The sink config every start path actually uses: `keyCols` DERIVED
+    * from the uppercased `keyField` (restating it in `sink.keyCols` was
+    * a mismatch-prone duplicate knob — wrong case meant a nullable key
+    * plus a PRIMARY KEY on a non-existent column at runtime). */
+  private def derivedSink(cfg: Config): JdbcMerge.Config =
+    cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
+
+  /** The facade's key-bytes decode column: framed (id-dispatch through
+    * the key subject, latest REQUIRED equal to the declared schema) or
+    * bare Avro. Output type is `wire.keySchema` either way, so the
+    * changelog state shape never depends on the framing choice. */
+  private def keyDecode(wire: WireConfig): org.apache.spark.sql.Column =
+    if (wire.keyFramed) {
+      val (keyRegistry, keyLatest) = resolveSubject(wire.registry, wire.keySubjectName)
+      require(keyRegistry(keyLatest) == wire.keySchema,
+        s"declared keySchema does not match the latest schema registered under " +
+          s"'${wire.keySubjectName}': a key schema change redefines row identity, " +
+          s"which no changelog consumer can absorb — declared ${wire.keySchema.sql}, " +
+          s"registry ${keyRegistry(keyLatest).sql}")
+      KafkaWire.avroDecodeRegistry(col("key"), keyRegistry, keyLatest)
+    } else KafkaWire.avroDecode(col("key"), wire.keySchema)
 
   /** ONE call from "broker + registry URL" to "replicated JDBC table":
     * configures the Kafka reader ([[KafkaWire.kafkaStreamReader]]),
@@ -205,20 +254,16 @@ object ReplicationPipeline {
       cfg: Config,
       connect: () => Connection): StreamingQuery = {
     ChangelogStream.configure(frame.sparkSession)
-    val history = wire.registry.subjectHistory(wire.subject)
-    require(history.nonEmpty, s"subject '${wire.subject}' has no registered schemas")
-    val valueRegistry = history.toMap
-    // latest = last VERSION (content-addressed ids make max-id unsound)
-    val latestId = history.last._1
+    val (valueRegistry, latestId) = resolveSubject(wire.registry, wire.subject)
     val keyed = frame.select(
-      KafkaWire.avroDecode(col("key"), wire.keySchema).as("kafka_key"),
+      keyDecode(wire).as("kafka_key"),
       col("value"), col("offset"))
     val schema = keyed.schema
     val keyFieldIdx = wire.keySchema.fieldIndex(cfg.keyField)
     val offsetIdx = schema.fieldIndex("offset")
     implicit val rowEnc = Encoders.row(schema)
     implicit val strEnc = Encoders.STRING
-    val sinkCfg = cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
+    val sinkCfg = derivedSink(cfg)
     val latest = ChangelogStream.latestByKey[String, Row](
       keyed.as(rowEnc),
       key = r => String.valueOf(r.getStruct(0).get(keyFieldIdx)),
@@ -249,10 +294,7 @@ object ReplicationPipeline {
     // state (the documented scale contract — heap-backed default state
     // would grow memory ∝ distinct keys)
     ChangelogStream.configure(envelope.sparkSession)
-    // derive the sink key from keyField — restating it in sink.keyCols
-    // was a mismatch-prone duplicate knob (wrong case = nullable key +
-    // PRIMARY KEY on a non-existent column at runtime)
-    val sinkCfg = cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
+    val sinkCfg = derivedSink(cfg)
     val schema = envelope.schema
     val keyIdx = schema.fieldIndex("kafka_key")
     val keyFieldIdx = schema("kafka_key").dataType

@@ -41,13 +41,17 @@ class ReplicationRegistrySpec extends SparkTestBase {
   private val keySt = StructType(Seq(StructField("id", IntegerType, nullable = false)))
   private val keyAvro = AvroSerde.avroSchema(keySt)
 
-  private def frame(id: Int, env: Row, schema: StructType, schemaId: Int, offset: Long) =
-    (AvroSerde.toBytes(Row(id), keySt, keyAvro),
+  /** A Connect/Avro-converter-shaped frame: the KEY is Confluent-framed
+    * too (magic + key schema id + payload) — the real producers' shape
+    * the facade's keyFramed default decodes. */
+  private def frame(
+      id: Int, keyId: Int, env: Row, schema: StructType, schemaId: Int, offset: Long) =
+    (AvroSerde.toBytesWithId(Row(id), keySt, keyAvro, keyId),
       AvroSerde.toBytesWithId(env, schema, AvroSerde.avroSchema(schema), schemaId),
       offset)
 
-  private def tombstone(id: Int, offset: Long) =
-    (AvroSerde.toBytes(Row(id), keySt, keyAvro), null: Array[Byte], offset)
+  private def tombstone(id: Int, keyId: Int, offset: Long) =
+    (AvroSerde.toBytesWithId(Row(id), keySt, keyAvro, keyId), null: Array[Byte], offset)
 
   private def withConn[T](db: String)(f: Connection => T): T = {
     val c = DerbyDb.connect(db)
@@ -66,9 +70,11 @@ class ReplicationRegistrySpec extends SparkTestBase {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-repl-registry").toString
     try {
       val registry = new RestSchemaRegistry(srv.url)
-      // the producer half: register v1 under the topic's default
-      // (TopicNameStrategy) subject and frame records with the RETURNED
-      // id — exactly what an Avro-converter Connect source does
+      // the producer half: register the key subject and v1 under the
+      // topic's default (TopicNameStrategy) subjects and frame records
+      // (keys INCLUDED — the converter frames both sides) with the
+      // RETURNED ids — exactly what an Avro-converter Connect source does
+      val kid = registry.register("movies.cdc-key", keySt)
       val id1 = registry.register("movies.cdc-value", envV1)
 
       val wire = ReplicationPipeline.WireConfig(
@@ -88,8 +94,8 @@ class ReplicationRegistrySpec extends SparkTestBase {
 
       // ---- run 1: v1-framed inserts ----
       val batch1 = Seq(
-        frame(1, Row(null, Row("alpha"), "c", 0L), envV1, id1, 0L),
-        frame(2, Row(null, Row("beta"), "c", 1L), envV1, id1, 1L))
+        frame(1, kid, Row(null, Row("alpha"), "c", 0L), envV1, id1, 0L),
+        frame(2, kid, Row(null, Row("beta"), "c", 1L), envV1, id1, 1L))
       val input1 = MemoryStream[(Array[Byte], Array[Byte], Long)](spark)
       val q1 = start(input1)
       try { input1.addData(batch1); q1.processAllAvailable() } finally q1.stop()
@@ -118,10 +124,10 @@ class ReplicationRegistrySpec extends SparkTestBase {
       val q2 = start(input2)
       try {
         input2.addData(Seq(
-          frame(1, Row(null, Row("alpha v2", "drama"), "u", 2L), envV2, id2, 2L),
-          frame(2, Row(Row("beta", null), null, "d", 3L), envV2, id2, 3L),
-          tombstone(2, 4L),
-          frame(3, Row(null, Row("gamma", "scifi"), "c", 5L), envV2, id2, 5L)))
+          frame(1, kid, Row(null, Row("alpha v2", "drama"), "u", 2L), envV2, id2, 2L),
+          frame(2, kid, Row(Row("beta", null), null, "d", 3L), envV2, id2, 3L),
+          tombstone(2, kid, 4L),
+          frame(3, kid, Row(null, Row("gamma", "scifi"), "c", 5L), envV2, id2, 5L)))
         q2.processAllAvailable()
 
         // pull query against the RUNNING registry-backed pipeline's own
@@ -153,15 +159,29 @@ class ReplicationRegistrySpec extends SparkTestBase {
       }
 
       // and all of it went over the WIRE: the registry server saw the
-      // two producer registrations plus one subject resolution per
-      // (re)start and per pull query — never a per-record call
+      // three producer registrations (key, v1, v2) plus one resolution
+      // per subject per (re)start and per pull query — never a
+      // per-record call
       val reqs = srv.requests.asScala.toList
-      assert(reqs.count(_._1 == "POST") == 2, reqs.toString)
-      val resolutions = reqs.count { case (m, p, _) =>
-        m == "GET" && p == "/subjects/movies.cdc-value/versions"
+      assert(reqs.count(_._1 == "POST") == 3, reqs.toString)
+      for (subj <- Seq("movies.cdc-value", "movies.cdc-key")) {
+        val resolutions = reqs.count { case (m, p, _) =>
+          m == "GET" && p == s"/subjects/$subj/versions"
+        }
+        assert(resolutions >= 1 && resolutions <= 8,
+          s"$subj resolved per (re)plan, never per record: $reqs")
       }
-      assert(resolutions >= 2 && resolutions <= 8,
-        s"subject resolved per (re)plan, never per record: $reqs")
+
+      // key-identity drift must stop the plan LOUDLY, pre-stream: a
+      // declared keySchema that disagrees with the registry's latest
+      // key schema would silently re-key the table otherwise
+      val drifted = wire.copy(keySchema = keySt.add("region", StringType))
+      val e = intercept[IllegalArgumentException] {
+        ReplicationPipeline.startFromFrame(
+          input2.toDF().toDF("key", "value", "offset"), drifted, cfg, () => connect())
+      }
+      assert(e.getMessage.contains("movies.cdc-key")
+        && e.getMessage.contains("row identity"), e.getMessage)
     } finally srv.stop()
   }
 }
