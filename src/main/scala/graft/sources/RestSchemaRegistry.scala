@@ -54,12 +54,28 @@ import org.apache.spark.sql.types.StructType
 final class RestSchemaRegistry(
     baseUrl: String,
     auth: Option[(String, String)] = None,
-    timeout: Duration = Duration.ofSeconds(30)) extends SchemaRegistry {
+    timeout: Duration = Duration.ofSeconds(30),
+    cacheVersions: Boolean = true) extends SchemaRegistry {
 
   private val ContentType = "application/vnd.schemaregistry.v1+json"
   private val mapper = new ObjectMapper()
   private val client = HttpClient.newBuilder().connectTimeout(timeout).build()
   private val base = baseUrl.stripSuffix("/")
+
+  /** (subject, version) → (id, schema) memo. A Confluent (subject,
+    * version) binding is IMMUTABLE in normal operation (evolution and
+    * soft-deletes only ever mint new version numbers), so repeated
+    * `subjectHistory` calls — e.g. a registry-decoding pull query per
+    * point lookup — cost ONE round-trip (the version list, which must
+    * stay live to see new versions) plus fetches for unseen versions
+    * only, instead of 1 + V sequential HTTP requests each with this
+    * client's full timeout. The one operation that REMAPS version
+    * numbers is a hard subject DELETE followed by re-registration —
+    * destructive admin surgery; run it with `cacheVersions = false`
+    * (or a fresh client), same as Confluent's own caching serializers
+    * require. */
+  private val versionCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, StructType)]()
 
   def register(subject: String, schema: StructType): Int = {
     val body = mapper.createObjectNode()
@@ -93,17 +109,21 @@ final class RestSchemaRegistry(
       val list = parsed(versions, listWhat)
       if (!list.isArray)
         malformed(versions, listWhat, "a JSON array of version numbers")
+      def fetch(v: Int): (Int, StructType) = {
+        val what = s"fetch '$subject' version $v"
+        val resp = send(request(s"$base/subjects/${enc(subject)}/versions/$v").GET())
+        // a version the list just named MUST resolve: a 404 here means
+        // the subject changed mid-snapshot (or the service is lying) —
+        // either way a partial history must not reach the decoder
+        requireOk(resp, what)
+        jsonField(resp, what, "id").asInt() -> AvroSerde.structType(
+          new org.apache.avro.Schema.Parser()
+            .parse(jsonField(resp, what, "schema").asText()))
+      }
       list.elements().asScala
         .map(_.asInt()).toSeq.sorted.map { v =>
-          val what = s"fetch '$subject' version $v"
-          val resp = send(request(s"$base/subjects/${enc(subject)}/versions/$v").GET())
-          // a version the list just named MUST resolve: a 404 here means
-          // the subject changed mid-snapshot (or the service is lying) —
-          // either way a partial history must not reach the decoder
-          requireOk(resp, what)
-          jsonField(resp, what, "id").asInt() -> AvroSerde.structType(
-            new org.apache.avro.Schema.Parser()
-              .parse(jsonField(resp, what, "schema").asText()))
+          if (cacheVersions) versionCache.computeIfAbsent((subject, v), k => fetch(k._2))
+          else fetch(v)
         }
     }
   }

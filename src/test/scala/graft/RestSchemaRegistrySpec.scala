@@ -117,6 +117,37 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("repeat subjectHistory costs ONE round-trip: immutable versions are memoized") {
+    // the registry-decoding pull query resolves the subject per point
+    // lookup; without the memo that is 1 + V sequential HTTP requests
+    // (each with the client's full timeout) on the serving path. The
+    // version LIST stays live (new versions must be seen); the
+    // per-version fetches happen once per unseen version.
+    withServer { (srv, reg) =>
+      val id1 = reg.register("movies-value", v1)
+      assert(reg.subjectHistory("movies-value") == Seq(id1 -> v1))
+      srv.requests.clear()
+      assert(reg.subjectHistory("movies-value") == Seq(id1 -> v1))
+      assert(srv.requests.asScala.map(_._2).toList ==
+        List("/subjects/movies-value/versions"),
+        "second resolution must re-fetch only the live version list")
+      // a NEW version is seen immediately and fetched exactly once
+      val id2 = reg.register("movies-value", v2)
+      srv.requests.clear()
+      assert(reg.subjectHistory("movies-value") == Seq(id1 -> v1, id2 -> v2))
+      assert(srv.requests.asScala.map(_._2).toList ==
+        List("/subjects/movies-value/versions", "/subjects/movies-value/versions/2"),
+        "only the unseen version pays a fetch")
+      // the escape hatch for hard-delete surgery: no memo at all
+      val uncached = new graft.sources.RestSchemaRegistry(srv.url, cacheVersions = false)
+      srv.requests.clear()
+      uncached.subjectHistory("movies-value")
+      uncached.subjectHistory("movies-value")
+      assert(srv.requests.asScala.count(_._2 == "/subjects/movies-value/versions/1") == 2,
+        "cacheVersions=false must re-fetch every version each call")
+    }
+  }
+
   test("wire shapes: paths, content type, and basic auth reach the service verbatim") {
     val srv = new TestRegistryServer
     try {
