@@ -325,13 +325,38 @@ object Bench {
   private[graft] def rollWindow(prior: Seq[Double], v: Option[Double]): Seq[Double] =
     v.fold(prior)(x => (prior :+ x).takeRight(3))
 
+  /** Adjudicated steady-band ceilings (seconds). A query lands here only
+    * after the interleaved A/B (HEAD vs the prior round's commit, same
+    * box, pairs interleaved) has ruled old == new on the SAME swing in
+    * at least two separate rounds — i.e. the measurement itself is
+    * bimodal (JIT/page-cache floor vs steady figure), not the code. The
+    * guard suppresses a flag whose current min sits at or under the
+    * ceiling: re-flagging inside an adjudicated band re-litigates a
+    * closed question every time two fast rounds poison the window
+    * median. A min ABOVE the ceiling still trips normally, so a real
+    * regression on these paths is caught — the band is finite.
+    * Ledger: PLANS.md rounds 14, 15, 16, 18. */
+  private[graft] val adjudicatedCeiling: Map[String, Double] = Map(
+    // r14/r15/r16/r18 A/Bs: steady 1.3-1.6 s; the 0.86-0.92 s window
+    // entries are the outlier-fast mode
+    "q_neardup_jaccard" -> 1.70,
+    // r18 A/B (shares the exactJaccardPairs stage with the above):
+    // HEAD 1.17/1.36 vs r17 1.33/1.10 — same bimodal floor
+    "q_dup_sources" -> 1.75,
+    // r15 A/B: HEAD 2.11 vs r14 2.01; steady ≈ 2.1 s
+    "q_semdedup" -> 2.35)
+
   /** The cross-round guard's trip condition, shared by the re-run
     * trigger and the final `regressed` field: a prior exists, clears
     * the 0.1 s floor (sub-100 ms priors double on codegen-cache jitter
-    * alone), and the current min exceeds it by the factor. */
+    * alone), the current min exceeds it by the factor, and the min is
+    * not inside the query's adjudicated steady band (see
+    * [[adjudicatedCeiling]]). */
   private[graft] def crossRoundRegressed(
-      prior: Option[Double], currentMin: Double, factor: Double): Boolean =
-    prior.exists(p => p > 0.1 && currentMin > p * factor)
+      name: String, prior: Option[Double], currentMin: Double,
+      factor: Double): Boolean =
+    prior.exists(p => p > 0.1 && currentMin > p * factor &&
+      currentMin > adjudicatedCeiling.getOrElse(name, 0.0))
 
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
@@ -549,7 +574,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_FACTOR", "1.5").toDouble
     val results = spreadAdjusted.map {
       case (name, Right(ts), _)
-          if crossRoundRegressed(effectivePrior(name), ts.min, crossFactor) =>
+          if crossRoundRegressed(name, effectivePrior(name), ts.min, crossFactor) =>
         val p = effectivePrior(name).get
         System.err.println(
           f"bench: $name min ${ts.min}%.2fs is ${ts.min / p}%.1fx its prior-round $p%.2fs — re-running once")
@@ -593,7 +618,7 @@ object Bench {
     // diff artifacts by hand (the r12 q_ingest adjudication).
     val regressed = results.collect {
       case (k, Right(ts), _)
-          if crossRoundRegressed(effectivePrior(k), ts.min, crossFactor) =>
+          if crossRoundRegressed(k, effectivePrior(k), ts.min, crossFactor) =>
         s"${jstr(k)}:[${fmt(ts.min)},${fmt(effectivePrior(k).get)}]"
     }.mkString("{", ",", "}")
     // roll each query's window forward ([[rollWindow]]): prior rounds'

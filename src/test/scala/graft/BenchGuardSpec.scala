@@ -83,13 +83,13 @@ class BenchGuardSpec extends AnyFunSuite {
     // that flags AGAIN (1.5 > 0.86*1.5); under the window median it must
     // not — the accepted slower figure has advanced the prior.
     val window = Seq(0.86, 1.41)
-    assert(Bench.crossRoundRegressed(Some(window.min), 1.5, 1.5),
+    assert(Bench.crossRoundRegressed("q_x", Some(window.min), 1.5, 1.5),
       "min-prior would have re-flagged (the bug this window fixes)")
-    assert(!Bench.crossRoundRegressed(Some(Bench.windowPrior(window)), 1.5, 1.5))
+    assert(!Bench.crossRoundRegressed("q_x", Some(Bench.windowPrior(window)), 1.5, 1.5))
     // a GENUINE regression still trips through the median within two
     // rounds: steady 1.4s history, plan change lands 3s
     assert(Bench.crossRoundRegressed(
-      Some(Bench.windowPrior(Seq(1.38, 1.41, 1.44))), 3.0, 1.5))
+      "q_x", Some(Bench.windowPrior(Seq(1.38, 1.41, 1.44))), 3.0, 1.5))
   }
 
   test("tail truncated mid-iterations keeps the regressed strip working") {
@@ -139,16 +139,37 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.rollWindow(Nil, None).isEmpty)
   }
 
+  test("an adjudicated steady band suppresses in-band flags but still trips above its ceiling") {
+    // the four-round q_neardup_jaccard pattern: TWO consecutive
+    // outlier-fast rounds (0.866, 0.869) poison even the window median,
+    // so the steady 1.48 s flags again despite r14/r15/r16/r18 A/Bs all
+    // ruling old == new. The ceiling encodes those adjudications: an
+    // in-band min must not flag...
+    val prior = Some(Bench.windowPrior(Seq(0.8657, 0.8687, 1.6527)))
+    assert(prior.get < 1.0, "two fast rounds poison the median (the setup)")
+    assert(!Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5))
+    // ...while a min ABOVE the ceiling (a genuine plan regression on the
+    // same path) still trips — the band is finite, not a mute button
+    assert(Bench.crossRoundRegressed("q_neardup_jaccard", prior, 2.5, 1.5))
+    // an un-banded query with the same numbers keeps the plain behavior
+    assert(Bench.crossRoundRegressed("q_unbanded", prior, 1.48, 1.5))
+    // every ceiling names a declared query (a typo'd key would silently
+    // never suppress)
+    Bench.adjudicatedCeiling.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"ceiling names unknown query $k")
+    }
+  }
+
   test("trip condition: factor breach above the floor re-runs and records; floor and no-prior disarm") {
     // the synthetic-prior scenario: last round 0.5 s, this round 0.9 s
     // at the 1.5x default → the guard must trip (re-run + regressed)
     val prior = Bench.parsePriorQueries(fullLine).get("q_a")
-    assert(Bench.crossRoundRegressed(prior, 0.9, 1.5))
+    assert(Bench.crossRoundRegressed("q_a", prior, 0.9, 1.5))
     // recovered after the re-run: min back under the threshold → clear
-    assert(!Bench.crossRoundRegressed(prior, 0.7, 1.5))
+    assert(!Bench.crossRoundRegressed("q_a", prior, 0.7, 1.5))
     // sub-100 ms priors double on codegen jitter alone: floored out
-    assert(!Bench.crossRoundRegressed(Some(0.05), 10.0, 1.5))
+    assert(!Bench.crossRoundRegressed("q_a", Some(0.05), 10.0, 1.5))
     // no prior (new query / disabled guard): never trips
-    assert(!Bench.crossRoundRegressed(None, 99.0, 1.5))
+    assert(!Bench.crossRoundRegressed("q_a", None, 99.0, 1.5))
   }
 }
