@@ -83,7 +83,8 @@ final class RestSchemaRegistry(
     val resp = send(request(s"$base/subjects/${enc(subject)}/versions")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))))
     requireOk(resp, s"register under '$subject'")
-    jsonField(resp, s"register under '$subject'", "id").asInt()
+    val what = s"register under '$subject'"
+    intField(resp, parsed(resp, what), what, "id")
   }
 
   def schemaById(id: Int): Option[StructType] = {
@@ -116,15 +117,32 @@ final class RestSchemaRegistry(
         // the subject changed mid-snapshot (or the service is lying) —
         // either way a partial history must not reach the decoder
         requireOk(resp, what)
-        jsonField(resp, what, "id").asInt() -> AvroSerde.structType(
+        val node = parsed(resp, what)
+        intField(resp, node, what, "id") -> AvroSerde.structType(
           new org.apache.avro.Schema.Parser()
-            .parse(jsonField(resp, what, "schema").asText()))
+            .parse(jsonField(resp, node, what, "schema").asText()))
       }
-      list.elements().asScala
-        .map(_.asInt()).toSeq.sorted.map { v =>
-          if (cacheVersions) versionCache.computeIfAbsent((subject, v), k => fetch(k._2))
-          else fetch(v)
-        }
+      list.elements().asScala.toSeq.map { e =>
+        // asInt() would coerce a textual element ("latest", an HTML
+        // fragment behind a proxy) to version 0 and surface as a
+        // spurious 404 on a version nobody named — the malformed-body
+        // contract owns this failure, not the follow-up fetch
+        if (!e.canConvertToInt)
+          malformed(versions, listWhat, "a JSON array of version numbers")
+        e.intValue()
+      }.sorted.map { v =>
+        if (cacheVersions) {
+          // NOT computeIfAbsent: its mapping function runs under the
+          // map's bin lock, so one wedged fetch (full client timeout)
+          // would stall every unrelated thread hashing to the same bin.
+          // A duplicate concurrent fetch of the same immutable
+          // (subject, version) binding is idempotent — race freely.
+          val k = (subject, v)
+          val cached = versionCache.get(k)
+          if (cached != null) cached
+          else { val r = fetch(v); versionCache.putIfAbsent(k, r); r }
+        } else fetch(v)
+      }
     }
   }
 
@@ -187,11 +205,32 @@ final class RestSchemaRegistry(
   private def jsonField(
       resp: HttpResponse[String],
       what: String,
+      name: String): com.fasterxml.jackson.databind.JsonNode =
+    jsonField(resp, parsed(resp, what), what, name)
+
+  /** Same, against an already-parsed body — multi-field readers parse
+    * once (a version response embeds the full Avro schema JSON; double
+    * parsing it per field is pure waste). */
+  private def jsonField(
+      resp: HttpResponse[String],
+      node: com.fasterxml.jackson.databind.JsonNode,
+      what: String,
       name: String): com.fasterxml.jackson.databind.JsonNode = {
-    val node = parsed(resp, what)
     val f = node.get(name)
     if (f == null || f.isNull)
       malformed(resp, what, s"a JSON object carrying '$name'")
     f
+  }
+
+  /** Required INTEGER field: asInt() coerces text/objects to 0, which
+    * would send a wrong id downstream instead of failing here. */
+  private def intField(
+      resp: HttpResponse[String],
+      node: com.fasterxml.jackson.databind.JsonNode,
+      what: String,
+      name: String): Int = {
+    val f = jsonField(resp, node, what, name)
+    if (!f.canConvertToInt) malformed(resp, what, s"an integer '$name'")
+    f.intValue()
   }
 }

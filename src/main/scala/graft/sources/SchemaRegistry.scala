@@ -90,6 +90,19 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
 }
 
 object SchemaRegistry {
+  /** One subject's id-dispatch map + latest id — the load-bearing
+    * "latest = last VERSION, never max id" rule (content-addressed
+    * Confluent ids are reused, so the highest id is not the newest
+    * version), kept in ONE place for every path that builds a decode
+    * ([[decodeEnvelope]] here, the replication facade's key/value
+    * resolution). */
+  def resolveSubject(
+      registry: SchemaRegistry, subject: String): (Map[Int, StructType], Int) = {
+    val history = registry.subjectHistory(subject)
+    require(history.nonEmpty, s"subject '$subject' has no registered schemas")
+    (history.toMap, history.last._1)
+  }
+
   /** [[KafkaWire.decodeEnvelopeEvolving]] resolved through the registry
     * seam: snapshot the value subject's history once (driver-side, plan
     * time) and build the id-dispatch decode from it. */
@@ -98,11 +111,7 @@ object SchemaRegistry {
       registry: SchemaRegistry,
       keySchema: StructType,
       valueSubject: String): DataFrame = {
-    val history = registry.subjectHistory(valueSubject)
-    require(history.nonEmpty, s"subject '$valueSubject' has no registered schemas")
-    // latest = last VERSION, passed explicitly: the highest id is not
-    // the newest version under content-addressed (Confluent) ids
-    KafkaWire.decodeEnvelopeEvolving(
-      frame, keySchema, history.toMap, latestId = history.last._1)
+    val (byId, latestId) = resolveSubject(registry, valueSubject)
+    KafkaWire.decodeEnvelopeEvolving(frame, keySchema, byId, latestId = latestId)
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.sink.JdbcMerge
-import graft.sources.{Cdc, KafkaWire, SchemaRegistry}
+import graft.sources.{AvroSerde, Cdc, KafkaWire, SchemaRegistry}
 
 /** The reference's ENTIRE data path as one composable entry point
   * (SURVEY.md §3.1) — what a user of the reference actually deploys:
@@ -115,7 +115,7 @@ object ReplicationPipeline {
     val snap = PullQuery
       .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
       .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
-    val (valueRegistry, latestId) = resolveSubject(wire.registry, wire.subject)
+    val (valueRegistry, latestId) = SchemaRegistry.resolveSubject(wire.registry, wire.subject)
     val envelope = snap.select(
       col("kafka_key"),
       KafkaWire.avroDecodeRegistry(col("value"), valueRegistry, latestId)
@@ -170,18 +170,6 @@ object ReplicationPipeline {
     def keySubjectName: String = keySubject.getOrElse(s"${kafka.topic}-key")
   }
 
-  /** Resolve one subject's id-dispatch map + latest id through the
-    * registry — the load-bearing "latest = last VERSION, never max id"
-    * rule (content-addressed Confluent ids are reused, so the highest
-    * id is not the newest version), kept in ONE place for every
-    * facade path that builds a decode. */
-  private def resolveSubject(
-      registry: SchemaRegistry, subject: String): (Map[Int, StructType], Int) = {
-    val history = registry.subjectHistory(subject)
-    require(history.nonEmpty, s"subject '$subject' has no registered schemas")
-    (history.toMap, history.last._1)
-  }
-
   /** The sink config every start path actually uses: `keyCols` DERIVED
     * from the uppercased `keyField` (restating it in `sink.keyCols` was
     * a mismatch-prone duplicate knob — wrong case meant a nullable key
@@ -190,17 +178,27 @@ object ReplicationPipeline {
     cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
 
   /** The facade's key-bytes decode column: framed (id-dispatch through
-    * the key subject, latest REQUIRED equal to the declared schema) or
-    * bare Avro. Output type is `wire.keySchema` either way, so the
-    * changelog state shape never depends on the framing choice. */
+    * the key subject, latest REQUIRED Avro-equivalent to the declared
+    * schema) or bare Avro. Output type is the Avro-normalized form of
+    * `wire.keySchema` either way, so the changelog state shape never
+    * depends on the framing choice. */
   private def keyDecode(wire: WireConfig): org.apache.spark.sql.Column =
     if (wire.keyFramed) {
-      val (keyRegistry, keyLatest) = resolveSubject(wire.registry, wire.keySubjectName)
-      require(keyRegistry(keyLatest) == wire.keySchema,
+      val (keyRegistry, keyLatest) = SchemaRegistry.resolveSubject(wire.registry, wire.keySubjectName)
+      // compare the AVRO-normalized forms, not raw StructTypes: the
+      // REST registry's schemas round-trip through AvroSerde (field
+      // metadata dropped, Short/Byte widened to INT — Avro has no
+      // narrower int), so a keySchema declared from a live DataFrame
+      // or a SMALLINT PK is wire-identical yet fails raw ==, with an
+      // error printing two byte-identical .sql strings
+      def normalized(st: StructType): StructType =
+        AvroSerde.structType(AvroSerde.avroSchema(st))
+      require(normalized(keyRegistry(keyLatest)) == normalized(wire.keySchema),
         s"declared keySchema does not match the latest schema registered under " +
           s"'${wire.keySubjectName}': a key schema change redefines row identity, " +
-          s"which no changelog consumer can absorb — declared ${wire.keySchema.sql}, " +
-          s"registry ${keyRegistry(keyLatest).sql}")
+          s"which no changelog consumer can absorb — declared " +
+          s"${normalized(wire.keySchema).sql}, registry " +
+          s"${normalized(keyRegistry(keyLatest)).sql} (Avro-normalized forms)")
       KafkaWire.avroDecodeRegistry(col("key"), keyRegistry, keyLatest)
     } else KafkaWire.avroDecode(col("key"), wire.keySchema)
 
@@ -254,7 +252,7 @@ object ReplicationPipeline {
       cfg: Config,
       connect: () => Connection): StreamingQuery = {
     ChangelogStream.configure(frame.sparkSession)
-    val (valueRegistry, latestId) = resolveSubject(wire.registry, wire.subject)
+    val (valueRegistry, latestId) = SchemaRegistry.resolveSubject(wire.registry, wire.subject)
     val keyed = frame.select(
       keyDecode(wire).as("kafka_key"),
       col("value"), col("offset"))

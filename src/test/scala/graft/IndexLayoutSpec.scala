@@ -234,6 +234,14 @@ class IndexLayoutSpec extends SparkTestBase {
     assert(ghosts.count() == 0,
       "non-named partitions' rows must never surface, even guard-less")
     assert(ghosts.columns.sorted.toSeq == Seq("bucket", "id"))
+    // EMPTY probe set with totalValues = Some(0) (an empty index's
+    // centroid roster): 0*4 >= 0*3 must NOT arm the dense root read —
+    // that handed the predicate builder a no-names list (empty reduce,
+    // r18 review). No probed values means no rows, schema intact.
+    val empty = Similarity.prunedPartitionRead(
+      spark, fs, dir, Nil, totalValues = Some(0))
+    assert(empty.count() == 0, "an empty probe set names no rows")
+    assert(empty.columns.sorted.toSeq == Seq("bucket", "id"))
   }
 
   test("the dense guard predicate covers the nested band/sig shape and escaped strings") {

@@ -182,6 +182,27 @@ class ReplicationRegistrySpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("movies.cdc-key")
         && e.getMessage.contains("row identity"), e.getMessage)
+      // …but AVRO-EQUIVALENT declarations are not drift: a keySchema
+      // carrying field metadata, or a SMALLINT PK (ShortType — Avro has
+      // no narrower int, the registry round-trips it as INT), is
+      // wire-identical. Raw StructType == rejected both, printing two
+      // byte-identical .sql strings (r18 review).
+      val withMeta = StructType(Seq(StructField("id", IntegerType,
+        nullable = false,
+        metadata = new MetadataBuilder().putString("comment", "pk").build())))
+      val asShort = StructType(Seq(StructField("id", ShortType, nullable = false)))
+      Seq(withMeta, asShort).foreach { equiv =>
+        val q = ReplicationPipeline.startFromFrame(
+          input2.toDF().toDF("key", "value", "offset"),
+          wire.copy(keySchema = equiv),
+          // fresh checkpoint: this start only proves the identity check
+          // accepts the equivalent declaration — it must not contend
+          // with the main pipeline's state above
+          cfg.copy(checkpointDir =
+            java.nio.file.Files.createTempDirectory("graft-repl-equiv").toString),
+          () => connect())
+        q.stop() // plan accepted — identity check passed
+      }
     } finally srv.stop()
   }
 }

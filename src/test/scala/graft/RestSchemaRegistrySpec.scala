@@ -226,6 +226,17 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](reg.register("s", v1))
       assert(e.getMessage.contains("valid JSON"), e.getMessage)
     }
+    // a WELL-TYPED key holding the wrong JSON type: asInt() would
+    // coerce "7" fine but {"id":"oops"} (or a versions list of
+    // strings) to 0 — a wrong id downstream instead of a loud error
+    serve("""{"id":"oops"}""") { reg =>
+      val e = intercept[IllegalStateException](reg.register("s", v1))
+      assert(e.getMessage.contains("integer"), e.getMessage)
+    }
+    serve("""["latest"]""") { reg =>
+      val e = intercept[IllegalStateException](reg.subjectHistory("s"))
+      assert(e.getMessage.contains("array of version numbers"), e.getMessage)
+    }
   }
 
   test("subjects with reserved URL characters travel percent-encoded") {
