@@ -259,7 +259,17 @@ object Generations {
           case e: java.nio.file.FileAlreadyExistsException => abort(e)
           // this FS has no hard links: fall back to CREATE_NEW below
           case _: UnsupportedOperationException => false
-          case _: java.nio.file.FileSystemException => false
+          // our temp VANISHED mid-acquire (a heal swept .tmp husks, or
+          // the root is being torn down): abort as itself — silently
+          // taking the racy fallback on a link-capable FS is exactly
+          // the window the link protocol exists to close (r18 review)
+          case e: java.nio.file.NoSuchFileException => abort(e)
+          // generic errno shape: some mounts surface no-hard-link
+          // support as EPERM (FileSystemException) rather than
+          // UnsupportedOperationException. Fall back only with our
+          // temp intact; a vanished temp aborts as above.
+          case e: java.nio.file.FileSystemException =>
+            if (java.nio.file.Files.exists(tmp)) false else abort(e)
         }
       if (linked) {
         cleanupTmp()

@@ -78,12 +78,12 @@ final class RestSchemaRegistry(
     new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, StructType)]()
 
   def register(subject: String, schema: StructType): Int = {
+    val what = s"register under '$subject'"
     val body = mapper.createObjectNode()
     body.put("schema", AvroSerde.avroSchema(schema).toString)
     val resp = send(request(s"$base/subjects/${enc(subject)}/versions")
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))))
-    requireOk(resp, s"register under '$subject'")
-    val what = s"register under '$subject'"
+    requireOk(resp, what)
     intField(resp, parsed(resp, what), what, "id")
   }
 

@@ -97,12 +97,16 @@ object ReplicationPipeline {
     * ([[PullQuery.prunedStateSnapshot]]); it falls back to the
     * distributed full scan when no snapshot is uploaded yet. Output is
     * the flattened uppercase sink row shape. */
-  def pullQuery(spark: SparkSession, cfg: Config, key: Any): DataFrame = {
-    val snap = PullQuery
+  def pullQuery(spark: SparkSession, cfg: Config, key: Any): DataFrame =
+    pullFilter(snapshotFor(spark, cfg, key), cfg, key)
+
+  /** Pruned-or-full state lookup shared by both pull-query shapes: one
+    * store when a snapshot is uploaded (routing by the state's string
+    * key form), distributed full scan before the first upload. */
+  private def snapshotFor(spark: SparkSession, cfg: Config, key: Any): DataFrame =
+    PullQuery
       .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
       .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
-    pullFilter(snap, cfg, key)
-  }
 
   /** [[pullQuery]] against a [[startFromFrame]]/[[startFromKafka]]
     * pipeline's state, whose rows hold the value as raw registry-framed
@@ -112,9 +116,7 @@ object ReplicationPipeline {
     * pull query sees schemas registered after the pipeline started. */
   def pullQueryFromFrame(
       spark: SparkSession, wire: WireConfig, cfg: Config, key: Any): DataFrame = {
-    val snap = PullQuery
-      .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
-      .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
+    val snap = snapshotFor(spark, cfg, key)
     val (valueRegistry, latestId) = SchemaRegistry.resolveSubject(wire.registry, wire.subject)
     val envelope = snap.select(
       col("kafka_key"),
@@ -190,17 +192,32 @@ object ReplicationPipeline {
       // metadata dropped, Short/Byte widened to INT — Avro has no
       // narrower int), so a keySchema declared from a live DataFrame
       // or a SMALLINT PK is wire-identical yet fails raw ==, with an
-      // error printing two byte-identical .sql strings
-      def normalized(st: StructType): StructType =
-        AvroSerde.structType(AvroSerde.avroSchema(st))
-      require(normalized(keyRegistry(keyLatest)) == normalized(wire.keySchema),
-        s"declared keySchema does not match the latest schema registered under " +
-          s"'${wire.keySubjectName}': a key schema change redefines row identity, " +
-          s"which no changelog consumer can absorb — declared " +
-          s"${normalized(wire.keySchema).sql}, registry " +
-          s"${normalized(keyRegistry(keyLatest)).sql} (Avro-normalized forms)")
+      // error printing two byte-identical .sql strings. And EVERY
+      // version must match, not just the latest: the dispatch map
+      // decodes by any registered id, so an older DIVERGENT key schema
+      // (a renamed PK) would silently decode old-framed records to
+      // null-keyed rows — the exact re-keying this check exists to
+      // stop. Debezium key subjects hold one shape; a history that
+      // does not IS the drift.
+      keyRegistry.toSeq.sortBy(_._1).foreach { case (id, st) =>
+        require(normalized(st) == normalized(wire.keySchema),
+          s"declared keySchema does not match the schema registered under " +
+            s"'${wire.keySubjectName}' (id $id${if (id == keyLatest) ", the latest" else ""}): " +
+            s"a key schema change redefines row identity, which no changelog " +
+            s"consumer can absorb — declared ${normalized(wire.keySchema).sql}, " +
+            s"registry ${normalized(st).sql} (Avro-normalized forms)")
+      }
       KafkaWire.avroDecodeRegistry(col("key"), keyRegistry, keyLatest)
-    } else KafkaWire.avroDecode(col("key"), wire.keySchema)
+      // bare path: decode with the NORMALIZED declaration too — the
+      // framed path outputs the registry's round-tripped shape, and the
+      // documented invariant (state shape independent of the framing
+      // choice) only holds if both paths emit the same normalized type
+    } else KafkaWire.avroDecode(col("key"), normalized(wire.keySchema))
+
+  /** The Avro-normalized form of a schema: what any schema becomes
+    * after crossing the registry wire (AvroSerde round-trip). */
+  private def normalized(st: StructType): StructType =
+    AvroSerde.structType(AvroSerde.avroSchema(st))
 
   /** ONE call from "broker + registry URL" to "replicated JDBC table":
     * configures the Kafka reader ([[KafkaWire.kafkaStreamReader]]),

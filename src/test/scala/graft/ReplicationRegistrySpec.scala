@@ -191,6 +191,23 @@ class ReplicationRegistrySpec extends SparkTestBase {
         nullable = false,
         metadata = new MetadataBuilder().putString("comment", "pk").build())))
       val asShort = StructType(Seq(StructField("id", ShortType, nullable = false)))
+      // an OLDER divergent key version is drift too: the dispatch map
+      // decodes by any registered id, so a history [v1 {movie_id}, v2
+      // {id}] would silently null-key every v1-framed record if only
+      // the latest were checked (r18 review). The error names the
+      // offending id.
+      val mixedKeySubj = "movies.mixedkey.cdc-key"
+      val oldId = registry.register(mixedKeySubj,
+        StructType(Seq(StructField("movie_id", IntegerType, nullable = false))))
+      registry.register(mixedKeySubj, keySt) // latest DOES match
+      val eOld = intercept[IllegalArgumentException] {
+        ReplicationPipeline.startFromFrame(
+          input2.toDF().toDF("key", "value", "offset"),
+          wire.copy(keySubject = Some(mixedKeySubj)), cfg, () => connect())
+      }
+      assert(eOld.getMessage.contains(s"id $oldId")
+        && eOld.getMessage.contains("movie_id"), eOld.getMessage)
+
       Seq(withMeta, asShort).foreach { equiv =>
         val q = ReplicationPipeline.startFromFrame(
           input2.toDF().toDF("key", "value", "offset"),
