@@ -273,6 +273,33 @@ class IndexLayoutSpec extends SparkTestBase {
       spark, fs, sdir, wanted, totalValues = Some(4))
     assert(sd.select("term").distinct().collect().map(_.getString(0)).sorted
       .sameElements(Array("a b", "c:d", "x%y")), "escaped string values must unescape in the guard")
+    // hostile battery: every character class the writer's path escaping
+    // handles must round-trip through the guard the same way — embedded
+    // '=' (the segment split takes the FIRST one), '/', '%', ';', '#',
+    // unicode, leading space, trailing dot. Production probes use
+    // integer values only; this pins the helper's documented generic
+    // string contract.
+    // (non-ASCII values are excluded: this container's POSIX locale
+    // cannot map them at the JVM filesystem layer — an environment
+    // limit upstream of the guard, not an escaping case)
+    val hostile = Seq("k=v", "a/b", "100%", "semi;colon",
+      "it's", " lead", "trail.", "#hash")
+    val hdir = tmp()
+    hostile.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "term")
+      .write.partitionBy("term").mode("overwrite").parquet(hdir)
+    val probedH = hostile.take(6) // 6 of 8 → dense root read
+    val hd = Similarity.prunedPartitionRead(
+      spark, fs, hdir, probedH.map(t => s"term=${escapePathName(t)}"),
+      totalValues = Some(hostile.size))
+    assert(hd.select("term").distinct().collect().map(_.getString(0)).sorted
+      .sameElements(probedH.sorted),
+      "hostile partition values must round-trip writer-escape -> guard-unescape")
+    // same battery through the SPARSE path (2 of 8): exact named dirs
+    val hs = Similarity.prunedPartitionRead(
+      spark, fs, hdir, hostile.takeRight(2).map(t => s"term=${escapePathName(t)}"))
+    assert(hs.select("term").distinct().collect().map(_.getString(0)).sorted
+      .sameElements(hostile.takeRight(2).sorted))
   }
 
   test("prunedPartitionRead handles nested partition subpaths (the LSH band/sig shape)") {
