@@ -148,6 +148,34 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent cold resolutions of one subject all succeed; the memo settles to one entry") {
+    // the memo fetches OUTSIDE the ConcurrentHashMap bin lock (r18
+    // review: a wedged fetch inside computeIfAbsent stalls unrelated
+    // threads) — the cost is a benign duplicate fetch under a cold-start
+    // race, never a wrong or missing result. Hammer one subject from
+    // many threads, cold cache: every thread sees the full history, and
+    // afterwards the memo serves repeats with only the live list call.
+    withServer { (srv, reg) =>
+      val id1 = reg.register("movies-value", v1)
+      val id2 = reg.register("movies-value", v2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val results = (1 to 16).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Seq[(Int, _)]] {
+            def call() = reg.subjectHistory("movies-value")
+          })
+        }.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        results.foreach(h => assert(h == Seq(id1 -> v1, id2 -> v2)))
+      } finally pool.shutdownNow()
+      // warm now: a repeat resolution pays exactly the one live call
+      srv.requests.clear()
+      reg.subjectHistory("movies-value")
+      assert(srv.requests.asScala.map(_._2).toList ==
+        List("/subjects/movies-value/versions"),
+        "post-race the memo must hold both versions")
+    }
+  }
+
   test("wire shapes: paths, content type, and basic auth reach the service verbatim") {
     val srv = new TestRegistryServer
     try {
