@@ -343,8 +343,9 @@ object Bench {
     // r18 A/B (shares the exactJaccardPairs stage with the above):
     // HEAD 1.17/1.36 vs r17 1.33/1.10 — same bimodal floor
     "q_dup_sources" -> 1.75,
-    // r15 A/B: HEAD 2.11 vs r14 2.01; steady ≈ 2.1 s
-    "q_semdedup" -> 2.35)
+    // r15 A/B: HEAD 2.11 vs r14 2.01; steady ≈ 2.1 s, observed ambient
+    // highs to 2.37 (r18) — same ~5% slack over the band as the others
+    "q_semdedup" -> 2.45)
 
   /** The cross-round guard's trip condition, shared by the re-run
     * trigger and the final `regressed` field: a prior exists, clears
