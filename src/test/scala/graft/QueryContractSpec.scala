@@ -23,6 +23,28 @@ class QueryContractSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no declared query plans a cartesian product (inventory-wide hint guard)") {
+    // the sanctioned one-row crossJoins all carry broadcast() and plan
+    // as BroadcastNestedLoopJoin; an UNHINTED cross join plans
+    // CartesianProductExec — quadratic in the inputs, the r17 verdict's
+    // per-query sweep finding, now a standing inventory-wide guard.
+    // sparkPlan (pre-AQE) is checked: AQE can rescue an unhinted side
+    // at runtime on THIS box, but a deployment with AQE off pays it.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val bad = fn(spark, sf001).queryExecution.sparkPlan.collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
+          if (bad.nonEmpty) Some(name) else None
+        } catch {
+          case e: Throwable => Some(s"$name (plan failed: ${String.valueOf(e.getMessage).take(120)})")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product (missing broadcast hint?): $offenders")
+  }
+
   test("every declared query has an oracle, and no oracle is orphaned") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
