@@ -4,21 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query filter for focused local
-    // re-verification of just-landed operators (the driver passes 2)
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, Option.empty[Set[String]])
-      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
-    }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** The dump body, session-agnostic so VerifySpec can pin the driver-
+    * resilience contract (a failing query prints and is skipped — never
+    * aborts the run; oracle_sql.json is written regardless) without
+    * main()'s getOrCreate/stop touching the shared test session. */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      only: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -44,6 +38,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    // optional 3rd arg: comma-separated query filter for focused local
+    // re-verification of just-landed operators (the driver passes 2)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
     spark.stop()
   }
 }
