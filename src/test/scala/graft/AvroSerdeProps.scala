@@ -81,4 +81,28 @@ object AvroSerdeProps extends Properties("AvroSerde") {
       val twice = AvroSerde.structType(AvroSerde.avroSchema(once))
       once == twice
     }
+
+  /** v1 writer, v2 = v1 + random ADDITIVE-NULLABLE fields (the only
+    * evolution the engine and its JDBC sink admit): every v1-framed
+    * record resolves under the v2 reader with common fields bit-exact
+    * and the added fields null — the registry consumer contract over
+    * random widenings, not just AvroEvolutionSpec's movies fixture. */
+  property("random additive-nullable widenings resolve v1 frames with nulls for the new fields") =
+    Prop.forAll(
+      for {
+        base <- genFields
+        extra <- genFields.map(_.map(f =>
+          f.copy(name = s"w${f.name}", nullable = true)))
+        row <- rowGen(base)
+      } yield (base, extra, row)) {
+      case (base, extra, row) =>
+        val v1 = StructType(base.map(f => StructField(f.name, f.dt, f.nullable)))
+        val v2 = StructType((base ++ extra).map(f => StructField(f.name, f.dt, f.nullable)))
+        val (w, r) = (AvroSerde.avroSchema(v1), AvroSerde.avroSchema(v2))
+        val framed = AvroSerde.toBytesWithId(row, v1, w, schemaId = 1)
+        val back = AvroSerde.fromBytesResolved(framed, w, v2, r)
+        val commonOk = (0 until row.length).forall(i => sameCell(row.get(i), back.get(i)))
+        val addedNull = (row.length until v2.length).forall(back.isNullAt)
+        AvroSerde.schemaIdOf(framed) == 1 && commonOk && addedNull
+    }
 }
