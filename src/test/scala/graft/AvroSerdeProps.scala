@@ -105,4 +105,26 @@ object AvroSerdeProps extends Properties("AvroSerde") {
         val addedNull = (row.length until v2.length).forall(back.isNullAt)
         AvroSerde.schemaIdOf(framed) == 1 && commonOk && addedNull
     }
+
+  /** The mirror direction: a v2 writer read under the NARROWER v1
+    * reader skips the dropped fields and keeps the common ones
+    * bit-exact — what a consumer pinned to an older projection sees
+    * while the subject is ahead of it. */
+  property("a narrower reader skips the writer's extra fields and keeps the rest bit-exact") =
+    Prop.forAll(
+      for {
+        base <- genFields
+        extra <- genFields.map(_.map(f =>
+          f.copy(name = s"w${f.name}", nullable = true)))
+        row <- rowGen(base ++ extra)
+      } yield (base, extra, row)) {
+      case (base, extra, row) =>
+        val v1 = StructType(base.map(f => StructField(f.name, f.dt, f.nullable)))
+        val v2 = StructType((base ++ extra).map(f => StructField(f.name, f.dt, f.nullable)))
+        val (w, r) = (AvroSerde.avroSchema(v2), AvroSerde.avroSchema(v1))
+        val framed = AvroSerde.toBytesWithId(row, v2, w, schemaId = 7)
+        val back = AvroSerde.fromBytesResolved(framed, w, v1, r)
+        back.length == v1.length &&
+          (0 until v1.length).forall(i => sameCell(row.get(i), back.get(i)))
+    }
 }
