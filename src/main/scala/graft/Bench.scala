@@ -264,6 +264,9 @@ object Bench {
         // round forever (the same poison as the regressed map; the
         // window is consumed by parsePriorWindow, median-not-min)
         .replaceAll("\"prior_window\":\\{[^}]*\\}?", "")
+        // suppressed_in_band pairs carry the same [current, prior] shape
+        // as regressed — same poison, same strip
+        .replaceAll("\"suppressed_in_band\":\\{[^}]*\\}?", "")
       // accept both shapes: `"q_x":0.12` (queries map) and
       // `"q_x":[0.12,0.3]` (iterations map) — min per name wins. The
       // scalar's lookahead requires the ENTRY to be complete (a `,` or
@@ -347,17 +350,41 @@ object Bench {
     // highs to 2.37 (r18) — same ~5% slack over the band as the others
     "q_semdedup" -> 2.45)
 
+  /** The ceilings the RUNNING bench applies: [[adjudicatedCeiling]],
+    * unless SPARK_GRAFT_BENCH_BANDS=off disables suppression for the
+    * run (r18 advisor finding: a hard-coded band could mask a genuine
+    * regression whose min lands at or under the ceiling, with no way
+    * to re-arm the guard short of a source edit). */
+  private[graft] def effectiveCeilings: Map[String, Double] =
+    if (sys.env.get("SPARK_GRAFT_BENCH_BANDS").exists(_.equalsIgnoreCase("off")))
+      Map.empty
+    else adjudicatedCeiling
+
   /** The cross-round guard's trip condition, shared by the re-run
     * trigger and the final `regressed` field: a prior exists, clears
     * the 0.1 s floor (sub-100 ms priors double on codegen-cache jitter
     * alone), the current min exceeds it by the factor, and the min is
     * not inside the query's adjudicated steady band (see
-    * [[adjudicatedCeiling]]). */
+    * [[adjudicatedCeiling]]; the main passes [[effectiveCeilings]] so
+    * the bands stay env-disableable). */
   private[graft] def crossRoundRegressed(
       name: String, prior: Option[Double], currentMin: Double,
-      factor: Double): Boolean =
+      factor: Double,
+      ceilings: Map[String, Double] = adjudicatedCeiling): Boolean =
     prior.exists(p => p > 0.1 && currentMin > p * factor &&
-      currentMin > adjudicatedCeiling.getOrElse(name, 0.0))
+      currentMin > ceilings.getOrElse(name, 0.0))
+
+  /** A flag the band SUPPRESSED: would trip the raw guard (no ceiling)
+    * but sits at or under the adjudicated ceiling. Published in the
+    * artifact's `suppressed_in_band` field (and as a stderr notice) so
+    * a masked flag stays visible to the round reader instead of
+    * silently vanishing into the band (r18 advisor finding). */
+  private[graft] def suppressedInBand(
+      name: String, prior: Option[Double], currentMin: Double,
+      factor: Double,
+      ceilings: Map[String, Double] = adjudicatedCeiling): Boolean =
+    crossRoundRegressed(name, prior, currentMin, factor, Map.empty) &&
+      !crossRoundRegressed(name, prior, currentMin, factor, ceilings)
 
   /** Run replay in its own JVM; None if the fork cannot run or its
     * output cannot be parsed (the caller then measures in-process). */
@@ -573,9 +600,10 @@ object Bench {
     // the >0.1 s floor below
     val crossFactor =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_FACTOR", "1.5").toDouble
+    val ceilings = effectiveCeilings
     val results = spreadAdjusted.map {
       case (name, Right(ts), _)
-          if crossRoundRegressed(name, effectivePrior(name), ts.min, crossFactor) =>
+          if crossRoundRegressed(name, effectivePrior(name), ts.min, crossFactor, ceilings) =>
         val p = effectivePrior(name).get
         System.err.println(
           f"bench: $name min ${ts.min}%.2fs is ${ts.min / p}%.1fx its prior-round $p%.2fs — re-running once")
@@ -619,7 +647,18 @@ object Bench {
     // diff artifacts by hand (the r12 q_ingest adjudication).
     val regressed = results.collect {
       case (k, Right(ts), _)
-          if crossRoundRegressed(k, effectivePrior(k), ts.min, crossFactor) =>
+          if crossRoundRegressed(k, effectivePrior(k), ts.min, crossFactor, ceilings) =>
+        s"${jstr(k)}:[${fmt(ts.min)},${fmt(effectivePrior(k).get)}]"
+    }.mkString("{", ",", "}")
+    // flags the adjudicated bands masked this round ([current, prior]
+    // pairs, same shape as regressed): visible in the artifact and on
+    // stderr, never silently swallowed by the band
+    val suppressed = results.collect {
+      case (k, Right(ts), _)
+          if suppressedInBand(k, effectivePrior(k), ts.min, crossFactor, ceilings) =>
+        System.err.println(
+          f"bench: $k min ${ts.min}%.2fs exceeds prior ${effectivePrior(k).get}%.2fs ×$crossFactor%.1f " +
+            f"but sits inside its adjudicated band (ceiling ${ceilings(k)}%.2fs) — flag suppressed")
         s"${jstr(k)}:[${fmt(ts.min)},${fmt(effectivePrior(k).get)}]"
     }.mkString("{", ",", "}")
     // roll each query's window forward ([[rollWindow]]): prior rounds'
@@ -652,7 +691,7 @@ object Bench {
       if (r1Results.exists(_._3.isDefined)) -1.0 else r1Results.map(_._2).sum
     val replayIters = replaySecs.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"regressed":$regressed,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","replay_reran":$replayReran,"prior_window":$priorWindow,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"iterations":$iters,"reran":$reran,"regressed":$regressed,"suppressed_in_band":$suppressed,"baseline_subset_total":${fmt(r1Subset)},"replay_events":$replayEvents,"replay_sec":$replaySec,"replay_iterations":$replayIters,"replay_msgs_per_sec":$replayRate,"replay_mode":"$replayMode","replay_reran":$replayReran,"prior_window":$priorWindow,"sf":"$sfDir"}"""
     println(line)
     // persist the full line: the driver's BENCH_r*.json keeps only an
     // output tail, and the cross-round guard needs last round's mins.

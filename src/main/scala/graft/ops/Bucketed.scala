@@ -29,25 +29,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** Bucket count for a layout write, sized from the table's row count:
-    * `⌈rows / targetRowsPerBucket⌉`, floored at `floor`. This is the
-    * production lever both scale probes measured (ScaleProbe 2d, ×8;
-    * Scale64, ×64): a FIXED bucket count makes the per-bucket sort
-    * super-linear in the data (11–14× at ×8, compounding to 25× over an
-    * 8× octave as buckets spill), while buckets ∝ rows keeps per-bucket
-    * volume — and therefore the join's per-task cost — constant,
-    * measuring linear-to-sub-linear on the same data. The default
-    * target (64 Ki rows/bucket) keeps a bucket's sort comfortably
-    * in-memory for the fact-table row widths here; both join sides must
+    * `⌈rows / targetRowsPerBucket⌉`, floored at `floor`, CAPPED at
+    * `maxBuckets`. This is the production lever both scale probes
+    * measured (ScaleProbe 2d, ×8; Scale64, ×64): a FIXED bucket count
+    * makes the per-bucket sort super-linear in the data (11–14× at ×8,
+    * compounding to 25× over an 8× octave as buckets spill), while
+    * buckets ∝ rows keeps per-bucket volume — and therefore the join's
+    * per-task cost — constant, measuring linear-to-sub-linear on the
+    * same data. The default target (64 Ki rows/bucket) keeps a bucket's
+    * sort comfortably in-memory for the fact-table row widths here ON
+    * THE LOCAL FIXTURE'S 8 GiB driver-as-executor; both join sides must
     * be written with the SAME resulting count (size from the LARGER
-    * side) or the co-location silently degrades to a shuffled join. */
+    * side) or the co-location silently degrades to a shuffled join.
+    *
+    * Why the cap exists: `⌈rows/64Ki⌉` extrapolated to ~100 TB
+    * (~10¹² rows) prescribes ~15 M buckets — at ≥1 file per bucket
+    * that is a ≥15 M-file listing/metastore posture no catalog enjoys
+    * (bucket metadata is per-table, but scan planning still lists and
+    * tracks every file, and small files kill read throughput). Past
+    * the cap the RIGHT lever is `targetRowsPerBucket` growing with the
+    * table: real executors carry 16–64 GiB, so a per-bucket sort stays
+    * in-memory at targets far above the local-fixture 64 Ki default
+    * (the `maxBuckets` default of 65 536 puts ~15 M rows ≈ 1.5 GiB per
+    * bucket at 10¹² rows — in-memory on any production executor). The
+    * cap implements exactly that: when it binds, the EFFECTIVE target
+    * becomes ⌈rows/maxBuckets⌉ and per-bucket volume resumes growing
+    * linearly with the table, which is the documented trade at the file
+    * -count ceiling, not a silent one. */
   def bucketsFor(
       rows: Long,
       targetRowsPerBucket: Long = 65536L,
-      floor: Int = 8): Int = {
+      floor: Int = 8,
+      maxBuckets: Int = 65536): Int = {
     require(targetRowsPerBucket > 0 && floor > 0,
       s"targetRowsPerBucket=$targetRowsPerBucket floor=$floor must be positive")
+    require(maxBuckets >= floor,
+      s"maxBuckets=$maxBuckets must be >= floor=$floor")
     val needed = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
-    math.max(floor.toLong, needed).min(Int.MaxValue.toLong).toInt
+    math.max(floor.toLong, needed).min(maxBuckets.toLong).toInt
   }
 
   /** Write `df` as an external bucketed table: `buckets` files per

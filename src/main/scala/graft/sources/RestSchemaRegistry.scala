@@ -126,8 +126,10 @@ final class RestSchemaRegistry(
         // asInt() would coerce a textual element ("latest", an HTML
         // fragment behind a proxy) to version 0 and surface as a
         // spurious 404 on a version nobody named — the malformed-body
-        // contract owns this failure, not the follow-up fetch
-        if (!e.canConvertToInt)
+        // contract owns this failure, not the follow-up fetch (and a
+        // floating-point element must not truncate: same isExactInt
+        // rule as intField)
+        if (!isExactInt(e))
           malformed(versions, listWhat, "a JSON array of version numbers")
         e.intValue()
       }.sorted.map { v =>
@@ -223,14 +225,22 @@ final class RestSchemaRegistry(
   }
 
   /** Required INTEGER field: asInt() coerces text/objects to 0, which
-    * would send a wrong id downstream instead of failing here. */
+    * would send a wrong id downstream instead of failing here. And
+    * canConvertToInt alone checks RANGE only — a floating-point body
+    * ({"id": 3.7}) passes it and intValue() silently truncates to 3,
+    * dispatching a wrong schema id; the value must also be integral
+    * (r18 advisor finding). */
   private def intField(
       resp: HttpResponse[String],
       node: com.fasterxml.jackson.databind.JsonNode,
       what: String,
       name: String): Int = {
     val f = jsonField(resp, node, what, name)
-    if (!f.canConvertToInt) malformed(resp, what, s"an integer '$name'")
+    if (!isExactInt(f)) malformed(resp, what, s"an integer '$name'")
     f.intValue()
   }
+
+  /** In-int-range AND integral: 3.7 must not truncate to 3. */
+  private def isExactInt(f: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    f.canConvertToInt && f.canConvertToExactIntegral
 }

@@ -41,19 +41,48 @@ import graft.sources.{AvroSerde, Cdc, KafkaWire, SchemaRegistry}
   */
 object ReplicationPipeline {
 
-  /** @param keyField    the single key field inside `kafka_key`
-    *                    (pk.mode=record_key, pk.fields=ID — uppercased
-    *                    on output like every projected column)
+  /** @param keyFields   the key fields inside `kafka_key`, in PRIMARY
+    *                    KEY order (pk.mode=record_key, pk.fields — the
+    *                    reference only ever needs the single
+    *                    `pk.fields=ID`, start-sink-connector.sh:71, but
+    *                    Connect's `pk.fields` is a LIST and Debezium
+    *                    keys composite PKs as multi-field structs, so a
+    *                    two-column-PK table must work too). Uppercased
+    *                    on output like every projected column.
+    *                    Single-key configs use the SAME changelog
+    *                    state-key encoding as the pre-composite
+    *                    pipeline ([[stateKey]]), so an existing
+    *                    checkpoint restarts cleanly.
     * @param projectCols record fields to project (B2); empty = all
     * @param sink        JDBC sink knobs. `keyCols` is DERIVED — start()
-    *                    always sets it to the uppercased `keyField`, so
+    *                    always sets it to the uppercased `keyFields`, so
     *                    the key cannot be misstated in two places. */
   case class Config(
-      keyField: String,
+      keyFields: Seq[String],
       sink: JdbcMerge.Config,
       checkpointDir: String,
       projectCols: Seq[String] = Nil,
-      trigger: Trigger = ChangelogStream.DefaultTrigger)
+      trigger: Trigger = ChangelogStream.DefaultTrigger) {
+    require(keyFields.nonEmpty, "Config.keyFields must name at least one key field")
+    require(keyFields.distinct == keyFields,
+      s"Config.keyFields repeats a field: $keyFields")
+  }
+
+  object Config {
+    /** Single-key constructors — source-compatible with the
+      * pre-composite API (`Config(keyField = "id", sink, checkpointDir)`
+      * and its positional form). Overloads instead of a defaulted
+      * duplicate field: a second key knob next to `keyFields` would be
+      * exactly the two-places mismatch `derivedSink` exists to prevent. */
+    def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String): Config =
+      Config(Seq(keyField), sink, checkpointDir)
+    def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String,
+        projectCols: Seq[String]): Config =
+      Config(Seq(keyField), sink, checkpointDir, projectCols)
+    def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String,
+        projectCols: Seq[String], trigger: Trigger): Config =
+      Config(Seq(keyField), sink, checkpointDir, projectCols, trigger)
+  }
 
   /** Unwrap + key-preserving uppercase projection of one micro-batch of
     * envelope rows: KEY column first (always from `kafka_key` — a record
@@ -63,16 +92,23 @@ object ReplicationPipeline {
     * `__deleted` exactly once, all uppercased. Tombstones flatten to
     * (key, NULL…) rows — `__deleted` NULL is the tombstone marker the
     * sink predicate reads. */
-  def flatten(batch: DataFrame, keyField: String, projectCols: Seq[String] = Nil): DataFrame = {
+  def flatten(batch: DataFrame, keyFields: Seq[String], projectCols: Seq[String] = Nil): DataFrame = {
     val unwrapped = Cdc.unwrap(batch)
     val recType = unwrapped.schema("record").dataType.asInstanceOf[StructType]
     val cols =
       (if (projectCols.nonEmpty) projectCols else recType.fieldNames.toSeq)
-        .filterNot(c => c == "__deleted" || c.equalsIgnoreCase(keyField)) :+ "__deleted"
+        .filterNot(c => c == "__deleted" || keyFields.exists(_.equalsIgnoreCase(c))) :+ "__deleted"
     unwrapped.select(
-      col(s"kafka_key.$keyField").as(keyField.toUpperCase(Locale.ROOT)) +:
+      keyFields.map(k => col(s"kafka_key.$k").as(k.toUpperCase(Locale.ROOT))) ++
         cols.map(c => col(s"record.$c").as(c.toUpperCase(Locale.ROOT))): _*)
   }
+
+  /** Single-key [[flatten]] (source-compat with the pre-composite API). */
+  def flatten(batch: DataFrame, keyField: String): DataFrame =
+    flatten(batch, Seq(keyField))
+
+  def flatten(batch: DataFrame, keyField: String, projectCols: Seq[String]): DataFrame =
+    flatten(batch, Seq(keyField), projectCols)
 
   /** The sink-side deletion predicate over a flattened row: raw
     * tombstone (NULL `__DELETED` — the whole record was NULL) or a
@@ -98,15 +134,24 @@ object ReplicationPipeline {
     * distributed full scan when no snapshot is uploaded yet. Output is
     * the flattened uppercase sink row shape. */
   def pullQuery(spark: SparkSession, cfg: Config, key: Any): DataFrame =
-    pullFilter(snapshotFor(spark, cfg, key), cfg, key)
+    pullQuery(spark, cfg, Seq(key))
+
+  /** Composite-key [[pullQuery]]: one value per `Config.keyFields`
+    * entry, in the same order. */
+  def pullQuery(spark: SparkSession, cfg: Config, keys: Seq[Any]): DataFrame =
+    pullFilter(snapshotFor(spark, cfg, keys), cfg, keys)
 
   /** Pruned-or-full state lookup shared by both pull-query shapes: one
     * store when a snapshot is uploaded (routing by the state's string
-    * key form), distributed full scan before the first upload. */
-  private def snapshotFor(spark: SparkSession, cfg: Config, key: Any): DataFrame =
+    * key form — the same [[stateKey]] encoding the pipeline groups by),
+    * distributed full scan before the first upload. */
+  private def snapshotFor(spark: SparkSession, cfg: Config, keys: Seq[Any]): DataFrame = {
+    require(keys.size == cfg.keyFields.size,
+      s"pull query needs one value per key field ${cfg.keyFields}, got $keys")
     PullQuery
-      .prunedStateSnapshot(spark, cfg.checkpointDir, String.valueOf(key))
+      .prunedStateSnapshot(spark, cfg.checkpointDir, stateKey(keys.map(String.valueOf)))
       .getOrElse(PullQuery.stateSnapshot(spark, cfg.checkpointDir))
+  }
 
   /** [[pullQuery]] against a [[startFromFrame]]/[[startFromKafka]]
     * pipeline's state, whose rows hold the value as raw registry-framed
@@ -115,26 +160,33 @@ object ReplicationPipeline {
     * answer identically. The registry is consulted at CALL time, so a
     * pull query sees schemas registered after the pipeline started. */
   def pullQueryFromFrame(
-      spark: SparkSession, wire: WireConfig, cfg: Config, key: Any): DataFrame = {
-    val snap = snapshotFor(spark, cfg, key)
+      spark: SparkSession, wire: WireConfig, cfg: Config, key: Any): DataFrame =
+    pullQueryFromFrame(spark, wire, cfg, Seq(key))
+
+  /** Composite-key [[pullQueryFromFrame]]: one value per
+    * `Config.keyFields` entry, in the same order. */
+  def pullQueryFromFrame(
+      spark: SparkSession, wire: WireConfig, cfg: Config, keys: Seq[Any]): DataFrame = {
+    val snap = snapshotFor(spark, cfg, keys)
     val (valueRegistry, latestId) = SchemaRegistry.resolveSubject(wire.registry, wire.subject)
     val envelope = snap.select(
       col("kafka_key"),
       KafkaWire.avroDecodeRegistry(col("value"), valueRegistry, latestId)
         .as("kafka_value"),
       col("offset"))
-    pullFilter(envelope, cfg, key)
+    pullFilter(envelope, cfg, keys)
   }
 
   /** Shared tail of both pull-query shapes: flatten the envelope rows
-    * and keep the one LIVE row for `key` (NOT deleted, where deleted
-    * mirrors [[isDeletion]]: NULL `__DELETED` = raw tombstone, "true" =
-    * rewrite record). */
-  private def pullFilter(envelope: DataFrame, cfg: Config, key: Any): DataFrame = {
-    val keyCol = cfg.keyField.toUpperCase(Locale.ROOT)
-    flatten(envelope, cfg.keyField, cfg.projectCols)
+    * and keep the one LIVE row for the key tuple (NOT deleted, where
+    * deleted mirrors [[isDeletion]]: NULL `__DELETED` = raw tombstone,
+    * "true" = rewrite record). */
+  private def pullFilter(envelope: DataFrame, cfg: Config, keys: Seq[Any]): DataFrame = {
+    val flat = flatten(envelope, cfg.keyFields, cfg.projectCols)
       .filter(coalesce(col("__DELETED") =!= "true", lit(false)))
-      .filter(col(keyCol) === lit(key))
+    cfg.keyFields.zip(keys).foldLeft(flat) { case (df, (k, v)) =>
+      df.filter(col(k.toUpperCase(Locale.ROOT)) === lit(v))
+    }
   }
 
   /** The WIRE half of the deployable unit — where the envelope's bytes
@@ -160,7 +212,21 @@ object ReplicationPipeline {
     * declared `keySchema` (key identity drift must stop the plan, not
     * re-key the table). Set `keyFramed = false` only for producers
     * that write bare Avro keys ([[KafkaWire.decodeEnvelope]]'s
-    * convention, e.g. graft's own encodeEnvelope output). */
+    * convention, e.g. graft's own encodeEnvelope output).
+    *
+    * ONE-TIME MIGRATION (bare keys with sub-int key types only): the
+    * bare path decodes with the Avro-NORMALIZED declaration — a
+    * ShortType/ByteType key column widens to IntegerType, the same
+    * shape the framed path outputs (Avro has no narrower int). A
+    * bare-key pipeline checkpointed under a build that decoded with
+    * the RAW declaration carries the un-widened state shape: its first
+    * restart on the same checkpoint fails the streaming state-schema
+    * compatibility check, and an auto-created sink table's SMALLINT
+    * key column no longer matches the decoded INT. Heal once: start a
+    * fresh checkpoint (the changelog rebuilds from the topic — the
+    * reference's own recovery story, TOMBSTONE_HANDLING_GUIDE.md:
+    * 105-113) and ALTER the sink key column to INT. Pipelines with
+    * INT-or-wider keys, and all framed-key pipelines, are unaffected. */
   case class WireConfig(
       kafka: KafkaWire.Config,
       registry: SchemaRegistry,
@@ -173,11 +239,50 @@ object ReplicationPipeline {
   }
 
   /** The sink config every start path actually uses: `keyCols` DERIVED
-    * from the uppercased `keyField` (restating it in `sink.keyCols` was
-    * a mismatch-prone duplicate knob — wrong case meant a nullable key
-    * plus a PRIMARY KEY on a non-existent column at runtime). */
+    * from the uppercased `keyFields` (restating them in `sink.keyCols`
+    * was a mismatch-prone duplicate knob — wrong case meant a nullable
+    * key plus a PRIMARY KEY on a non-existent column at runtime). The
+    * order carries through to the PRIMARY KEY and the MERGE/DELETE
+    * predicates ([[graft.sink.JdbcMerge]] keys are a Seq everywhere). */
   private def derivedSink(cfg: Config): JdbcMerge.Config =
-    cfg.sink.copy(keyCols = Seq(cfg.keyField.toUpperCase(Locale.ROOT)))
+    cfg.sink.copy(keyCols = cfg.keyFields.map(_.toUpperCase(Locale.ROOT)))
+
+  /** Changelog state-key encoding, shared by the grouping lambda and the
+    * pull query's pruned-store routing. The SINGLE-key form is the
+    * value's plain String.valueOf — byte-identical to the pre-composite
+    * pipeline, so an existing single-key checkpoint restarts cleanly —
+    * and the composite form length-prefixes each component before
+    * joining, which is injective (("a;b") vs ("a","b") cannot collide:
+    * the prefix fixes each component's exact span). */
+  private def stateKey(parts: Seq[String]): String =
+    if (parts.sizeIs == 1) parts.head
+    else parts.map(s => s"${s.length}:$s").mkString(";")
+
+  /** Extract one envelope row's changelog state key, failing LOUDLY on
+    * an unkeyed record. Policy: FAIL, not drop — pk.mode=record_key
+    * means the key IS row identity, so the Connect sink this mirrors
+    * also dies on a null key (`behavior.on.null.values=ignore` governs
+    * null VALUES — tombstones — not null keys); a silent drop would
+    * un-replicate whatever row the producer meant, and a bare NPE from
+    * inside flatMapGroupsWithState names neither the record nor the
+    * heal (r18 verdict). The error names the offset and both heals. */
+  private def extractStateKey(
+      r: Row, keyStructIdx: Int, keyFieldIdxs: Seq[Int],
+      keyFields: Seq[String], offsetIdx: Int): String = {
+    def die(what: String): Nothing = throw new IllegalStateException(
+      s"replication: $what at offset ${r.getLong(offsetIdx)} — the changelog keys rows by " +
+        s"(${keyFields.mkString(", ")}) and an unkeyed record cannot identify a row (the " +
+        "Connect sink with pk.mode=record_key fails on these too). Two heals: fix the " +
+        "producer to key every record (Debezium always does), or filter unkeyed frames " +
+        "out of the stream before the pipeline — this query fails loudly by design " +
+        "rather than silently dropping or mis-keying data.")
+    if (r.isNullAt(keyStructIdx)) die("null-keyed record")
+    val ks = r.getStruct(keyStructIdx)
+    stateKey(keyFieldIdxs.zip(keyFields).map { case (i, name) =>
+      if (ks.isNullAt(i)) die(s"record with NULL key field '$name'")
+      String.valueOf(ks.get(i))
+    })
+  }
 
   /** The facade's key-bytes decode column: framed (id-dispatch through
     * the key subject, latest REQUIRED Avro-equivalent to the declared
@@ -274,14 +379,14 @@ object ReplicationPipeline {
       keyDecode(wire).as("kafka_key"),
       col("value"), col("offset"))
     val schema = keyed.schema
-    val keyFieldIdx = wire.keySchema.fieldIndex(cfg.keyField)
+    val keyFieldIdxs = cfg.keyFields.map(wire.keySchema.fieldIndex)
     val offsetIdx = schema.fieldIndex("offset")
     implicit val rowEnc = Encoders.row(schema)
     implicit val strEnc = Encoders.STRING
     val sinkCfg = derivedSink(cfg)
     val latest = ChangelogStream.latestByKey[String, Row](
       keyed.as(rowEnc),
-      key = r => String.valueOf(r.getStruct(0).get(keyFieldIdx)),
+      key = r => extractStateKey(r, 0, keyFieldIdxs, cfg.keyFields, offsetIdx),
       seq = r => r.getLong(offsetIdx))
     ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
       (batch, batchId) =>
@@ -291,7 +396,7 @@ object ReplicationPipeline {
             .as("kafka_value"),
           col("offset"))
         JdbcMerge.sink(sinkCfg, isDeletion, connect)(
-          flatten(envelope, cfg.keyField, cfg.projectCols), batchId)
+          flatten(envelope, cfg.keyFields, cfg.projectCols), batchId)
     }
   }
 
@@ -312,21 +417,22 @@ object ReplicationPipeline {
     val sinkCfg = derivedSink(cfg)
     val schema = envelope.schema
     val keyIdx = schema.fieldIndex("kafka_key")
-    val keyFieldIdx = schema("kafka_key").dataType
-      .asInstanceOf[StructType].fieldIndex(cfg.keyField)
+    val keyFieldIdxs = cfg.keyFields.map(schema("kafka_key").dataType
+      .asInstanceOf[StructType].fieldIndex)
     val offsetIdx = schema.fieldIndex("offset")
     implicit val rowEnc = Encoders.row(schema)
     implicit val strEnc = Encoders.STRING
-    // group by the key field's string form: injective for the scalar key
-    // types the reference uses (int identity), encoder-friendly for any
+    // group by the key fields' string form ([[stateKey]]): injective for
+    // the scalar key types the reference uses (int identity),
+    // encoder-friendly for any
     val latest = ChangelogStream.latestByKey[String, Row](
       envelope.as(rowEnc),
-      key = r => String.valueOf(r.getStruct(keyIdx).get(keyFieldIdx)),
+      key = r => extractStateKey(r, keyIdx, keyFieldIdxs, cfg.keyFields, offsetIdx),
       seq = r => r.getLong(offsetIdx))
     ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
       (batch, batchId) =>
         JdbcMerge.sink(sinkCfg, isDeletion, connect)(
-          flatten(batch.toDF(), cfg.keyField, cfg.projectCols), batchId)
+          flatten(batch.toDF(), cfg.keyFields, cfg.projectCols), batchId)
     }
   }
 }

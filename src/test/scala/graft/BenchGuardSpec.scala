@@ -160,6 +160,39 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("a band-masked flag is REPORTED as suppressed, and the bands are disableable") {
+    val prior = Some(Bench.windowPrior(Seq(0.8657, 0.8687, 1.6527)))
+    // the in-band min the previous test showed not flagging: it must
+    // surface in suppressed_in_band instead of vanishing (r18 advisor
+    // finding — a masked flag stays visible in the artifact)
+    assert(Bench.suppressedInBand("q_neardup_jaccard", prior, 1.48, 1.5))
+    // above the ceiling it flags normally, so it is NOT "suppressed"
+    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 2.5, 1.5))
+    // below the raw trip condition nothing was masked
+    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 1.0, 1.5))
+    // un-banded queries never report suppression
+    assert(!Bench.suppressedInBand("q_unbanded", prior, 1.48, 1.5))
+    // with the bands disabled (SPARK_GRAFT_BENCH_BANDS=off semantics:
+    // effectiveCeilings empty), the same min TRIPS — the env override
+    // re-arms the guard without a source edit
+    assert(Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5, Map.empty))
+    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 1.48, 1.5, Map.empty))
+    // and the env parse itself: unset here, so the default is the map
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_BANDS"))
+      assert(Bench.effectiveCeilings == Bench.adjudicatedCeiling)
+  }
+
+  test("suppressed_in_band pairs never poison the next round's prior min-fold") {
+    val line = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q_a":1.4800},"errors":{},"iterations":{"q_a":[1.4800,1.5000]},""" +
+      """"reran":[],"regressed":{},"suppressed_in_band":{"q_a":[1.4800,0.8687]},""" +
+      """"baseline_subset_total":1.0,"sf":"/x"}"""
+    val got = Bench.parsePriorQueries(line)
+    // the pair's 0.8687 prior is exactly the outlier-fast poison the
+    // regressed-map strip exists for — same rule here
+    assert(got.get("q_a").contains(1.48), s"suppressed pair leaked into prior: $got")
+  }
+
   test("trip condition: factor breach above the floor re-runs and records; floor and no-prior disarm") {
     // the synthetic-prior scenario: last round 0.5 s, this round 0.9 s
     // at the 1.5x default → the guard must trip (re-run + regressed)

@@ -67,6 +67,22 @@ class BucketedJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bucketed.bucketsFor(10L, targetRowsPerBucket = 0L))
   }
 
+  test("bucketsFor caps at maxBuckets: count = min(ceiling, ⌈rows/target⌉)") {
+    // the 100 TB extrapolation the r18 verdict named: ⌈10¹²/64Ki⌉ would
+    // prescribe ~15 M buckets (a ≥15 M-file listing posture) — the cap
+    // binds instead, and the EFFECTIVE per-bucket target grows with the
+    // table past the ceiling
+    assert(Bucketed.bucketsFor(1000000000000L) == 65536)
+    // below the cap the data-derived count is untouched
+    assert(Bucketed.bucketsFor(600000L * 64) == 586)
+    // exactly at the boundary: ⌈rows/target⌉ == maxBuckets passes through
+    assert(Bucketed.bucketsFor(65536L * 100, maxBuckets = 100) == 100)
+    assert(Bucketed.bucketsFor(65536L * 100 + 1, maxBuckets = 100) == 100)
+    // a cap under the floor is a contradiction, not a silent clamp
+    intercept[IllegalArgumentException](
+      Bucketed.bucketsFor(10L, floor = 8, maxBuckets = 4))
+  }
+
   test("a scaled (non-default) matched count keeps the no-Exchange plan and the answer") {
     // the production sizing writes a data-derived count; the no-Exchange
     // property must not be an 8-bucket accident
