@@ -346,6 +346,13 @@ object Bench {
     // r18 A/B (shares the exactJaccardPairs stage with the above):
     // HEAD 1.17/1.36 vs r17 1.33/1.10 — same bimodal floor
     "q_dup_sources" -> 1.75,
+    // r19 A/B (the third sharer of the exactJaccardPairs stage; the r18
+    // verdict's family-floor watch item): interleaved QuickTime pairs
+    // at cores=32, HEAD 1.73/1.82 vs the r17 close (97e4982) 1.80/2.16
+    // — old == new, the FIFTH adjudication of the same swing; the r17
+    // round's 1.40 was that box-state's fast mode (jaccard's 0.87
+    // analog). Steady band 1.7-2.2, same ~5% slack as the others
+    "q_neardup_keep_best" -> 2.30,
     // r15 A/B: HEAD 2.11 vs r14 2.01; steady ≈ 2.1 s, observed ambient
     // highs to 2.37 (r18) — same ~5% slack over the band as the others
     "q_semdedup" -> 2.45)

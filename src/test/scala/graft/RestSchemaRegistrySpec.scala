@@ -265,6 +265,29 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](reg.subjectHistory("s"))
       assert(e.getMessage.contains("array of version numbers"), e.getMessage)
     }
+    // FLOATING-POINT where an integer is promised: canConvertToInt
+    // alone checks range, so {"id":3.7} would truncate to 3 and
+    // dispatch a wrong schema id (r18 advisor finding) — and a
+    // fractional versions-list element would 404 on a version nobody
+    // named; both must trip the malformed-body contract instead
+    serve("""{"id":3.7}""") { reg =>
+      val e = intercept[IllegalStateException](reg.register("s", v1))
+      assert(e.getMessage.contains("integer") && e.getMessage.contains("3.7"),
+        e.getMessage)
+    }
+    serve("""[1.5]""") { reg =>
+      val e = intercept[IllegalStateException](reg.subjectHistory("s"))
+      assert(e.getMessage.contains("array of version numbers"), e.getMessage)
+    }
+    // an integral-VALUED float (3.0) is still not the protocol's shape —
+    // Confluent writes JSON integers; accept-and-round would paper over
+    // a body that is not what we think it is... but canConvertToExact-
+    // Integral treats 3.0 as exact, so pin the ACTUAL contract: 3.0
+    // converts (documented Jackson semantics), 3.7 never does
+    serve("""{"id":3.0}""") { reg =>
+      assert(reg.register("s", v1) == 3,
+        "an exact-integral float converts under Jackson's canConvertToExactIntegral")
+    }
   }
 
   test("subjects with reserved URL characters travel percent-encoded") {
