@@ -64,8 +64,12 @@ object ReplicationPipeline {
       projectCols: Seq[String] = Nil,
       trigger: Trigger = ChangelogStream.DefaultTrigger) {
     require(keyFields.nonEmpty, "Config.keyFields must name at least one key field")
-    require(keyFields.distinct == keyFields,
-      s"Config.keyFields repeats a field: $keyFields")
+    // case-INSENSITIVE distinctness: every key column is uppercased on
+    // output, so ("id", "ID") would pass an exact check and then emit
+    // duplicate columns + a doubled PRIMARY KEY
+    require(
+      keyFields.map(_.toUpperCase(Locale.ROOT)).distinct.size == keyFields.size,
+      s"Config.keyFields repeats a field (key columns are uppercased on output): $keyFields")
   }
 
   object Config {
@@ -252,36 +256,45 @@ object ReplicationPipeline {
     * value's plain String.valueOf — byte-identical to the pre-composite
     * pipeline, so an existing single-key checkpoint restarts cleanly —
     * and the composite form length-prefixes each component before
-    * joining, which is injective (("a;b") vs ("a","b") cannot collide:
-    * the prefix fixes each component's exact span). */
-  private def stateKey(parts: Seq[String]): String =
+    * joining, which is injective AT FIXED ARITY (("a;b") vs ("a","b"),
+    * embedded ':'/';', cannot collide: the prefix fixes each
+    * component's exact span — ReplicationStateKeyProps). A pipeline's
+    * arity is fixed by its `Config.keyFields`, so cross-arity equality
+    * (e.g. the single key "1:a;1:b" vs the pair ("a","b")) is
+    * unreachable within one checkpoint. */
+  private[graft] def stateKey(parts: Seq[String]): String =
     if (parts.sizeIs == 1) parts.head
     else parts.map(s => s"${s.length}:$s").mkString(";")
 
-  /** Extract one envelope row's changelog state key, failing LOUDLY on
+  /** Build the per-row changelog state-key extractor, failing LOUDLY on
     * an unkeyed record. Policy: FAIL, not drop — pk.mode=record_key
     * means the key IS row identity, so the Connect sink this mirrors
     * also dies on a null key (`behavior.on.null.values=ignore` governs
     * null VALUES — tombstones — not null keys); a silent drop would
     * un-replicate whatever row the producer meant, and a bare NPE from
     * inside flatMapGroupsWithState names neither the record nor the
-    * heal (r18 verdict). The error names the offset and both heals. */
-  private def extractStateKey(
-      r: Row, keyStructIdx: Int, keyFieldIdxs: Seq[Int],
-      keyFields: Seq[String], offsetIdx: Int): String = {
-    def die(what: String): Nothing = throw new IllegalStateException(
-      s"replication: $what at offset ${r.getLong(offsetIdx)} — the changelog keys rows by " +
-        s"(${keyFields.mkString(", ")}) and an unkeyed record cannot identify a row (the " +
-        "Connect sink with pk.mode=record_key fails on these too). Two heals: fix the " +
-        "producer to key every record (Debezium always does), or filter unkeyed frames " +
-        "out of the stream before the pipeline — this query fails loudly by design " +
-        "rather than silently dropping or mis-keying data.")
-    if (r.isNullAt(keyStructIdx)) die("null-keyed record")
-    val ks = r.getStruct(keyStructIdx)
-    stateKey(keyFieldIdxs.zip(keyFields).map { case (i, name) =>
-      if (ks.isNullAt(i)) die(s"record with NULL key field '$name'")
-      String.valueOf(ks.get(i))
-    })
+    * heal (r18 verdict). The error names the offset and both heals.
+    * Returns a closure so the (index, name) pairing is built once at
+    * plan time, not per record — this runs on the stream's hot path. */
+  private def stateKeyExtractor(
+      keyStructIdx: Int, keyFieldIdxs: Seq[Int],
+      keyFields: Seq[String], offsetIdx: Int): Row => String = {
+    val zipped = keyFieldIdxs.zip(keyFields)
+    r => {
+      def die(what: String): Nothing = throw new IllegalStateException(
+        s"replication: $what at offset ${r.getLong(offsetIdx)} — the changelog keys rows by " +
+          s"(${keyFields.mkString(", ")}) and an unkeyed record cannot identify a row (the " +
+          "Connect sink with pk.mode=record_key fails on these too). Two heals: fix the " +
+          "producer to key every record (Debezium always does), or filter unkeyed frames " +
+          "out of the stream before the pipeline — this query fails loudly by design " +
+          "rather than silently dropping or mis-keying data.")
+      if (r.isNullAt(keyStructIdx)) die("null-keyed record")
+      val ks = r.getStruct(keyStructIdx)
+      stateKey(zipped.map { case (i, name) =>
+        if (ks.isNullAt(i)) die(s"record with NULL key field '$name'")
+        String.valueOf(ks.get(i))
+      })
+    }
   }
 
   /** The facade's key-bytes decode column: framed (id-dispatch through
@@ -386,7 +399,7 @@ object ReplicationPipeline {
     val sinkCfg = derivedSink(cfg)
     val latest = ChangelogStream.latestByKey[String, Row](
       keyed.as(rowEnc),
-      key = r => extractStateKey(r, 0, keyFieldIdxs, cfg.keyFields, offsetIdx),
+      key = stateKeyExtractor(0, keyFieldIdxs, cfg.keyFields, offsetIdx),
       seq = r => r.getLong(offsetIdx))
     ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
       (batch, batchId) =>
@@ -427,7 +440,7 @@ object ReplicationPipeline {
     // encoder-friendly for any
     val latest = ChangelogStream.latestByKey[String, Row](
       envelope.as(rowEnc),
-      key = r => extractStateKey(r, keyIdx, keyFieldIdxs, cfg.keyFields, offsetIdx),
+      key = stateKeyExtractor(keyIdx, keyFieldIdxs, cfg.keyFields, offsetIdx),
       seq = r => r.getLong(offsetIdx))
     ChangelogStream.emitChanges(latest, cfg.checkpointDir, cfg.trigger) {
       (batch, batchId) =>

@@ -142,6 +142,31 @@ class ReplicationFacadeSpec extends SparkTestBase {
         ReplicationPipeline.pullQueryFromFrame(spark, wire, cfg, Seq("t1"))
       }
       assert(bad.getMessage.contains("one value per key field"), bad.getMessage)
+
+      // kill → SAME-checkpoint restart → resume (the StreamRestartSpec
+      // harness pattern): the composite state-key encoding must be
+      // stable across restarts — the new source is pre-loaded with the
+      // committed slice, the restart must re-read state (not re-apply),
+      // and post-restart changes must land on the RIGHT composite keys
+      // pre-load the committed slice with the SAME batch boundaries the
+      // live run committed (MemoryStream offsets count addData calls)
+      val input2 = MemoryStream[(Array[Byte], Array[Byte], Long)](spark)
+      input2.addData(Seq(
+        frame("t1", 1, insert("a", 0L), 0L),
+        frame("t1", 2, insert("b", 1L), 1L),
+        frame("t2", 1, insert("c", 2L), 2L)))
+      input2.addData(Seq(tomb("t1", 1, 3L)))
+      input2.addData(Seq(frame("t1", 1, insert("a2", 4L), 4L)))
+      val q2 = ReplicationPipeline.startFromFrame(
+        input2.toDF().toDF("key", "value", "offset"), wire, cfg, () => connect())
+      try {
+        input2.addData(Seq(
+          frame("t1", 2, insert("b v2", 5L), 5L), // update one composite key…
+          tomb("t2", 1, 6L)))                     // …delete its column-sharing neighbor
+        q2.processAllAvailable()
+        assert(tableRows() == Seq(("t1", 1, "a2"), ("t1", 2, "b v2")),
+          "post-restart changes must resolve against the restored composite state")
+      } finally q2.stop()
     } finally srv.stop()
   }
 
