@@ -115,9 +115,17 @@ class ReplicationFacadeSpec extends SparkTestBase {
         input.addData(Seq(frame("t1", 1, insert("a2", 4L), 4L)))
         q.processAllAvailable()
         assert(tableRows() == Seq(("t1", 1, "a2"), ("t1", 2, "b"), ("t2", 1, "c")))
-        val pulled = ReplicationPipeline
-          .pullQueryFromFrame(spark, wire, cfg, Seq("t1", 1))
-          .select("TENANT", "ID", "TITLE").collect()
+        val pull = ReplicationPipeline.pullQueryFromFrame(spark, wire, cfg, Seq("t1", 1))
+        // the PRUNED serving path must work for composite keys too: the
+        // state is grouped by the composite stateKey STRING (one-column
+        // key struct), so the routing hash is computable and the lookup
+        // reads exactly one store — a misrouted composite encoding would
+        // return empty for a live key, which the row assertion below
+        // would catch, and a silent fallback to the full scan would
+        // fail THIS one
+        assert(pull.rdd.getNumPartitions == 1,
+          "composite pull query must be served from ONE state partition")
+        val pulled = pull.select("TENANT", "ID", "TITLE").collect()
         assert(pulled.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq ==
           Seq(("t1", 1, "a2")))
       } finally q.stop()
