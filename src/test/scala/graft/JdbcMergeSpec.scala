@@ -45,6 +45,32 @@ class JdbcMergeSpec extends SparkTestBase {
       "DELETE FROM [movies_sink] WHERE [A] = ? AND [B] = ?")
   }
 
+  test("composite keyCols: MERGE joins on every key, UPDATE excludes them, PK spans them in order") {
+    // Connect's pk.fields is a LIST — the replication facade derives a
+    // multi-column keyCols for composite-PK tables, so the T-SQL shapes
+    // (Derby's are EXECUTED for real in ReplicationFacadeSpec) are
+    // pinned here for the reference's actual MSSQL target
+    val cSchema = StructType(Seq(
+      StructField("TENANT", StringType, nullable = false),
+      StructField("ID", IntegerType, nullable = false),
+      StructField("TITLE", StringType)))
+    val ccfg = Config(table = "orders_sink", keyCols = Seq("TENANT", "ID"))
+    assert(JdbcMerge.mergeSql(ccfg, cSchema) ==
+      "MERGE INTO [orders_sink] AS t USING (VALUES (?, ?, ?)) AS s ([TENANT], [ID], [TITLE]) " +
+        "ON t.[TENANT] = s.[TENANT] AND t.[ID] = s.[ID] " +
+        "WHEN MATCHED THEN UPDATE SET [TITLE] = s.[TITLE] " +
+        "WHEN NOT MATCHED THEN INSERT ([TENANT], [ID], [TITLE]) " +
+        "VALUES (s.[TENANT], s.[ID], s.[TITLE]);")
+    assert(JdbcMerge.createTableSql(ccfg, cSchema).endsWith(
+      "([TENANT] NVARCHAR(MAX) NOT NULL, [ID] INT NOT NULL, [TITLE] NVARCHAR(MAX), " +
+        "PRIMARY KEY ([TENANT], [ID]))"))
+    // bind orders: T-SQL's VALUES row binds schema order; Derby's
+    // SYSDUMMY1 idiom binds keys (ON), non-keys (SET), then the full row
+    assert(JdbcMerge.TSql.mergeBindIndices(ccfg, cSchema) == Seq(0, 1, 2))
+    val dcfg = ccfg.copy(dialect = JdbcMerge.Derby)
+    assert(JdbcMerge.Derby.mergeBindIndices(dcfg, cSchema) == Seq(0, 1, 2, 0, 1, 2))
+  }
+
   test("createTableSql is idempotent auto-create DDL with a primary key") {
     // the OBJECT_ID existence check must use the SAME quoted form CREATE
     // uses, or quoted-identifier tables re-run CREATE on every start
