@@ -31,6 +31,11 @@ import graft.streaming.ReplicationPipeline
   *    topic-replay recovery story, TOMBSTONE_HANDLING_GUIDE.md:105-113,
   *    at the facade level).
   */
+/** Top-level (encoder-codegen-friendly) fixtures for the envelope-level
+  * composite test: a two-field key plus a record image. */
+case class CKRec(title: String)
+case class CKWire(tenant: String, id: Int, rec: Option[CKRec], op: String, offset: Long)
+
 class ReplicationFacadeSpec extends SparkTestBase {
 
   private val payload = StructType(Seq(StructField("TITLE", StringType)))
@@ -176,6 +181,48 @@ class ReplicationFacadeSpec extends SparkTestBase {
           "post-restart changes must resolve against the restored composite state")
       } finally q2.stop()
     } finally srv.stop()
+  }
+
+  test("composite keys through the envelope-level start(): the pre-decoded entry point") {
+    // startFromFrame derives key indices from wire.keySchema;
+    // start() derives them from the envelope's OWN kafka_key struct —
+    // a different code path that must key identically
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.streaming.ChangelogStream.configure(spark)
+    val input = MemoryStream[CKWire](spark)
+    val envelope = input.toDF().select(
+      struct(col("tenant"), col("id")).as("kafka_key"),
+      when(
+        col("rec").isNotNull,
+        struct(
+          when(col("op") === "d", col("rec")).as("before"),
+          when(col("op") =!= "d", col("rec")).as("after"),
+          col("op").as("op"))).as("kafka_value"),
+      col("offset"))
+    val cfg = ReplicationPipeline.Config(
+      keyFields = Seq("tenant", "id"),
+      sink = JdbcMerge.Config("orders_env", keyCols = Nil, dialect = JdbcMerge.Derby),
+      checkpointDir =
+        java.nio.file.Files.createTempDirectory("graft-repl-env-composite").toString)
+    val q = ReplicationPipeline.start(envelope, cfg, () => DerbyDb.connect("d_repl_env"))
+    try {
+      input.addData(Seq(
+        CKWire("t1", 1, Some(CKRec("a")), "c", 0L),
+        CKWire("t1", 2, Some(CKRec("b")), "c", 1L),
+        CKWire("t2", 1, Some(CKRec("c")), "c", 2L),
+        CKWire("t1", 1, Some(CKRec("a2")), "u", 3L), // update one pair
+        CKWire("t1", 2, None, "d", 4L)))             // tombstone its neighbor
+      q.processAllAvailable()
+    } finally q.stop()
+    withConn("d_repl_env") { conn =>
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "TENANT", "ID", "TITLE" FROM "orders_env" ORDER BY "TENANT", "ID"""")
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int, String)]()
+      while (rs.next()) out += ((rs.getString(1), rs.getInt(2), rs.getString(3)))
+      assert(out.toSeq == Seq(("t1", 1, "a2"), ("t2", 1, "c")),
+        s"envelope-level composite replication diverged: ${out.toSeq}")
+    }
   }
 
   test("a null-keyed frame fails LOUDLY naming the offset and both heals — never a bare NPE") {
