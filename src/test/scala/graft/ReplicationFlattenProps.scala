@@ -1,0 +1,96 @@
+package graft
+
+import java.util.Locale
+
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.streaming.ReplicationPipeline
+
+/** ScalaCheck properties for the facade's flatten projection — the
+  * column-shape contract every auto-created sink table and every MERGE
+  * bind order rests on. For RANDOM key structs, record images (names
+  * that case-collide with keys included), and projection subsets, the
+  * output schema must be: every key column first (uppercased, in
+  * keyFields order), then the record columns (projection or full image,
+  * key-named fields excluded CASE-INSENSITIVELY, `__deleted` excluded
+  * wherever the caller put it), then `__DELETED` exactly once, last.
+  *
+  * Plan-only — flatten is evaluated via `.schema` on an empty frame, so
+  * no Spark job runs and the case count stays generous. */
+object ReplicationFlattenProps extends Properties("ReplicationFlatten") {
+
+  private val spark = TestSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+
+  private val colNameGen: Gen[String] =
+    Gen.zip(Gen.alphaChar, Gen.alphaNumStr.map(_.take(5)))
+      .map { case (h, t) => (h + t).toLowerCase(Locale.ROOT) }
+
+  private val fixture: Gen[(Seq[String], Seq[String], Seq[String])] = for {
+    nKeys <- Gen.chooseNum(1, 3)
+    keys0 <- Gen.listOfN(nKeys, colNameGen)
+    keys = keys0.distinct
+    nRec <- Gen.chooseNum(1, 5)
+    rec0 <- Gen.listOfN(nRec, colNameGen)
+    // the record image may carry the key's own field (the normal
+    // Debezium shape), sometimes CASE-SHUFFLED — flatten must exclude it
+    // case-insensitively either way
+    withKeyEcho <- Gen.oneOf(Nil, keys.take(1), keys.take(1).map(_.toUpperCase(Locale.ROOT)))
+    rec = (rec0 ++ withKeyEcho).distinct
+      .filterNot(c => c != c.toLowerCase(Locale.ROOT) &&
+        rec0.contains(c.toLowerCase(Locale.ROOT))) // no case-dup columns within one struct
+    projN <- Gen.chooseNum(0, rec.size)
+    project <- Gen.pick(projN, rec)
+  } yield (keys, rec, project.toSeq)
+
+  private def envelopeFrame(keys: Seq[String], rec: Seq[String]) = {
+    val keySt = StructType(keys.map(k => StructField(k, IntegerType, nullable = false)))
+    val payload = StructType(rec.map(c => StructField(c, StringType)))
+    val envSt = StructType(Seq(
+      StructField("kafka_key", keySt),
+      StructField("kafka_value", StructType(Seq(
+        StructField("before", payload),
+        StructField("after", payload),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType)))),
+      StructField("offset", LongType, nullable = false)))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), envSt)
+  }
+
+  private def up(s: String) = s.toUpperCase(Locale.ROOT)
+
+  property("output = keys.upper ++ (projection-or-image minus keys minus __deleted).upper :+ __DELETED") =
+    Prop.forAll(fixture) { case (keys, rec, project) =>
+      val got = ReplicationPipeline
+        .flatten(envelopeFrame(keys, rec), keys, project)
+        .schema.fieldNames.toSeq
+      val body = (if (project.nonEmpty) project else rec)
+        .filterNot(c => c == "__deleted" || keys.exists(_.equalsIgnoreCase(c)))
+      val want = keys.map(up) ++ body.map(up) :+ "__DELETED"
+      Prop(got == want) :| s"keys=$keys rec=$rec project=$project got=$got want=$want"
+    }
+
+  property("__DELETED appears exactly once, last — even when the image carries __deleted") =
+    Prop.forAll(fixture) { case (keys, rec0, _) =>
+      val rec = (rec0 :+ "__deleted").distinct
+      val got = ReplicationPipeline
+        .flatten(envelopeFrame(keys, rec), keys)
+        .schema.fieldNames.toSeq
+      Prop(got.count(_ == "__DELETED") == 1 && got.last == "__DELETED") :|
+        s"rec=$rec got=$got"
+    }
+
+  property("single-key overloads produce the identical schema") =
+    Prop.forAll(fixture) { case (keys, rec, project) =>
+      val k = keys.head
+      val df = envelopeFrame(Seq(k), rec)
+      val viaSeq = ReplicationPipeline.flatten(df, Seq(k), project).schema
+      val viaStr =
+        if (project.isEmpty) ReplicationPipeline.flatten(df, k).schema
+        else ReplicationPipeline.flatten(df, k, project).schema
+      viaSeq == viaStr
+    }
+}
