@@ -125,16 +125,25 @@ object Cdc {
     record.isNull || record.getField("__deleted") === "true"
 
   /** The full source→state path: envelope → unwrap → keyed changelog
-    * apply (B1+B3+C2) — current live state, one flat row per key.
-    * `keyField` is the single key field inside `kafka_key`.
+    * apply (B1+B3+C2) — current live state, one flat row per key tuple.
+    * `keyFields` are the key fields inside `kafka_key` (composite PKs
+    * supported, mirroring the streaming facade's
+    * [[graft.streaming.ReplicationPipeline]] — this is its BATCH replay
+    * analog, so the two must accept the same key shapes).
     */
-  def applyEnvelope(envelope: DataFrame, keyField: String): DataFrame = {
+  def applyEnvelope(envelope: DataFrame, keyFields: Seq[String]): DataFrame = {
+    require(keyFields.nonEmpty, "applyEnvelope needs at least one key field")
     val flat = unwrap(envelope)
-      .select(col(s"kafka_key.$keyField").as(keyField), col("record"), col("offset"))
+      .select(keyFields.map(k => col(s"kafka_key.$k").as(k)) ++
+        Seq(col("record"), col("offset")): _*)
     graft.ops.Changelog
-      .applyChangelog(flat, Seq(keyField), col("offset"), isDeletion(col("record")))
-      .select(col(keyField) +: flat.schema("record").dataType
+      .applyChangelog(flat, keyFields, col("offset"), isDeletion(col("record")))
+      .select(keyFields.map(col) ++ flat.schema("record").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
         .fieldNames.filterNot(_ == "__deleted").map(f => col(s"record.$f")).toSeq: _*)
   }
+
+  /** Single-key [[applyEnvelope]] (source-compat with the original API). */
+  def applyEnvelope(envelope: DataFrame, keyField: String): DataFrame =
+    applyEnvelope(envelope, Seq(keyField))
 }

@@ -190,8 +190,7 @@ class ReplicationFacadeSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     graft.streaming.ChangelogStream.configure(spark)
-    val input = MemoryStream[CKWire](spark)
-    val envelope = input.toDF().select(
+    def toEnvelope(df: org.apache.spark.sql.DataFrame) = df.select(
       struct(col("tenant"), col("id")).as("kafka_key"),
       when(
         col("rec").isNotNull,
@@ -200,6 +199,14 @@ class ReplicationFacadeSpec extends SparkTestBase {
           when(col("op") =!= "d", col("rec")).as("after"),
           col("op").as("op"))).as("kafka_value"),
       col("offset"))
+    val input = MemoryStream[CKWire](spark)
+    val envelope = toEnvelope(input.toDF())
+    val events = Seq(
+      CKWire("t1", 1, Some(CKRec("a")), "c", 0L),
+      CKWire("t1", 2, Some(CKRec("b")), "c", 1L),
+      CKWire("t2", 1, Some(CKRec("c")), "c", 2L),
+      CKWire("t1", 1, Some(CKRec("a2")), "u", 3L), // update one pair
+      CKWire("t1", 2, None, "d", 4L))              // tombstone its neighbor
     val cfg = ReplicationPipeline.Config(
       keyFields = Seq("tenant", "id"),
       sink = JdbcMerge.Config("orders_env", keyCols = Nil, dialect = JdbcMerge.Derby),
@@ -207,12 +214,7 @@ class ReplicationFacadeSpec extends SparkTestBase {
         java.nio.file.Files.createTempDirectory("graft-repl-env-composite").toString)
     val q = ReplicationPipeline.start(envelope, cfg, () => DerbyDb.connect("d_repl_env"))
     try {
-      input.addData(Seq(
-        CKWire("t1", 1, Some(CKRec("a")), "c", 0L),
-        CKWire("t1", 2, Some(CKRec("b")), "c", 1L),
-        CKWire("t2", 1, Some(CKRec("c")), "c", 2L),
-        CKWire("t1", 1, Some(CKRec("a2")), "u", 3L), // update one pair
-        CKWire("t1", 2, None, "d", 4L)))             // tombstone its neighbor
+      input.addData(events)
       q.processAllAvailable()
     } finally q.stop()
     withConn("d_repl_env") { conn =>
@@ -223,6 +225,17 @@ class ReplicationFacadeSpec extends SparkTestBase {
       assert(out.toSeq == Seq(("t1", 1, "a2"), ("t2", 1, "c")),
         s"envelope-level composite replication diverged: ${out.toSeq}")
     }
+
+    // batch == stream on composite keys: the BATCH replay analog
+    // (Cdc.applyEnvelope, now Seq-keyed) of the same event set must
+    // equal the streaming pipeline's converged table
+    val batch = graft.sources.Cdc
+      .applyEnvelope(toEnvelope(events.toDF()), Seq("tenant", "id"))
+      .orderBy("tenant", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(batch.toSeq == Seq(("t1", 1, "a2"), ("t2", 1, "c")),
+      s"batch replay diverged from the streamed table: ${batch.toSeq}")
   }
 
   test("a null-keyed frame fails LOUDLY naming the offset and both heals — never a bare NPE") {
