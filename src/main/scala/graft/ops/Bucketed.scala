@@ -55,7 +55,16 @@ object Bucketed {
     * cap implements exactly that: when it binds, the EFFECTIVE target
     * becomes ⌈rows/maxBuckets⌉ and per-bucket volume resumes growing
     * linearly with the table, which is the documented trade at the file
-    * -count ceiling, not a silent one. */
+    * -count ceiling, not a silent one.
+    *
+    * Cross-version note: the cap changes the computed count ONLY above
+    * ~4.3e9 rows at the default target (needed > 65 536). A layout
+    * WRITTEN above that scale by a pre-cap build carries the uncapped
+    * count, so re-deriving one join side under the cap would break the
+    * both-sides-same-count rule above (correct but shuffled, the
+    * documented degradation). When refreshing one side of an existing
+    * co-located pair, size to the PARTNER TABLE's recorded bucket count
+    * (the catalog has it), not to a fresh bucketsFor call. */
   def bucketsFor(
       rows: Long,
       targetRowsPerBucket: Long = 65536L,

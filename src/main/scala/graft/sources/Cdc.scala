@@ -140,7 +140,13 @@ object Cdc {
       .applyChangelog(flat, keyFields, col("offset"), isDeletion(col("record")))
       .select(keyFields.map(col) ++ flat.schema("record").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.filterNot(_ == "__deleted").map(f => col(s"record.$f")).toSeq: _*)
+        .fieldNames
+        // a record image that carries its own PK (the normal Debezium
+        // ExtractNewRecordState shape) must not duplicate the key
+        // column — same case-insensitive exclusion as the streaming
+        // facade's flatten (r19 review finding)
+        .filterNot(f => f == "__deleted" || keyFields.exists(_.equalsIgnoreCase(f)))
+        .map(f => col(s"record.$f")).toSeq: _*)
   }
 
   /** Single-key [[applyEnvelope]] (source-compat with the original API). */

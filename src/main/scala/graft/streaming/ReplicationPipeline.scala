@@ -73,16 +73,22 @@ object ReplicationPipeline {
   }
 
   object Config {
-    /** Single-key constructors — source-compatible with the
-      * pre-composite API (`Config(keyField = "id", sink, checkpointDir)`
-      * and its positional form). Overloads instead of a defaulted
-      * duplicate field: a second key knob next to `keyFields` would be
-      * exactly the two-places mismatch `derivedSink` exists to prevent. */
+    /** Single-key CONSTRUCTOR forms of the pre-composite API, kept
+      * compiling: `Config(keyField = "id", sink, checkpointDir)` (with
+      * optional projectCols and/or trigger) and the positional
+      * equivalents. NOT carried — deliberately, since the member is now
+      * the list: the `keyField` accessor and `copy(keyField = …)`; use
+      * `keyFields` for both. Overloads instead of a defaulted duplicate
+      * field: a second key knob next to `keyFields` would be exactly
+      * the two-places mismatch `derivedSink` exists to prevent. */
     def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String): Config =
       Config(Seq(keyField), sink, checkpointDir)
     def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String,
         projectCols: Seq[String]): Config =
       Config(Seq(keyField), sink, checkpointDir, projectCols)
+    def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String,
+        trigger: Trigger): Config =
+      Config(Seq(keyField), sink, checkpointDir, trigger = trigger)
     def apply(keyField: String, sink: JdbcMerge.Config, checkpointDir: String,
         projectCols: Seq[String], trigger: Trigger): Config =
       Config(Seq(keyField), sink, checkpointDir, projectCols, trigger)
@@ -101,7 +107,13 @@ object ReplicationPipeline {
     val recType = unwrapped.schema("record").dataType.asInstanceOf[StructType]
     val cols =
       (if (projectCols.nonEmpty) projectCols else recType.fieldNames.toSeq)
-        .filterNot(c => c == "__deleted" || keyFields.exists(_.equalsIgnoreCase(c))) :+ "__deleted"
+        // the marker exclusion must be case-insensitive like the key
+        // exclusion: every output column is UPPERCASED, so a user
+        // naturally writes projectCols from observed sink columns
+        // ("__DELETED") — an exact-case check would emit the marker
+        // twice (r19 review finding)
+        .filterNot(c => c.equalsIgnoreCase("__deleted") ||
+          keyFields.exists(_.equalsIgnoreCase(c))) :+ "__deleted"
     unwrapped.select(
       keyFields.map(k => col(s"kafka_key.$k").as(k.toUpperCase(Locale.ROOT))) ++
         cols.map(c => col(s"record.$c").as(c.toUpperCase(Locale.ROOT))): _*)

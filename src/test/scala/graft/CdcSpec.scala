@@ -132,6 +132,32 @@ class CdcSpec extends SparkTestBase {
     assert(viaEnvelope.nonEmpty)
   }
 
+  test("a record image carrying its own PK (the normal Debezium shape) does not duplicate the key column") {
+    import spark.implicits._
+    // build the envelope directly so the payload ECHOES the key fields
+    // (case-shuffled on one) — the ExtractNewRecordState record normally
+    // contains the row's own id; applyEnvelope must exclude it
+    // case-insensitively like the streaming facade's flatten
+    val env = Seq(
+      ("t1", 1, "a", "c", 0L),
+      ("t1", 2, "b", "c", 1L),
+      ("t1", 1, "a2", "u", 2L)).toDF("tenant", "id", "title", "op", "offset")
+      .select(
+        struct(col("tenant"), col("id")).as("kafka_key"),
+        struct(
+          lit(null).cast("struct<tenant:string,ID:int,title:string>").as("before"),
+          struct(col("tenant"), col("id").as("ID"), col("title")).as("after"),
+          col("op").as("op"),
+          col("offset").as("ts_ms")).as("kafka_value"),
+        col("offset"))
+    val state = Cdc.applyEnvelope(env, Seq("tenant", "id"))
+    assert(state.schema.fieldNames.toSeq == Seq("tenant", "id", "title"),
+      s"key echo must be excluded once, case-insensitively: ${state.schema.fieldNames.toSeq}")
+    val rows = state.orderBy("tenant", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq(("t1", 1, "a2"), ("t1", 2, "b")))
+  }
+
   test("a key whose latest record is a tombstone is absent even if the rewrite is newer than other keys' rows") {
     import spark.implicits._
     val evs = Seq(

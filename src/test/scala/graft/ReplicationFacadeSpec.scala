@@ -60,6 +60,22 @@ class ReplicationFacadeSpec extends SparkTestBase {
     }
   }
 
+  test("the pre-composite Config constructor forms still compile; hostile keyFields reject") {
+    val s = JdbcMerge.Config("t", keyCols = Nil)
+    val a = ReplicationPipeline.Config("id", s, "/chk")
+    val b = ReplicationPipeline.Config("id", s, "/chk", Seq("x"))
+    val c = ReplicationPipeline.Config("id", s, "/chk",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val d = ReplicationPipeline.Config(keyField = "id", sink = s, checkpointDir = "/chk")
+    val e = ReplicationPipeline.Config("id", s, "/chk", Seq("x"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(Seq(a, b, c, d, e).forall(_.keyFields == Seq("id")))
+    // empty and case-colliding key lists are contradictions, not configs
+    intercept[IllegalArgumentException](ReplicationPipeline.Config(Nil, s, "/chk"))
+    intercept[IllegalArgumentException](
+      ReplicationPipeline.Config(Seq("id", "ID"), s, "/chk"))
+  }
+
   test("composite two-column PK: upsert, tombstone delete, re-insert, composite pull query") {
     import spark.implicits._
     val srv = new TestRegistryServer

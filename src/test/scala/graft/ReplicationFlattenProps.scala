@@ -83,6 +83,19 @@ object ReplicationFlattenProps extends Properties("ReplicationFlatten") {
         s"rec=$rec got=$got"
     }
 
+  property("projecting the marker in ANY case never duplicates it") =
+    Prop.forAll(fixture, Gen.oneOf("__deleted", "__DELETED", "__Deleted")) {
+      case ((keys, rec, project), marker) =>
+        // the output columns are uppercased, so users write projections
+        // from observed sink columns — "__DELETED" must be recognized
+        // as the marker, not treated as one more record column
+        val got = ReplicationPipeline
+          .flatten(envelopeFrame(keys, rec), keys, project :+ marker)
+          .schema.fieldNames.toSeq
+        Prop(got.count(_.equalsIgnoreCase("__deleted")) == 1 && got.last == "__DELETED") :|
+          s"marker=$marker got=$got"
+    }
+
   property("single-key overloads produce the identical schema") =
     Prop.forAll(fixture) { case (keys, rec, project) =>
       val k = keys.head
