@@ -372,12 +372,14 @@ object Bench {
     * the 0.1 s floor (sub-100 ms priors double on codegen-cache jitter
     * alone), the current min exceeds it by the factor, and the min is
     * not inside the query's adjudicated steady band (see
-    * [[adjudicatedCeiling]]; the main passes [[effectiveCeilings]] so
-    * the bands stay env-disableable). */
+    * [[adjudicatedCeiling]]; the ceilings default to
+    * [[effectiveCeilings]] so a call site that omits the param still
+    * honors SPARK_GRAFT_BENCH_BANDS=off — r19 advisor finding: the old
+    * adjudicatedCeiling default silently ignored the override). */
   private[graft] def crossRoundRegressed(
       name: String, prior: Option[Double], currentMin: Double,
       factor: Double,
-      ceilings: Map[String, Double] = adjudicatedCeiling): Boolean =
+      ceilings: Map[String, Double] = effectiveCeilings): Boolean =
     prior.exists(p => p > 0.1 && currentMin > p * factor &&
       currentMin > ceilings.getOrElse(name, 0.0))
 
@@ -389,7 +391,7 @@ object Bench {
   private[graft] def suppressedInBand(
       name: String, prior: Option[Double], currentMin: Double,
       factor: Double,
-      ceilings: Map[String, Double] = adjudicatedCeiling): Boolean =
+      ceilings: Map[String, Double] = effectiveCeilings): Boolean =
     crossRoundRegressed(name, prior, currentMin, factor, Map.empty) &&
       !crossRoundRegressed(name, prior, currentMin, factor, ceilings)
 

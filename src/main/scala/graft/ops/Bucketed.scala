@@ -63,8 +63,12 @@ object Bucketed {
     * count, so re-deriving one join side under the cap would break the
     * both-sides-same-count rule above (correct but shuffled, the
     * documented degradation). When refreshing one side of an existing
-    * co-located pair, size to the PARTNER TABLE's recorded bucket count
-    * (the catalog has it), not to a fresh bucketsFor call. */
+    * co-located pair, use [[bucketsForPartner]] with the partner's
+    * recorded bucket count (the catalog has it), not a fresh
+    * bucketsFor call. When the cap BINDS, this method says so on
+    * stderr (r19 advisor finding: a silent cap leaves the
+    * effective-target shift invisible at the one moment a layout
+    * decision is being made). */
   def bucketsFor(
       rows: Long,
       targetRowsPerBucket: Long = 65536L,
@@ -75,7 +79,39 @@ object Bucketed {
     require(maxBuckets >= floor,
       s"maxBuckets=$maxBuckets must be >= floor=$floor")
     val needed = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
+    if (needed > maxBuckets) System.err.println(
+      s"bucketsFor: cap binds (needed=$needed > maxBuckets=$maxBuckets); " +
+        s"effective rows/bucket rises to ~${rows / maxBuckets.toLong} " +
+        s"(requested $targetRowsPerBucket). If this table joins a layout " +
+        "written by a pre-cap build, size to the partner's recorded " +
+        "bucket count (bucketsForPartner) or the join degrades to a " +
+        "shuffled one.")
     math.max(floor.toLong, needed).min(maxBuckets.toLong).toInt
+  }
+
+  /** Bucket count for REFRESHING one side of an existing co-located
+    * pair: the partner table's RECORDED count is authoritative — the
+    * no-Exchange join requires both sides to carry the SAME count, so
+    * any fresh [[bucketsFor]] derivation (different target, a
+    * different cap across versions, a grown row count) silently
+    * degrades the pair to a shuffled join. Reads the partner's bucket
+    * spec from the session catalog and fails LOUDLY when the partner
+    * is not bucketed (writing an arbitrary count next to a flat table
+    * co-locates nothing); the method exists to make the sizing rule a
+    * named code path instead of a scaladoc caution (r19 advisor
+    * finding). */
+  def bucketsForPartner(spark: SparkSession, partnerTable: String): Int = {
+    val ident = spark.sessionState.sqlParser
+      .parseTableIdentifier(partnerTable)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    meta.bucketSpec match {
+      case Some(spec) => spec.numBuckets
+      case None => throw new IllegalArgumentException(
+        s"partner table '$partnerTable' has no bucket spec in the " +
+          "catalog — it is not a co-located layout; write it with " +
+          "writeBucketedTable first (or size this side with bucketsFor " +
+          "and accept a shuffled join)")
+    }
   }
 
   /** Write `df` as an external bucketed table: `buckets` files per

@@ -6,7 +6,7 @@ import java.util.Locale
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, NullType, StructType}
 
 import graft.sink.JdbcMerge
 import graft.sources.{AvroSerde, Cdc, KafkaWire, SchemaRegistry}
@@ -278,6 +278,38 @@ object ReplicationPipeline {
     if (parts.sizeIs == 1) parts.head
     else parts.map(s => s"${s.length}:$s").mkString(";")
 
+  /** Validate at start time that every `keyFields` entry resolves to a
+    * SCALAR (value-based-toString) type in the key schema. The
+    * changelog state key is built from `String.valueOf` of each
+    * component ([[stateKey]]), which is value-based for atomic types
+    * (int/long/string/decimal/date/timestamp — equal values, equal
+    * state rows) but IDENTITY-based for binary/array/map/struct: two
+    * byte-equal `Array[Byte]` keys stringify to different `[B@hash`
+    * forms, so the same logical row would fork into two state rows and
+    * the sink would silently replicate both (r19 advisor finding — the
+    * composite generalization widened exposure beyond the single
+    * scalar key the original comment scoped). Nothing downstream can
+    * heal a mis-keyed state, so this fails the START, naming the field
+    * and its type. The reference's keys are int PKs (pk.fields=ID);
+    * binary PKs have no analog there and no injective encoding here
+    * yet — a future one would extend [[stateKey]] with a value-based
+    * (e.g. hex) component encoding, changing the checkpoint format. */
+  private def requireScalarKeyFields(keyType: StructType, keyFields: Seq[String]): Unit =
+    keyFields.foreach { k =>
+      val dt: DataType = keyType(keyType.fieldIndex(k)).dataType
+      val scalar = dt match {
+        case BinaryType | NullType => false
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
+      require(scalar,
+        s"replication: key field '$k' has non-scalar type ${dt.sql} — the changelog " +
+          "state key stringifies each component, which is identity-based (not " +
+          "value-based) for binary/array/map/struct, so equal keys would land in " +
+          "different state rows and fork the row's history. Key the pipeline by " +
+          "scalar (numeric/string/date/timestamp) fields only.")
+    }
+
   /** Build the per-row changelog state-key extractor, failing LOUDLY on
     * an unkeyed record. Policy: FAIL, not drop — pk.mode=record_key
     * means the key IS row identity, so the Connect sink this mirrors
@@ -404,6 +436,10 @@ object ReplicationPipeline {
       keyDecode(wire).as("kafka_key"),
       col("value"), col("offset"))
     val schema = keyed.schema
+    // validate against the DECODED key type (the normalized form the
+    // rows actually carry), not the raw declaration
+    requireScalarKeyFields(
+      schema("kafka_key").dataType.asInstanceOf[StructType], cfg.keyFields)
     val keyFieldIdxs = cfg.keyFields.map(wire.keySchema.fieldIndex)
     val offsetIdx = schema.fieldIndex("offset")
     implicit val rowEnc = Encoders.row(schema)
@@ -442,6 +478,8 @@ object ReplicationPipeline {
     val sinkCfg = derivedSink(cfg)
     val schema = envelope.schema
     val keyIdx = schema.fieldIndex("kafka_key")
+    requireScalarKeyFields(
+      schema("kafka_key").dataType.asInstanceOf[StructType], cfg.keyFields)
     val keyFieldIdxs = cfg.keyFields.map(schema("kafka_key").dataType
       .asInstanceOf[StructType].fieldIndex)
     val offsetIdx = schema.fieldIndex("offset")

@@ -147,10 +147,14 @@ class BenchGuardSpec extends AnyFunSuite {
     // in-band min must not flag...
     val prior = Some(Bench.windowPrior(Seq(0.8657, 0.8687, 1.6527)))
     assert(prior.get < 1.0, "two fast rounds poison the median (the setup)")
-    assert(!Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5))
+    // band assertions pass adjudicatedCeiling explicitly so the spec
+    // holds even under SPARK_GRAFT_BENCH_BANDS=off in the test env
+    assert(!Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5,
+      Bench.adjudicatedCeiling))
     // ...while a min ABOVE the ceiling (a genuine plan regression on the
     // same path) still trips — the band is finite, not a mute button
-    assert(Bench.crossRoundRegressed("q_neardup_jaccard", prior, 2.5, 1.5))
+    assert(Bench.crossRoundRegressed("q_neardup_jaccard", prior, 2.5, 1.5,
+      Bench.adjudicatedCeiling))
     // an un-banded query with the same numbers keeps the plain behavior
     assert(Bench.crossRoundRegressed("q_unbanded", prior, 1.48, 1.5))
     // every ceiling names a declared query (a typo'd key would silently
@@ -165,11 +169,14 @@ class BenchGuardSpec extends AnyFunSuite {
     // the in-band min the previous test showed not flagging: it must
     // surface in suppressed_in_band instead of vanishing (r18 advisor
     // finding — a masked flag stays visible in the artifact)
-    assert(Bench.suppressedInBand("q_neardup_jaccard", prior, 1.48, 1.5))
+    assert(Bench.suppressedInBand("q_neardup_jaccard", prior, 1.48, 1.5,
+      Bench.adjudicatedCeiling))
     // above the ceiling it flags normally, so it is NOT "suppressed"
-    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 2.5, 1.5))
+    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 2.5, 1.5,
+      Bench.adjudicatedCeiling))
     // below the raw trip condition nothing was masked
-    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 1.0, 1.5))
+    assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 1.0, 1.5,
+      Bench.adjudicatedCeiling))
     // un-banded queries never report suppression
     assert(!Bench.suppressedInBand("q_unbanded", prior, 1.48, 1.5))
     // with the bands disabled (SPARK_GRAFT_BENCH_BANDS=off semantics:
@@ -177,6 +184,13 @@ class BenchGuardSpec extends AnyFunSuite {
     // re-arms the guard without a source edit
     assert(Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5, Map.empty))
     assert(!Bench.suppressedInBand("q_neardup_jaccard", prior, 1.48, 1.5, Map.empty))
+    // the PARAM DEFAULT is effectiveCeilings (r19 advisor finding: an
+    // adjudicatedCeiling default let an omitted param silently ignore
+    // the env override) — with the env unset the two maps coincide, so
+    // the omitted-param calls above already exercise the default path
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_BANDS"))
+      assert(!Bench.crossRoundRegressed("q_neardup_jaccard", prior, 1.48, 1.5),
+        "default ceilings must be the effective (env-resolved) map")
     // and the env parse itself: unset here, so the default is the map
     if (!sys.env.contains("SPARK_GRAFT_BENCH_BANDS"))
       assert(Bench.effectiveCeilings == Bench.adjudicatedCeiling)

@@ -72,15 +72,44 @@ class BucketedJoinSpec extends SparkTestBase {
     // prescribe ~15 M buckets (a ≥15 M-file listing posture) — the cap
     // binds instead, and the EFFECTIVE per-bucket target grows with the
     // table past the ceiling
-    assert(Bucketed.bucketsFor(1000000000000L) == 65536)
-    // below the cap the data-derived count is untouched
-    assert(Bucketed.bucketsFor(600000L * 64) == 586)
+    // ...and BINDING says so on stderr (r19 advisor finding: the
+    // effective-target shift must be visible at layout-decision time)
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try assert(Bucketed.bucketsFor(1000000000000L) == 65536)
+    finally System.setErr(old)
+    assert(buf.toString.contains("cap binds"),
+      s"binding cap must warn on stderr, got: '${buf.toString}'")
+    // below the cap the data-derived count is untouched — and silent
+    val quiet = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(quiet, true))
+    try assert(Bucketed.bucketsFor(600000L * 64) == 586)
+    finally System.setErr(old)
+    assert(quiet.toString.isEmpty, "non-binding cap must not warn")
     // exactly at the boundary: ⌈rows/target⌉ == maxBuckets passes through
     assert(Bucketed.bucketsFor(65536L * 100, maxBuckets = 100) == 100)
     assert(Bucketed.bucketsFor(65536L * 100 + 1, maxBuckets = 100) == 100)
     // a cap under the floor is a contradiction, not a silent clamp
     intercept[IllegalArgumentException](
       Bucketed.bucketsFor(10L, floor = 8, maxBuckets = 4))
+  }
+
+  test("bucketsForPartner reads the partner's recorded count; flat partners fail loudly") {
+    // the refresh-one-side rule as a code path (r19 advisor finding):
+    // the partner's CATALOG count is authoritative — a fresh bucketsFor
+    // under a different cap/target would silently shuffle the pair
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed-partner").toString
+    val ord = Tables.orders(spark, sf001).select("o_orderkey", "o_orderpriority")
+    Bucketed.writeBucketedTable(ord, "bpartner_ord", s"$root/ord", "o_orderkey", 12)
+    assert(Bucketed.bucketsForPartner(spark, "bpartner_ord") == 12)
+    // a flat (non-bucketed) partner co-locates nothing: loud, not a guess
+    spark.sql("DROP TABLE IF EXISTS bpartner_flat")
+    ord.write.format("parquet").option("path", s"$root/flat")
+      .saveAsTable("bpartner_flat")
+    val e = intercept[IllegalArgumentException](
+      Bucketed.bucketsForPartner(spark, "bpartner_flat"))
+    assert(e.getMessage.contains("no bucket spec"), e.getMessage)
   }
 
   test("a scaled (non-default) matched count keeps the no-Exchange plan and the answer") {

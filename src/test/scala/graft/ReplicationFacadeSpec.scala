@@ -199,6 +199,106 @@ class ReplicationFacadeSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("composite PK × mid-stream widening: one ALTER, exactly-once restart, converged table") {
+    // the r19 cross-product gap: composite MERGE/CREATE shapes and
+    // single-key mid-stream widening were each proven separately
+    // (this suite / ReplicationRegistrySpec) — this composes them: a
+    // subject widening arrives while a composite-PK pipeline is down,
+    // the same-checkpoint restart decodes old rows by their v1 ids and
+    // new by v2, and the target grows exactly one ALTER'd column with
+    // the two-column PRIMARY KEY intact through it
+    import spark.implicits._
+    val srv = new TestRegistryServer
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-repl-ck-evolve").toString
+    try {
+      val registry = new RestSchemaRegistry(srv.url)
+      val keySt = StructType(Seq(
+        StructField("tenant", StringType, nullable = false),
+        StructField("id", IntegerType, nullable = false)))
+      val keyAvro = AvroSerde.avroSchema(keySt)
+      val p2 = payload.add(StructField("GENRE", StringType))
+      val envV2 = StructType(Seq(
+        StructField("before", p2),
+        StructField("after", p2),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType)))
+      val kid = registry.register("corders.cdc-key", keySt)
+      val id1 = registry.register("corders.cdc-value", envSt)
+      def frame(tenant: String, id: Int, env: Row, st: StructType, sid: Int, offset: Long) =
+        (AvroSerde.toBytesWithId(Row(tenant, id), keySt, keyAvro, kid),
+          AvroSerde.toBytesWithId(env, st, AvroSerde.avroSchema(st), sid), offset)
+      def tomb(tenant: String, id: Int, offset: Long) =
+        (AvroSerde.toBytesWithId(Row(tenant, id), keySt, keyAvro, kid),
+          null: Array[Byte], offset)
+      val wire = ReplicationPipeline.WireConfig(
+        kafka = KafkaWire.Config(brokers = "unused:9092", topic = "corders.cdc"),
+        registry = registry,
+        keySchema = keySt)
+      val cfg = ReplicationPipeline.Config(
+        keyFields = Seq("tenant", "id"),
+        sink = JdbcMerge.Config("corders_evl", keyCols = Nil, dialect = JdbcMerge.Derby),
+        checkpointDir = ckpt)
+      def connect(): Connection = DerbyDb.connect("d_repl_ck_evolve")
+      def start(input: MemoryStream[(Array[Byte], Array[Byte], Long)]) =
+        ReplicationPipeline.startFromFrame(
+          input.toDF().toDF("key", "value", "offset"), wire, cfg, () => connect())
+
+      // run 1: v1-framed inserts on two composite keys sharing id=1
+      val batch1 = Seq(
+        frame("t1", 1, Row(null, Row("alpha"), "c", 0L), envSt, id1, 0L),
+        frame("t2", 1, Row(null, Row("beta"), "c", 1L), envSt, id1, 1L))
+      val input1 = MemoryStream[(Array[Byte], Array[Byte], Long)](spark)
+      val q1 = start(input1)
+      try { input1.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+      withConn("d_repl_ck_evolve") { conn =>
+        assert(JdbcMerge.tableColumns(conn, "corders_evl").map(_._1) ==
+          Seq("TENANT", "ID", "TITLE", "__DELETED"),
+          "v1 target: composite key columns first, no GENRE yet")
+      }
+
+      // the subject widens while the pipeline is DOWN
+      val id2 = registry.register("corders.cdc-value", envV2)
+      assert(id2 != id1)
+
+      // run 2: same checkpoint; v1 rows sit in state as raw bytes, so
+      // the restart passes the state-schema check and resumes
+      // exactly-once, and the v2 decode widens both generations
+      val input2 = MemoryStream[(Array[Byte], Array[Byte], Long)](spark)
+      input2.addData(batch1)
+      val q2 = start(input2)
+      try {
+        input2.addData(Seq(
+          frame("t1", 1, Row(null, Row("alpha v2", "drama"), "u", 2L), envV2, id2, 2L),
+          tomb("t2", 1, 3L),
+          frame("t1", 2, Row(null, Row("gamma", "scifi"), "c", 4L), envV2, id2, 4L)))
+        q2.processAllAvailable()
+        // composite pull query against the running widened pipeline
+        val pulled = ReplicationPipeline
+          .pullQueryFromFrame(spark, wire, cfg, Seq("t1", 1))
+          .select("TENANT", "ID", "TITLE", "GENRE").collect()
+        assert(pulled.map(r =>
+          (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
+          Seq(("t1", 1, "alpha v2", "drama")))
+      } finally q2.stop()
+
+      withConn("d_repl_ck_evolve") { conn =>
+        assert(JdbcMerge.tableColumns(conn, "corders_evl").map(_._1) ==
+          Seq("TENANT", "ID", "TITLE", "__DELETED", "GENRE"),
+          "the widening must land as ONE ALTER ADD after the v1 columns")
+        val rs = conn.createStatement().executeQuery(
+          """SELECT "TENANT", "ID", "TITLE", "GENRE"
+            |FROM "corders_evl" ORDER BY "TENANT", "ID"""".stripMargin)
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int, String, String)]()
+        while (rs.next()) out +=
+          ((rs.getString(1), rs.getInt(2), rs.getString(3), rs.getString(4)))
+        assert(out.toSeq == Seq(
+          ("t1", 1, "alpha v2", "drama"),
+          ("t1", 2, "gamma", "scifi")),
+          s"composite-key widened table diverged: ${out.toSeq}")
+      }
+    } finally srv.stop()
+  }
+
   test("composite keys through the envelope-level start(): the pre-decoded entry point") {
     // startFromFrame derives key indices from wire.keySchema;
     // start() derives them from the envelope's OWN kafka_key struct —
@@ -252,6 +352,42 @@ class ReplicationFacadeSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
     assert(batch.toSeq == Seq(("t1", 1, "a2"), ("t2", 1, "c")),
       s"batch replay diverged from the streamed table: ${batch.toSeq}")
+  }
+
+  test("non-scalar key field types reject at start() — identity toString would fork state rows") {
+    // r19 advisor finding: stateKey stringifies each component with
+    // String.valueOf, which is value-based for scalars but IDENTITY-
+    // based for binary/array — two byte-equal Array[Byte] keys would
+    // land in different state rows and silently duplicate the row.
+    // The plan must refuse to start, naming the field and its type.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val valueType = "struct<before:struct<title:string>,after:struct<title:string>,op:string>"
+    def cfg(ck: String) = ReplicationPipeline.Config(
+      keyFields = Seq("id"),
+      sink = JdbcMerge.Config("never_created", keyCols = Nil, dialect = JdbcMerge.Derby),
+      checkpointDir =
+        java.nio.file.Files.createTempDirectory(s"graft-repl-$ck").toString)
+    val binInput = MemoryStream[(Array[Byte], Long)](spark)
+    val binEnvelope = binInput.toDF().select(
+      struct(col("_1").as("id")).as("kafka_key"),
+      lit(null).cast(valueType).as("kafka_value"),
+      col("_2").as("offset"))
+    val e = intercept[IllegalArgumentException](ReplicationPipeline.start(
+      binEnvelope, cfg("binkey"), () => DerbyDb.connect("d_repl_binkey")))
+    assert(e.getMessage.contains("non-scalar type") && e.getMessage.contains("'id'"),
+      e.getMessage)
+    // a struct-typed key field fails the same gate (and an ARRAY would
+    // too — same non-scalar branch); scalar composite keys are the
+    // green path the composite tests above already drive end-to-end
+    val structInput = MemoryStream[(Int, Long)](spark)
+    val structEnvelope = structInput.toDF().select(
+      struct(struct(col("_1").as("x")).as("id")).as("kafka_key"),
+      lit(null).cast(valueType).as("kafka_value"),
+      col("_2").as("offset"))
+    val e2 = intercept[IllegalArgumentException](ReplicationPipeline.start(
+      structEnvelope, cfg("structkey"), () => DerbyDb.connect("d_repl_structkey")))
+    assert(e2.getMessage.contains("non-scalar type"), e2.getMessage)
   }
 
   test("a null-keyed frame fails LOUDLY naming the offset and both heals — never a bare NPE") {
