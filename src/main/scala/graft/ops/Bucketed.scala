@@ -97,15 +97,35 @@ object Bucketed {
     * degrades the pair to a shuffled join. Reads the partner's bucket
     * spec from the session catalog and fails LOUDLY when the partner
     * is not bucketed (writing an arbitrary count next to a flat table
-    * co-locates nothing); the method exists to make the sizing rule a
-    * named code path instead of a scaladoc caution (r19 advisor
-    * finding). */
-  def bucketsForPartner(spark: SparkSession, partnerTable: String): Int = {
+    * co-locates nothing) or when the partner's bucket COLUMNS are not
+    * its side of the join (matching counts hashed by different keys
+    * keep both Exchanges — the same silent degradation by another
+    * door; r20 review finding); the method exists to make the sizing
+    * rule a named code path instead of a scaladoc caution (r19
+    * advisor finding).
+    *
+    * @param partnerJoinKeys the partner table's join key column(s) —
+    *        the columns its side of the equi-join uses, which must be
+    *        exactly what the partner's layout is hashed by. */
+  def bucketsForPartner(
+      spark: SparkSession,
+      partnerTable: String,
+      partnerJoinKeys: Seq[String]): Int = {
+    require(partnerJoinKeys.nonEmpty, "partnerJoinKeys must name the join key column(s)")
     val ident = spark.sessionState.sqlParser
       .parseTableIdentifier(partnerTable)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     meta.bucketSpec match {
-      case Some(spec) => spec.numBuckets
+      case Some(spec) =>
+        val have = spec.bucketColumnNames.map(_.toLowerCase)
+        val want = partnerJoinKeys.map(_.toLowerCase)
+        require(have == want,
+          s"partner table '$partnerTable' is bucketed by (${spec.bucketColumnNames.mkString(", ")}), " +
+            s"not the join key(s) (${partnerJoinKeys.mkString(", ")}) — matching its bucket " +
+            "COUNT would not co-locate this join (Spark only elides the exchanges when " +
+            "both sides' bucket columns equal their join keys); re-layout the partner " +
+            "on the join key or accept a shuffled join")
+        spec.numBuckets
       case None => throw new IllegalArgumentException(
         s"partner table '$partnerTable' has no bucket spec in the " +
           "catalog — it is not a co-located layout; write it with " +

@@ -129,8 +129,16 @@ object Cdc {
     * `keyFields` are the key fields inside `kafka_key` (composite PKs
     * supported, mirroring the streaming facade's
     * [[graft.streaming.ReplicationPipeline]] — this is its BATCH replay
-    * analog, so the two must accept the same key shapes).
-    */
+    * analog, and the two accept the same SCALAR key shapes).
+    *
+    * One DELIBERATE asymmetry (r20): this batch path groups by the key
+    * COLUMNS themselves — Spark's grouping is value-based for every
+    * type, binary included — while the streaming facade's changelog
+    * state stringifies key components and therefore REJECTS
+    * binary/array/map/struct key fields at `start()`. A key shape that
+    * works here but fails there is the gate doing its job, not drift:
+    * do not validate a non-scalar-keyed topic with this replay and
+    * expect the facade to accept it. */
   def applyEnvelope(envelope: DataFrame, keyFields: Seq[String]): DataFrame = {
     require(keyFields.nonEmpty, "applyEnvelope needs at least one key field")
     val flat = unwrap(envelope)

@@ -6,7 +6,7 @@ import java.util.Locale
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, NullType, StructType}
+import org.apache.spark.sql.types._
 
 import graft.sink.JdbcMerge
 import graft.sources.{AvroSerde, Cdc, KafkaWire, SchemaRegistry}
@@ -293,14 +293,21 @@ object ReplicationPipeline {
     * and its type. The reference's keys are int PKs (pk.fields=ID);
     * binary PKs have no analog there and no injective encoding here
     * yet — a future one would extend [[stateKey]] with a value-based
-    * (e.g. hex) component encoding, changing the checkpoint format. */
+    * (e.g. hex) component encoding, changing the checkpoint format.
+    *
+    * WHITELIST, not blacklist (r20 review finding): an unlisted type
+    * (a UserDefinedType, a future catalyst type) must fail the gate,
+    * not slip through to Object.toString — only types whose external
+    * row representation stringifies by VALUE are admissible. */
   private def requireScalarKeyFields(keyType: StructType, keyFields: Seq[String]): Unit =
     keyFields.foreach { k =>
       val dt: DataType = keyType(keyType.fieldIndex(k)).dataType
       val scalar = dt match {
-        case BinaryType | NullType => false
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
       }
       require(scalar,
         s"replication: key field '$k' has non-scalar type ${dt.sql} — the changelog " +

@@ -73,23 +73,31 @@ class BucketedJoinSpec extends SparkTestBase {
     // binds instead, and the EFFECTIVE per-bucket target grows with the
     // table past the ceiling
     // ...and BINDING says so on stderr (r19 advisor finding: the
-    // effective-target shift must be visible at layout-decision time)
-    val buf = new java.io.ByteArrayOutputStream()
-    val old = System.err
-    System.setErr(new java.io.PrintStream(buf, true))
-    try assert(Bucketed.bucketsFor(1000000000000L) == 65536)
-    finally System.setErr(old)
-    assert(buf.toString.contains("cap binds"),
-      s"binding cap must warn on stderr, got: '${buf.toString}'")
+    // effective-target shift must be visible at layout-decision time).
+    // Capture asserts contains/not-contains the warning marker — never
+    // global stderr SILENCE, which any background Spark/Derby thread
+    // could break (r20 review finding)
+    def captureErr[T](f: => T): (T, String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      val out = try f finally System.setErr(old)
+      (out, buf.toString)
+    }
+    val (capped, warned) = captureErr(Bucketed.bucketsFor(1000000000000L))
+    assert(capped == 65536)
+    assert(warned.contains("cap binds"),
+      s"binding cap must warn on stderr, got: '$warned'")
     // below the cap the data-derived count is untouched — and silent
-    val quiet = new java.io.ByteArrayOutputStream()
-    System.setErr(new java.io.PrintStream(quiet, true))
-    try assert(Bucketed.bucketsFor(600000L * 64) == 586)
-    finally System.setErr(old)
-    assert(quiet.toString.isEmpty, "non-binding cap must not warn")
-    // exactly at the boundary: ⌈rows/target⌉ == maxBuckets passes through
-    assert(Bucketed.bucketsFor(65536L * 100, maxBuckets = 100) == 100)
-    assert(Bucketed.bucketsFor(65536L * 100 + 1, maxBuckets = 100) == 100)
+    val (uncapped, silent) = captureErr(Bucketed.bucketsFor(600000L * 64))
+    assert(uncapped == 586)
+    assert(!silent.contains("cap binds"), "non-binding cap must not warn")
+    // exactly at the boundary: ⌈rows/target⌉ == maxBuckets passes
+    // through quietly; one past it binds (warning captured, not sprayed)
+    val (atBoundary, bSilent) = captureErr(Bucketed.bucketsFor(65536L * 100, maxBuckets = 100))
+    assert(atBoundary == 100 && !bSilent.contains("cap binds"))
+    val (pastBoundary, bWarned) = captureErr(Bucketed.bucketsFor(65536L * 100 + 1, maxBuckets = 100))
+    assert(pastBoundary == 100 && bWarned.contains("cap binds"))
     // a cap under the floor is a contradiction, not a silent clamp
     intercept[IllegalArgumentException](
       Bucketed.bucketsFor(10L, floor = 8, maxBuckets = 4))
@@ -102,13 +110,19 @@ class BucketedJoinSpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("graft-bucketed-partner").toString
     val ord = Tables.orders(spark, sf001).select("o_orderkey", "o_orderpriority")
     Bucketed.writeBucketedTable(ord, "bpartner_ord", s"$root/ord", "o_orderkey", 12)
-    assert(Bucketed.bucketsForPartner(spark, "bpartner_ord") == 12)
+    assert(Bucketed.bucketsForPartner(spark, "bpartner_ord", Seq("o_orderkey")) == 12)
+    // a count-match hashed by a DIFFERENT column would keep both
+    // Exchanges — the same silent degradation by another door, so the
+    // key mismatch is as loud as the missing spec (r20 review finding)
+    val mism = intercept[IllegalArgumentException](
+      Bucketed.bucketsForPartner(spark, "bpartner_ord", Seq("o_orderpriority")))
+    assert(mism.getMessage.contains("bucketed by (o_orderkey)"), mism.getMessage)
     // a flat (non-bucketed) partner co-locates nothing: loud, not a guess
     spark.sql("DROP TABLE IF EXISTS bpartner_flat")
     ord.write.format("parquet").option("path", s"$root/flat")
       .saveAsTable("bpartner_flat")
     val e = intercept[IllegalArgumentException](
-      Bucketed.bucketsForPartner(spark, "bpartner_flat"))
+      Bucketed.bucketsForPartner(spark, "bpartner_flat", Seq("o_orderkey")))
     assert(e.getMessage.contains("no bucket spec"), e.getMessage)
   }
 

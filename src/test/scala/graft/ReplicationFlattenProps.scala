@@ -48,19 +48,9 @@ object ReplicationFlattenProps extends Properties("ReplicationFlatten") {
     project <- Gen.pick(projN, rec)
   } yield (keys, rec, project.toSeq)
 
-  private def envelopeFrame(keys: Seq[String], rec: Seq[String]) = {
-    val keySt = StructType(keys.map(k => StructField(k, IntegerType, nullable = false)))
-    val payload = StructType(rec.map(c => StructField(c, StringType)))
-    val envSt = StructType(Seq(
-      StructField("kafka_key", keySt),
-      StructField("kafka_value", StructType(Seq(
-        StructField("before", payload),
-        StructField("after", payload),
-        StructField("op", StringType),
-        StructField("ts_ms", LongType)))),
-      StructField("offset", LongType, nullable = false)))
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), envSt)
-  }
+  /** Plan-only envelope (no rows) for the schema-contract properties. */
+  private def envelopeFrame(keys: Seq[String], rec: Seq[String]) =
+    envelopeRows(keys, rec, Nil)
 
   private def up(s: String) = s.toUpperCase(Locale.ROOT)
 
@@ -109,6 +99,10 @@ object ReplicationFlattenProps extends Properties("ReplicationFlatten") {
       Gen.listOfN(rec.size, Gen.option(Gen.alphaNumStr.map(_.take(6))))))
   } yield (keys, rec, project, rows)
 
+  /** The one envelope-shape builder both property families share (the
+    * plan-only props pass no data): (kafka_key, kafka_value, offset)
+    * with all-insert images — flatten is a pure projection, so insert
+    * rows cover the value contract. */
   private def envelopeRows(
       keys: Seq[String], rec: Seq[String],
       data: Seq[(Seq[Int], Seq[Option[String]])]) = {
