@@ -124,6 +124,24 @@ class BucketedJoinSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Bucketed.bucketsForPartner(spark, "bpartner_flat", Seq("o_orderkey")))
     assert(e.getMessage.contains("no bucket spec"), e.getMessage)
+
+    // ...and the scenario the helper exists FOR, end to end: REFRESH
+    // the other side sized by the partner's recorded count (12 — not
+    // what a fresh bucketsFor would derive) and the rejoined pair must
+    // still carry no Exchange on either side
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+    Bucketed.writeBucketedTable(li, "bpartner_li", s"$root/li", "l_orderkey",
+      Bucketed.bucketsForPartner(spark, "bpartner_ord", Seq("o_orderkey")))
+    withSmjForced {
+      val joined = Bucketed
+        .colocatedJoin(spark, "bpartner_li", "bpartner_ord", "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"a partner-sized refresh must keep the join exchange-free:\n$plan")
+    }
   }
 
   test("a scaled (non-default) matched count keeps the no-Exchange plan and the answer") {

@@ -44,4 +44,58 @@ object ReplicationStateKeyProps extends Properties("ReplicationStateKey") {
     ReplicationPipeline.stateKey(Seq("a;b", "c")) !=
       ReplicationPipeline.stateKey(Seq("a", "b;c"))
   }
+
+  // the r20 scalar-key gate's admissibility PREMISE, pinned: for every
+  // whitelisted key type, the external row value stringifies by VALUE —
+  // two independently constructed equal instances (distinct identities
+  // for the reference types, so an identity toString would fail here
+  // the way it fails for Array[Byte]) produce the same state-key
+  // component. Decimals are compared at the SAME scale, which is what
+  // a DecimalType(p, s) column guarantees for every row.
+  property("whitelisted scalar external values stringify by value, not identity") =
+    Prop.forAll(
+      Gen.oneOf[Long => (Any, Any)](
+        (v: Long) => (java.lang.Integer.valueOf(v.toInt), java.lang.Integer.valueOf(v.toInt)),
+        (v: Long) => (java.lang.Long.valueOf(v), java.lang.Long.valueOf(v)),
+        (v: Long) => (java.lang.Boolean.valueOf(v % 2 == 0), java.lang.Boolean.valueOf(v % 2 == 0)),
+        (v: Long) => (java.lang.Byte.valueOf(v.toByte), java.lang.Byte.valueOf(v.toByte)),
+        (v: Long) => (java.lang.Short.valueOf(v.toShort), java.lang.Short.valueOf(v.toShort)),
+        (v: Long) => (java.lang.Double.valueOf(v * 0.5), java.lang.Double.valueOf(v * 0.5)),
+        (v: Long) => (java.lang.Float.valueOf(v * 0.5f), java.lang.Float.valueOf(v * 0.5f)),
+        (v: Long) => (new String(v.toString.toCharArray), new String(v.toString.toCharArray)),
+        (v: Long) => (java.math.BigDecimal.valueOf(v, 2), java.math.BigDecimal.valueOf(v, 2)),
+        (v: Long) => (new java.sql.Date(math.abs(v) % 8000000000000L),
+          new java.sql.Date(math.abs(v) % 8000000000000L)),
+        (v: Long) => (new java.sql.Timestamp(math.abs(v) % 8000000000000L),
+          new java.sql.Timestamp(math.abs(v) % 8000000000000L)),
+        (v: Long) => {
+          val ndt = java.time.LocalDateTime.ofEpochSecond(
+            math.abs(v) % 8000000000L, (math.abs(v) % 1000000).toInt * 1000,
+            java.time.ZoneOffset.UTC)
+          // LocalDateTime is immutable-cached-free: two independent
+          // lookups of the same instant are equal values
+          (ndt, java.time.LocalDateTime.ofEpochSecond(
+            math.abs(v) % 8000000000L, (math.abs(v) % 1000000).toInt * 1000,
+            java.time.ZoneOffset.UTC))
+        }),
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)) { (mk, v) =>
+      val (a, b) = mk(v)
+      Prop((a.asInstanceOf[AnyRef] ne b.asInstanceOf[AnyRef]) ||
+        a.isInstanceOf[java.lang.Boolean] ||
+        a.isInstanceOf[java.lang.Byte] || a.isInstanceOf[java.lang.Integer] ||
+        a.isInstanceOf[java.lang.Short] || a.isInstanceOf[java.lang.Long]) :|
+        s"reference-typed pair must be distinct identities ($a)" &&
+        Prop(String.valueOf(a) == String.valueOf(b)) :|
+        s"value-based stringify violated: $a vs $b"
+    }
+
+  // the counterexample the gate rejects, stated next to the premise:
+  // equal byte arrays do NOT stringify equally — this is exactly why
+  // BinaryType is not on the whitelist
+  property("equal byte arrays stringify by identity — the rejected shape") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val a = bs.toArray
+      val b = bs.toArray
+      String.valueOf(a) != String.valueOf(b)
+    }
 }
