@@ -6,8 +6,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** SQL registration of the engine's native expressions, so every custom
-  * kernel is first-class in `spark.sql(...)` exactly like a built-in:
+/** SQL registration of the engine's native SCALAR expressions (plus the
+  * `latest_row` aggregate), so every literal-parameterized kernel is
+  * first-class in `spark.sql(...)` exactly like a built-in. Kernels
+  * whose parameters are driver-computed runtime objects (centroid
+  * tables, PQ codebooks, vocab maps, bloom payloads, `mg_sketch`'s
+  * typed aggregator) stay Column-API-only — SQL has no literal syntax
+  * for them:
   *
   * {{{
   *   SELECT simhash64(text), cosine_sim(a, b), latest_row(struct(*), seq)
@@ -104,6 +109,21 @@ object GraftFunctions {
         intArg(args(3), "hyperplane_signatures", "dim"),
         intArg(args(4), "hyperplane_signatures", "seed"))
     },
+    "char_ngrams" -> { args =>
+      arity("char_ngrams", args, 2)
+      CharNgrams(args(0), intArg(args(1), "char_ngrams", "n"))
+    },
+    "quantize_int8" -> { args =>
+      arity("quantize_int8", args, 1); QuantizeInt8(args(0))
+    },
+    "remove_spans" -> { args =>
+      arity("remove_spans", args, 3)
+      RemoveSpans(args(0), args(1), intArg(args(2), "remove_spans", "window"))
+    },
+    "window_fingerprints" -> { args =>
+      arity("window_fingerprints", args, 2)
+      WindowFingerprints(args(0), intArg(args(1), "window_fingerprints", "window"))
+    },
     "latest_row" -> { args =>
       arity("latest_row", args, 2); LatestRow(args(0), args(1))
     })
@@ -126,9 +146,3 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.GraftExtensions` — build-time injection of
-  * the engine's native SQL functions. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.inject(ext)
-}

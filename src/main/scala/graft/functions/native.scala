@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[TextKernels]]/[[VectorKernels]]), and because they implement
   * doGenCode the enclosing projection stays inside whole-stage codegen.
   */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -36,7 +37,8 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   * LM-count companion of [[WordShingles]], one compiled pass per doc
   * (the HOF transform/array_join formulation evaluates interpreted per
   * window and was the cost center of the n-gram count head). */
-case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1, "ngram size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
@@ -52,7 +54,8 @@ case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
   * pass — the per-row stage of the hash-ordered prefix-filter candidate
   * pipeline (see [[TextKernels.shingleHashes]]: any consistent hash is a
   * valid global order; collisions only add candidates). */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -67,7 +70,8 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 /** All overlapping token-window chunk texts in one compiled pass — the
   * context-window chunking kernel (see [[TextKernels.chunks]]). */
 case class WordChunks(child: Expression, window: Int, stride: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(window >= 1 && stride >= 1, s"window=$window stride=$stride must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_chunks"
@@ -84,7 +88,8 @@ case class WordChunks(child: Expression, window: Int, stride: Int)
   * [[TextKernels.windowFingerprints]]): only digests enter the plan,
   * never window text, so the downstream explode carries 16 bytes per
   * corpus token position instead of `window`× the corpus. */
-case class WindowFingerprints(child: Expression, window: Int) extends UnaryExpression {
+case class WindowFingerprints(child: Expression, window: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(window >= 1, s"window=$window must be >= 1")
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def prettyName: String = "window_fingerprints"
@@ -102,7 +107,8 @@ case class WindowFingerprints(child: Expression, window: Int) extends UnaryExpre
   * either the text or the cut list is NULL (callers guard the no-cuts
   * case with a passthrough). */
 case class RemoveSpans(left: Expression, right: Expression, window: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, ArrayType(IntegerType))
   require(window >= 1, s"window=$window must be >= 1")
   override def dataType: DataType = StringType
   override def prettyName: String = "remove_spans"
@@ -119,14 +125,29 @@ case class RemoveSpans(left: Expression, right: Expression, window: Int)
 }
 
 /** One-hash MinHash signature over a (non-empty) shingle array. */
-case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, perms: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   require(perms >= 1, "need at least one permutation")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
-  protected override def nullSafeEval(input: Any): Any =
-    TextKernels.minhash(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], perms)
+  // EMPTY input → NULL, not the all-Long.MaxValue degenerate signature:
+  // the internal pipelines filter `size(shingles) > 0` before this
+  // expression, but the SQL registration exposes it bare, and without
+  // the guard every shingle-less (shorter-than-k) document would carry
+  // the IDENTICAL max-sentinel signature — one LSH bucket holding all
+  // short docs, each pair flagged near-dup (r20 review finding)
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() == 0) null else TextKernels.minhash(arr, perms)
+  }
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhash($c, $perms)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |if ($c.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.TextKernels.minhash($c, $perms); }
+       """.stripMargin
+    })
   protected override def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
@@ -169,7 +190,8 @@ case class HyperplaneSignatures(
   * [[TextKernels.md5Long]]; DuckDB computes the identical value from
   * `md5()` hex, which is what makes the SimHash operator fully
   * SQL-oracle-checkable). */
-case class Md5Hash64(child: Expression) extends UnaryExpression {
+case class Md5Hash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_hash64"
   protected override def nullSafeEval(input: Any): Any =
@@ -182,7 +204,8 @@ case class Md5Hash64(child: Expression) extends UnaryExpression {
 
 /** One-pass character-class counts `[punct, upper, space, tokens]` for
   * quality scoring — see [[TextKernels.charClassCounts]]. */
-case class CharClassCounts(child: Expression) extends UnaryExpression {
+case class CharClassCounts(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_class_counts"
   protected override def nullSafeEval(input: Any): Any =
@@ -196,7 +219,8 @@ case class CharClassCounts(child: Expression) extends UnaryExpression {
 /** Shannon character entropy in nats — see [[TextKernels.charEntropy]]:
   * histogram + ordered summation in one compiled pass per document, NULL
   * for empty text. */
-case class CharEntropy(child: Expression) extends UnaryExpression {
+case class CharEntropy(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "char_entropy"
@@ -216,7 +240,8 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
 /** One-pass language-ID scores `[cjk, en, de, fr, es]` — see
   * [[TextKernels.langScores]]. */
-case class LangScores(child: Expression) extends UnaryExpression {
+case class LangScores(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lang_scores"
   protected override def nullSafeEval(input: Any): Any =
@@ -230,7 +255,8 @@ case class LangScores(child: Expression) extends UnaryExpression {
 /** Whole-document 64-bit SimHash (md5-derived token hashes) in one
   * compiled pass — see [[TextKernels.simhash64]]. NULL for token-less
   * documents. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
@@ -251,7 +277,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** Winnowing rolling-hash document fingerprints (Schleimer et al.) — see
   * [[TextKernels.winnow]]. */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(k >= 2 && window >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
@@ -270,7 +297,8 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   * canonicalization is structural, not array-reference. NULL for ragged
   * vectors or when no centroid yields a similarity. */
 case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(centroids.nonEmpty, "need at least one centroid")
   private val dim: Int = centroids.head.length
   @transient private lazy val table: Array[Array[Float]] =
@@ -302,7 +330,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
   * [[NearestCentroid]]; element 0 always equals the single-assignment
   * result. */
 case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]], n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(centroids.nonEmpty, "need at least one centroid")
   require(n >= 1, s"n=$n must be >= 1")
   private val dim: Int = centroids.head.length
@@ -342,7 +371,8 @@ case class NearestCentroidsHier(
     fineCell: Seq[Int],
     probes: Int,
     n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(coarse.nonEmpty && fine.nonEmpty, "need coarse and fine centroids")
   require(fineCell.length == fine.length,
     s"fineCell maps each fine centroid to its cell (${fineCell.length} != ${fine.length})")
@@ -393,7 +423,8 @@ case class NearestCentroidsHier(
   * tensor ships as one codegen reference object; the `Seq` field keeps
   * plan canonicalization structural, like every centroid kernel here.
   * NULL for ragged or zero/non-finite-norm vectors. */
-case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]]) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(books.nonEmpty, "need at least one codebook")
   require(books.forall(_.nonEmpty), "every subspace codebook needs at least one entry")
   require(books.forall(_.length <= 256),
@@ -433,7 +464,8 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]]) extends Unar
   * array of the wrong length, an out-of-table code, or a zero-norm
   * reconstruction — same contract as [[CosineSim]]. */
 case class PqAdcScore(child: Expression, tables: Seq[Double], m: Int, ksub: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   require(m >= 1 && ksub >= 1 && ksub <= 256, s"m=$m, ksub=$ksub out of range")
   require(tables.length == 2 * m * ksub,
     s"tables.length=${tables.length} must be 2*m*ksub=${2 * m * ksub} (dot block then norm² block)")
@@ -461,7 +493,8 @@ case class PqAdcScore(child: Expression, tables: Seq[Double], m: Int, ksub: Int)
   * of the similarity and embedding-dedup operators. NULL when either norm
   * is zero (same contract as the HOF formulation in VectorOps, and the
   * same double-accumulation order, so results are bit-identical). */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -484,7 +517,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 /** True iff every element of a float vector is present and finite — the
   * compiled trainer-sample gate (see [[VectorKernels.isFiniteVec]]). */
-case class IsFiniteVec(child: Expression) extends UnaryExpression {
+case class IsFiniteVec(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "is_finite_vec"
@@ -508,7 +542,8 @@ case class IsFiniteVec(child: Expression) extends UnaryExpression {
 case class PqEncodeResidual(
     child: Expression,
     centroids: Seq[Seq[Float]],
-    books: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
+    books: Seq[Seq[Seq[Float]]]) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   require(books.nonEmpty, "need at least one codebook")
   require(books.forall(b => b.nonEmpty && b.length <= 256),
     "every subspace codebook needs 1..256 entries")
@@ -559,7 +594,8 @@ case class PqAdcScoreResidual(
     probeBuckets: Seq[Int],
     tables: Seq[Double],
     m: Int,
-    ksub: Int) extends BinaryExpression {
+    ksub: Int) extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
   require(m >= 1 && ksub >= 1 && ksub <= 256, s"m=$m, ksub=$ksub out of range")
   require(probeBuckets.nonEmpty, "need at least one probed bucket")
   require(tables.length == 2 * m * ksub + probeBuckets.length * (2 + m * ksub),
@@ -597,7 +633,8 @@ case class PqAdcScoreResidual(
   * reference object; the `Seq` field keeps canonicalization structural,
   * like every centroid kernel here. */
 case class Int8CosineSim(left: Expression, right: Expression, query: Seq[Float])
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType), DoubleType)
   require(query.nonEmpty, "query vector must be non-empty")
   @transient private lazy val q: Array[Float] = query.toArray
   /** √(Σq²) in dimension order — constant per query, hoisted out of the
@@ -635,7 +672,8 @@ case class Int8CosineSim(left: Expression, right: Expression, query: Seq[Float])
 /** Int8 quantization of a float vector — struct(scale, codes) in one
   * compiled pass (see [[VectorKernels.quantizeInt8]]); replaced the
   * per-element-interpreted aggregate+transform HOF pipeline. */
-case class QuantizeInt8(child: Expression) extends UnaryExpression {
+case class QuantizeInt8(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = true)))
@@ -652,7 +690,8 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
 /** All codepoint n-grams of the (caller-normalized) text in stream
   * order — the char-level feature extractor of the trained NB language
   * ID (see [[TextKernels.charNgrams]]). */
-case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(n >= 1, s"n=$n must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
@@ -679,7 +718,8 @@ case class NbLangPredict(
     vocab: Seq[String],
     terms: Seq[Seq[Double]],
     n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(n >= 1, s"n=$n must be >= 1")
   // non-empty: defineCodeGen's null contract is input-null ⇒ output-null
   // ONLY — a zero-class model would need a kernel-side null the codegen
@@ -725,7 +765,8 @@ case class NbLangPredict(
   * kernel replaces while lookups drop from O(|V|) MapData scans to
   * O(1). */
 case class UnigramNll(child: Expression, vocab: Seq[(String, Long)], total: Double, vsize: Double)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
     val denom = total + vsize + 1.0
     val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2 + 16)
@@ -764,7 +805,8 @@ case class BigramNll(
     vU: Double,
     vB: Double,
     lambda: Double)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   require(lambda > 0.0 && lambda < 1.0, s"lambda=$lambda must be in (0, 1)")
   @transient private lazy val puMap: java.util.HashMap[String, java.lang.Double] = {
     val denom = (totalU + vU) + 1.0
@@ -811,7 +853,8 @@ case class BigramNll(
   * the TIFF first IFD in either byte order, returning `[width, height]`
   * or NULL for unrecognized or truncated payloads (corrupt media is
   * data, not an exception). */
-case class MediaDims(child: Expression) extends UnaryExpression {
+case class MediaDims(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "media_dims"
@@ -836,7 +879,8 @@ case class MediaDims(child: Expression) extends UnaryExpression {
   * video trak's tkhd dims, both mvhd/tkhd versions), as a struct with
   * NULL fields where the container carries no figure and a NULL row for
   * anything else — corrupt or foreign payloads are data. */
-case class AvMeta(child: Expression) extends UnaryExpression {
+case class AvMeta(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StructType(Seq(
     StructField("container", StringType, nullable = false),
     StructField("duration_ms", LongType, nullable = true),
@@ -862,24 +906,45 @@ case class AvMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Structural value wrapper for a serialized bloom filter payload:
+  * content equality with a CACHED hash, so Catalyst's repeated
+  * canonicalized/semanticEquals/hashCode calls over the enclosing
+  * expression cost O(1) after the first instead of a full boxed
+  * traversal per call — a production filter sized for 10⁸ keys at 1%
+  * FPP is ~120 MB, and the previous `Seq[Byte]` case field made every
+  * optimizer pass re-hash it elementwise (r20 review finding). The
+  * centroid kernels keep their plain `Seq` convention deliberately:
+  * those tables are KBs, where a wrapper would be noise. */
+final class BloomBytes(val bytes: Array[Byte]) extends Serializable {
+  require(bytes.nonEmpty, "empty bloom filter payload")
+  override lazy val hashCode: Int = java.util.Arrays.hashCode(bytes)
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomBytes => (this eq b) ||
+      (hashCode == b.hashCode && java.util.Arrays.equals(bytes, b.bytes))
+    case _ => false
+  }
+  override def toString: String = s"BloomBytes(${bytes.length} bytes, #$hashCode)"
+}
+
 /** Bloom-filter membership probe over a string column — the pre-gate of
   * [[graft.ops.TextOps.dedupAgainstBloom]]. The serialized filter rides
-  * the expression as `Seq[Byte]` so Catalyst's case-class plan
-  * canonicalization stays structural (the [[NearestCentroid]]
-  * convention); the deserialized `BloomFilter` ships to executors as a
-  * codegen reference object (`BloomFilterImpl` is `java.io.Serializable`)
-  * and each probe is one `mightContainBinary` over the value's UTF-8
-  * bytes — the SAME put/probe byte convention the builder
+  * the expression as [[BloomBytes]] so Catalyst's case-class plan
+  * canonicalization stays structural (content equality) WITHOUT paying
+  * an elementwise hash per optimizer pass; the deserialized
+  * `BloomFilter` ships to executors as a codegen reference object
+  * (`BloomFilterImpl` is `java.io.Serializable`) and each probe is one
+  * `mightContainBinary` over the value's UTF-8 bytes — the SAME
+  * put/probe byte convention the builder
   * ([[graft.ops.TextOps.buildBloomBytes]]) uses, pinned on both sides of
   * this module so a false NEGATIVE (the one failure that would corrupt
   * dedup) is impossible by construction. False positives only route
   * extra rows to the exact verify. */
-case class BloomMightContain(child: Expression, bloomBytes: Seq[Byte])
-    extends UnaryExpression {
-  require(bloomBytes.nonEmpty, "empty bloom filter payload")
+case class BloomMightContain(child: Expression, bloomBytes: BloomBytes)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloomBytes.toArray))
+      new java.io.ByteArrayInputStream(bloomBytes.bytes))
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bloom_might_contain"
@@ -1037,6 +1102,5 @@ object native {
 
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContain(
-      ColumnBridge.expression(c),
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
+      ColumnBridge.expression(c), new BloomBytes(bloomBytes)))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExtensions, GraftFunctions}
+import graft.functions.GraftFunctions
 
 /** The SQL surface of the native expressions: every kernel callable from
   * `spark.sql(...)` and equal to its Column-API twin. */
@@ -83,6 +83,90 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(r5.getString(0) == "wav" && r5.getLong(1) == 2000L && r5.getInt(2) == 16000)
   }
 
+  test("char_ngrams / quantize_int8 / remove_spans / window_fingerprints are SQL-callable") {
+    // the r20 review found these four registerable (literal-only extra
+    // args) but absent from the registry despite the module's
+    // every-kernel-is-first-class claim
+    val r = spark.sql(
+      """SELECT char_ngrams('abcd', 3) AS cg,
+        |       quantize_int8(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))).codes AS q8,
+        |       remove_spans('a b c d e', array(1), 2) AS rs,
+        |       size(window_fingerprints('a b c d e', 3)) AS wf""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(r.getSeq[Byte](1).size == 2)
+    assert(r.getString(2) == "a d e", s"tokens 1-2 cut: '${r.getString(2)}'")
+    assert(r.getInt(3) == 3)
+    // and they equal their Column-API twins
+    import spark.implicits._
+    val api = Seq(Tuple1("abcd")).toDF("t")
+      .select(graft.functions.native.charNgrams(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(api == Seq("abc", "bcd"))
+  }
+
+  test("mistyped arguments fail ANALYSIS, not silently reinterpret bits (r20 review finding)") {
+    // cosine_sim over int arrays previously passed analysis and read
+    // int bit patterns as floats — a plausible-looking wrong
+    // similarity. ExpectsInputTypes now rejects at analysis time.
+    Seq((Array(1, 2, 3), Array(3, 2, 1))).toDF("a", "b")
+      .createOrReplaceTempView("t_intvecs")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(a, b) FROM t_intvecs").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("type") &&
+      e1.getMessage.contains("cosine_sim"), e1.getMessage)
+    // scalar-typed misuse fails analysis too — previously a Janino
+    // fallback + ClassCastException at runtime
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT simhash64(42)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"), e2.getMessage)
+    // minhash over array<bigint> (hashes, not shingles) is rejected
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L, 2L), 16)").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("type"), e3.getMessage)
+    // media_dims over a string (the base64 temptation) is rejected
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT media_dims('not bytes')").collect()
+    }
+    assert(e4.getMessage.toLowerCase.contains("type"), e4.getMessage)
+  }
+
+  test("minhash_signature maps EMPTY shingle arrays to NULL via SQL (r20 review finding)") {
+    // a shorter-than-k doc has no shingles; without the guard it would
+    // carry the identical all-Long.MaxValue signature as every other
+    // short doc and they'd all collide into one LSH bucket
+    val r = spark.sql(
+      "SELECT minhash_signature(word_shingles('tiny doc', 9), 16) AS sig").collect()(0)
+    assert(r.isNullAt(0), s"empty shingle array must yield NULL, got ${r.get(0)}")
+    // non-empty inputs keep their signatures (and the guard is
+    // codegen-path too — this query runs through WholeStageCodegen)
+    val ok = spark.sql(
+      "SELECT minhash_signature(word_shingles('a b c d e f g h i j', 3), 16) AS sig")
+      .collect()(0)
+    assert(!ok.isNullAt(0) && ok.getSeq[Long](0).size == 16)
+  }
+
+  test("media_dims returns NULL for a hostile PNG header (negative dims), not garbage") {
+    // width 2^31 (high bit set) reads negative through signed be32 —
+    // the contract is null for corrupt containers, like BMP/TIFF
+    val bad: Array[Byte] = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](8)(0) ++
+      Array[Byte](0x80.toByte, 0, 0, 0) ++ // width = Int.MinValue
+      Array[Byte](0, 0, 0, 100) ++          // height = 100
+      Array.fill[Byte](4)(0)
+    Seq(Tuple1(bad)).toDF("bytes").createOrReplaceTempView("t_badpng")
+    assert(spark.sql("SELECT media_dims(bytes) FROM t_badpng").collect()(0).isNullAt(0))
+    // a sane PNG still parses (64x48)
+    val good: Array[Byte] = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](8)(0) ++
+      Array[Byte](0, 0, 0, 64) ++ Array[Byte](0, 0, 0, 48) ++ Array.fill[Byte](4)(0)
+    Seq(Tuple1(good)).toDF("bytes").createOrReplaceTempView("t_goodpng")
+    assert(spark.sql("SELECT media_dims(bytes) FROM t_goodpng")
+      .collect()(0).getSeq[Int](0) == Seq(64, 48))
+  }
+
   test("non-literal size parameters are rejected with a clear error") {
     Seq((1L, "x y z")).toDF("id", "text").createOrReplaceTempView("t_bad")
     val e = intercept[Exception] {
@@ -110,5 +194,14 @@ class GraftFunctionsSpec extends SparkTestBase {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; registers all
     assert(GraftFunctions.all.map(_._1).distinct.size == GraftFunctions.all.size)
+    // the DOCUMENTED config string must be the class that loads: Spark's
+    // extension loader does Class.forName on the spark.sql.extensions
+    // value, so pin the exact FQCN the README/SURVEY name (the class
+    // previously sat in graft.functions and the documented string threw
+    // ClassNotFoundException — r20 review finding)
+    val loaded = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    loaded(new SparkSessionExtensions) // must not throw either
   }
 }
