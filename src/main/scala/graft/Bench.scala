@@ -344,8 +344,13 @@ object Bench {
     // entries are the outlier-fast mode
     "q_neardup_jaccard" -> 1.70,
     // r18 A/B (shares the exactJaccardPairs stage with the above):
-    // HEAD 1.17/1.36 vs r17 1.33/1.10 — same bimodal floor
-    "q_dup_sources" -> 1.75,
+    // HEAD 1.17/1.36 vs r17 1.33/1.10 — same bimodal floor. r20: two
+    // more same-box A/Bs (HEAD vs r18 close, HEAD vs the pre-deque
+    // snapshot) measure old == new with QuickTime mins 1.11-1.25, yet
+    // two quiet r20 sweeps read 1.77/1.85 — the slow mode's observed
+    // ambient high moved; ceiling follows it with the usual ~5% slack
+    // (the q_semdedup precedent)
+    "q_dup_sources" -> 1.90,
     // r19 A/B (the third sharer of the exactJaccardPairs stage; the r18
     // verdict's family-floor watch item): interleaved QuickTime pairs
     // at cores=32, HEAD 1.73/1.82 vs the r17 close (97e4982) 1.80/2.16

@@ -449,13 +449,15 @@ private[graft] object OracleSqlRelational {
         |            ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text)
         |       END AS upper_ratio,
         |       CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
-        |            ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / len(regexp_extract_all(text, '\S+'))
+        |            ELSE length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) * 1.0 / len(regexp_extract_all(text, '\S+'))
         |       END AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Same tokenization, space-strip mean-length, and required-stopword
-    // set as TextOps.gopherQuality; every float is one IEEE division of
-    // exact integer counts, the verdict the same band arithmetic.
+    // Same tokenization, whitespace-strip mean-length (the RE2 \s ASCII
+    // class, mirrored by the engine's charClassCounts class 2), and
+    // required-stopword set as TextOps.gopherQuality; every float is one
+    // IEEE division of exact integer counts, the verdict the same band
+    // arithmetic.
     // Naive-Bayes quality classifier: the q_gopher feature/label
     // expressions (pairing proven there), integer/one-division bucket
     // quantization (bit-identical across engines), Laplace-smoothed
@@ -477,7 +479,7 @@ private[graft] object OracleSqlRelational {
         |s AS (
         |  SELECT doc_id, n_tokens,
         |         CASE WHEN n_tokens = 0 THEN 0.0
-        |              ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / n_tokens
+        |              ELSE length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) * 1.0 / n_tokens
         |         END AS mean_token_len,
         |         len(list_distinct(list_filter(w,
         |           x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stopword_hits,
@@ -540,7 +542,7 @@ private[graft] object OracleSqlRelational {
         |s AS (
         |  SELECT doc_id, n_tokens,
         |         CASE WHEN n_tokens = 0 THEN 0.0
-        |              ELSE length(regexp_replace(text, ' ', '', 'g')) * 1.0 / n_tokens
+        |              ELSE length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) * 1.0 / n_tokens
         |         END AS mean_token_len,
         |         len(list_distinct(list_filter(w,
         |           x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stopword_hits,

@@ -705,7 +705,7 @@ private[graft] object OracleSqlSimilarity {
         |cent AS (
         |  SELECT label AS clabel, dim,
         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
-        |         / COUNT(*) AS av
+        |         / COUNT(v) AS av
         |  FROM ex GROUP BY 1, 2),
         |cl AS (
         |  SELECT clabel, list(av::FLOAT ORDER BY dim) AS cvec

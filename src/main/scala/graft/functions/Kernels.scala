@@ -361,7 +361,8 @@ object TextKernels {
   }
 
   /** One-pass character-class counts for quality scoring:
-    * [punct `[.,;:!?]`, upper `[A-Z]`, literal space, `\S+` token runs].
+    * [punct `[.,;:!?]`, upper `[A-Z]`, whitespace (the RE2 `\s` set
+    * `[ \t\n\f\r]` — see the class-2 note below), `\S+` token runs].
     * Byte loop over the UTF-8 payload — every counted class is ASCII and
     * UTF-8 continuation bytes can't collide with ASCII values, so the
     * counts are exact for any input. Replaces four separate
@@ -381,7 +382,14 @@ object TextKernels {
       else if (!inToken) { tokens += 1; inToken = true }
       b match {
         case '.' | ',' | ';' | ':' | '!' | '?' => punct += 1
-        case ' ' => space += 1
+        // class 2 counts WHITESPACE, not just ' ': mean_token_len
+        // subtracts this from the doc length, and a space-only count
+        // inflated token length on newline/tab-separated docs (r20
+        // review finding). Deliberately the RE2 \s set ([ \t\n\f\r],
+        // NO \x0B) so the SQL oracles' regexp_replace(text,'\s') strips
+        // the identical characters — \x0B stays a token splitter (Java
+        // semantics, row above) but uncounted on BOTH engines.
+        case ' ' | '\t' | '\n' | '\f' | '\r' => space += 1
         case c if c >= 'A' && c <= 'Z' => upper += 1
         case _ => ()
       }

@@ -48,9 +48,16 @@ object AsOfJoin {
       rightTieBreak: String,
       rightCols: Seq[String]): DataFrame = {
     val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == timeCol)
+    // collide against EVERY output column the left side contributes —
+    // keys included — and against rightCols itself: a key-named right
+    // payload column (or a repeated rightCols entry) previously passed
+    // this guard and emitted duplicate output columns, failing only
+    // downstream with AMBIGUOUS_REFERENCE (r20 review finding)
     require(
-      rightCols.intersect(leftPayload :+ timeCol).isEmpty,
+      rightCols.intersect(leftPayload ++ keys :+ timeCol).isEmpty,
       s"right payload columns ${rightCols.mkString(",")} must not collide with left columns")
+    require(rightCols.distinct.size == rightCols.size,
+      s"right payload columns repeat a name: ${rightCols.mkString(",")}")
 
     val l = left.select(
       (keys :+ timeCol).map(col) ++ Seq(
@@ -137,12 +144,8 @@ object AsOfJoin {
       .drop("__salt")
   }
 
-  /** Spark's `hash()` rejects MapType anywhere in the type (maps have
-    * no canonical entry order); everything else it accepts. */
-  private def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => false
-    case a: org.apache.spark.sql.types.ArrayType => isHashable(a.elementType)
-    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => isHashable(f.dataType))
-    case _ => true
-  }
+  /** Spark's `hash()` rejects MapType anywhere in the type — the shared
+    * [[HashableType]] predicate (one copy across the ops package). */
+  private def isHashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    HashableType.isHashable(dt)
 }

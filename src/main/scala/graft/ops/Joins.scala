@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   *    become shuffle joins partitioned on the key — correct either way
   *    without code changes.
   */
+/** Spark's hash expressions reject MapType anywhere in a type (maps
+  * have no canonical entry order); everything else is hashable. ONE
+  * shared predicate — [[Joins.saltedJoin]], [[AsOfJoin]]'s salted
+  * variant, and [[Similarity]]'s spread-write salt all select their
+  * hash columns through it, so the recursion cannot drift per caller
+  * (r20 review finding: two private copies existed). */
+private[ops] object HashableType {
+  import org.apache.spark.sql.types._
+  def isHashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case a: ArrayType => isHashable(a.elementType)
+    case s: StructType => s.fields.forall(f => isHashable(f.dataType))
+    case _ => true
+  }
+}
+
 object Joins {
 
   /** Skew-safe equi-join for when AQE's runtime skew splitting isn't
@@ -33,9 +49,17 @@ object Joins {
       buildKey: String,
       salts: Int): DataFrame = {
     require(salts >= 1)
+    // hash only the HASHABLE fact columns: Spark's hash functions
+    // reject MapType at analysis time, and the skew escape hatch must
+    // not throw on exactly the map-carrying event tables it exists for
+    // (r20 review finding). The key column always qualifies — an
+    // equi-join key can't be a map — so the struct is never empty.
+    val saltSrc = fact.schema.fields
+      .filter(f => HashableType.isHashable(f.dataType))
+      .map(f => col(f.name))
     val saltedFact = fact.withColumn(
       "__graft_salt",
-      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(saltSrc.toSeq: _*)), lit(salts)).cast("int"))
     val replicatedBuild = build.withColumn(
       "__graft_salt",
       explode(array((0 until salts).map(lit): _*)))

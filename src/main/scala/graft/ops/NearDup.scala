@@ -484,9 +484,14 @@ object NearDup {
     // scan's PartitionFilters prune (a join alone prunes nothing)
     val parts = newB.select(col("part")).distinct().collect().map(_.getInt(0)).toSeq
     if (parts.isEmpty) {
+      // id columns keep idCol's ACTUAL type, not a hardcoded long: the
+      // normal path emits the incoming id type, and a caller unioning
+      // daily probe results would hit a type mismatch only on the day
+      // every doc in the batch was shingle-less (r20 review finding)
+      val idType = incoming.schema(idCol).dataType
       return incoming.sparkSession.emptyDataFrame
-        .withColumn("new_id", lit(null).cast("long"))
-        .withColumn("old_id", lit(null).cast("long"))
+        .withColumn("new_id", lit(null).cast(idType))
+        .withColumn("old_id", lit(null).cast(idType))
         .withColumn("jaccard", lit(null).cast("double"))
         .select("new_id", "old_id", "jaccard")
     }

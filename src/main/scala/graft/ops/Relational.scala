@@ -653,8 +653,17 @@ object Relational {
         sum(col("cb")).over(w).as("cum_b"))
       .crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"), col("n_values"),
-        abs(col("cum_a").cast("double") / col("n_a")
-          - col("cum_b").cast("double") / col("n_b")).as("d"))
+        // an EMPTY side (n=0) must yield NULL ks_stat, guarded BEFORE
+        // the division runs: under ANSI (the Spark 4 default) cum/0
+        // throws DIVIDE_BY_ZERO, and with ANSI off it was a silent NaN
+        // that max() sorted above every real statistic — either way a
+        // drift gate comparing ks_stat <= t never learned that one
+        // side had no finite values. NULL is the honest no-comparison
+        // verdict; the counts still name WHICH side was empty (r20
+        // review finding; both-empty yields zero rows, same posture)
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+          .otherwise(abs(col("cum_a").cast("double") / col("n_a")
+            - col("cum_b").cast("double") / col("n_b"))).as("d"))
       .groupBy(col("n_a"), col("n_b"), col("n_values"))
       .agg(max(col("d")).as("ks_stat"))
   }

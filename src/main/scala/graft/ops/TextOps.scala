@@ -270,7 +270,11 @@ object TextOps {
     val nTok = tokenCount(t).cast("bigint")
     val hits = size(array_intersect(
       array_distinct(toks), array(requiredStopwords.map(lit): _*))).cast("bigint")
-    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    // ALL whitespace (the RE2-\s ASCII set, matching charClassCounts
+    // class 2), not just ' ': n_tokens splits on every whitespace kind,
+    // so a space-only subtraction inflated mean_token_len on newline/
+    // tab-separated docs past the Gopher band (r20 review finding)
+    val spaces = length(t) - length(regexp_replace(t, "[ \\t\\n\\f\\r]", ""))
     val meanLen = when(nTok === 0, 0.0)
       .otherwise((length(t) - spaces).cast("double") / nTok.cast("double"))
     val alpha = when(nTok === 0, 0.0)
@@ -719,16 +723,23 @@ object TextOps {
       .filter(struct(col(idCol), col("pos")) =!= col("__keep"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("__cuts"))
-    val rebuilt = graft.functions.native.removeSpans(
-      col(textCol), col("__cuts"), spanWords)
+    // staged projection: removeSpans (an O(tokens+cuts) kernel) and the
+    // original text's tokenCount each evaluate ONCE per row; the final
+    // select reads the staged columns (r20 review finding — they were
+    // inlined into two output expressions each)
     df.join(cuts, Seq(idCol), "left")
       .select(
+        col(idCol), col(textCol), col("__cuts"),
+        graft.functions.native.removeSpans(col(textCol), col("__cuts"), spanWords)
+          .as("__rebuilt"),
+        tokenCount(col(textCol)).as("__orig_tok"))
+      .select(
         col(idCol),
-        when(col("__cuts").isNull, col(textCol)).otherwise(rebuilt).as(textCol),
+        when(col("__cuts").isNull, col(textCol)).otherwise(col("__rebuilt")).as(textCol),
         when(col("__cuts").isNull, lit(0L))
-          .otherwise(tokenCount(col(textCol)) - tokenCount(rebuilt))
+          .otherwise(col("__orig_tok") - tokenCount(col("__rebuilt")))
           .cast("long").as("removed_tokens"),
-        coalesce(tokenCount(col(textCol)), lit(0)).cast("long").as("total_tokens"))
+        coalesce(col("__orig_tok"), lit(0)).cast("long").as("total_tokens"))
       .orderBy(col(idCol))
   }
 
@@ -1321,16 +1332,21 @@ object TextOps {
       maxVocab: Int = 65536): DataFrame = {
     val lm = trainUnigramLm(df, textCol, maxVocab)
     val nTok = tokenCount(col(textCol))
+    // staged projection (the quantizeInt8 discipline): avg_nll's
+    // O(tokens) kernel fold runs ONCE per row — deriving ppl from the
+    // staged column, not a second kernel call (r20 review finding)
     df.select(
         col(idCol).as("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
-        lm.avgNll(col(textCol)).as("avg_nll"),
+        lm.avgNll(col(textCol)).as("avg_nll"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("avg_nll"),
         // ppl rounded to 6 decimals: `exp` is not correctly-rounded and
         // JDK vs libm answers differ in the last ulp for some inputs —
         // avg_nll (bit-exact across engines) stays the full-precision
         // yardstick, the derived convenience column is pinned to a
         // precision both engines compute identically
-        round(exp(lm.avgNll(col(textCol))), 6).as("ppl"))
+        round(exp(col("avg_nll")), 6).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
@@ -1423,11 +1439,14 @@ object TextOps {
       lambda: Double = 0.75): DataFrame = {
     val lm = trainBigramLm(df, textCol, maxVocab, maxBigrams, lambda)
     val nTok = tokenCount(col(textCol))
+    // staged like unigramLmScore: one bigram_nll fold per row
     df.select(
         col(idCol).as("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
-        lm.avgNll(col(textCol)).as("avg_nll"),
-        round(exp(lm.avgNll(col(textCol))), 6).as("ppl"))
+        lm.avgNll(col(textCol)).as("avg_nll"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("avg_nll"),
+        round(exp(col("avg_nll")), 6).as("ppl"))
       .orderBy(col("doc_id"))
   }
 

@@ -83,6 +83,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(salted == base)
   }
 
+  test("key-named and repeated right payload columns reject at the guard (r20)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "lp")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 5L, "rv")).toDF("k", "ts", "rv")
+    // a right payload column named like a JOIN KEY previously passed the
+    // guard and emitted two output columns named "k" — failing only at
+    // the first downstream select with AMBIGUOUS_REFERENCE
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "rv", Seq("k")))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.asOfJoin(l, r, Seq("k"), "ts", "rv", Seq("rv", "rv")))
+    assert(e2.getMessage.contains("repeat"), e2.getMessage)
+  }
+
   test("same-instant right row matches (<=) and max tiebreak wins the tie") {
     val l = Seq((1L, 10L, "a")).toDF("k", "t", "p")
     val r = Seq((1L, 10L, 1L), (1L, 10L, 9L), (1L, 9L, 5L)).toDF("k", "t", "tie")

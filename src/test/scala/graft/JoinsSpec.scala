@@ -22,6 +22,21 @@ class JoinsSpec extends SparkTestBase {
     assert(plain.count(_.head == 1L) == 900) // every hot-key row matched exactly once
   }
 
+  test("saltedJoin works when the fact side carries a MAP column (r20 review finding)") {
+    // Spark's hash functions reject MapType at analysis time; the skew
+    // escape hatch previously hashed struct(ALL columns) and threw on
+    // exactly the map-carrying event tables it exists for
+    val fact = Seq(
+      (1L, Map("a" -> "1"), "e1"), (1L, Map("b" -> "2"), "e2"),
+      (2L, Map.empty[String, String], "e3")).toDF("k", "props", "payload")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("dk", "name")
+    val got = Joins.saltedJoin(fact, dim, "k", "dk", salts = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSeq
+    val want = fact.join(dim, fact("k") === dim("dk"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSeq
+    assert(got.sortBy(_.toString) == want.sortBy(_.toString))
+  }
+
   test("saltedJoin with salts=1 degenerates to the plain join") {
     val fact = Seq((1L, "x"), (2L, "y")).toDF("k", "p")
     val dim = Seq((1L, "a")).toDF("dk", "n")

@@ -28,6 +28,27 @@ class MinhashCompactSpec extends SparkTestBase {
       .toMap
   }
 
+  test("probe's degenerate (no-shingles-in-batch) early return keeps the id column's TYPE (r20)") {
+    import spark.implicits._
+    // a string-keyed index: the early return previously hardcoded
+    // new_id/old_id as bigint, so a caller unioning daily probe frames
+    // hit a type mismatch only on the day every doc was shingle-less
+    val hist = Seq(
+      ("doc-a", "one two three four five six seven eight nine ten"),
+      ("doc-b", "one two three four five six seven eight nine eleven"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-mh-strid").toString + "/idx"
+    NearDup.writeMinhashIndex(hist, "id", "text", path, nParts = 4)
+    val degenerate = NearDup.probeMinhashIndex(
+      path, hist, Seq(("doc-x", "tiny")).toDF("id", "text"), "id", "text", nParts = 4)
+    val normal = NearDup.probeMinhashIndex(path, hist, hist, "id", "text", nParts = 4)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    assert(shape(degenerate) == shape(normal),
+      s"degenerate probe schema drifted: ${shape(degenerate)} vs ${shape(normal)}")
+    assert(degenerate.count() == 0)
+  }
+
   test("appends fragment the index; compaction folds to one file per part, same probe answers") {
     val docs = Tables.documents(spark, sf001)
     val history = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)

@@ -237,6 +237,16 @@ class RelationalSpec extends SparkTestBase {
     // ECDF diffs at v=1,2,3,4: |.5-0|=.5, |.75-.25|=.5, |1-.75|=.25, 0
     val (na, nb, nv, stat) = ks(Seq(1.0, 1.0, 2.0, 3.0), Seq(2.0, 3.0, 3.0, 4.0))
     assert((na, nb, nv) == ((4L, 4L, 4L)) && stat == 0.5)
+    // an EMPTY comparison side yields NULL ks_stat, not the silent NaN
+    // that max() used to surface (r20 review finding) — the counts
+    // still name WHICH side was empty
+    val row = Relational.ksDrift(
+      Seq(1.0, 2.0).toDF("x"), Seq.empty[Double].toDF("x"), "x").collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 0L && row.isNullAt(3),
+      s"empty side must yield NULL ks_stat: $row")
+    // both sides empty: zero rows (nothing to compare at all)
+    assert(Relational.ksDrift(
+      Seq.empty[Double].toDF("x"), Seq.empty[Double].toDF("x"), "x").count() == 0)
   }
 
   test("pivotAgg cross-tabs with declared values; absent pairs NULL; dup values rejected") {

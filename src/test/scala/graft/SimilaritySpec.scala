@@ -1374,6 +1374,29 @@ class SimilaritySpec extends SparkTestBase {
     for (l <- got.keySet) assert(got(l) == expect(l), s"label $l")
   }
 
+  test("labelCentroids divides by the NON-NULL value count; string labels classify (r20)") {
+    import spark.implicits._
+    // dim-1 of label "a": values 1.0 and NULL — the mean must be 1.0
+    // (over present values), not 0.5 (count-all denominator)
+    val emb = Seq(
+      ("a", Seq(Some(1.0f), None)),
+      ("a", Seq(Some(1.0f), Some(2.0f))),
+      ("b", Seq(Some(3.0f), Some(4.0f)))).toDF("label", "embedding")
+    val cents = Similarity.labelCentroids(emb, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cents("a") == Seq(1.0, 2.0), s"null element skewed the mean: ${cents("a")}")
+    assert(cents("b") == Seq(3.0, 4.0))
+    // classifyByCentroid no longer unboxes labels through getInt: a
+    // STRING-labeled corpus classifies (labels echo as themselves here —
+    // each class mean is nearest to its own members)
+    val dense = Seq(
+      ("x", Seq(1.0f, 0.0f)), ("x", Seq(0.9f, 0.1f)),
+      ("y", Seq(0.0f, 1.0f)), ("y", Seq(0.1f, 0.9f))).toDF("label", "embedding")
+    val conf = Similarity.classifyByCentroid(dense, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(conf == Seq(("x", "x", 2L), ("y", "y", 2L)), conf.toString)
+  }
+
   test("labelCentroids is partitioning-independent (exact, order-free accumulation)") {
     val emb = Tables.embeddings(spark, sf001)
     val a = Similarity.labelCentroids(emb, "label", "embedding")

@@ -206,8 +206,13 @@ class TextOpsSpec extends SparkTestBase {
     }
     assert(cc("") == Seq(0L, 0L, 0L, 0L))
     assert(cc("Ab cd, EF!") == Seq(2L, 3L, 2L, 3L)) // punct , ! ; upper A E F; 2 spaces; 3 tokens
-    // \u000b is whitespace to Java regex \\s (and to this kernel) — RE2 \\s
-    // disagrees, which is why the SQL oracles are documented ASCII-no-VT
+    // class 2 counts ALL RE2-\\s whitespace (r20: mean_token_len must
+    // subtract newlines/tabs like spaces, or token length inflates on
+    // newline-separated docs)
+    assert(cc("a\nb\tc\rd\fe") == Seq(0L, 0L, 4L, 5L))
+    // \u000b is whitespace to Java regex \\s (a token SPLITTER to this
+    // kernel) but NOT in RE2 \\s — so it stays uncounted in class 2 on
+    // both engines (the SQL oracles mirror the RE2 set exactly)
     assert(cc("a\u000bb") == Seq(0L, 0L, 0L, 2L))
     // UTF-8 continuation bytes never collide with the ASCII classes
     assert(cc("\u00e9. A") == Seq(1L, 1L, 1L, 2L))
@@ -854,6 +859,22 @@ class TextOpsSpec extends SparkTestBase {
     val p = TextOps.gopherQuality(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("gopherQuality: mean token length subtracts ALL whitespace, not just spaces (r20)") {
+    // newline-separated 5-char words: a space-only subtraction counted
+    // each '\n' as token length (mean 6.0) and pushed long-word docs
+    // past the maxMeanTokenLen band that should pass
+    val nl = (1 to 60).map(_ => "abcde").mkString("\n")
+    val sp = (1 to 60).map(_ => "abcde").mkString(" ")
+    val got = TextOps.gopherQuality(
+      Seq((1L, "the and " + nl), (2L, "the and " + sp)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got(2L),
+      s"newline- and space-separated docs must measure the same: $got")
+    // 62 tokens: the+and (3+3 chars) + 60×5 — mean = 306/62
+    assert(math.abs(got(1L) - 306.0 / 62.0) < 1e-12, got(1L).toString)
   }
 
   test("mixRebalance: rates downsample to target shares, never upsample, default to 1.0") {
