@@ -101,12 +101,28 @@ object JdbcMerge {
 
     def guardedCreate: Boolean = true
 
+    /** Key-column type: SQL Server rejects MAX-typed columns in any
+      * index key (900-byte limit), so a string/binary PRIMARY KEY gets
+      * the largest indexable size instead — NVARCHAR(450) = 900 bytes,
+      * VARBINARY(900). Without this, auto-create failed for EVERY
+      * string-keyed table ("invalid for use as a key column"), which
+      * the offline Derby dialect (sized VARCHAR) concealed (r20 review
+      * finding). Non-key columns keep MAX. */
+    private def keySqlType(dt: DataType): String = dt match {
+      case StringType => "NVARCHAR(450)"
+      case BinaryType => "VARBINARY(900)"
+      case other      => sqlType(other)
+    }
+
     def createTableSql(cfg: Config, schema: StructType): String = {
       val cols = schema.fields
         .map { f =>
           val nullability =
             if (cfg.keyCols.contains(f.name) || !f.nullable) " NOT NULL" else ""
-          s"${quoteId(f.name)} ${sqlType(f.dataType)}$nullability"
+          val tpe =
+            if (cfg.keyCols.contains(f.name)) keySqlType(f.dataType)
+            else sqlType(f.dataType)
+          s"${quoteId(f.name)} $tpe$nullability"
         }
         .mkString(", ")
       val pk = s", PRIMARY KEY (${cfg.keyCols.map(quoteId).mkString(", ")})"
@@ -276,7 +292,26 @@ object JdbcMerge {
     val rs = md.getColumns(null, schemaPattern, literal(parts.last), null)
     try {
       val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (rs.next()) out += ((rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME")))
+      while (rs.next()) {
+        val raw = rs.getString("TYPE_NAME")
+        // DECIMAL/NUMERIC TYPE_NAMEs usually omit precision ("DECIMAL"
+        // on Derby and SQL Server): compose "(p,s)" from the metadata
+        // columns so evolution can SEE a precision/scale change — a
+        // silent narrowing previously slipped the additive-only gate
+        // and failed rows deep inside MERGE tasks instead (r20 review
+        // finding). Decorations ("decimal identity") keep their tail.
+        val base = raw.takeWhile(_ != '(').trim
+          .split("\\s+").head.toUpperCase(java.util.Locale.ROOT)
+        val composed =
+          if ((base == "DECIMAL" || base == "NUMERIC") && !raw.contains("(")) {
+            val p = rs.getInt("COLUMN_SIZE")
+            val s = rs.getInt("DECIMAL_DIGITS")
+            val halves = raw.trim.split("\\s+", 2)
+            halves(0) + s"($p,$s)" +
+              (if (halves.length > 1) " " + halves(1) else "")
+          } else raw
+        out += ((rs.getString("COLUMN_NAME"), composed))
+      }
       out.toSeq
     } finally rs.close()
   }
@@ -307,6 +342,18 @@ object JdbcMerge {
     // "NVARCHAR(MAX)"
     def baseType(t: String): String =
       t.takeWhile(_ != '(').trim.split("\\s+").head.toUpperCase(Locale.ROOT)
+    // the parenthesized (p,s) pair, when a type string carries one —
+    // tableColumns composes it for live DECIMAL/NUMERIC columns
+    def spec(t: String): Option[(Int, Int)] = {
+      val i = t.indexOf('(')
+      val j = t.indexOf(')', i)
+      if (i < 0 || j < 0) None
+      else {
+        val inner = t.substring(i + 1, j).split(",").map(_.trim)
+        try Some((inner(0).toInt, if (inner.length > 1) inner(1).toInt else 0))
+        catch { case _: NumberFormatException => None }
+      }
+    }
     schema.fields.toSeq.flatMap { f =>
       byName.get(f.name.toUpperCase(Locale.ROOT)) match {
         case Some(have) =>
@@ -315,6 +362,21 @@ object JdbcMerge {
             throw new IllegalArgumentException(
               s"auto.evolve cannot change column '${f.name}' of ${cfg.table} " +
                 s"from $have to $want — evolution is additive only")
+          // a DECIMAL precision/scale change is a type change too: with
+          // only the base token compared, a widening to (20,4) over a
+          // live (10,2) passed silently and overflowed at MERGE time
+          // inside partition tasks (r20 review finding). Checked when
+          // both sides expose a spec; a live name without one stays
+          // base-only, as before.
+          if (baseType(want) == "DECIMAL" || baseType(want) == "NUMERIC")
+            (spec(have), spec(want)) match {
+              case (Some(h), Some(w)) if h != w =>
+                throw new IllegalArgumentException(
+                  s"auto.evolve cannot change column '${f.name}' of ${cfg.table} " +
+                    s"from $have to $want — evolution is additive only " +
+                    "(precision/scale change)")
+              case _ => ()
+            }
           None
         case None =>
           if (!f.nullable)

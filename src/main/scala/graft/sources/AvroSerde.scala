@@ -97,6 +97,14 @@ object AvroSerde {
           .unscaledValue().toByteArray)
     case (bd: BigDecimal, d: DecimalType) =>
       toAvroValue(bd.bigDecimal, d, schema)
+    // Short/Byte widen to Avro INT on the wire (avroSchema maps both to
+    // INT — Avro has no narrower int), so the producer-side value must
+    // box as Integer or the GenericDatumWriter dies on the Short/Byte
+    // box (r20 review finding — the ReplicationPipeline path dodged
+    // this by normalizing declarations; the public entry points must
+    // not require that)
+    case (s: java.lang.Short, ShortType) => java.lang.Integer.valueOf(s.intValue())
+    case (b: java.lang.Byte, ByteType) => java.lang.Integer.valueOf(b.intValue())
     case (x, _) => x
   }
 
@@ -126,6 +134,13 @@ object AvroSerde {
     case (bb: java.nio.ByteBuffer, d: DecimalType) =>
       val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
       new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)
+    // the wire carries Avro INT for Short/ByteType fields (no narrower
+    // Avro int exists): narrow the decoded Integer back to the declared
+    // Catalyst type, or the first downstream getShort()/getByte() throws
+    // ClassCastException per record on the public decode paths
+    // (KafkaWire.avroDecode / decodeEnvelope — r20 review finding)
+    case (i: java.lang.Integer, ShortType) => java.lang.Short.valueOf(i.shortValue())
+    case (i: java.lang.Integer, ByteType) => java.lang.Byte.valueOf(i.byteValue())
     case (x, _) => x
   }
 

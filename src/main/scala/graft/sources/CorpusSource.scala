@@ -52,11 +52,16 @@ object CorpusSource {
       schema: StructType): (DataFrame, DataFrame) = {
     val parser = parseJsonl(col("value"), schema) // validates schema first
     val parsed = spark.read.text(path).withColumn("__p", parser)
+    // a blank line or a literal `null` line parses to a NULL STRUCT —
+    // whose corrupt-marker field is NULL too, so the marker test alone
+    // routed them to `good` as phantom all-NULL documents instead of
+    // quarantine (r20 review finding); a row is good only when it
+    // actually PARSED
     val good = parsed
-      .filter(col("__p.__graft_corrupt").isNull)
+      .filter(col("__p").isNotNull && col("__p.__graft_corrupt").isNull)
       .select(schema.fieldNames.map(f => col(s"__p.$f")).toSeq: _*)
     val quarantine = parsed
-      .filter(col("__p.__graft_corrupt").isNotNull)
+      .filter(col("__p").isNull || col("__p.__graft_corrupt").isNotNull)
       .select(col("value").as("raw"))
     (good, quarantine)
   }
@@ -76,6 +81,9 @@ object CorpusSource {
     val fields = schema.fieldNames.map(f => col(s"__p.$f")).toSeq
     parsed.select(
       fields :+
-        when(col("__p.__graft_corrupt").isNotNull, col("value")).as("quarantined_raw"): _*)
+        // NULL-struct rows (blank / literal-null lines) quarantine like
+        // syntactically broken ones — same routing as readJsonl (r20)
+        when(col("__p").isNull || col("__p.__graft_corrupt").isNotNull, col("value"))
+          .as("quarantined_raw"): _*)
   }
 }

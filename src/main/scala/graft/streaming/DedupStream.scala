@@ -27,7 +27,16 @@ object DedupStream {
 
   /** First-arrival row per distinct text, unbounded state. */
   def dedup(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__fp", md5(col(textCol).cast("binary")))
+    dedupBy(df, md5(col(textCol).cast("binary")))
+
+  /** [[dedup]] with an explicit key expression — for pipelines whose
+    * dedup identity is not the raw bytes (the ingest facade keys on the
+    * whitespace-NORMALIZED fingerprint so its within-stream stage
+    * agrees with its against-history stage and with the batch replay;
+    * r20 review finding: the raw-md5 default silently let 'a b' and
+    * 'a  b' both through a pipeline whose batch flavor keeps one). */
+  def dedupBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("__fp", key)
       .dropDuplicates("__fp")
       .drop("__fp")
 

@@ -47,6 +47,13 @@ object GapAlertStream {
     // EventTimeTimeout refuses the plan) — micros conversion happens
     // inside the fold instead
     val keyed = stream
+      // a NULL key or NULL timestamp is not a heartbeat: unguarded, a
+      // null key dies in the primitive-Long tuple encoder and a null ts
+      // (which the watermark late-filter KEEPS — its predicate is NULL)
+      // NPEs in the micros conversion, killing the query into a
+      // checkpoint-restart crash loop on the same poison row (r20
+      // review finding; DriftStream/GapFillStream already guard)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("__hb_ts"))
       .withWatermark("__hb_ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]

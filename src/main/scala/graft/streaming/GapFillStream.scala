@@ -68,7 +68,11 @@ object GapFillStream {
     // (a derived Long drops the event-time metadata — GapAlertStream's
     // lesson); micros conversion happens inside the fold
     val keyed = stream
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      // seq/value guarded too: they decode into non-nullable primitive
+      // tuple fields, so one NULL row killed the query into a
+      // checkpoint-restart crash loop (r20 review finding)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(seqCol).isNotNull && col(valueCol).isNotNull)
       .select(
         col(keyCol).cast("long").as("key"),
         col(tsCol).as("__ts"),

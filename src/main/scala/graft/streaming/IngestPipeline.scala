@@ -174,16 +174,25 @@ object IngestPipeline {
       .select(col("__redacted").as(cfg.textCol))
 
   def batch(incoming: DataFrame, history: DataFrame, cfg: Config): DataFrame = {
+    // partitionBy carry columns survive the dedup (each carried from
+    // the kept lowest-id row — the same row the text comes from) and
+    // ride into the chunks exactly like run()'s: the batch flavor
+    // previously dropped them at the groupBy, so a partitioned corpus
+    // could not be backfilled batch-equivalently (r20 review finding)
+    val carry = cfg.partitionBy
+    val aggs =
+      graft.functions.LatestRow
+        .earliestRow(col(cfg.textCol), col(cfg.idCol)).as(cfg.textCol) +:
+        carry.map(c => graft.functions.LatestRow
+          .earliestRow(col(c), col(cfg.idCol)).as(c))
     val fresh = TextOps
       .dedupAgainst(comparableHistory(history, cfg), gate(incoming, cfg), cfg.textCol)
       .groupBy(TextOps.fingerprint(col(cfg.textCol)).as("__fp"))
-      .agg(
-        min(col(cfg.idCol)).as(cfg.idCol),
-        graft.functions.LatestRow
-          .earliestRow(col(cfg.textCol), col(cfg.idCol)).as(cfg.textCol))
-      .select(col(cfg.idCol), col(cfg.textCol))
+      .agg(min(col(cfg.idCol)).as(cfg.idCol), aggs: _*)
+      .select((cfg.idCol +: cfg.textCol +: carry).map(col): _*)
     TextOps.chunk(
-      fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride)
+      fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride,
+      carryCols = carry)
   }
 
   /** Start the pipeline on an arriving document stream; `history` is the
@@ -191,9 +200,13 @@ object IngestPipeline {
     * `(idCol, chunk_ix, chunk_text, n_tokens)`. */
   def run(stream: DataFrame, history: DataFrame, cfg: Config): StreamingQuery = {
     val gated = gate(stream, cfg)
-    val fresh = DedupStream.dedup(
+    // within-stream dedup keys on the NORMALIZED fingerprint, exactly
+    // like the against-history stage and the batch replay — the raw-md5
+    // key let whitespace variants of one doc both ship (r20 review
+    // finding; batch() keeps one, so stream==batch demanded this)
+    val fresh = DedupStream.dedupBy(
       DedupStream.dedupAgainstHistory(gated, comparableHistory(history, cfg), cfg.textCol),
-      cfg.textCol)
+      TextOps.fingerprint(col(cfg.textCol)))
     val chunks = TextOps.chunk(
       fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride,
       carryCols = cfg.partitionBy)

@@ -61,6 +61,14 @@ object NearDupStream {
     import df.sparkSession.implicits._
     val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
     df
+      // a NULL id dies in BandedDoc's primitive-Long encoder, and a
+      // NULL event time (which the watermark late-filter KEEPS — its
+      // predicate is NULL) NPEs at d.ts.getTime inside the state fold,
+      // crash-looping the query on the same poison row from the
+      // checkpoint (r20 review finding). A doc without identity or —
+      // on the watermarked flavor — without event time is not data.
+      .filter(col(idCol).isNotNull &&
+        tsCol.map(c => col(c).isNotNull).getOrElse(lit(true)))
       .select(col(idCol).as("id"),
         graft.ops.NearDup.shingles(col(textCol), k).as("__sh"), ts.as("ts"))
       .filter(size(col("__sh")) > 0)

@@ -304,17 +304,23 @@ object ReplicationPipeline {
       val dt: DataType = keyType(keyType.fieldIndex(k)).dataType
       val scalar = dt match {
         case StringType | BooleanType | ByteType | ShortType | IntegerType |
-             LongType | FloatType | DoubleType | DateType | TimestampType |
-             TimestampNTZType => true
+             LongType | DateType | TimestampType | TimestampNTZType => true
         case _: DecimalType => true
+        // Float/Double are deliberately OUT (r20 review finding): their
+        // toString IS value-based per instance, but Spark's grouping
+        // normalizes -0.0 == 0.0 (and NaN == NaN) while String.valueOf
+        // distinguishes them — the batch replay (groupBy on the real
+        // column) and the stream (stringified state key) would key the
+        // same logical row differently, forking its history
         case _ => false
       }
       require(scalar,
-        s"replication: key field '$k' has non-scalar type ${dt.sql} — the changelog " +
+        s"replication: key field '$k' has inadmissible type ${dt.sql} — the changelog " +
           "state key stringifies each component, which is identity-based (not " +
-          "value-based) for binary/array/map/struct, so equal keys would land in " +
-          "different state rows and fork the row's history. Key the pipeline by " +
-          "scalar (numeric/string/date/timestamp) fields only.")
+          "value-based) for binary/array/map/struct and disagrees with SQL grouping " +
+          "semantics for float/double (-0.0 vs 0.0, NaN), so equal keys would land " +
+          "in different state rows and fork the row's history. Key the pipeline by " +
+          "integral/string/decimal/date/timestamp fields only.")
     }
 
   /** Build the per-row changelog state-key extractor, failing LOUDLY on

@@ -67,7 +67,11 @@ object RollingStream {
     require(windowNs % 1000L == 0, s"windowNs must be whole micros: $windowNs")
     import stream.sparkSession.implicits._
     val keyed = stream
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      // seq guarded too: it decodes into a non-nullable primitive tuple
+      // field (value already rides Option), so one NULL-seq row killed
+      // the query into a restart crash loop (r20 review finding)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(seqCol).isNotNull)
       .select(
         col(keyCol).cast("long").as("key"),
         col(tsCol).as("__ts"),

@@ -117,6 +117,32 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(decoded(42L) == "title-42")
   }
 
+  test("Short/Byte fields round-trip through the Avro-INT wire form (r20)") {
+    // Avro has no sub-int integer, so Short/Byte widen to INT on the
+    // wire; the UN-normalized public decode path must narrow the
+    // decoded Integer back to the declared Catalyst type — previously
+    // the first downstream getShort()/getByte() threw
+    // ClassCastException per record (the replication facade dodged it
+    // by normalizing declarations; KafkaWire.decodeEnvelope callers
+    // with a SMALLINT PK did not)
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.ShortType, nullable = false),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ByteType, nullable = true)))
+    val schema = AvroSerde.avroSchema(st)
+    val r = Row(12345.toShort, 42.toByte)
+    val back = AvroSerde.fromBytes(AvroSerde.toBytes(r, st, schema), st, schema)
+    assert(back == r)
+    assert(back.get(0).isInstanceOf[java.lang.Short] &&
+      back.get(1).isInstanceOf[java.lang.Byte],
+      s"decoded boxes must match the declared types: ${back.get(0).getClass}")
+    // null sub-int fields stay null
+    assert(AvroSerde.fromBytes(
+      AvroSerde.toBytes(Row(1.toShort, null), st, schema), st, schema) ==
+      Row(1.toShort, null))
+  }
+
   test("unsupported types fail loudly, not silently") {
     val bad = StructType(Seq(StructField("m", MapType(StringType, StringType))))
     intercept[IllegalArgumentException](AvroSerde.avroSchema(bad))

@@ -39,6 +39,40 @@ class CorpusSourceSpec extends SparkTestBase {
     assert(good.count() + quarantine.count() == lines.length.toLong)
   }
 
+  test("blank and literal-null lines QUARANTINE, never become phantom all-NULL docs (r20)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-blank")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "real doc", "lang": "en"}""",
+      "",      // blank line: from_json('') yields a NULL struct
+      "null",  // literal JSON null: NULL struct too
+      """{"doc_id": 2, "text": "another", "lang": "de"}""")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val (good, quarantine) = CorpusSource.readJsonl(spark, dir.toString, schema)
+    // the NULL struct's corrupt-marker field is NULL, so a marker-only
+    // test routed these to `good` as all-NULL rows
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "only rows that actually PARSED are good")
+    assert(quarantine.collect().map(_.getString(0)).sorted.toSeq == Seq("", "null"))
+    // the streaming flavor routes identically
+    val streamed = CorpusSource.readJsonlStream(spark, dir.toString, schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jsonl-blank-ck").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Option[Long], Option[String])]()
+    val q = streamed.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (
+            if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            Option(r.getString(r.fieldIndex("quarantined_raw")))))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.count(_._2.isEmpty) == 2, s"two good rows: $got")
+    assert(got.flatMap(_._2).sorted.toSeq == Seq("", "null"), s"two quarantined: $got")
+  }
+
   test("readJsonl rejects a schema that collides with the corrupt marker") {
     val bad = StructType(Seq(StructField("__graft_corrupt", StringType)))
     intercept[IllegalArgumentException] {

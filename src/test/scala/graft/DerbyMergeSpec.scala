@@ -143,6 +143,31 @@ class DerbyMergeSpec extends SparkTestBase {
     }
   }
 
+  test("a DECIMAL precision change rejects against a REAL engine's metadata (r20)") {
+    // Derby's TYPE_NAME for decimals is bare "DECIMAL": tableColumns
+    // must compose the live (p,s) from COLUMN_SIZE/DECIMAL_DIGITS so
+    // the additive-only gate can see a precision change at all
+    val base = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("PRICE", DecimalType(10, 2))))
+    val c = cfg("d_dec_evolve")
+    withConn("d_dec_evolve") { conn =>
+      JdbcMerge.ensureTable(c, base, conn)
+      val live = JdbcMerge.tableColumns(conn, "d_dec_evolve").toMap
+      assert(live("PRICE").toUpperCase.startsWith("DECIMAL(10,2)"), live.toString)
+      // same spec: steady state, no DDL
+      JdbcMerge.ensureTable(c, base, conn)
+      // widened precision: loud driver-side rejection, not a MERGE-time
+      // overflow inside a partition task
+      val widened = StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("PRICE", DecimalType(20, 4))))
+      val e = intercept[IllegalArgumentException](
+        JdbcMerge.ensureTable(c, widened, conn))
+      assert(e.getMessage.contains("precision/scale"), e.getMessage)
+    }
+  }
+
   test("hostile identifiers (reserved words, spaces) survive a real parser") {
     val hostile = StructType(Seq(
       StructField("ORDER", LongType, nullable = false), // reserved word

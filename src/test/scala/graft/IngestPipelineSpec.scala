@@ -106,6 +106,55 @@ class IngestPipelineSpec extends SparkTestBase {
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
   }
 
+  test("whitespace variants collapse in the STREAM like in the batch (r20 parity fix)") {
+    // the stream's within-stream dedup previously keyed on raw md5
+    // while the batch keyed on the normalized fingerprint — 'a b' and
+    // 'a  b' both shipped through run() while batch() kept one
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-ws-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ws-ckpt").toString
+    val cfg = IngestPipeline.Config(
+      outDir = out, checkpointDir = ckpt,
+      minTokens = 2, chunkWindow = 3, chunkStride = 2)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = IngestPipeline.run(input.toDF().toDF("doc_id", "text"), history, cfg)
+    try {
+      input.addData(Seq(
+        (1L, "one two three"),
+        (2L, "one  two   three"))) // whitespace variant of doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).distinct.sorted.toSeq
+    assert(streamed == Seq(1L), s"the variant must collapse in the stream: $streamed")
+    // and equals the batch flavor on the same input
+    val batch = IngestPipeline.batch(
+      Seq((1L, "one two three"), (2L, "one  two   three")).toDF("doc_id", "text"),
+      history, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).distinct.sorted.toSeq
+    assert(batch == streamed)
+  }
+
+  test("batch() carries partitionBy columns like run() (r20 parity fix)") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cfg = IngestPipeline.Config(
+      outDir = "", checkpointDir = "",
+      minTokens = 2, chunkWindow = 3, chunkStride = 3, partitionBy = Seq("lang"))
+    val incoming = Seq(
+      (1L, "uno dos tres", "es"),
+      (2L, "one two three", "en"),
+      (3L, "one  two  three", "en")) // normalized dup of 2: dropped, lang kept from 2
+      .toDF("doc_id", "text", "lang")
+    val got = IngestPipeline.batch(incoming, history, cfg)
+      .select("doc_id", "chunk_text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // previously the groupBy dropped 'lang' entirely, so a partitioned
+    // corpus could not be backfilled batch-equivalently
+    assert(got == Seq(
+      (1L, "uno dos tres", "es"),
+      (2L, "one two three", "en")), got.toString)
+  }
+
   test("optional redact + perplexity gates: scrubbed corpus, PII-dup collapse, atypical docs dropped") {
     val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
     // LM trained on a trusted corpus of ordinary vocabulary

@@ -61,8 +61,12 @@ class JdbcMergeSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET [TITLE] = s.[TITLE] " +
         "WHEN NOT MATCHED THEN INSERT ([TENANT], [ID], [TITLE]) " +
         "VALUES (s.[TENANT], s.[ID], s.[TITLE]);")
+    // the string KEY column gets the largest INDEXABLE size — SQL
+    // Server rejects MAX-typed columns in a PRIMARY KEY (900-byte index
+    // key limit), so NVARCHAR(MAX) there failed auto-create for every
+    // string-keyed table (r20 review finding); non-key strings keep MAX
     assert(JdbcMerge.createTableSql(ccfg, cSchema).endsWith(
-      "([TENANT] NVARCHAR(MAX) NOT NULL, [ID] INT NOT NULL, [TITLE] NVARCHAR(MAX), " +
+      "([TENANT] NVARCHAR(450) NOT NULL, [ID] INT NOT NULL, [TITLE] NVARCHAR(MAX), " +
         "PRIMARY KEY ([TENANT], [ID]))"))
     // bind orders: T-SQL's VALUES row binds schema order; Derby's
     // SYSDUMMY1 idiom binds keys (ON), non-keys (SET), then the full row
@@ -132,6 +136,30 @@ class JdbcMergeSpec extends SparkTestBase {
       JdbcMerge.evolveTableSql(cfg, existing, schema)
     }
     assert(e.getMessage.contains("RATING") && e.getMessage.contains("additive"))
+  }
+
+  test("evolveTableSql rejects DECIMAL precision/scale changes when both sides expose a spec") {
+    // base-token comparison alone let a (20,4) widening over a live
+    // (10,2) pass silently and overflow at MERGE time inside partition
+    // tasks (r20 review finding); tableColumns now composes the live
+    // spec from COLUMN_SIZE/DECIMAL_DIGITS so this check can see it
+    val dSchema = StructType(Seq(
+      StructField("ID", IntegerType, nullable = false),
+      StructField("PRICE", DecimalType(20, 4))))
+    val e = intercept[IllegalArgumentException] {
+      JdbcMerge.evolveTableSql(cfg, Seq(("ID", "int"), ("PRICE", "DECIMAL(10,2)")), dSchema)
+    }
+    assert(e.getMessage.contains("PRICE") && e.getMessage.contains("precision/scale"),
+      e.getMessage)
+    // the SAME spec is steady-state, not a change
+    assert(JdbcMerge.evolveTableSql(
+      cfg, Seq(("ID", "int"), ("PRICE", "DECIMAL(20,4)")), dSchema).isEmpty)
+    // a live name WITHOUT a spec stays base-only checkable, as before
+    assert(JdbcMerge.evolveTableSql(
+      cfg, Seq(("ID", "int"), ("PRICE", "decimal")), dSchema).isEmpty)
+    // decorations keep working alongside the composed spec
+    assert(JdbcMerge.evolveTableSql(
+      cfg, Seq(("ID", "int"), ("PRICE", "DECIMAL(20,4) identity")), dSchema).isEmpty)
   }
 
   test("evolveTableSql rejects adding a NOT NULL column") {

@@ -375,7 +375,7 @@ class ReplicationFacadeSpec extends SparkTestBase {
       col("_2").as("offset"))
     val e = intercept[IllegalArgumentException](ReplicationPipeline.start(
       binEnvelope, cfg("binkey"), () => DerbyDb.connect("d_repl_binkey")))
-    assert(e.getMessage.contains("non-scalar type") && e.getMessage.contains("'id'"),
+    assert(e.getMessage.contains("inadmissible type") && e.getMessage.contains("'id'"),
       e.getMessage)
     // a struct-typed key field fails the same gate (and an ARRAY would
     // too — same non-scalar branch); scalar composite keys are the
@@ -387,7 +387,19 @@ class ReplicationFacadeSpec extends SparkTestBase {
       col("_2").as("offset"))
     val e2 = intercept[IllegalArgumentException](ReplicationPipeline.start(
       structEnvelope, cfg("structkey"), () => DerbyDb.connect("d_repl_structkey")))
-    assert(e2.getMessage.contains("non-scalar type"), e2.getMessage)
+    assert(e2.getMessage.contains("inadmissible type"), e2.getMessage)
+    // float/double keys reject too (r20): SQL grouping normalizes
+    // -0.0 == 0.0 and NaN == NaN, String.valueOf does not — the batch
+    // replay and the stream would key the same logical row differently
+    val dblInput = MemoryStream[(Double, Long)](spark)
+    val dblEnvelope = dblInput.toDF().select(
+      struct(col("_1").as("id")).as("kafka_key"),
+      lit(null).cast(valueType).as("kafka_value"),
+      col("_2").as("offset"))
+    val e3 = intercept[IllegalArgumentException](ReplicationPipeline.start(
+      dblEnvelope, cfg("dblkey"), () => DerbyDb.connect("d_repl_dblkey")))
+    assert(e3.getMessage.contains("inadmissible type") &&
+      e3.getMessage.contains("-0.0"), e3.getMessage)
   }
 
   test("a null-keyed frame fails LOUDLY naming the offset and both heals — never a bare NPE") {

@@ -60,8 +60,10 @@ object ReplicationStateKeyProps extends Properties("ReplicationStateKey") {
         (v: Long) => (java.lang.Boolean.valueOf(v % 2 == 0), java.lang.Boolean.valueOf(v % 2 == 0)),
         (v: Long) => (java.lang.Byte.valueOf(v.toByte), java.lang.Byte.valueOf(v.toByte)),
         (v: Long) => (java.lang.Short.valueOf(v.toShort), java.lang.Short.valueOf(v.toShort)),
-        (v: Long) => (java.lang.Double.valueOf(v * 0.5), java.lang.Double.valueOf(v * 0.5)),
-        (v: Long) => (java.lang.Float.valueOf(v * 0.5f), java.lang.Float.valueOf(v * 0.5f)),
+        // Float/Double are NOT generated: they left the whitelist in r20
+        // (valueOf is value-based per instance, but SQL grouping
+        // normalizes -0.0 == 0.0 / NaN == NaN while valueOf does not,
+        // so the gate rejects them for grouping-semantics mismatch)
         (v: Long) => (new String(v.toString.toCharArray), new String(v.toString.toCharArray)),
         (v: Long) => (java.math.BigDecimal.valueOf(v, 2), java.math.BigDecimal.valueOf(v, 2)),
         (v: Long) => (new java.sql.Date(math.abs(v) % 8000000000000L),
