@@ -39,6 +39,9 @@ private[graft] object Replay {
     // one scan for both tiling parameters
     val stats = base.agg(count(lit(1)), max(col("event_id"))).collect()(0)
     val n = stats.getLong(0)
+    // loud diagnostic instead of an NPE on the null max / a divide by
+    // zero deep inside the forked replay JVM (r20 review finding)
+    require(n > 0, s"replay: events table at $sfDir is empty — nothing to tile")
     val copies = math.max(1L, (1000000L + n - 1) / n)
     val span = stats.getLong(1) + 1
     spark.range(copies).crossJoin(base)
@@ -52,11 +55,7 @@ private[graft] object Replay {
     copies * n
   }
 
-  def wipe(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  def wipe(p: java.nio.file.Path): Unit = FsUtil.rmTree(p.toFile)
 
   /** One timed replay of the persisted log: file streaming source (no
     * maxFilesPerTrigger → ONE micro-batch, the same batch semantics the
@@ -121,15 +120,7 @@ object ReplayBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.configure(spark)
+    val spark = GraftSession.localFromEnv("graft-replay")
     val (events, secs) = Replay.best(spark, sfDir)
     // marker line on stdout is the contract with Bench; println elsewhere
     // in this JVM goes to stderr or is ignored by the parser
@@ -505,14 +496,7 @@ object Bench {
       case other => (other, false)
     }
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.configure(spark)
+    val spark = GraftSession.localFromEnv("graft-bench")
 
     val (replayEvents, replaySecs) = forked.getOrElse {
       try inProcessReplay(spark, sfDir)
@@ -628,17 +612,11 @@ object Bench {
       case r => r
     }
 
-    // escape control chars too — Spark exception messages are multi-line
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def fmt(d: Double) = f"$d%.4f"
+    // shared emit helpers: control-char-safe strings and LOCALE-PINNED
+    // numbers — a comma-decimal default locale made f"%.4f" emit
+    // invalid JSON and corrupt the next round's prior fold (r20)
+    def jstr(s: String) = Json.str(s)
+    def fmt(d: Double) = Json.num(d)
     val best = results.map {
       case (k, Right(ts), _) => (k, ts.min, None: Option[Throwable])
       case (k, Left(e), _)   => (k, -1.0, Some(e))

@@ -46,6 +46,14 @@ object GraftSession {
     spark
   }
 
+  /** The driver entry points' session: core count from SPARK_GRAFT_CPUS
+    * (default 4 — the driver's harness size), shuffle partitions sized
+    * to it, UTC, no UI, WARN logs, and [[configure]] applied. ONE
+    * builder for Verify/Bench/ReplayBench so the three cannot drift
+    * (r20 review finding: each hand-rolled the same five lines). */
+  def localFromEnv(appName: String): SparkSession =
+    local(appName, sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+
   /** Local session for tests / ad-hoc runs. */
   def local(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = SparkSession

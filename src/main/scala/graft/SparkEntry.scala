@@ -42,13 +42,8 @@ object SparkEntry {
     * bucketed-layout tables): nothing accumulates in /tmp across runs. */
   private def tempDirCleanedAtExit(prefix: String): String = {
     val path = java.nio.file.Files.createTempDirectory(prefix).toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(path))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      FsUtil.rmTree(new java.io.File(path))))
     path
   }
 
@@ -74,7 +69,21 @@ object SparkEntry {
   private val bucketedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def bucketedFor(s: SparkSession, dir: String): (String, String) =
+  private def bucketedFor(s: SparkSession, dir: String): (String, String) = {
+    val cached = bucketedCompute(s, dir)
+    // REVALIDATE against this session's catalog: unlike the sibling
+    // caches (which store on-disk paths), this one stores CATALOG
+    // names, and a fresh SparkContext in the same JVM starts with an
+    // empty catalog — stale names would fail the join with
+    // TABLE_OR_VIEW_NOT_FOUND (r20 review finding)
+    if (s.catalog.tableExists(cached._1) && s.catalog.tableExists(cached._2)) cached
+    else {
+      bucketedTables.remove(dir)
+      bucketedCompute(s, dir)
+    }
+  }
+
+  private def bucketedCompute(s: SparkSession, dir: String): (String, String) =
     bucketedTables.computeIfAbsent(dir, { d =>
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -66,11 +66,6 @@ object Tables {
   def withTsMicros(df: DataFrame): DataFrame =
     df.withColumn("ts_us", graft.ops.Windowing.floorDiv(col("ts_ns"), 1000L))
 
-  /** `ts_ns` as a proper TimestampType column (micros, floor-truncated)
-    * for window / date functions. */
-  def tsColumn(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-
   /** Deterministic binary-media fixture: hand-crafted container headers
     * (the minimal real bytes each parser reads) with their EXPECTED
     * dimensions stored alongside, so the media_dims kernel is checkable
@@ -112,15 +107,16 @@ object Tables {
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
-        case mine(p) if p.toLong != pid && f.lastModified() < cutoff && {
-              val h = ProcessHandle.of(p.toLong)
+        // toLongOption + the orElse(false): a malformed sibling name
+        // (pid digits overflowing Long) previously threw inside this
+        // STATIC initializer and killed every query in the JVM with
+        // ExceptionInInitializerError (r20 review finding) — an alien
+        // directory is simply not ours to prune
+        case mine(p) if p.toLongOption.exists(pl => pl != pid && {
+              val h = ProcessHandle.of(pl)
               !(h.isPresent && h.get.isAlive)
-            } =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(): Unit
-          }
-          rm(f)
+            }) && f.lastModified() < cutoff =>
+          FsUtil.rmTree(f)
         case _ =>
       }
     }

@@ -219,4 +219,18 @@ class BenchGuardSpec extends AnyFunSuite {
     // no prior (new query / disabled guard): never trips
     assert(!Bench.crossRoundRegressed("q_a", None, 99.0, 1.5))
   }
+
+  test("artifact numbers are locale-pinned JSON (comma-decimal default must not corrupt)") {
+    // f"%.4f" under a de/fr default locale emitted 0,1234 — invalid
+    // JSON that failed the driver's parse and mis-fed the next round's
+    // prior fold (r20 review finding); Json.num pins Locale.ROOT
+    val old = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      assert(Json.num(0.1234) == "0.1234", Json.num(0.1234))
+      assert(Json.num(-7.5) == "-7.5000")
+      // and the string escaper survives control chars in any locale
+      assert(Json.str("a\tb") == "\"a\\tb\\u0001\"")
+    } finally java.util.Locale.setDefault(old)
+  }
 }

@@ -14,6 +14,13 @@ package graft
   */
 class VerifySpec extends SparkTestBase {
 
+  test("wrong arity names the usage instead of a bare MatchError (r20)") {
+    val e = intercept[RuntimeException](Verify.main(Array("/only/one/arg")))
+    assert(e.getMessage.contains("usage: graft.Verify"), e.getMessage)
+    val e0 = intercept[RuntimeException](Verify.main(Array.empty))
+    assert(e0.getMessage.contains("usage"), e0.getMessage)
+  }
+
   test("a bad data dir skips every query but still writes a parseable oracle_sql.json") {
     val out = java.nio.file.Files.createTempDirectory("graft-verify-bad").toString
     val errBuf = new java.io.ByteArrayOutputStream()
