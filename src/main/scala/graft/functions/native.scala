@@ -960,7 +960,38 @@ case class BloomMightContain(child: Expression, bloomBytes: BloomBytes)
 }
 
 /** Column-API entry points for the native expressions. */
+/** Exact `CAST(double AS DECIMAL(38,6))` with the non-finite guard
+  * folded in (NULL for NaN/±Inf) — the compiled per-row stage of
+  * [[graft.ops.Relational.exactSum]]. See [[DecimalKernels]] for the
+  * equality proof against Cast; DecimalKernelProps pins it. Declared
+  * input is DOUBLE: integral columns coerce to double first, so the
+  * exactSum contract is "exact sum of double values" (a long column
+  * wider than 2⁵³ should be cast to decimal directly, not summed via
+  * this kernel). */
+case class ExactDecimal6(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DecimalType(38, 6)
+  override def nullable: Boolean = true
+  override def prettyName: String = "exact_decimal6"
+  protected override def nullSafeEval(input: Any): Any =
+    DecimalKernels.doubleToDecimal6(input.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // defineCodeGen assumes a non-null result; this kernel is NULL on
+    // NaN/Inf, so emit the null re-check by hand
+    val f = "graft.functions.DecimalKernels.doubleToDecimal6"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $f($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+  protected override def withNewChildInternal(newChild: Expression): ExactDecimal6 =
+    copy(child = newChild)
+}
+
 object native {
+
+  def exactDecimal6(c: Column): Column =
+    ColumnBridge.column(ExactDecimal6(ColumnBridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -246,17 +246,18 @@ object Relational {
 
   /** Verification harness for the [[profileApprox]] swap-in: exact
     * stats plus `distinct_ok` — the HLL++ estimate must land within
-    * `tol` of the exact distinct count. Deliberately TWO aggregate
-    * scans joined on col_name, NOT one combined aggregate: under
-    * Spark's multi-distinct rewrite the first stage groups by the
-    * distinct-column TUPLES, and every non-distinct aggregate —
+    * `tol` of the exact distinct count. The sketches live in their own
+    * zero-key aggregate, NEVER inside a multi-distinct aggregate: under
+    * Spark's multi-distinct rewrite every non-distinct aggregate —
     * including each column's HLL sketch (thousands of buffer words at
-    * rsd 1%) — is instantiated PER TUPLE GROUP, so the combined form
-    * materializes |distinct tuples| × |cols| full sketch buffers and
-    * exchanges them (measured ~160 s vs ~4 s at sf0.1; the plan shows
-    * the partial aggregate keyed on all four columns with ~6.5K buffer
-    * fields per group). Two scans keep the sketches in exactly one
-    * zero-key aggregate each. */
+    * rsd 1%) — is instantiated PER DISTINCT-TUPLE GROUP, so that
+    * combined form materializes |distinct tuples| × |cols| full sketch
+    * buffers and exchanges them (measured ~160 s vs ~4 s at sf0.1).
+    * Since r21 the exact side shares [[profile]]'s split shape (one
+    * stats aggregate + per-column distinct aggregates) and the basic
+    * stats are computed ONCE — the previous form ran the full exact
+    * AND full approx profiles and joined them, paying every decimal
+    * sum twice (4.65 s → ~1.3 s at sf0.1/32 cores). */
   def profileApproxChecked(
       df: DataFrame,
       cols: Seq[String],
@@ -264,15 +265,40 @@ object Relational {
       tol: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profileApproxChecked needs at least one column")
     require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
-    val approx = profileApprox(df, cols, rsd)
-    val exact = profile(df, cols).select(col("col_name"), col("n_distinct"))
-    approx
-      .join(exact, "col_name")
-      .select(
-        col("col_name"), col("n"), col("n_nulls"),
-        col("min_val"), col("max_val"), col("sum_val"),
-        (abs(col("n_distinct_approx") - col("n_distinct"))
-          <= col("n_distinct").cast("double") * lit(tol)).as("distinct_ok"))
+    // r21: the basic stats (n / nulls / min / max / exact sum) compute
+    // ONCE — the pre-r21 form ran the full exact profile AND the full
+    // approx profile and joined them, paying every decimal sum twice
+    // (measured 4.65 s → ~1.2 s at sf0.1/32 cores). Each column's
+    // distinct set feeds BOTH the exact count and the HLL++ sketch in
+    // one aggregate: the sketch's registers are max-folds of value
+    // hashes, so duplicates are no-ops and the estimate over distinct
+    // values is BIT-IDENTICAL to the estimate over all rows — while
+    // the rsd-1% sketch's ~1.6K-word buffer update (measured 2.5 s
+    // over all rows vs 0.24 s for every other stat combined) now runs
+    // on |distinct| rows only. profileApprox (the swap-in itself) keeps
+    // its one-pass shape: at 100 TB a second pass is the scan cost the
+    // sketch exists to avoid; this harness is the sf-sized yardstick.
+    val one = cols.foldLeft(profileStatsAgg(df, cols)) { (acc, c) =>
+      acc.crossJoin(
+        df.select(col(c)).where(col(c).isNotNull).distinct()
+          .agg(
+            count(lit(1)).as(s"${c}__distinct"),
+            approx_count_distinct(col(c), rsd).as(s"${c}__approx")))
+    }
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"),
+        col(s"${c}__sum").as("sum_val"),
+        (abs(col(s"${c}__approx") - col(s"${c}__distinct"))
+          <= col(s"${c}__distinct").cast("double") * lit(tol)).as("distinct_ok"))
+    }
+    one
+      .select(explode(array(perCol: _*)).as("p"))
+      .select(col("p.*"))
       .orderBy(col("col_name"))
   }
 
@@ -398,10 +424,14 @@ object Relational {
     * sink-side `behavior.on.null.values=ignore` posture of the reference
     * (start-sink-connector.sh:81) and is a no-op on finite data.
     */
-  def exactSum(c: Column): Column = {
-    val finite = when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity), c)
-    sum(finite.cast("decimal(38,6)"))
-  }
+  def exactSum(c: Column): Column =
+    // the CASE WHEN + CAST formulation this replaced spent ~70% of the
+    // aggregate's time inside Cast's Double.toString/BigDecimal.valueOf
+    // per-row route (r21 measurement: 0.70 s vs 0.19 s plain-double for
+    // four sums over sf0.1 lineitem); the compiled kernel produces the
+    // identical decimal (DecimalKernelProps) with the non-finite→NULL
+    // guard folded in
+    sum(graft.functions.native.exactDecimal6(c))
 
   /** [[exactSum]] emitted as DOUBLE: the accumulation stays exact and
     * order-independent, but the *output* column is a canonically-hashable
@@ -427,41 +457,56 @@ object Relational {
     * count, min/max (as DOUBLE), and the exact decimal-accumulated sum
     * ([[exactSumDouble]] — order-independent, so engines agree).
     *
-    * One scan: every column's aggregates compute in a single agg (Spark
-    * plans the multi-distinct via Expand — row volume ×|cols|, the
-    * honest cost of exact distinct counts; swap to approx_count_distinct
-    * when profiling at 100 TB if ±2% is acceptable), then the one-row
-    * result unpivots driver-side to (col_name, stats) rows — output is
-    * ∝ columns, never data.
-    *
-    * Measured (ScaleProbe, sf0.1 ×8 tiling): the exact multi-distinct
-    * Expand cost is the fleet's heaviest-growth row — 2.82 at ×8 on
-    * the r10 run, 7.30 (just under the 8.0 linear ceiling) on the r13
-    * full-surface quiet run; [[profileApprox]] is the declared,
-    * oracle-gated 100 TB swap-in. Second octave (graft.Scale64,
-    * ×8 → ×64, r14): 4.53 where linear is 8.0 — clearly sub-linear,
-    * so the ×1 → ×8 figure was per-job overhead amortizing, not a
-    * growth power; the exact path extrapolates safely and the swap-in
-    * remains a latency choice, not a feasibility one. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
-    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    * Plan shape (r21 rewrite): ONE zero-key stats aggregate (count /
+    * nulls / min / max / exact sum — no Expand) cross-joined with one
+    * narrow two-level distinct aggregate PER column (map-side distinct
+    * per partition → exchange of distinct values only → count). The
+    * multi-distinct single-agg form this replaced planned as Expand —
+    * row volume ×(|cols|+1) materialized as 17-field rows through one
+    * hash aggregate keyed on all |cols| value columns at once — and
+    * measured 2.91 s vs 0.84 s for this form at sf0.1/32 cores. The
+    * trade is |cols|+1 column-pruned scans instead of one |cols|-wide
+    * scan (each reads exactly one column's pages, so total bytes read
+    * ≈ 2× the old single scan) against |cols|× less hash-aggregate row
+    * volume on 8-byte keys instead of 40-byte ones; the exchanges carry
+    * the same distinct values either way. Exact distinct counts remain
+    * the honest cost center — [[profileApprox]] is the declared,
+    * oracle-gated 100 TB swap-in (its HLL sketch needs no distinct
+    * exchange at all). Output is ∝ columns, never data. */
+  /** The basic (non-distinct) per-column stats in ONE zero-key
+    * aggregate — shared by [[profile]] and [[profileApproxChecked]] so
+    * the checked harness never pays the scan twice. */
+  private def profileStatsAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         exactSumDouble(col(c)).as(s"${c}__sum"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Each column's EXACT distinct count as its own two-level aggregate
+    * (map-side distinct per partition → exchange of distinct values →
+    * count), cross-joined onto `base` one 1-row frame at a time.
+    * GroupBy normalizes NaN/−0.0 exactly like countDistinct, so the
+    * counts are identical to the multi-distinct plan's. */
+  private def joinExactDistincts(base: DataFrame, df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(
+        df.select(col(c)).where(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).as(s"${c}__distinct")))
+    }
+
+  private def profileUnpivot(one: DataFrame, cols: Seq[String], distinctName: String): DataFrame = {
     val perCol = cols.map { c =>
       struct(
         lit(c).as("col_name"),
         col(s"${c}__n").as("n"),
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__distinct").as(distinctName),
         col(s"${c}__min").as("min_val"),
         col(s"${c}__max").as("max_val"),
         col(s"${c}__sum").as("sum_val"))
@@ -470,6 +515,13 @@ object Relational {
       .select(explode(array(perCol: _*)).as("p"))
       .select(col("p.*"))
       .orderBy(col("col_name"))
+  }
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    profileUnpivot(
+      joinExactDistincts(profileStatsAgg(df, cols), df, cols), cols, "n_distinct")
   }
 
   /** The 100 TB flavor of [[profile]]: identical shape except the exact

@@ -171,17 +171,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), p)
   }
 
-  test("profileApprox is ONE hash-aggregate pass — no Expand, unlike exact profile") {
+  test("profile plans split — no multi-distinct Expand on any profile flavor") {
     val li = Tables.lineitem(spark, sf001)
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
     val exact = graft.ops.Relational.profile(li, cols)
       .queryExecution.executedPlan.toString
     val approx = graft.ops.Relational.profileApprox(li, cols)
       .queryExecution.executedPlan.toString
-    // the exact multi-distinct's honest cost: row volume ×|cols| Expand
-    assert(exact.contains("Expand"), exact)
+    val checked = graft.ops.Relational.profileApproxChecked(li, cols)
+      .queryExecution.executedPlan.toString
+    // r21: the exact multi-distinct's Expand (row volume ×(|cols|+1)
+    // through one wide-keyed aggregate) is gone — each column's exact
+    // distinct count is its own narrow two-level aggregate, so no
+    // profile flavor expands rows at all
+    assert(!exact.contains("Expand"), exact)
+    // one distinct exchange per column, plus nothing else keyed on data
+    assert(exact.linesIterator.count(_.contains("Exchange hashpartitioning")) == cols.size, exact)
     // the sketch keeps the scan flat no matter how many columns profile
     assert(!approx.contains("Expand"), approx)
+    assert(!checked.contains("Expand"), checked)
+    // the checked harness computes the basic stats ONCE: exactly one
+    // zero-key aggregate carries the decimal sums (its partial shows
+    // the exact_decimal6 kernel), not two
+    assert(checked.linesIterator.count(l =>
+      l.contains("partial_sum") && l.contains("exact_decimal6")) == 1, checked)
   }
 
   test("q_bm25_indexed reads only the query terms' posting partitions") {
