@@ -371,12 +371,14 @@ object TextOps {
         }
         .otherwise(lit(unseen))
     }
-    bucketed(df)
+    // scoring input sorted first so the range sampler never re-runs the
+    // gopher feature kernels + CASE-chain score (the unigramLmScore r21
+    // note; bucketed's NULL filter pushes below the sort)
+    bucketed(df.orderBy(col(idCol)))
       .select(
         col("doc_id"),
         round(scoreCols.foldLeft(lit(prior): Column)(_ + _), 6).as("quality_score"))
       .withColumn("quality_pass", col("quality_score") >= 0)
-      .orderBy(col("doc_id"))
   }
 
   /** Trained char-n-gram multinomial Naive-Bayes language ID, evaluated
@@ -487,11 +489,14 @@ object TextOps {
     * projection, zero shuffle at any corpus size. Empty/NULL docs emit
     * no row (no distribution to measure). */
   def charEntropyScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // sorted first so the range sampler never re-runs the entropy kernel
+    // (the unigramLmScore r21 note; the filter pushes below the sort)
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol))
+      .orderBy(col(idCol))
       .select(
         col(idCol),
         round(graft.functions.native.charEntropy(col(textCol)), 6).as("entropy"))
-      .orderBy(col(idCol))
 
   /** Tiny n-gram-heuristic language ID over {en,de,fr,es,zh}: CJK codepoint
     * share first, then scored stopword hits. Deterministic, no model file —
@@ -1332,11 +1337,25 @@ object TextOps {
       maxVocab: Int = 65536): DataFrame = {
     val lm = trainUnigramLm(df, textCol, maxVocab)
     val nTok = tokenCount(col(textCol))
+    // SORT FIRST, kernel after (r21): a global orderBy range-partitions
+    // by sampling EVERY child row, so a kernel below the exchange runs
+    // twice — once for the sampler, once for the sort itself (measured
+    // 1.28 s vs 0.80 s here at sf0.1/32 cores). Ordering the narrow
+    // (id, text) frame and projecting the kernel columns ABOVE the sort
+    // runs the O(tokens) fold exactly once; the exchange then carries
+    // text instead of three doubles — at 100 TB that trades one full
+    // kernel+scan pass for ~1 scan-equivalent of extra shuffle bytes,
+    // about a wash there and a clear CPU win, while the determinism
+    // sort itself is an oracle-comparability cost no real deployment
+    // pays. Project preserves the sort's total order (unique ids).
+    //
     // staged projection (the quantizeInt8 discipline): avg_nll's
     // O(tokens) kernel fold runs ONCE per row — deriving ppl from the
     // staged column, not a second kernel call (r20 review finding)
-    df.select(
-        col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"), col(textCol))
+      .orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
         lm.avgNll(col(textCol)).as("avg_nll"))
       .select(
@@ -1347,7 +1366,6 @@ object TextOps {
         // yardstick, the derived convenience column is pinned to a
         // precision both engines compute identically
         round(exp(col("avg_nll")), 6).as("ppl"))
-      .orderBy(col("doc_id"))
   }
 
   /** A trained Laplace-smoothed unigram model — a plain value, so it can
@@ -1439,15 +1457,18 @@ object TextOps {
       lambda: Double = 0.75): DataFrame = {
     val lm = trainBigramLm(df, textCol, maxVocab, maxBigrams, lambda)
     val nTok = tokenCount(col(textCol))
-    // staged like unigramLmScore: one bigram_nll fold per row
-    df.select(
-        col(idCol).as("doc_id"),
+    // staged like unigramLmScore: one bigram_nll fold per row, and
+    // SORTED FIRST so the range sampler never re-runs the fold (the
+    // unigramLmScore r21 note)
+    df.select(col(idCol).as("doc_id"), col(textCol))
+      .orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
         nTok.cast("bigint").as("n_tokens"),
         lm.avgNll(col(textCol)).as("avg_nll"))
       .select(
         col("doc_id"), col("n_tokens"), col("avg_nll"),
         round(exp(col("avg_nll")), 6).as("ppl"))
-      .orderBy(col("doc_id"))
   }
 
   /** One-pass unigram training: map-side-combined term counts, head
@@ -1507,15 +1528,18 @@ object TextOps {
     val target = trainUnigramLm(df.filter(targetPred), textCol, maxVocab)
     val raw = trainUnigramLm(df, textCol, maxVocab)
     require(target.vsize > 0, "target slice has an empty vocabulary")
-    df.select(
-        col(idCol).as("doc_id"),
+    // sorted first so the range sampler never re-runs the two NLL folds
+    // (the unigramLmScore r21 note)
+    df.select(col(idCol).as("doc_id"), col(textCol))
+      .orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
         tokenCount(col(textCol)).cast("bigint").as("n_tokens"),
         // NULL text folds like the empty doc: weight exactly 0.0 (the
         // kernel null-propagates; coalesce pins the convention so the
         // oracle's coalesced list_sum agrees row-for-row)
         coalesce(raw.nll(col(textCol)) - target.nll(col(textCol)), lit(0.0)).as("weight"))
       .withColumn("kept", col("weight") >= lit(tau))
-      .orderBy(col("doc_id"))
   }
 
   /** One redaction rule: a regex and the typed placeholder that replaces
@@ -1578,13 +1602,16 @@ object TextOps {
     val words = size(split(trim(regexp_replace(col(textCol), "\\s+", " ")), " "))
     val windows = greatest(words - lit(k - 1), lit(0)).cast("bigint")
     val distinct = size(NearDup.shingles(col(textCol), k)).cast("bigint")
-    df.select(
-        col(idCol).as("doc_id"),
+    // sorted first so the range sampler never re-runs the shingle kernel
+    // (the unigramLmScore r21 note)
+    df.select(col(idCol).as("doc_id"), col(textCol))
+      .orderBy(col("doc_id"))
+      .select(
+        col("doc_id"),
         windows.as("n_windows"),
         distinct.as("n_distinct"),
         when(windows > 0,
           (windows - distinct).cast("double") / windows).as("rep_ratio"))
-      .orderBy(col("doc_id"))
   }
 
   /** Top-`k` collocations by pointwise mutual information — word pairs

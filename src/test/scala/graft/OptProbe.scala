@@ -173,3 +173,104 @@ object OptProbe4 {
     spark.stop()
   }
 }
+
+object OptProbe5 {
+  import OptProbe.{time, sf}
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-optprobe5", cores = 32)
+    val docs = Tables.documents(spark, sf)
+    // --- winnow family stages ---
+    time(spark, "winnow_kernel_only") {
+      docs.select(col("doc_id").as("id"),
+        graft.ops.TextOps.winnowFingerprints(col("text"), 8, 4).as("__fp"))
+    }
+    time(spark, "winnow_explode") {
+      docs.select(col("doc_id").as("id"),
+        graft.ops.TextOps.winnowFingerprints(col("text"), 8, 4).as("__fp"))
+        .select(col("id"), explode(col("__fp")).as("f"))
+    }
+    time(spark, "winnow_filtered") {
+      docs.select(col("doc_id").as("id"),
+        graft.ops.TextOps.winnowFingerprints(col("text"), 8, 4).as("__fp"))
+        .select(col("id"), explode(col("__fp")).as("f"))
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("f"))))
+        .filter(col("__df") <= 100)
+    }
+    time(spark, "winnow_pairs_full") {
+      graft.ops.NearDup.winnowPairs(docs, "doc_id", "text")
+    }
+    // --- jaccard family stages ---
+    time(spark, "shingle_hash_kernel") {
+      docs.select(col("doc_id").as("id"),
+        graft.functions.native.shingleHashes(col("text"), 3).as("__h"))
+    }
+    time(spark, "jaccard_candidates") {
+      graft.ops.NearDup.prefixFilterCandidates(docs, "doc_id", "text", 3, 0.8)
+    }
+    time(spark, "jaccard_full") {
+      graft.ops.NearDup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    }
+    spark.stop()
+  }
+}
+
+object OptProbe6 {
+  import OptProbe.{time, sf}
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-optprobe6", cores = 32)
+    val docs = Tables.documents(spark, sf)
+    time(spark, "lm_score_current") {
+      graft.ops.TextOps.unigramLmScore(docs, "doc_id", "text")
+    }
+    time(spark, "lm_score_sort_first") {
+      val lm = graft.ops.TextOps.trainUnigramLm(docs, "text", 65536)
+      val nTok = graft.ops.TextOps.tokenCount(col("text"))
+      val sorted = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      sorted.select(
+          col("doc_id"),
+          nTok.cast("bigint").as("n_tokens"),
+          lm.avgNll(col("text")).as("avg_nll"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+          round(exp(col("avg_nll")), 6).as("ppl"))
+    }
+    // show the sort-first plan to confirm the kernel stays above the exchange
+    val lm = graft.ops.TextOps.trainUnigramLm(docs, "text", 65536)
+    val sorted = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    val plan = sorted.select(col("doc_id"),
+      lm.avgNll(col("text")).as("avg_nll")).queryExecution.executedPlan.toString
+    println("OPTPROBE plan_kernel_above_exchange=" +
+      (plan.indexOf("unigram_nll") < plan.indexOf("Exchange rangepartitioning")))
+    spark.stop()
+  }
+}
+
+object OrderCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-ordercheck", cores = 32)
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def sortedAsc(name: String, keys: Seq[String]): Unit = {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      val keyed = rows.map(r => keys.map(k => r.getAs[Any](k) match {
+        case l: Long => l; case i: Int => i.toLong; case null => Long.MinValue
+      }))
+      val ok = keyed.zip(keyed.drop(1)).forall { case (a, b) =>
+        a.zip(b).foldLeft(0) { case (c, (x, y)) =>
+          if (c != 0) c else java.lang.Long.compare(x, y) } <= 0
+      }
+      println(s"ORDERCHECK $name rows=${rows.length} sorted=$ok")
+    }
+    sortedAsc("q_chunk", Seq("doc_id", "chunk_ix"))
+    sortedAsc("q_quantize", Seq("vec_id", "i"))
+    sortedAsc("q_lm_score", Seq("doc_id"))
+    sortedAsc("q_lm_score2", Seq("doc_id"))
+    sortedAsc("q_dsir", Seq("doc_id"))
+    sortedAsc("q_gopher", Seq("doc_id"))
+    sortedAsc("q_quality", Seq("doc_id"))
+    sortedAsc("q_quality_clf", Seq("doc_id"))
+    sortedAsc("q_entropy", Seq("doc_id"))
+    sortedAsc("q_repetition", Seq("doc_id"))
+    sortedAsc("q_doc_bytes", Seq("doc_id"))
+    spark.stop()
+  }
+}
