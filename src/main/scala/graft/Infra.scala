@@ -34,9 +34,14 @@ private[graft] object Json {
 private[graft] object FsUtil {
 
   /** Recursive delete, tolerant of concurrent removal and of entries
-    * that refuse to die (best-effort temp hygiene, never a crash). */
+    * that refuse to die (best-effort temp hygiene, never a crash).
+    * Directory SYMLINKS are deleted as links, never followed — the
+    * Files.walk-based predecessor didn't follow links, and recursing
+    * through one would wipe the TARGET's contents (r20 advisor
+    * finding). */
   def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
 }

@@ -121,10 +121,12 @@ object Bucketed {
         val want = partnerJoinKeys.map(_.toLowerCase)
         require(have == want,
           s"partner table '$partnerTable' is bucketed by (${spec.bucketColumnNames.mkString(", ")}), " +
-            s"not the join key(s) (${partnerJoinKeys.mkString(", ")}) — matching its bucket " +
-            "COUNT would not co-locate this join (Spark only elides the exchanges when " +
-            "both sides' bucket columns equal their join keys); re-layout the partner " +
-            "on the join key or accept a shuffled join")
+            s"not the join key(s) (${partnerJoinKeys.mkString(", ")}) in that ORDER — matching " +
+            "its bucket COUNT would not co-locate this join (Spark only elides the exchanges " +
+            "when both sides' bucket columns equal their join keys, sequence included: the " +
+            "hash is over the column tuple in bucket-spec order, so the same key set in a " +
+            "different order hashes rows differently); pass partnerJoinKeys in the partner's " +
+            "bucket-column order, re-layout the partner, or accept a shuffled join")
         spec.numBuckets
       case None => throw new IllegalArgumentException(
         s"partner table '$partnerTable' has no bucket spec in the " +

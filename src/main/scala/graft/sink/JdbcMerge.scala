@@ -306,9 +306,17 @@ object JdbcMerge {
           if ((base == "DECIMAL" || base == "NUMERIC") && !raw.contains("(")) {
             val p = rs.getInt("COLUMN_SIZE")
             val s = rs.getInt("DECIMAL_DIGITS")
-            val halves = raw.trim.split("\\s+", 2)
-            halves(0) + s"($p,$s)" +
-              (if (halves.length > 1) " " + halves(1) else "")
+            // JDBC allows a NULL scale (getInt then reads 0): composing
+            // a fabricated (p,0) would spuriously trip the precision/
+            // scale evolution gate against a correct (p,s) schema —
+            // fall back to the raw TYPE_NAME (base-only comparison)
+            // when the driver reports no scale (r20 advisor finding)
+            if (rs.wasNull()) raw
+            else {
+              val halves = raw.trim.split("\\s+", 2)
+              halves(0) + s"($p,$s)" +
+                (if (halves.length > 1) " " + halves(1) else "")
+            }
           } else raw
         out += ((rs.getString("COLUMN_NAME"), composed))
       }
