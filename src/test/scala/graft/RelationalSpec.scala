@@ -378,13 +378,17 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).toSet.intersect(Set(100L, 101L)) == Set(100L, 101L))
   }
 
-  test("madOutliers broadcasts both stats tables back; heavyHitters top-k is TakeOrdered") {
+  test("madOutliers is two in-window median passes, no join; heavyHitters top-k is TakeOrdered") {
     val ev = Tables.events(spark, sf001)
     val madPlan = Relational.madOutliers(ev, "event_type", "event_id", "value")
       .queryExecution.executedPlan.toString
-    // the ≤|groups|-row median/MAD tables must broadcast back, never
-    // re-shuffle the fact side
-    assert(madPlan.contains("BroadcastHashJoin"), madPlan.take(1500))
+    // r21 shape: each median rides its own per-group window sort and is
+    // delivered in-pass (max-when-at-rank over an unbounded frame) —
+    // no aggregate tables, no joins back, the fact side evaluated once
+    assert(!madPlan.contains("Join"), madPlan.take(1500))
+    // exactly two data sorts (values, then deviations) feed the windows
+    // plus the final determinism sort
+    assert(madPlan.linesIterator.count(_.trim.startsWith("+- Sort")) <= 3, madPlan.take(1500))
     val hhPlan = Relational.heavyHitters(ev, "user_id", topK = 20)
       .queryExecution.executedPlan.toString
     // the cut is per-partition top-k + K-row driver merge, not a global
