@@ -400,11 +400,21 @@ object Windowing {
       col("value").isNotNull && !isnan(col("value"))
         && abs(col("value")) < lit(1e20),
       col("value"))
+    // the decimal is STAGED once per row below the window (r21): a
+    // sliding-RANGE frame re-evaluates its aggregate input for every
+    // (row, frame) membership, so an inline CAST ran O(n·w̄) times per
+    // key — as a staged column the frame addition is a field read and
+    // the exact conversion (the exact_decimal6 kernel, == CAST by
+    // DecimalKernelProps) runs O(n). The 1e20 bound keeps its own
+    // `when`: the kernel only folds in the NaN/Inf→NULL guard.
+    val finiteDec = when(abs(col("value")) < lit(1e20),
+      graft.functions.native.exactDecimal6(col("value")))
     df.filter(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
       .select(col(keyCol), col(tsNsCol).cast("long").as("ts_ns"),
         col(seqCol), col(valueCol).cast("double").as("value"))
+      .withColumn("__dec", finiteDec)
       .withColumn("__n", count(finite).over(w))
-      .withColumn("__sum", sum(finite.cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("__sum", sum(col("__dec")).over(w).cast("double"))
       .select(col(keyCol), col("ts_ns"), col(seqCol), col("value"),
         col("__n").as("n_win"), col("__sum").as("sum_win"),
         when(col("__n") > 0, col("__sum") / col("__n")).as("avg_win"))
