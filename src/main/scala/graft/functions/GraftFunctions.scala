@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL registration of the engine's native SCALAR expressions (plus the
   * `latest_row` aggregate), so every literal-parameterized kernel is
@@ -126,7 +126,22 @@ object GraftFunctions {
     },
     "latest_row" -> { args =>
       arity("latest_row", args, 2); LatestRow(args(0), args(1))
+    },
+    "exact_decimal6" -> { args =>
+      arity("exact_decimal6", args, 1); ExactDecimal6(args(0))
+    },
+    "term_freqs" -> { args =>
+      require(args.length >= 2,
+        s"term_freqs expects (text, term...), got ${args.length} arguments")
+      TermFrequencies(args.head, args.tail.map(strArg(_, "term_freqs", "term")))
     })
+
+  private def strArg(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a string literal, got $other")
+  }
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions.GraftFunctions", name)

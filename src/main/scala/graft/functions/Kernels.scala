@@ -35,6 +35,80 @@ object TextKernels {
     }
   }
 
+  /** Token count + exact-match count per query term, ONE tokenize pass
+    * (r21): `out(0)` = token count, `out(i+1)` = occurrences of
+    * `terms(i)`. Replaces the per-term interpreted HOF
+    * `size(filter(toks, _ === t))` in the BM25 scoring projection —
+    * that shape re-split the text and walked the token array once PER
+    * TERM, interpreted, in both the stats scan and the scoring scan.
+    * Parity: counts equal the HOF's on any input (tokenize drops the
+    * empty tokens `split` keeps, but an empty token can never equal a
+    * non-empty query term, and the token COUNT matches
+    * [[graft.ops.TextOps.tokenCount]]'s separator arithmetic). */
+  def termFreqs(text: UTF8String, terms: Array[String]): ArrayData = {
+    val toks = tokenize(text.toString)
+    val out = new Array[Long](terms.length + 1)
+    out(0) = toks.length.toLong
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < terms.length) {
+        if (toks(i) == terms(j)) out(j + 1) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Gopher-rule counts in ONE tokenize pass (r21):
+    * `[n_tokens, n_alpha_tokens, n_distinct_stopword_hits, n_ws_chars]`.
+    * Replaces four sibling regex/HOF columns whose interpreted `filter`
+    * knocked the whole projection out of codegen and re-split the text
+    * per column. Parity contracts (each mirrors the SQL it replaced):
+    * alpha = tokens containing an ASCII letter (`rlike "[a-zA-Z]"`);
+    * stopword hits = DISTINCT stopwords present
+    * (`array_intersect(array_distinct(toks), stops)` semantics — the
+    * stopword list is deduped at expression build); ws chars = count of
+    * `[ \t\n\f\r]` (the 5-char class of the r20 mean_token_len fix —
+    * NOT Java \s, which adds \x0B; tokenization itself keeps \s). */
+  def gopherCounts(text: UTF8String, stopwords: Array[String]): ArrayData = {
+    val s = text.toString
+    val toks = tokenize(s)
+    var alpha = 0L
+    val hit = new Array[Boolean](stopwords.length)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      var j = 0
+      var isAlpha = false
+      val n = tok.length
+      while (j < n && !isAlpha) {
+        val c = tok.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) isAlpha = true
+        j += 1
+      }
+      if (isAlpha) alpha += 1
+      var k = 0
+      while (k < stopwords.length) {
+        if (!hit(k) && tok == stopwords(k)) hit(k) = true
+        k += 1
+      }
+      i += 1
+    }
+    var hits = 0L
+    var k = 0
+    while (k < hit.length) { if (hit(k)) hits += 1; k += 1 }
+    var ws = 0L
+    var p = 0
+    while (p < s.length) {
+      val c = s.charAt(p)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') ws += 1
+      p += 1
+    }
+    new GenericArrayData(Array(toks.length.toLong, alpha, hits, ws))
+  }
+
   /** Distinct word k-shingles in first-occurrence order; empty array for
     * docs shorter than k words. */
   def shingles(text: UTF8String, k: Int): ArrayData = {

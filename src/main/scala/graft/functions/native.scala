@@ -960,6 +960,49 @@ case class BloomMightContain(child: Expression, bloomBytes: BloomBytes)
 }
 
 /** Column-API entry points for the native expressions. */
+/** Token count + per-term exact-match counts in one compiled tokenize
+  * pass — the BM25 scoring projection's per-row stage (see
+  * [[TextKernels.termFreqs]]): `result[0]` is the token count,
+  * `result[i+1]` the count of `terms(i)`. The query-term list ships as
+  * a codegen reference object. */
+case class TermFrequencies(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(terms.nonEmpty, "term_freqs needs at least one term")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_freqs"
+  @transient private lazy val termArr: Array[String] = terms.toArray
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.termFreqs(input.asInstanceOf[UTF8String], termArr)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.termFreqs($c, $ref)")
+  }
+  protected override def withNewChildInternal(newChild: Expression): TermFrequencies =
+    copy(child = newChild)
+}
+
+/** Gopher-rule counts `[n_tokens, n_alpha_tokens, n_stopword_hits,
+  * n_ws_chars]` in one compiled tokenize pass (see
+  * [[TextKernels.gopherCounts]]); the stopword list is DEDUPED here so
+  * the hit count keeps array_intersect's distinct-value semantics. */
+case class GopherCounts(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  require(stopwords.nonEmpty, "gopher_counts needs at least one stopword")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_counts"
+  @transient private lazy val stopArr: Array[String] = stopwords.distinct.toArray
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.gopherCounts(input.asInstanceOf[UTF8String], stopArr)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gopherCounts($c, $ref)")
+  }
+  protected override def withNewChildInternal(newChild: Expression): GopherCounts =
+    copy(child = newChild)
+}
+
 /** Exact `CAST(double AS DECIMAL(38,6))` with the non-finite guard
   * folded in (NULL for NaN/±Inf) — the compiled per-row stage of
   * [[graft.ops.Relational.exactSum]]. See [[DecimalKernels]] for the
@@ -992,6 +1035,12 @@ object native {
 
   def exactDecimal6(c: Column): Column =
     ColumnBridge.column(ExactDecimal6(ColumnBridge.expression(c)))
+
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFrequencies(ColumnBridge.expression(text), terms))
+
+  def gopherCounts(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(GopherCounts(ColumnBridge.expression(text), stopwords))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -51,12 +51,18 @@ object Search {
     require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"terms must be single whitespace-free tokens: $terms")
 
-    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf$i")
-    }
-    val perDoc = df.select(
-      col(idCol) +: TextOps.tokenCount(col(textCol)).cast("double").as("__dl") +: tfCols: _*)
+    // one compiled tokenize pass per row for the doc length AND every
+    // term's tf (r21): the per-term interpreted HOF filter this
+    // replaced re-split the text and walked the token array once per
+    // term in BOTH corpus scans (stats + scoring) — term_freqs returns
+    // [dl, tf0, tf1, ...] in one call (staged alias so CollapseProject
+    // cannot inline the non-cheap kernel into each getItem)
+    val tfk = graft.functions.native.termFreqs(col(textCol), terms)
+    val perDoc = df.select(col(idCol), tfk.as("__tfs"))
+      .select(
+        col(idCol) +: col("__tfs").getItem(0).cast("double").as("__dl") +:
+          terms.indices.map(i =>
+            col("__tfs").getItem(i + 1).cast("double").as(s"__tf$i")): _*)
 
     // ONE row: corpus size, average doc length, per-term doc frequency.
     val statCols =

@@ -266,25 +266,30 @@ object TextOps {
       minAlphaFraction: Double = 0.8): DataFrame = {
     require(requiredStopwords.nonEmpty, "need at least one required stopword")
     val t = col(textCol)
-    val toks = split(trim(regexp_replace(t, "\\s+", " ")), " ")
-    val nTok = tokenCount(t).cast("bigint")
-    val hits = size(array_intersect(
-      array_distinct(toks), array(requiredStopwords.map(lit): _*))).cast("bigint")
-    // ALL whitespace (the RE2-\s ASCII set, matching charClassCounts
-    // class 2), not just ' ': n_tokens splits on every whitespace kind,
-    // so a space-only subtraction inflated mean_token_len on newline/
-    // tab-separated docs past the Gopher band (r20 review finding)
-    val spaces = length(t) - length(regexp_replace(t, "[ \\t\\n\\f\\r]", ""))
+    // ONE compiled tokenize pass for every count (r21): the sibling
+    // regex/HOF columns this replaced re-split the text per column and
+    // the interpreted `filter(toks, rlike)` knocked the whole projection
+    // out of codegen (measured 0.62 s vs ~0.25 s for the same counts at
+    // sf0.1/32 cores). gopher_counts = [n_tokens, n_alpha_tokens,
+    // n_distinct_stopword_hits, n_ws_chars]; the ws-char count keeps the
+    // r20 mean_token_len fix's 5-char class ([ \t\n\f\r], matching
+    // charClassCounts class 2 — n_tokens itself still splits on every
+    // whitespace kind). Staged alias so CollapseProject cannot inline
+    // the non-cheap kernel into each getItem.
+    val gc = graft.functions.native.gopherCounts(t, requiredStopwords)
+    val nTok = col("__gc").getItem(0)
     val meanLen = when(nTok === 0, 0.0)
-      .otherwise((length(t) - spaces).cast("double") / nTok.cast("double"))
-    val alpha = when(nTok === 0, 0.0)
-      .otherwise(size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double")
+      .otherwise((col("__len") - col("__gc").getItem(3)).cast("double")
         / nTok.cast("double"))
-    df.select(
-        col(idCol).as("doc_id"),
+    val alpha = when(nTok === 0, 0.0)
+      .otherwise(col("__gc").getItem(1).cast("double") / nTok.cast("double"))
+    df.select(col(idCol).as("doc_id"), gc.as("__gc"),
+        length(t).cast("bigint").as("__len"))
+      .select(
+        col("doc_id"),
         nTok.as("n_tokens"),
         meanLen.as("mean_token_len"),
-        hits.as("n_stopword_hits"),
+        col("__gc").getItem(2).as("n_stopword_hits"),
         alpha.as("alpha_fraction"))
       .withColumn(
         "gopher_pass",

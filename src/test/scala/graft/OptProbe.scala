@@ -274,3 +274,35 @@ object OrderCheck {
     spark.stop()
   }
 }
+
+object OptProbe7 {
+  import OptProbe.{time, sf}
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-optprobe7", cores = 32)
+    val docs = Tables.documents(spark, sf)
+    val t = col("text")
+    val toks = split(trim(regexp_replace(t, "\\s+", " ")), " ")
+    val stop = Seq("the","be","to","of","and","that","have","with")
+    time(spark, "gopher_full") {
+      graft.ops.TextOps.gopherQuality(docs.select("doc_id","text"), "doc_id", "text", minStopwordHits = 1)
+    }
+    time(spark, "gopher_no_alpha") {
+      docs.select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(t).cast("bigint").as("n_tokens"),
+        size(array_intersect(array_distinct(toks), array(stop.map(lit): _*))).as("hits"),
+        (length(t) - length(regexp_replace(t, "[ \\t\\n\\f\\r]", ""))).as("spaces"))
+    }
+    time(spark, "gopher_alpha_only") {
+      docs.select(col("doc_id"),
+        size(filter(toks, x => x.rlike("[a-zA-Z]"))).as("alpha"))
+    }
+    time(spark, "gopher_hits_only") {
+      docs.select(col("doc_id"),
+        size(array_intersect(array_distinct(toks), array(stop.map(lit): _*))).as("hits"))
+    }
+    time(spark, "gopher_ntok_only") {
+      docs.select(col("doc_id"), graft.ops.TextOps.tokenCount(t).cast("bigint").as("n"))
+    }
+    spark.stop()
+  }
+}
