@@ -1429,17 +1429,35 @@ object TextOps {
       maxBigrams: Int = 65536,
       lambda: Double = 0.75): BigramLm = {
     require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
-    val u = trainUnigramLm(df, textCol, maxVocab)
-    val bi = df
-      .select(explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("gram"))
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    // ONE corpus pass trains BOTH heads (r21): unigrams and bigrams
+    // explode together (tokens carry no whitespace and the bigram join
+    // separator is a single space, so `contains(" ")` splits the gram
+    // table exactly), the aggregated gram table persists across the two
+    // bounded TakeOrdered+collect jobs (separate actions re-execute
+    // their full lineage — without the persist the explode+aggregate
+    // ran once per head), and the counts/tie order are identical to the
+    // separate passes this replaced.
+    val grams = df
+      .select(explode(concat(
+        graft.functions.native.wordNgrams(col(textCol), 1),
+        graft.functions.native.wordNgrams(col(textCol), 2))).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("gram"))
-      .limit(maxBigrams)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toSeq
-    BigramLm(u.vocab, bi, u.total, u.vsize, bi.size.toDouble, lambda)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def head(pred: Column, cap: Int): Seq[(String, Long)] = grams
+        .filter(pred)
+        .orderBy(col("c").desc, col("gram"))
+        .limit(cap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      val uni = head(!col("gram").contains(" "), maxVocab)
+      val bi = head(col("gram").contains(" "), maxBigrams)
+      BigramLm(uni, bi, uni.map(_._2).sum.toDouble, uni.size.toDouble,
+        bi.size.toDouble, lambda)
+    } finally grams.unpersist(false): Unit
   }
 
   /** Per-document interpolated-bigram LM score (avg NLL + round-6 ppl,
@@ -1530,8 +1548,35 @@ object TextOps {
       targetPred: Column,
       tau: Double = 0.0,
       maxVocab: Int = 65536): DataFrame = {
-    val target = trainUnigramLm(df.filter(targetPred), textCol, maxVocab)
-    val raw = trainUnigramLm(df, textCol, maxVocab)
+    // ONE corpus pass trains BOTH models (r21): term counts for the raw
+    // corpus and the target slice aggregate together (the slice count is
+    // a conditional count, identical to counting the filtered frame),
+    // the bounded table persists across the two TakeOrdered+collect
+    // jobs (separate actions re-execute their lineage), and head
+    // selection keeps trainUnigramLm's (count desc, term) tie order.
+    require(maxVocab > 0, s"maxVocab must be positive: $maxVocab")
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val counts = df
+      .select(explode(toks).as("term"), targetPred.as("__t"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("c_raw"), count(when(col("__t"), 1)).as("c_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (target, raw) =
+      try {
+        def head(cCol: String, pred: Column): Seq[(String, Long)] = counts
+          .filter(pred)
+          .orderBy(col(cCol).desc, col("term"))
+          .limit(maxVocab)
+          .select(col("term"), col(cCol))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toSeq
+        val tgtVocab = head("c_tgt", col("c_tgt") > 0)
+        val rawVocab = head("c_raw", lit(true))
+        (UnigramLm(tgtVocab, tgtVocab.map(_._2).sum.toDouble, tgtVocab.size.toDouble),
+          UnigramLm(rawVocab, rawVocab.map(_._2).sum.toDouble, rawVocab.size.toDouble))
+      } finally counts.unpersist(false): Unit
     require(target.vsize > 0, "target slice has an empty vocabulary")
     // sorted first so the range sampler never re-runs the two NLL folds
     // (the unigramLmScore r21 note)
