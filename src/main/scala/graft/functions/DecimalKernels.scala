@@ -71,4 +71,46 @@ object DecimalKernels {
         s"$x cannot be represented as Decimal(38, 6) (exact_decimal6 overflow)")
     d
   }
+
+  /** Fast-path cap for the scale-9 kernel: `5e8·ulp(|x|)` reaches 0.5
+    * near 4e6, and the compact unscaled long (`|x|·10⁹ < 4e15`) stays
+    * far from overflow below it. */
+  private val FastCap9 = 4.0e6
+
+  /** `round_half_even(exact_binary(x), 9)` as DECIMAL(38,9) — the
+    * DuckDB double→decimal semantics, exactly (DuckDB rounds the
+    * double's EXACT binary value half-to-even; Spark's Cast rounds the
+    * SHORTEST decimal representation half-up, and the two disagree on
+    * any double sitting on — or within a shortest-repr ulp of — a
+    * 9-decimal tie; sf0.1's embeddings contain exactly one such float,
+    * 0.1494140625, which surfaced as a one-cell q_embed_centroid
+    * divergence — see OPTIMIZATION_r21.md "Inherited state"). The same
+    * guarded FMA fast path as [[doubleToDecimal6]] (inside the guard no
+    * tie is in play, so every rounding mode agrees and the fast result
+    * equals BOTH engines); the slow path rounds `new BigDecimal(x)`
+    * (exact binary, NOT valueOf's shortest repr) half-even. NaN/±Inf
+    * throw like the ANSI cast on both engines. */
+  def doubleToDecimal9HalfEven(x: Double): Decimal = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new ArithmeticException(
+        s"$x cannot be represented as Decimal(38, 9) (decimal9_even non-finite)")
+    val ax = math.abs(x)
+    if (ax < FastCap9) {
+      val hi = ax * 1e9
+      val lo = Math.fma(ax, 1e9, -hi) // exact: ax·10⁹ = hi + lo
+      val m = Math.rint(hi)
+      val r = (hi - m) + lo
+      val g = 5.0e8 * Math.ulp(ax) + 1e-9
+      if (r > -0.5 + g && r < 0.5 - g) {
+        val n = m.toLong
+        return Decimal.createUnsafe(if (x < 0) -n else n, 38, 9)
+      }
+    }
+    val d = Decimal(new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_EVEN))
+    if (!d.changePrecision(38, 9))
+      throw new ArithmeticException(
+        s"$x cannot be represented as Decimal(38, 9) (decimal9_even overflow)")
+    d
+  }
 }

@@ -130,6 +130,9 @@ object GraftFunctions {
     "exact_decimal6" -> { args =>
       arity("exact_decimal6", args, 1); ExactDecimal6(args(0))
     },
+    "decimal9_even" -> { args =>
+      arity("decimal9_even", args, 1); Decimal9HalfEven(args(0))
+    },
     "term_freqs" -> { args =>
       require(args.length >= 2,
         s"term_freqs expects (text, term...), got ${args.length} arguments")

@@ -1031,10 +1031,32 @@ case class ExactDecimal6(child: Expression) extends UnaryExpression with Expects
     copy(child = newChild)
 }
 
+/** `round_half_even(exact_binary(x), 9)` as DECIMAL(38,9) — the
+  * engine-portable double→decimal conversion for oracle-mirrored
+  * decimal accumulation at scale 9 (see
+  * [[DecimalKernels.doubleToDecimal9HalfEven]]: Spark's own Cast
+  * rounds the shortest repr half-UP and diverges from DuckDB on
+  * 9-decimal ties). Throws on NaN/±Inf like the ANSI cast. */
+case class Decimal9HalfEven(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DecimalType(38, 9)
+  override def prettyName: String = "decimal9_even"
+  protected override def nullSafeEval(input: Any): Any =
+    DecimalKernels.doubleToDecimal9HalfEven(input.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DecimalKernels.doubleToDecimal9HalfEven($c)")
+  protected override def withNewChildInternal(newChild: Expression): Decimal9HalfEven =
+    copy(child = newChild)
+}
+
 object native {
 
   def exactDecimal6(c: Column): Column =
     ColumnBridge.column(ExactDecimal6(ColumnBridge.expression(c)))
+
+  def decimal9HalfEven(c: Column): Column =
+    ColumnBridge.column(Decimal9HalfEven(ColumnBridge.expression(c)))
 
   def termFreqs(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFrequencies(ColumnBridge.expression(text), terms))

@@ -95,4 +95,51 @@ object DecimalKernelProps extends Properties("DecimalKernel") {
     DecimalKernels.doubleToDecimal6(Double.NaN) == null &&
       DecimalKernels.doubleToDecimal6(Double.PositiveInfinity) == null &&
       DecimalKernels.doubleToDecimal6(Double.NegativeInfinity) == null)
+
+  // ----- decimal9_even: the DuckDB double→decimal semantics -----------
+
+  /** Exact-binary half-even at scale 9 — the independently-written
+    * reference (java BigDecimal over the exact binary value). */
+  private def evenRef(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(9, java.math.RoundingMode.HALF_EVEN)
+
+  private def agree9(x: Double): Prop = {
+    val k = DecimalKernels.doubleToDecimal9HalfEven(x)
+    Prop(k.toJavaBigDecimal.compareTo(evenRef(x)) == 0) :|
+      s"x=$x kernel=$k ref=${evenRef(x)}"
+  }
+
+  /** Doubles engineered AT or near `k + 0.5` ties at the 9th decimal —
+    * where half-even and Cast's half-up(shortest-repr) genuinely
+    * differ; the kernel must follow the exact-binary half-even side. */
+  private val nearBoundary9: Gen[Double] = for {
+    k <- Gen.chooseNum(0L, 4000000000000000L)
+    ulps <- Gen.chooseNum(-3, 3)
+    neg <- Gen.oneOf(true, false)
+  } yield {
+    val b = (k + 0.5) / 1e9
+    val nudged = (0 until math.abs(ulps)).foldLeft(b)((v, _) =>
+      if (ulps >= 0) Math.nextUp(v) else Math.nextDown(v))
+    if (neg) -nudged else nudged
+  }
+
+  /** Short-mantissa floats (widened) — the population that lands
+    * exactly on decimal ties, incl. the sf0.1 fixture value. */
+  private val floatShaped9: Gen[Double] = for {
+    bits <- Gen.chooseNum(0, (1 << 24) - 1)
+    exp <- Gen.chooseNum(-24, 10)
+  } yield Math.scalb(bits.toDouble, exp)
+
+  property("decimal9_even: logUniform magnitudes") =
+    Prop.forAll(logUniform.suchThat(d => math.abs(d) < 1e28))(agree9)
+  property("decimal9_even: rounding boundaries") = Prop.forAll(nearBoundary9)(agree9)
+  property("decimal9_even: float-shaped values") =
+    Prop.forAll(floatShaped9.suchThat(d => math.abs(d) < 1e28))(agree9)
+
+  property("decimal9_even: the sf0.1 tie value rounds half-even, not half-up") = {
+    val tie = 0.1494140625 // exactly k + 0.5 at the 9th decimal
+    val k = DecimalKernels.doubleToDecimal9HalfEven(tie)
+    Prop(k.toJavaBigDecimal.compareTo(new java.math.BigDecimal("0.149414062")) == 0) :|
+      s"got $k" // Cast/half-up would give 0.149414063
+  }
 }
