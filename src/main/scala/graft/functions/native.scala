@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -1007,11 +1007,12 @@ case class GopherCounts(child: Expression, stopwords: Seq[String])
   * folded in (NULL for NaN/±Inf) — the compiled per-row stage of
   * [[graft.ops.Relational.exactSum]]. See [[DecimalKernels]] for the
   * equality proof against Cast; DecimalKernelProps pins it. Declared
-  * input is DOUBLE: integral columns coerce to double first, so the
+  * input is DOUBLE and the mixin is ImplicitCastInputTypes, so the
+  * analyzer COERCES narrower numerics (int/float) to double — the
   * exactSum contract is "exact sum of double values" (a long column
   * wider than 2⁵³ should be cast to decimal directly, not summed via
   * this kernel). */
-case class ExactDecimal6(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+case class ExactDecimal6(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = DecimalType(38, 6)
   override def nullable: Boolean = true
@@ -1036,8 +1037,12 @@ case class ExactDecimal6(child: Expression) extends UnaryExpression with Expects
   * decimal accumulation at scale 9 (see
   * [[DecimalKernels.doubleToDecimal9HalfEven]]: Spark's own Cast
   * rounds the shortest repr half-UP and diverges from DuckDB on
-  * 9-decimal ties). Throws on NaN/±Inf like the ANSI cast. */
-case class Decimal9HalfEven(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  * 9-decimal ties). Throws on NaN/±Inf like the ANSI cast.
+  * ImplicitCastInputTypes (not plain ExpectsInputTypes) so a FLOAT
+  * input — e.g. posexplode of an array<float> embedding — coerces to
+  * double at analysis instead of failing; the widening is exact, so
+  * the half-even tie semantics are preserved. */
+case class Decimal9HalfEven(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = DecimalType(38, 9)
   override def prettyName: String = "decimal9_even"
