@@ -129,9 +129,15 @@ object NearDup {
       .select(col("id"), col("n"),
         explode(slice(col("__h"), lit(1),
           prefixLenExpr(threshold).cast("int"))).as("h"))
-    // AQE broadcasts one side of the self-join (re-evaluating the per-row
-    // pipeline for the build side — cheaper than exchanging both sides)
-    prefix.select(col("h"), col("id").as("id1"), col("n").as("n1"))
+    // merge-hinted self-join (r22): the two sides' exchanges are
+    // canonically equal, so AQE plans ONE exchange and a ReusedExchange
+    // for the other side — the whole scan→kernel→explode pipeline runs
+    // ONCE (the previous AQE broadcast re-evaluated it for the build
+    // side and paid a single-threaded broadcast build: measured 0.82 s
+    // → 0.48 s for the candidate stage at sf0.1/32 cores, and at scale
+    // a corpus-derived broadcast is not an option at all). Guide §2.4
+    // remove shuffles outright / §1.2 don't compute twice.
+    prefix.select(col("h"), col("id").as("id1"), col("n").as("n1")).hint("merge")
       .join(prefix.select(col("h"), col("id").as("id2"), col("n").as("n2")), "h")
       .filter(col("id1") < col("id2") && sizeCompatibleExpr(threshold))
       .select(col("id1"), col("id2"))
@@ -249,7 +255,10 @@ object NearDup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val banded = bandedRows(df, idCol, textCol, k, bands, rowsPerBand)
-    banded.select(col("band"), col("bucket"), col("id").as("id1"))
+    // merge-hinted for exchange reuse: one evaluation of the
+    // shingle→minhash-signature pipeline instead of two (see
+    // prefixFilterCandidatesHash)
+    banded.select(col("band"), col("bucket"), col("id").as("id1")).hint("merge")
       .join(banded.select(col("band"), col("bucket"), col("id").as("id2")), Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
@@ -614,7 +623,10 @@ object NearDup {
       minShared: Int = 20,
       maxDocFreq: Int = 100): DataFrame = {
     val filtered = winnowFiltered(df, idCol, textCol, k, window, maxDocFreq)
-    filtered.select(col("f"), col("id").as("id1"))
+    // merge-hinted for exchange reuse: the winnow kernel + explode +
+    // f-exchange run once, both join sides hang below the same exchange
+    // (see prefixFilterCandidatesHash)
+    filtered.select(col("f"), col("id").as("id1")).hint("merge")
       .join(filtered.select(col("f"), col("id").as("id2")), "f")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
@@ -673,7 +685,8 @@ object NearDup {
     // baseline vs 1.5 s for this shape at sf0.1/32 cores).
     val filtered = winnowFiltered(df, idCol, textCol, k, window, maxDocFreq)
     val totals = filtered.groupBy(col("id")).agg(count(lit(1)).as("n_fingerprints"))
-    val shared = filtered.select(col("f"), col("id").as("id1"))
+    // merge-hinted for exchange reuse, same as winnowPairs
+    val shared = filtered.select(col("f"), col("id").as("id1")).hint("merge")
       .join(filtered.select(col("f"), col("id").as("id2")), "f")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
@@ -770,7 +783,10 @@ object NearDup {
         shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xffffL))
       }: _*)))
       .toDF("id", "sh", "chunk", "key")
+    // merge-hinted for exchange reuse: one simhash kernel pass instead
+    // of two (see prefixFilterCandidatesHash)
     chunked.select(col("chunk"), col("key"), col("id").as("id1"), col("sh").as("sh1"))
+      .hint("merge")
       .join(
         chunked.select(col("chunk"), col("key"), col("id").as("id2"), col("sh").as("sh2")),
         Seq("chunk", "key"))
@@ -1259,6 +1275,11 @@ object NearDup {
       vecCol: String,
       threshold: Double,
       assigned: DataFrame): DataFrame = {
+    // NOT merge-hinted (unlike the other candidate self-joins, r22 A/B):
+    // the bucket key has only ~nClusters distinct values, so a forced
+    // sort-merge join sorts a few huge groups (measured 1.60 → 1.91 s at
+    // sf0.1/32 cores) while the assignment kernel the hint would save is
+    // cheap; the AQE broadcast stays.
     val rawCands = assigned.select(col("bucket"), col("id").as("id1"))
       .join(assigned.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
       .filter(col("id1") < col("id2"))
@@ -1307,7 +1328,9 @@ object NearDup {
         graft.functions.native
           .hyperplaneSignatures(col(vecCol), bands, bitsPerBand, dim, seed = 1000)))
       .toDF("id", "band", "sig")
-    val rawCands = banded.select(col("band"), col("sig"), col("id").as("id1"))
+    // merge-hinted for exchange reuse: one hyperplane-signature pass
+    // instead of two (see prefixFilterCandidatesHash)
+    val rawCands = banded.select(col("band"), col("sig"), col("id").as("id1")).hint("merge")
       .join(banded.select(col("band"), col("sig"), col("id").as("id2")), Seq("band", "sig"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
