@@ -207,9 +207,52 @@ object NearDup {
       k: Int = 3,
       threshold: Double = 0.8,
       order: String = "hash"): DataFrame =
-    jaccardVerify(
+    jaccardVerifySelective(
       prefixFilterCandidates(df, idCol, textCol, k, threshold, order),
       df, idCol, textCol, k, threshold)
+
+  /** [[jaccardVerify]] with OPT-IN candidate-id pruning (r22, guide
+    * §3.2 reduce the big side before shuffling it — the verdict's
+    * pair-ids semi-join). With `spark.graft.neardup.pruneVerify=true`
+    * the corpus is semi-joined down to the candidates' distinct ids
+    * BEFORE any shingle set is built, so the verify stage's shingle
+    * kernel and exchanges run over candidate docs only — the 100 TB
+    * shape for corpora whose candidates are selective (the
+    * banded-MinHash family: 479 of 5 000 ids even at sf0.1). The ids
+    * subplan hangs off the SAME candidate aggregate as the verify's
+    * pair input, and AQE's runtime exchange reuse evaluates the
+    * candidate pipeline once — no materialization, no counting jobs.
+    *
+    * DEFAULT OFF, deliberately: a cardinality-derived runtime switch
+    * (localCheckpoint the pairs, count distinct ids vs the corpus) was
+    * built and interleave-measured first — the eager checkpoint plus
+    * two count jobs serialize stages that previously overlapped and
+    * cost +0.3–1.0 s per family query at sf0.1/32 cores, far more than
+    * the pruning saves at that scale, while the prefix-filter family's
+    * candidates cover 92 % of the fixture corpus so its prune never
+    * fires at all. At 100 TB enable the flag where candidate
+    * selectivity is expected (near-dup rates ≪ 1); an id list beyond
+    * broadcast reach (~100 M+ ids) wants the Bloom-filter variant of
+    * guide §3.2 instead. Pruning cannot change the result — only
+    * candidate ids are ever joined (NearDupSpec pins equality). */
+  private def jaccardVerifySelective(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val prune = df.sparkSession.conf
+      .getOption("spark.graft.neardup.pruneVerify").exists(_.toBoolean)
+    val target =
+      if (prune) {
+        val ids = pairs.select(col("id1").as(idCol))
+          .union(pairs.select(col("id2").as(idCol)))
+          .distinct()
+        df.join(broadcast(ids), Seq(idCol), "left_semi")
+      } else df
+    jaccardVerify(pairs, target, idCol, textCol, k, threshold)
+  }
 
   /** Per-doc MinHash signature: one-hash-with-mixes native kernel
     * ([[graft.functions.MinHashSignature]]). Callers must filter out
@@ -305,7 +348,7 @@ object NearDup {
       threshold: Double = 0.8,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame =
-    jaccardVerify(
+    jaccardVerifySelective(
       minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand),
       df, idCol, textCol, k, threshold)
 
@@ -1046,18 +1089,37 @@ object NearDup {
     var prevRound: Option[DataFrame] = None
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // one min-label propagation round over the current labels; __chg
+    // marks nodes whose label shrank this round
+    def step(l: DataFrame): DataFrame = {
       // every node is `a` of some symmetric edge, so the join is inner
       val neighborMin = edges
-        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .join(l.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a"))
         .agg(min(col("label")).as("nmin"))
-      val updatedPlan = labels
-        .join(neighborMin.select(col("a").as("node"), col("nmin")), "node")
+      l.join(neighborMin.select(col("a").as("node"), col("nmin")), "node")
         .select(
           col("node"),
           least(col("label"), col("nmin")).as("label"),
           (col("nmin") < col("label")).as("__chg"))
+    }
+    while (!converged && i < maxIter) {
+      // The FIRST materialization chains TWO rounds into one plan and
+      // one convergence count (r22): whenever any edge exists, round 1
+      // provably changes a label (the larger endpoint of a pair always
+      // shrinks), so a count after round 1 can never observe
+      // convergence — it was a whole scheduled job spent learning
+      // nothing (measured ~0.5 s/round on a 256-edge fixture at
+      // sf0.1/32 cores, all planning/scheduling overhead; guide §2.6
+      // fewer jobs). Convergence is judged by the LAST chained round's
+      // __chg, which is exactly the per-round loop's meaning; on an
+      // empty edge set both rounds are empty and the count still reads
+      // 0. Later iterations stay single-step so maxIter keeps bounding
+      // the total round count.
+      val twoStep = i == 0 && maxIter >= 2
+      val updatedPlan =
+        if (twoStep) step(step(labels).select(col("node"), col("label")))
+        else step(labels)
       // Local mode: LAZY checkpoint + count — the count job materializes
       // the round's checkpoint AND answers convergence, one job, not a
       // materialize job plus an isEmpty probe. Reliable mode: the
@@ -1070,7 +1132,7 @@ object NearDup {
       prevRound.foreach(releaseCheckpoint) // superseded — release its blocks
       prevRound = Some(updated)
       labels = updated.select(col("node"), col("label"))
-      i += 1
+      i += (if (twoStep) 2 else 1)
     }
     def release(): Unit = { prevRound.foreach(releaseCheckpoint); releaseCheckpoint(edges) }
     // refuse to return an under-merged (wrong) component structure: a

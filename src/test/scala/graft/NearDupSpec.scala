@@ -588,4 +588,40 @@ class NearDupSpec extends SparkTestBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(known == got)
   }
+
+  test("cardinality-pruned verify equals the unconditional verify (r22 semi-join switch)") {
+    // selective regime: few near-dup docs in a larger unique corpus, so
+    // candidate ids cover well under half the docs and the switch FIRES
+    val base = (0L until 60L).map(i => (i, s"alpha bravo charlie delta echo f$i g$i h$i i$i j$i k$i"))
+    val dups = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val docs = spark.createDataFrame(base ++ dups).toDF("doc_id", "text")
+    val pruned =
+      try {
+        spark.conf.set("spark.graft.neardup.pruneVerify", "true")
+        NearDup
+          .minhashNearDupPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally spark.conf.unset("spark.graft.neardup.pruneVerify")
+    val unpruned = NearDup
+      .jaccardVerify(
+        NearDup.minhashCandidatePairs(docs, "doc_id", "text", 3, 16, 4),
+        docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == unpruned)
+    assert(pruned.nonEmpty)
+    // clique regime (pruning keeps every doc — the prune passes all ids
+    // through and the result is still the full pair set)
+    val all = (0L until 20L).map(i => (i, "same words everywhere in this tiny corpus of clones"))
+    val clones = spark.createDataFrame(all).toDF("doc_id", "text")
+    val got =
+      try {
+        spark.conf.set("spark.graft.neardup.pruneVerify", "true")
+        NearDup.exactJaccardPairs(clones, "doc_id", "text", 3, 0.8).count()
+      } finally spark.conf.unset("spark.graft.neardup.pruneVerify")
+    assert(got == 20L * 19 / 2)
+    assert(NearDup.exactJaccardPairs(clones, "doc_id", "text", 3, 0.8).count() == got)
+  }
 }
