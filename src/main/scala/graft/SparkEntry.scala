@@ -427,6 +427,12 @@ object SparkEntry {
       // arriving batch carries
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
       val hist = Seq("src0", "src1", "src2", "src3")
+      // no final orderBy (r22): batch() sorts survivors by id below the
+      // chunk explode, so the output is already globally (doc_id,
+      // chunk_ix)-ordered — an orderBy here would range-sample the
+      // exploded chunks and re-execute the whole gate→dedup pipeline a
+      // second time (the r21 sort-first family's rationale;
+      // IngestPipelineSpec pins the order)
       graft.streaming.IngestPipeline
         .batch(
           docs.filter(!col("source").isin(hist: _*)).drop("source"),
@@ -434,7 +440,6 @@ object SparkEntry {
           graft.streaming.IngestPipeline.Config(
             outDir = "", checkpointDir = "",
             minTokens = 20L, maxTokens = 400L, maxPunctRatio = 0.05))
-        .orderBy(col("doc_id"), col("chunk_ix"))
     }),
 
     "q_neardup_jaccard" -> ((s, dir) =>
@@ -548,13 +553,17 @@ object SparkEntry {
     "q_doc_bytes" -> ((s, dir) =>
       // Multimodal plumbing over the only payloads the fixture offers:
       // text as opaque UTF-8 blobs → size + content digest metadata.
-      // input sorted first (the unigramLmScore r21 note): the sha256
-      // kernel projects above the determinism sort
+      // Sort LAST, not first (r22, reverting the r21 sort-first shape
+      // per the verdict): sha256/length are trivially cheap, so paying
+      // the range sampler's second kernel pass is better than carrying
+      // the full text through the range exchange — the sorted rows are
+      // ~70 bytes instead of the corpus (guide §2.3 shuffle fewer
+      // bytes). r21's own A/B already read this query as a wash-to-
+      // worse under sort-first.
       MultiModal
-        .mediaMeta(
-          MultiModal.docBlobs(Tables.documents(s, dir).orderBy(col("doc_id"))),
-          "bytes")
-        .select(col("doc_id"), col("n_bytes"), col("content_sha"))),
+        .mediaMeta(MultiModal.docBlobs(Tables.documents(s, dir)), "bytes")
+        .select(col("doc_id"), col("n_bytes"), col("content_sha"))
+        .orderBy(col("doc_id"))),
 
     "q_media_dims" -> ((s, dir) => {
       // The media_dims AND av_meta kernels under the oracle gate: parse
@@ -575,15 +584,17 @@ object SparkEntry {
     }),
 
     "q_quality" -> ((s, dir) =>
-      // input sorted first (the TextOps.unigramLmScore r21 note)
+      // Sort LAST, not first (r22, reverting the r21 sort-first shape
+      // per the verdict): the char-class kernel is cheap, so the
+      // narrow feature rows sort instead of the text — see q_doc_bytes
       TextOps
         .qualityFeatures(
-          Tables.documents(s, dir).select("doc_id", "text").orderBy(col("doc_id")),
-          "text")
+          Tables.documents(s, dir).select("doc_id", "text"), "text")
         .select(
           col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           col("n_tokens").cast("long").as("n_tokens"),
-          col("punct_ratio"), col("upper_ratio"), col("mean_token_len"))),
+          col("punct_ratio"), col("upper_ratio"), col("mean_token_len"))
+        .orderBy(col("doc_id"))),
 
     "q_gopher" -> ((s, dir) =>
       // The published Gopher pretraining-filter rule set: required-

@@ -190,9 +190,17 @@ object IngestPipeline {
       .groupBy(TextOps.fingerprint(col(cfg.textCol)).as("__fp"))
       .agg(min(col(cfg.idCol)).as(cfg.idCol), aggs: _*)
       .select((cfg.idCol +: cfg.textCol +: carry).map(col): _*)
+    // Determinism sort BELOW the chunk explode (r22, the sort-first
+    // shape of the r21 per-doc kernel family): the survivors sort by id
+    // (one row per doc) and the explode emits chunk_ix ascending above
+    // the range exchange, so the output is globally (id, chunk_ix)-
+    // ordered WITHOUT a final sort over the exploded chunks — a
+    // caller's orderBy there would make the range sampler re-execute
+    // the whole gate→dedup pipeline a second time (guide §1.2).
+    // IngestPipelineSpec pins the output order.
     TextOps.chunk(
-      fresh, cfg.idCol, cfg.textCol, cfg.chunkWindow, cfg.chunkStride,
-      carryCols = carry)
+      fresh.orderBy(col(cfg.idCol)), cfg.idCol, cfg.textCol,
+      cfg.chunkWindow, cfg.chunkStride, carryCols = carry)
   }
 
   /** Start the pipeline on an arriving document stream; `history` is the

@@ -96,11 +96,18 @@ class IngestPipelineSpec extends SparkTestBase {
     val cfg = IngestPipeline.Config(
       outDir = "", checkpointDir = "",
       minTokens = 2, chunkWindow = 3, chunkStride = 2)
-    val got = IngestPipeline.batch(incoming, history, cfg)
+    val raw = IngestPipeline.batch(incoming, history, cfg)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
-      .sortBy(x => (x._1, x._2)).toSeq
-    assert(got == Seq(
+      .toSeq
+    // r22 ordering contract: batch() sorts survivors below the chunk
+    // explode, so the rows must arrive ALREADY (id, chunk_ix)-ordered —
+    // q_ingest relies on that instead of a final orderBy over the
+    // exploded chunks (which would re-execute the pipeline for the
+    // range sampler)
+    assert(raw == raw.sortBy(x => (x._1, x._2)),
+      s"batch() output must be (id, chunk_ix)-ordered without a caller sort: $raw")
+    assert(raw == Seq(
       (2L, 0, "one two three", 3), (2L, 1, "three four five", 3),
       (2L, 2, "five", 1),
       (5L, 0, "six seven eight", 3), (5L, 1, "eight", 1)))
