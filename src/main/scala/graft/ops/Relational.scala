@@ -156,21 +156,36 @@ object Relational {
       .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
       .groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
       .agg(count(lit(1)).as("__n"))
-    val support = cells.groupBy(col("__l").as("class")).agg(sum(col("__n")).as("__support"))
-    val predicted = cells.groupBy(col("__p").as("class")).agg(sum(col("__n")).as("__predicted"))
-    val tp = cells.filter(col("__l") === col("__p"))
-      .select(col("__l").as("class"), col("__n").as("__tp"))
+    // ONE pass over the ≤classes² cell table (r22): each cell
+    // contributes its count to its label-class's support (and tp when
+    // on the diagonal) and to its prediction-class's predicted — one
+    // explode + one aggregate. The previous shape derived support /
+    // predicted / tp as three separate aggregates over `cells` joined
+    // full_outer + left, which re-executed the whole upstream
+    // prediction pipeline (an expensive per-doc scoring kernel in both
+    // callers) once per branch: the tp branch's pushed-down diagonal
+    // filter makes its subtree canonically unequal, so runtime exchange
+    // reuse could not collapse them (measured 3 corpus kernel passes in
+    // q_langid_clf's final adaptive plan; guide §1.2 don't compute
+    // twice). A class appearing only as a label or only as a
+    // prediction still gets its row — it contributes via its side of
+    // the explode, exactly like the old full_outer.
+    val contribs = cells.select(explode(array(
+      struct(col("__l").as("class"), col("__n").as("__s"), lit(0L).as("__pc"),
+        when(col("__l") === col("__p"), col("__n")).otherwise(lit(0L)).as("__t")),
+      struct(col("__p").as("class"), lit(0L).as("__s"), col("__n").as("__pc"),
+        lit(0L).as("__t")))).as("e"))
+      .select(col("e.class").as("class"), col("e.__s").as("__s"),
+        col("e.__pc").as("__pc"), col("e.__t").as("__t"))
     val sup = col("__support_c")
     val pred = col("__predicted_c")
     val precision = when(pred > 0, col("__tp_c").cast("double") / pred)
     val recall = when(sup > 0, col("__tp_c").cast("double") / sup)
-    support
-      .join(predicted, Seq("class"), "full_outer")
-      .join(tp, Seq("class"), "left")
-      .select(col("class"),
-        coalesce(col("__support"), lit(0L)).as("__support_c"),
-        coalesce(col("__predicted"), lit(0L)).as("__predicted_c"),
-        coalesce(col("__tp"), lit(0L)).as("__tp_c"))
+    contribs
+      .groupBy(col("class"))
+      .agg(sum(col("__s")).as("__support_c"),
+        sum(col("__pc")).as("__predicted_c"),
+        sum(col("__t")).as("__tp_c"))
       .select(col("class"),
         col("__support_c").as("support"),
         col("__predicted_c").as("predicted"),

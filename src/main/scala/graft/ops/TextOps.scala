@@ -1765,7 +1765,12 @@ object TextOps {
       col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(docFreq), "term")
+    // merge-hinted (r22, the NearDup candidate-join recipe): docFreq is
+    // derived FROM tf, so a broadcast build re-ran the whole
+    // explode+aggregate pipeline for it — under the merge hint both
+    // sides' subtrees share tf's exchange at runtime and the ngram
+    // kernel runs once
+    tf.hint("merge").join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
@@ -1860,7 +1865,12 @@ object TextOps {
     val contrib = round(
       col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
         col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))), 6)
-    val shared = a.join(b, Seq("__t"))
+    // merge-hinted self-join (r22, the NearDup candidate-join recipe):
+    // both sides' __t exchanges are canonically equal, so the final
+    // adaptive plan evaluates the counts→p pipeline ONCE and reuses the
+    // exchange for the other side, instead of re-running the unigram
+    // explode + two-level aggregate per side
+    val shared = a.hint("merge").join(b, Seq("__t"))
       .filter(col("class_a") < col("class_b"))
       .groupBy(col("class_a"), col("class_b"))
       .agg(
@@ -1870,7 +1880,12 @@ object TextOps {
         Relational.exactSum(col("pb")).cast("double").as("__qab"))
     // pair spine from the ≤|classes|-row totals: a pair with NO shared
     // vocabulary must still report (as the disjoint maximum ln 2), not
-    // vanish with the inner join
+    // vanish with the inner join. Deliberately totals-derived (a
+    // column-pruned distinct over the class column was tried in r22 and
+    // REJECTED: the oracle's spine is token-holding classes, and a
+    // class whose docs have no tokens would diverge); the duplicated
+    // count-pipeline evaluations the spine implies dedupe at runtime
+    // via AQE exchange reuse where canonically equal.
     val classes = totals.select(col("__c"))
     broadcast(classes.select(col("__c").as("class_a")))
       .crossJoin(broadcast(classes.select(col("__c").as("class_b"))))
