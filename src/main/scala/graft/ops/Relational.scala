@@ -293,13 +293,8 @@ object Relational {
     // on |distinct| rows only. profileApprox (the swap-in itself) keeps
     // its one-pass shape: at 100 TB a second pass is the scan cost the
     // sketch exists to avoid; this harness is the sf-sized yardstick.
-    val one = cols.foldLeft(profileStatsAgg(df, cols)) { (acc, c) =>
-      acc.crossJoin(
-        df.select(col(c)).where(col(c).isNotNull).distinct()
-          .agg(
-            count(lit(1)).as(s"${c}__distinct"),
-            approx_count_distinct(col(c), rsd).as(s"${c}__approx")))
-    }
+    val one = joinExactDistincts(profileStatsAgg(df, cols), df, cols,
+      c => Seq(approx_count_distinct(col(c), rsd).as(s"${c}__approx")))
     val perCol = cols.map { c =>
       struct(
         lit(c).as("col_name"),
@@ -507,12 +502,20 @@ object Relational {
     * (map-side distinct per partition → exchange of distinct values →
     * count), cross-joined onto `base` one 1-row frame at a time.
     * GroupBy normalizes NaN/−0.0 exactly like countDistinct, so the
-    * counts are identical to the multi-distinct plan's. */
-  private def joinExactDistincts(base: DataFrame, df: DataFrame, cols: Seq[String]): DataFrame =
+    * counts are identical to the multi-distinct plan's. `extraAggs`
+    * lets [[profileApproxChecked]] ride its HLL++ sketch on the same
+    * per-column distinct aggregate instead of duplicating the fold
+    * (r22, ADVICE: one copy, so a future NULL/NaN normalization fix
+    * cannot drift between the exact and checked profiles). */
+  private def joinExactDistincts(
+      base: DataFrame,
+      df: DataFrame,
+      cols: Seq[String],
+      extraAggs: String => Seq[Column] = _ => Seq.empty): DataFrame =
     cols.foldLeft(base) { (acc, c) =>
       acc.crossJoin(
         df.select(col(c)).where(col(c).isNotNull).distinct()
-          .agg(count(lit(1)).as(s"${c}__distinct")))
+          .agg(count(lit(1)).as(s"${c}__distinct"), extraAggs(c): _*))
     }
 
   private def profileUnpivot(one: DataFrame, cols: Seq[String], distinctName: String): DataFrame = {

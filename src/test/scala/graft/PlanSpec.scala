@@ -128,23 +128,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("hash-ordered prefix candidates shuffle NOTHING before the self-join") {
-    // the zero-shuffle property of the default order: the per-row array
-    // pipeline (shingles → hash → sort → slice → explode) reaches the
-    // self-join with no exchange at all — the only shuffles in the whole
-    // candidate stage belong to the final pair distinct. A reintroduced
-    // corpus shuffle (e.g. a window creeping back in) fails here.
+  test("hash-ordered prefix candidates: one reused prefix exchange, never text") {
+    // r22 shape: the per-row array pipeline (shingles → hash → sort →
+    // slice → explode) feeds a merge-hinted self-join whose two sides'
+    // exchanges are canonically equal — the executed plan must carry the
+    // prefix rows through ONE exchange (the other side a ReusedExchange,
+    // so the kernel pipeline runs once) and no exchange anywhere may
+    // carry the text column. A window creeping back in still fails.
     val cands = graft.ops.NearDup.prefixFilterCandidates(
       Tables.documents(spark, sf001), "doc_id", "text", 3, 0.8, "hash")
-    val p = cands.queryExecution.executedPlan.toString
+    cands.collect()
+    // the adaptive plan prints "== Initial Plan ==" after the final
+    // plan — assert on the FINAL section only (the initial plan always
+    // shows both sides pre-reuse)
+    val p = cands.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("Window"), s"hash order must not use a window:\n$p")
-    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
-    // only the pair-distinct aggregate may exchange, and it carries id
-    // pairs — never a shingle, hash-prefix, or text column
-    assert(exchanges.nonEmpty && exchanges.forall(l =>
-      l.contains("id1") && l.contains("id2") &&
-        !l.contains("text#") && !l.contains("h#")),
-      s"unexpected exchanges:\n${exchanges.mkString("\n")}")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"an exchange carries text:\n${exchanges.mkString("\n")}")
+    // exactly one NON-reused exchange of the prefix-hash rows: the
+    // second side must be a ReusedExchange (one kernel evaluation)
+    val prefixExchanges = exchanges.filter(_.contains("(h#"))
+    assert(prefixExchanges.size == 1,
+      s"expected one prefix exchange + a reuse, got:\n${exchanges.mkString("\n")}")
+    assert(p.contains("ReusedExchange"),
+      s"self-join must reuse the prefix exchange:\n$p")
   }
 
   test("q_lm_score scores through the unigram_nll kernel with zero corpus shuffle") {

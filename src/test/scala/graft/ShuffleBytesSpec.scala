@@ -118,14 +118,20 @@ class ShuffleBytesSpec extends SparkTestBase {
   test("exact-Jaccard near-dup keeps the corpus out of every exchange") {
     // the flagship claim: candidates exchange 8-byte prefix hashes and
     // id pairs; the verify stage broadcasts the (small) pair set so the
-    // shingle arrays never shuffle — total exchange bytes must stay far
+    // shingle arrays never shuffle — total exchange bytes must stay
     // below even the RAW text volume (the exploded shingle volume is a
-    // multiple of it)
+    // multiple of it). r22: the candidate self-join is merge-hinted so
+    // the prefix rows go through ONE real exchange (reused by both
+    // sides — the kernel runs once) instead of a broadcast that hid
+    // the bytes by re-evaluating the pipeline; the bound moves from
+    // corpus/2 to corpus — still far under the shingle volume a text
+    // exchange would show, and PlanSpec separately pins that no
+    // exchange carries the text column.
     val b = shuffleBytes {
       SparkEntry.queries("q_neardup_jaccard")(spark, sf01)
         .write.format("noop").mode("overwrite").save()
     }
-    assert(b < corpusTextBytes / 2, s"shuffled $b bytes vs corpus $corpusTextBytes")
+    assert(b < corpusTextBytes, s"shuffled $b bytes vs corpus $corpusTextBytes")
   }
 
   test("the changelog combine ships at most keys-per-partition rows, not events") {
